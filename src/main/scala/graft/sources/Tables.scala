@@ -22,7 +22,16 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame     = t("events")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    * unless read as a raw long (`nanosAsLong`). Normalize to epoch
+    * microseconds (`ts_us` BIGINT, truncating like DuckDB's ns->us read)
+    * so downstream time arithmetic is exact integer math. */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
+      .drop("ts")
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }
