@@ -15,7 +15,8 @@ object SparkEntry {
 
   private val groups: Seq[QueryGroup] = Seq(
     RelationalQueries,
-    TextQueries
+    TextQueries,
+    EventQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

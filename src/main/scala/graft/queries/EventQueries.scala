@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.agg.Aggregates
+import Oracle._
+
+/** Batch analogs of the reference's keyed-aggregation and event-time
+  * operators over the `events` table (SURVEY.md §2.4 A2-A4, §2.5 W2/W4/W5).
+  * The streaming forms live in graft.streaming; these give the same
+  * semantics a DuckDB oracle can check.
+  */
+object EventQueries extends QueryGroup {
+
+  private val S = 1000000L // µs per second
+
+  /** A2 — rolling per-key running sum/count, one output per input record
+    * (WindowWordCount's keyBy().sum() emission pattern, batch form). */
+  def rollingSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Aggregates.runningWindow(col("user_id"), col("ts_us"), col("event_id"))
+    Tables(spark, dir).events.select(
+        col("user_id"), col("event_id"), col("ts_us"),
+        sum(col("value").cast("decimal(18,6)")).over(w).cast("double").as("running_value"),
+        count(lit(1)).over(w).as("running_cnt"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  /** A3 — tumbling 10 s event-time window count+sum per event_type. */
+  def tumblingCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(Aggregates.tumbleStartUs(col("ts_us"), 10 * S).as("w_start_us"),
+              col("event_type"), col("value"))
+      .groupBy(col("w_start_us"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("w_start_us"), col("event_type"))
+
+  /** A4 — sliding 10 s / 5 s window count per event_type. Each row maps
+    * to exactly 2 windows (size/slide), via an exploded projection. */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(Aggregates.slideStartsUs(col("ts_us"), 10 * S, 5 * S).as("w_start_us"),
+              col("event_type"))
+      .groupBy(col("w_start_us"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("w_start_us"), col("event_type"))
+
+  /** W2+W4+W5 — late-data audit. Watermark = running max event time over
+    * arrival order (event_id) minus 5 s disorder bound; a record is LATE
+    * if it arrives below watermark - 5 s allowed lateness
+    * (EventTimeWordCountDebug's side-output split, batch form).
+    *
+    * Scale note: a single global arrival order is inherently sequential —
+    * the streaming form tracks the watermark per micro-batch instead.
+    * Batch audit over one stream = one window sort, acceptable for audit
+    * jobs; not a hot-path operator. */
+  def lateDataAudit(spark: SparkSession, dir: String): DataFrame = {
+    val wPrev = Window.orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, dir).events
+      .select(col("event_id"), col("ts_us"),
+        (max(col("ts_us")).over(wPrev) - 5 * S).as("watermark_us"))
+      .select(col("event_id"), col("ts_us"), col("watermark_us"),
+        when(col("watermark_us").isNotNull &&
+             col("ts_us") < col("watermark_us") - 5 * S, lit("LATE"))
+          .otherwise(lit("OK")).as("status"))
+      .orderBy(col("event_id"))
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a2_rolling_sum"     -> (rollingSum _),
+    "a3_tumbling_counts" -> (tumblingCounts _),
+    "a4_sliding_counts"  -> (slidingCounts _),
+    "w5_late_data_audit" -> (lateDataAudit _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "a2_rolling_sum" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6)))
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cnt
+        |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "a3_tumbling_counts" ->
+      s"""SELECT epoch_us(ts) - (epoch_us(ts) % ${10 * S}) AS w_start_us, event_type,
+         |  COUNT(*) AS cnt, ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a4_sliding_counts" ->
+      s"""SELECT epoch_us(ts) - (epoch_us(ts) % ${5 * S}) - k.off AS w_start_us, event_type,
+         |  COUNT(*) AS cnt
+         |FROM events CROSS JOIN (VALUES (0), (${5 * S})) AS k(off)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "w5_late_data_audit" ->
+      s"""SELECT event_id, ts_us, watermark_us,
+         |  CASE WHEN watermark_us IS NOT NULL AND ts_us < watermark_us - ${5 * S}
+         |       THEN 'LATE' ELSE 'OK' END AS status
+         |FROM (
+         |  SELECT event_id, epoch_us(ts) AS ts_us,
+         |    MAX(epoch_us(ts)) OVER (ORDER BY event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ${5 * S} AS watermark_us
+         |  FROM events
+         |) ORDER BY event_id""".stripMargin
+  )
+}
