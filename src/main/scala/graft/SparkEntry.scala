@@ -16,7 +16,8 @@ object SparkEntry {
   private val groups: Seq[QueryGroup] = Seq(
     RelationalQueries,
     TextQueries,
-    EventQueries
+    EventQueries,
+    StatefulQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

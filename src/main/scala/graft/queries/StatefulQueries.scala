@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.json.JsonDiff
+
+/** Batch analogs of the reference's keyed-state operators (SURVEY.md
+  * §2.6 T1-T5) over the `events` table, each DuckDB-oracle-checked.
+  * The per-record streaming forms (ValueState/ListState semantics,
+  * alert throttling) live in graft.streaming with MemoryStream goldens —
+  * these verify the same per-key logic in deterministic batch form.
+  *
+  * Scale notes: every query here shuffles once on user_id and sorts
+  * within partitions; no global sort except the final presentation
+  * ORDER BY (which exists only for oracle determinism).
+  */
+object StatefulQueries extends QueryGroup {
+
+  private val S = 1000000L // µs per second
+  private def byUser = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts_us"), col("event_id"))
+
+  /** T1 — ValueState running click counter, 1 output per input
+    * (UserClickCounter.java:39-61). */
+  def clickCounter(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        row_number().over(byUser).cast("long").as("clicks"))
+      .withColumn("message",
+        concat(lit("user "), col("user_id"), lit(" has clicked "),
+               col("clicks"), lit(" times.")))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+
+  /** T2 — ListState accumulation; final per-key snapshot as ordered CSV
+    * (UserEventListState.java:40-64). */
+  def eventList(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("user_id"))
+      .agg(
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type"))).as("events_csv"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  /** T3 — fraud pattern: >=3 high-value (>100) events within a sliding
+    * lookback from the current event (FraudDetectorExample.java:71-121;
+    * alert throttling is iterative state — covered by the streaming
+    * golden spec, not SQL). The reference's 10-minute lookback is scaled
+    * to 24 h here because the synthetic events are ~11 h apart per user —
+    * 10 min would be vacuously empty. RANGE window on ts_us is
+    * tie-insensitive, hence deterministic. */
+  private val lookbackUs = 24L * 3600 * 1000000
+  def fraudLookback(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-lookbackUs, 0)
+    Tables(spark, dir).events
+      .filter(col("value") > 100)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("value").as("amount"),
+        count(lit(1)).over(w).as("recent_cnt"))
+      .filter(col("recent_cnt") >= 3)
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  /** T4 — per-key CDC: emit rows whose props changed vs the previous
+    * record of the same key (TradeChangeDetectionJob.java:67-113). */
+  def changeRows(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("props"),
+        lag(col("props"), 1).over(byUser).as("prev_props"))
+      .filter(col("prev_props").isNotNull && col("prev_props") =!= col("props"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+
+  /** T5 — field-level JSON diff of consecutive per-key records, via the
+    * JsonDiff function (TradeChangeDetectionJob.java:115-155). */
+  def jsonDiffRows(spark: SparkSession, dir: String): DataFrame = {
+    val diffUdf = udf((p: String, c: String) => JsonDiff.diffJson(p, c))
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("props"),
+        lag(col("props"), 1).over(byUser).as("prev_props"))
+      .filter(col("prev_props").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        explode(diffUdf(col("prev_props"), col("props"))).as("d"))
+      .select(col("user_id"), col("event_id"),
+        col("d.field").as("field"), col("d.action").as("action"),
+        col("d.old_value").as("old_value"), col("d.new_value").as("new_value"))
+      .orderBy(col("user_id"), col("event_id"), col("field"))
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_click_counter" -> (clickCounter _),
+    "t2_event_list"    -> (eventList _),
+    "t3_fraud_lookback"-> (fraudLookback _),
+    "t4_change_rows"   -> (changeRows _),
+    "t5_json_diff"     -> (jsonDiffRows _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "t1_click_counter" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS BIGINT) AS clicks,
+        |  'user ' || user_id || ' has clicked ' ||
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) || ' times.' AS message
+        |FROM events WHERE event_type = 'click'
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "t2_event_list" ->
+      """SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id) AS events_csv,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "t3_fraud_lookback" ->
+      s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us, value AS amount, recent_cnt
+         |FROM (
+         |  SELECT user_id, event_id, ts, value,
+         |    COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |      RANGE BETWEEN $lookbackUs PRECEDING AND CURRENT ROW) AS recent_cnt
+         |  FROM events WHERE value > 100
+         |) WHERE recent_cnt >= 3
+         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "t4_change_rows" ->
+      """SELECT user_id, event_id, ts_us, props, prev_props FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, props,
+        |    LAG(props) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_props
+        |  FROM events
+        |) WHERE prev_props IS NOT NULL AND prev_props <> props
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "t5_json_diff" ->
+      """SELECT user_id, event_id, 'k' AS field, 'MODIFIED' AS action,
+        |  json_extract_string(prev_props, '$.k') AS old_value,
+        |  json_extract_string(props, '$.k') AS new_value
+        |FROM (
+        |  SELECT user_id, event_id, props,
+        |    LAG(props) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_props
+        |  FROM events
+        |) WHERE prev_props IS NOT NULL
+        |  AND json_extract_string(prev_props, '$.k') <> json_extract_string(props, '$.k')
+        |ORDER BY user_id, event_id, field""".stripMargin
+  )
+}
