@@ -1,0 +1,131 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.GraftSession
+import graft.streaming._
+
+/** Runnable analogs of the 8 reference programs (SURVEY.md file
+  * inventory) — same names, Spark-first topologies. Socket/Kafka jobs
+  * expect the corresponding endpoint to exist, exactly like the
+  * reference demos.
+  */
+
+/** ref DataStreamJob.java — env bootstrap skeleton. */
+object DataStreamJob {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    println(s"graft session up: ${spark.version}")
+    spark.stop()
+  }
+}
+
+/** ref WindowWordCount.java — socket → tokenize → rolling count. */
+object WindowWordCountJob {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    val lines = StreamSources.socketLines(spark,
+      args.headOption.getOrElse("localhost"),
+      args.lift(1).map(_.toInt).getOrElse(9999))
+    WordCountStreams.rollingWordCount(lines)
+      .writeStream.outputMode("update").format("console")
+      .start().awaitTermination()
+  }
+}
+
+/** ref AdvancedWordCount.java — normalize → tokenize → stopwords → count. */
+object AdvancedWordCountJob {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    val lines = StreamSources.socketLines(spark,
+      args.headOption.getOrElse("localhost"),
+      args.lift(1).map(_.toInt).getOrElse(9999))
+    WordCountStreams.advancedWordCount(lines)
+      .writeStream.outputMode("update").format("console")
+      .start().awaitTermination()
+  }
+}
+
+/** ref EventTimeWordCountDebug.java — event-time windows + late split. */
+object EventTimeWordCountJob {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    val lines = StreamSources.socketLines(spark,
+      args.headOption.getOrElse("localhost"),
+      args.lift(1).map(_.toInt).getOrElse(9999))
+    val tsWords = EventTimeOps.parseTimestampedWords(lines)
+    val splitter = new EventTimeOps.LateSplitter(delayMs = 10000)
+    splitter.writer(tsWords)(
+      onTime = (df, id) => { println(s"WINDOW_COUNTS batch $id"); df.show(false) },
+      late   = (df, id) => { println(s"TOO_LATE batch $id"); df.show(false) })
+      .start().awaitTermination()
+  }
+}
+
+/** ref UserClickCounter.java — bounded in-memory clicks → running counts. */
+object UserClickCounterJob {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val clicks = Seq(
+      Click("user1", 1, "click"), Click("user2", 2, "click"),
+      Click("user1", 3, "click"), Click("user3", 4, "click"),
+      Click("user2", 5, "click"), Click("user1", 6, "click")).toDS()
+    StatefulOps.clickCounts(clicks).show(false)
+    spark.stop()
+  }
+}
+
+/** ref UserEventListState.java — bounded events → list snapshots. */
+object UserEventListStateJob {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val events = Seq(
+      UserEvent("user1", 1, "login"), UserEvent("user2", 2, "view"),
+      UserEvent("user1", 3, "click"), UserEvent("user2", 4, "logout"),
+      UserEvent("user1", 5, "purchase")).toDS()
+    StatefulOps.eventLists(events).show(false)
+    spark.stop()
+  }
+}
+
+/** ref FraudDetectorExample.java — 9-txn scenario → 2 alerts. */
+object FraudDetectorJob {
+  /** The reference's hardcoded scenario (FraudDetectorExample.java:47-58). */
+  val referenceTxns: Seq[Transaction] = Seq(
+    Transaction("user1", 120, 1000), Transaction("user1", 250, 2000),
+    Transaction("user1", 300, 2500), Transaction("user2", 50, 3000),
+    Transaction("user1", 200, 4000), Transaction("user1", 500, 15000),
+    Transaction("user2", 700, 16000), Transaction("user2", 800, 18000),
+    Transaction("user2", 900, 19000))
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    StatefulOps.fraudAlerts(referenceTxns.toDS()).show(false)
+    spark.stop()
+  }
+}
+
+/** ref kafka/TradeChangeDetectionJob.java — Kafka JSON CDC. */
+object TradeChangeDetectionJob {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val lines = StreamSources.kafkaLines(spark,
+      args.headOption.getOrElse("localhost:29092"),
+      args.lift(1).getOrElse("trades"),
+      Some("trade-change-detector"))
+    val trades = lines.select(
+        get_json_object(col("value"), "$.id").as("id"),
+        monotonically_increasing_id().as("seq"),
+        col("value").as("payload"))
+      .as[Trade]
+    StatefulOps.tradeChanges(trades)
+      .select(col("tradeId"), to_json(col("diffs")).as("changes"))
+      .writeStream.outputMode("append").format("console")
+      .option("checkpointLocation", "/tmp/graft-trade-cdc")
+      .start().awaitTermination()
+  }
+}

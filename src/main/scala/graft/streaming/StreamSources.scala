@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Unbounded sources (SURVEY.md §2.1). Each yields a DataFrame with a
+  * `value: string` column, mirroring the reference's raw-line streams.
+  *
+  * S2/S3 (bounded in-memory) have no wrapper here: batch code uses
+  * `Seq(...).toDS()`, streaming tests use `MemoryStream[T]` directly.
+  */
+object StreamSources {
+
+  /** S1 — line-delimited text over TCP
+    * (ref socketTextStream, WindowWordCount.java:18). */
+  def socketLines(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+
+  /** S4 — Kafka topic values as UTF-8 strings from earliest offset
+    * (ref KafkaSource builder, TradeChangeDetectionJob.java:31-41).
+    * One Spark input partition per Kafka partition; offsets are tracked
+    * in the checkpoint WAL. */
+  def kafkaLines(spark: SparkSession, bootstrap: String, topic: String,
+                 groupId: Option[String] = None): DataFrame = {
+    val base = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+    groupId.fold(base)(g => base.option("kafka.group.id", g))
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+  }
+
+  /** Deterministic local generator for smoke runs (no reference analog;
+    * Spark's built-in rate source). */
+  def rate(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+}
