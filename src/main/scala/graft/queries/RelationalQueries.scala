@@ -46,11 +46,157 @@ object RelationalQueries extends QueryGroup {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** TPC-H Q3-style shipping priority: 3-way join + agg + top-10.
+    * customer is broadcast (small dim); orders⋈lineitem shuffles on
+    * orderkey; top-k is a partial TakeOrderedAndProject, not a global
+    * sort. Ties broken by o_orderkey for determinism. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cutoff = "1998-01-01"
+    val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = t.orders.filter(col("o_orderdate") < lit(cutoff))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = t.lineitem.filter(col("l_shipdate") > lit(cutoff))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(dsumProd(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+      .select(col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style local supplier volume: 6-way join, all dims
+    * broadcast, one shuffle-agg by nation. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val asia = t.region.filter(col("r_name") === "ASIA")
+    val nation = t.nation // capture: each accessor call builds a new plan
+    val nat = nation.join(broadcast(asia),
+      nation("n_regionkey") === asia("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = t.customer.select(col("c_custkey"), col("c_nationkey"))
+    val supp = t.supplier.select(col("s_suppkey"), col("s_nationkey"))
+    val ord = t.orders
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = t.lineitem.select(col("l_orderkey"), col("l_suppkey"),
+      col("l_extendedprice"), col("l_discount"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(supp),
+        li("l_suppkey") === supp("s_suppkey") &&
+        cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsumProd(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Top-10 customers by total order value — join + agg + top-k. */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("total_spent"),
+           count(lit(1)).as("n_orders"))
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("total_spent"), col("n_orders"))
+      .orderBy(col("total_spent").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  /** SQL window functions: rank orders per customer by totalprice.
+    * Emits each customer's top-3 orders. */
+  def rankOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+  }
+
+  /** Distinct aggregation + conditional counts per order priority. */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Grouping-set rollup over returnflag x linestatus. */
+  def rollupQuantities(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> (q1PricingSummary _)
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q_top_customers" -> (topCustomers _),
+    "q_rank_orders" -> (rankOrdersPerCustomer _),
+    "q_distinct_agg" -> (distinctAgg _),
+    "q_rollup" -> (rollupQuantities _)
   )
 
   def oracles: Map[String, String] = Map(
-    "q1_pricing_summary" -> q1Sql
+    "q1_pricing_summary" -> q1Sql,
+    "q3_shipping_priority" ->
+      s"""SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+         |  ${sqlDsumProd("l_extendedprice", "(1 - l_discount)")} AS revenue
+         |FROM lineitem, orders, customer
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY o_orderkey, o_orderdate
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      s"""SELECT n_name, ${sqlDsumProd("l_extendedprice", "(1 - l_discount)")} AS revenue
+         |FROM lineitem, orders, customer, supplier, nation, region
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_top_customers" ->
+      s"""SELECT c_custkey, c_name, ${sqlDsum("o_totalprice")} AS total_spent,
+         |  COUNT(*) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_custkey, c_name
+         |ORDER BY total_spent DESC, c_custkey LIMIT 10""".stripMargin,
+    "q_rank_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(RANK() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        |  FROM orders
+        |) WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS cnt
+         |FROM lineitem
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
   )
 }
