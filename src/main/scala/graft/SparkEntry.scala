@@ -17,7 +17,8 @@ object SparkEntry {
     RelationalQueries,
     TextQueries,
     EventQueries,
-    StatefulQueries
+    StatefulQueries,
+    AnalysisQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Rabin-Karp-style rolling polynomial hash of a string (base 31 over
+  * Long with natural overflow) — a document fingerprint primitive for
+  * near-dup candidate generation at scale.
+  *
+  * Implemented as a native Catalyst Expression with codegen (not a UDF)
+  * so it stays inside WholeStageCodegen and doesn't break column pruning
+  * or predicate pushdown around it. The generated code is the same tight
+  * loop the interpreted path runs.
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"rolling_hash requires STRING, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 31L + (bytes(i) & 0xff); i += 1 }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  h = h * 31L + ($bytes[$i] & 0xff);
+         |}
+         |${ev.value} = h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  /** Column-level entry point: `rolling_hash(text)`. */
+  def rolling_hash(c: Column): Column =
+    ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
+
+  /** Reference implementation for tests. */
+  def reference(s: String): Long = {
+    var h = 0L
+    for (b <- s.getBytes("UTF-8")) h = h * 31L + (b & 0xff)
+    h
+  }
+}

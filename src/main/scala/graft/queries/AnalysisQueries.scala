@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ext.{Multimodal, TextAnalysis => TA}
+import graft.functions.RollingHash.rolling_hash
+
+/** Text-analysis + multimodal queries over `documents` — the extended
+  * training-data-pipeline surface (builder prompt; beyond SURVEY §2).
+  */
+object AnalysisQueries extends QueryGroup {
+
+  private def toks = split(col("text"), "\\s+")
+  private val toksSql = "string_split_regex(text, '\\s+')"
+  private def sqlIn(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
+
+  /** Per-document stats + deterministic quality score. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        TA.stopwordRatio(toks).as("stopword_ratio"),
+        TA.punctRatio(col("text")).as("punct_ratio"),
+        TA.qualityScore(toks, col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Heuristic language ID via stopword-profile overlap. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val p = TA.langProfiles
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        TA.profileScore(toks, p("en")).as("s_en"),
+        TA.profileScore(toks, p("de")).as("s_de"),
+        TA.profileScore(toks, p("fr")).as("s_fr"),
+        TA.profileScore(toks, p("es")).as("s_es"))
+      .withColumn("pred_lang",
+        TA.predictLang(col("s_en"), col("s_de"), col("s_fr"), col("s_es")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counts: whitespace and BPE-ish regex pre-tokenization. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        TA.tokenCount(col("text")).as("ws_tokens"),
+        TA.bpeTokenCount(col("text")).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Key-collision fingerprint (sorted distinct tokens -> md5). */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), TA.fingerprint(toks).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** Rolling polynomial hash via the custom codegen Expression — not
+    * SQL-expressible in DuckDB (weaker rows-only check); unit-tested
+    * against the Scala reference implementation. */
+  def rollingFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), rolling_hash(col("text")).as("rhash"))
+      .orderBy(col("doc_id"))
+
+  /** Multimodal metadata decode over binary payloads (stub codec —
+    * deterministic fake; see Multimodal.fakeDecode). */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMeta(Tables(spark, dir).documents)
+      .toDF()
+      .orderBy(col("doc_id"))
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_text_stats"      -> (textStats _),
+    "x_lang_id"         -> (langId _),
+    "x_token_counts"    -> (tokenCounts _),
+    "x_fingerprint"     -> (fingerprints _),
+    "x_rolling_hash"    -> (rollingFingerprints _),
+    "x_multimodal_meta" -> (multimodalMeta _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "x_text_stats" ->
+      s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter($toksSql, t -> t IN (${sqlIn(graft.ops.TextOps.stopWords)}))) AS DOUBLE)
+         |    / greatest(CAST(len($toksSql) AS DOUBLE), 1.0) AS stopword_ratio,
+         |  CAST(strlen(text) - strlen(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |    / greatest(CAST(strlen(text) AS DOUBLE), 1.0) AS punct_ratio,
+         |  (least(CAST(len($toksSql) AS DOUBLE), 100.0) / 100.0)
+         |    * (1.0 - CAST(len(list_filter($toksSql, t -> t IN (${sqlIn(graft.ops.TextOps.stopWords)}))) AS DOUBLE)
+         |        / greatest(CAST(len($toksSql) AS DOUBLE), 1.0))
+         |    * (1.0 - CAST(strlen(text) - strlen(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |        / greatest(CAST(strlen(text) AS DOUBLE), 1.0)) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_lang_id" -> {
+      val p = TA.langProfiles
+      def score(ws: Seq[String]) =
+        s"CAST(len(list_filter($toksSql, t -> t IN (${sqlIn(ws)}))) AS BIGINT)"
+      s"""SELECT doc_id, lang AS labeled_lang,
+         |  ${score(p("en"))} AS s_en, ${score(p("de"))} AS s_de,
+         |  ${score(p("fr"))} AS s_fr, ${score(p("es"))} AS s_es,
+         |  CASE WHEN ${score(p("en"))} >= ${score(p("de"))} AND ${score(p("en"))} >= ${score(p("fr"))} AND ${score(p("en"))} >= ${score(p("es"))} THEN 'en'
+         |       WHEN ${score(p("de"))} >= ${score(p("fr"))} AND ${score(p("de"))} >= ${score(p("es"))} THEN 'de'
+         |       WHEN ${score(p("fr"))} >= ${score(p("es"))} THEN 'fr'
+         |       ELSE 'es' END AS pred_lang
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "x_token_counts" ->
+      s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TA.bpeTokenRegex}')) AS BIGINT) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  hex(substr(text, 1, 8)) AS header_hex,
+        |  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        |  CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+        |  CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.ext.{Multimodal, TextAnalysis}
+import graft.functions.RollingHash
+import graft.functions.RollingHash.rolling_hash
+import org.apache.spark.sql.functions._
+
+class ExtensionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("rolling_hash expression matches the Scala reference (codegen path)") {
+    val docs = Seq("hello world", "", "a", "the quick brown fox", "ünïcødé").toDF("text")
+    val got = docs.select(col("text"), rolling_hash(col("text")).as("h"))
+      .as[(String, Long)].collect().toMap
+    got.foreach { case (s, h) => assert(h === RollingHash.reference(s), s"for '$s'") }
+  }
+
+  test("rolling_hash survives a filter pushdown context (stays in plan)") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val n = docs.select(rolling_hash(col("text")).as("h")).filter(col("h") =!= 0).count()
+    assert(n > 0)
+  }
+
+  test("multimodal decode produces deterministic metadata from payload bytes") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val metas = Multimodal.decodeMeta(docs).collect()
+    assert(metas.length === docs.count())
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    metas.take(20).foreach { m =>
+      val bytes = texts(m.doc_id).getBytes("UTF-8")
+      assert(m.byte_len === bytes.length)
+      assert(m.width === (bytes.length % 640))
+      assert(m.header_hex === bytes.take(8).map(b => f"${b & 0xff}%02X").mkString)
+    }
+  }
+
+  test("fingerprint is order- and repetition-insensitive") {
+    val df = Seq("b a b c", "c b a", "a b c c c").toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint(split(col("text"), " ")))
+      .as[String].collect()
+    assert(fps.distinct.length === 1)
+  }
+}
