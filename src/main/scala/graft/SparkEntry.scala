@@ -18,7 +18,9 @@ object SparkEntry {
     TextQueries,
     EventQueries,
     StatefulQueries,
-    AnalysisQueries
+    AnalysisQueries,
+    DedupQueries,
+    SimilarityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

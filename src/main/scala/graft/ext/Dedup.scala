@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication primitives for 100 TB-scale corpora.
+  *
+  * Design: everything before the candidate-pair join is a pure per-row
+  * projection (no shuffle, codegen'd):
+  *   tokens -> word-3-gram shingles -> md5 -> 4 minhash chunks -> 2 bands.
+  * LSH banding turns all-pairs O(n²) into an equi-join on (band_idx,
+  * band_hash) — the only shuffle, keyed by band hash, with bucket sizes
+  * ~ duplicate-cluster sizes. Exact-Jaccard verification then touches
+  * only candidate pairs.
+  *
+  * Hashes are md5-derived (not Spark's murmur3) so signatures are
+  * engine-independent — the DuckDB oracle reproduces them bit-for-bit.
+  * One md5 per shingle is split into four 32-bit chunks, giving 4
+  * independent minhashes for the price of one hash.
+  */
+object Dedup {
+
+  /** Word n-gram shingles from a token array (default 3-grams).
+    * Empty when the doc has fewer than 3 tokens. */
+  def shingles3(tokens: Column): Column =
+    when(size(tokens) >= 3,
+      transform(sequence(lit(1), size(tokens) - 2), i =>
+        concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1),
+          element_at(tokens, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** The k-th minhash chunk (k in 0..3): lexicographic min over the
+    * doc's shingles of md5-hex[8k .. 8k+8). Pure projection. */
+  def minhashChunk(shingleArr: Column, k: Int): Column =
+    array_min(transform(shingleArr, s => substring(md5(s), 8 * k + 1, 8)))
+
+  /** LSH band hash over two signature chunks. */
+  def bandHash(sigA: Column, sigB: Column): Column = md5(concat(sigA, sigB))
+
+  /** doc_id -> (sig0..sig3, band0, band1) signature frame. */
+  def minhashSignatures(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val sh = array_distinct(shingles3(split(col(textCol), "\\s+")))
+    val withSig = docs.select(col(idCol), sh.as("sh"))
+      .select(col(idCol) +: (0 to 3).map(k => minhashChunk(col("sh"), k).as(s"sig$k")): _*)
+    withSig
+      .withColumn("band0", bandHash(col("sig0"), col("sig1")))
+      .withColumn("band1", bandHash(col("sig2"), col("sig3")))
+  }
+
+  /** Candidate pairs from band collisions: unpivot bands to rows, then
+    * a single equi-join on (band_idx, band_hash). */
+  def candidatePairs(sigs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val bands = sigs.select(col(idCol),
+      posexplode(array(col("band0"), col("band1"))).as(Seq("band_idx", "band_hash")))
+    val a = bands.select(col(idCol).as("a_id"), col("band_idx"), col("band_hash"))
+    val b = bands.select(col(idCol).as("b_id"), col("band_idx").as("band_idx_b"),
+      col("band_hash").as("band_hash_b"))
+    a.join(b,
+        col("band_idx") === col("band_idx_b") &&
+        col("band_hash") === col("band_hash_b") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+  }
+
+  /** Exact Jaccard (over distinct shingle sets) for given candidate
+    * pairs; returns pairs with jaccard >= minJaccard. */
+  def verifyJaccard(docs: DataFrame, pairs: DataFrame, minJaccard: Double,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = docs.select(col(idCol).as("sid"),
+      explode(array_distinct(shingles3(split(col(textCol), "\\s+")))).as("sh"))
+    val nsh = sh.groupBy(col("sid")).agg(count(lit(1)).as("n"))
+    val common = pairs
+      .join(sh.as("sa"), col("sa.sid") === col("a_id"))
+      .join(sh.as("sb"), col("sb.sid") === col("b_id") && col("sb.sh") === col("sa.sh"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(nsh.as("na"), col("na.sid") === col("a_id"))
+      .join(nsh.as("nb"), col("nb.sid") === col("b_id"))
+      .select(col("a_id"), col("b_id"), col("n_common"),
+        col("na.n").as("n_a"), col("nb.n").as("n_b"),
+        (col("n_common").cast("double") /
+          (col("na.n") + col("nb.n") - col("n_common")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  // ---- SimHash (16-bit, engine-portable) ----
+
+  /** Dialect-portable SQL snippet: integer value of the first `nHex`
+    * hex chars of string expr `h` (Spark SQL and DuckDB both support
+    * instr/substr/md5). */
+  def hexValSql(h: String, nHex: Int): String =
+    (0 until nHex).map { k =>
+      val mult = 1L << (4 * (nHex - 1 - k))
+      s"(instr('0123456789abcdef', substr($h,${k + 1},1))-1)*$mult"
+    }.mkString("(", " + ", ")")
+
+  /** 4-hex variant kept for the hyperplane weights. */
+  def hex4ValSql(h: String): String = hexValSql(h, 4)
+
+  /** SimHash bit width: 24 bits (6 md5 hex chars). At Hamming radius 2
+    * the random-collision rate is (1+24+276)/2^24 ≈ 2e-5 — tight enough
+    * that surviving pairs are signal, wide enough to stay cheap as a
+    * portable integer. */
+  val simhashBits = 24
+
+  /** SimHash over a doc's distinct tokens, from per-token md5 hex
+    * values: bit j of the result is set iff the sum over tokens of
+    * (+1 if token-bit j else -1) is positive. `tokRows` must have
+    * columns (doc_id, t). */
+  def simhash(tokRows: DataFrame, divOp: String = "div"): DataFrame = {
+    val v = expr(hexValSql("substr(md5(t),1,6)", 6))
+    val withV = tokRows.withColumn("v", v)
+    val bitSums = (0 until simhashBits).map { j =>
+      sum(when(expr(s"(v $divOp ${1L << j}) % 2") === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = withV.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until simhashBits).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), sim.cast("long").as("simhash"))
+  }
+}

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ext.Dedup
+
+/** Deduplication suite over `documents` (builder prompt: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard). Every stage is oracle-checked
+  * against DuckDB computing the same md5-derived hashes.
+  */
+object DedupQueries extends QueryGroup {
+
+  /** Exact dedup: hash-group by content digest, flag non-canonical
+    * copies. One shuffle on the digest. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text_md5"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("boolean"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash signatures + LSH band hashes — pure projection, no shuffle. */
+  def minhashSigs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(Tables(spark, dir).documents)
+      .orderBy(col("doc_id"))
+
+  /** Full near-dup pipeline: LSH candidates -> exact n-gram Jaccard
+    * verify at 0.8. */
+  def neardupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val sigs = Dedup.minhashSignatures(docs)
+    val cand = Dedup.candidatePairs(sigs)
+    Dedup.verifyJaccard(docs, cand, 0.8)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** 24-bit SimHash per document (Dedup.simhashBits). */
+  def simhashes(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), "\\s+"))).as("t"))
+    Dedup.simhash(toks).orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup candidates: pairs at Hamming distance <= 2.
+    * (Brute-force pair scan here; at scale the standard trick is 4-way
+    * band rotation so candidates come from an equi-join, same as LSH.) */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), "\\s+"))).as("t"))
+    val s = Dedup.simhash(toks)
+    val a = s.select(col("doc_id").as("a_id"), col("simhash").as("ha"))
+    val b = s.select(col("doc_id").as("b_id"), col("simhash").as("hb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= 2)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup"   -> (exactDedup _),
+    "d2_minhash_sigs"  -> (minhashSigs _),
+    "d3_neardup_pairs" -> (neardupPairs _),
+    "d4_simhash"       -> (simhashes _),
+    "d5_simhash_pairs" -> (simhashPairs _)
+  )
+
+  // ---- DuckDB oracles ----
+
+  private val toksSql = "string_split_regex(text, '\\s+')"
+  private val shSql =
+    s"""list_distinct(list_transform(range(1, greatest(len($toksSql) - 1, 1)),
+       |  i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2]))""".stripMargin
+  private def sigSql(k: Int) =
+    s"list_aggregate(list_transform(sh, s -> substr(md5(s), ${8 * k + 1}, 8)), 'min')"
+
+  private val sigsCte =
+    s"""WITH shingled AS (
+       |  SELECT doc_id, $shSql AS sh FROM documents
+       |), sigs AS (
+       |  SELECT doc_id, ${sigSql(0)} AS sig0, ${sigSql(1)} AS sig1,
+       |         ${sigSql(2)} AS sig2, ${sigSql(3)} AS sig3
+       |  FROM shingled
+       |), banded AS (
+       |  SELECT doc_id, sig0, sig1, sig2, sig3,
+       |         md5(sig0 || sig1) AS band0, md5(sig2 || sig3) AS band1
+       |  FROM sigs
+       |)""".stripMargin
+
+  private val simhashCte = {
+    val v = graft.ext.Dedup.hexValSql("substr(md5(t),1,6)", 6)
+    val bitSums = (0 until graft.ext.Dedup.simhashBits)
+      .map(j => s"SUM(CASE WHEN (v // ${1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val sim = (0 until graft.ext.Dedup.simhashBits)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct($toksSql)) AS t FROM documents
+       |), vals AS (
+       |  SELECT doc_id, $v AS v FROM tok
+       |), bits AS (
+       |  SELECT doc_id, $bitSums FROM vals GROUP BY doc_id
+       |), sim AS (
+       |  SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM bits
+       |)""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+        |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d2_minhash_sigs" ->
+      s"""$sigsCte
+         |SELECT doc_id, sig0, sig1, sig2, sig3, band0, band1
+         |FROM banded ORDER BY doc_id""".stripMargin,
+    "d3_neardup_pairs" ->
+      s"""$sigsCte, bands AS (
+         |  SELECT doc_id, 0 AS band_idx, band0 AS band_hash FROM banded
+         |  UNION ALL
+         |  SELECT doc_id, 1, band1 FROM banded
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id
+         |), sh AS (
+         |  SELECT doc_id AS sid, unnest(sh) AS sh FROM shingled
+         |), nsh AS (
+         |  SELECT sid, COUNT(*) AS n FROM sh GROUP BY sid
+         |), common AS (
+         |  SELECT a_id, b_id, COUNT(*) AS n_common
+         |  FROM cand
+         |  JOIN sh sa ON sa.sid = a_id
+         |  JOIN sh sb ON sb.sid = b_id AND sb.sh = sa.sh
+         |  GROUP BY a_id, b_id
+         |)
+         |SELECT a_id, b_id, n_common, na.n AS n_a, nb.n AS n_b,
+         |  CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE) AS jaccard
+         |FROM common JOIN nsh na ON na.sid = a_id JOIN nsh nb ON nb.sid = b_id
+         |WHERE CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE) >= 0.8
+         |ORDER BY a_id, b_id""".stripMargin,
+    "d4_simhash" ->
+      s"""$simhashCte
+         |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
+    "d5_simhash_pairs" ->
+      s"""$simhashCte
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+         |ORDER BY a_id, b_id""".stripMargin
+  )
+}

@@ -30,8 +30,8 @@ object Oracle {
     * at scale 6 the scaled integer fits in 2^53 and both engines convert
     * exactly. */
   def dsumProd(a: Column, b: Column): Column =
-    sum(a.cast("decimal(18,6)") * b.cast("decimal(18,6)"))
-      .cast("decimal(38,6)").cast("double")
+    round(sum(a.cast("decimal(18,6)") * b.cast("decimal(18,6)")), 6)
+      .cast("double")
 
   /** Order-independent average: exact decimal sum -> double, / count. */
   def davg(c: Column): Column =
@@ -48,7 +48,7 @@ object Oracle {
   def sqlDsum(x: String): String =
     s"CAST(SUM(CAST($x AS DECIMAL(18,6))) AS DOUBLE)"
   def sqlDsumProd(a: String, b: String): String =
-    s"CAST(CAST(SUM(CAST($a AS DECIMAL(18,6)) * CAST($b AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)"
+    s"CAST(round(SUM(CAST($a AS DECIMAL(18,6)) * CAST($b AS DECIMAL(18,6))), 6) AS DOUBLE)"
   def sqlDavg(x: String): String =
     s"CAST(SUM(CAST($x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
 }

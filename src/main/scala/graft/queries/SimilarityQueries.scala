@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ext.Similarity
+
+/** Similarity search over `embeddings` (builder prompt: brute-force
+  * cosine top-k baseline + LSH-bucketed scale path + embedding near-dup).
+  * Cosines are exact-decimal (Similarity.scala) so scores, ranks and
+  * thresholds are engine-deterministic.
+  */
+object SimilarityQueries extends QueryGroup {
+
+  /** Brute-force cosine top-10 for a fixed probe set (vec_id < 16).
+    * Probe side broadcasts; the corpus side is never shuffled until the
+    * per-probe top-k. */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val probes = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", Similarity.cosine(col("probe_vec"), col("embedding")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cos"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Embedding near-dup: probe subset (vec_id % 5 = 0) against the full
+    * corpus, cosine >= 0.4 (this synthetic corpus has no >=0.95 dups —
+    * max pairwise cosine is ~0.51; threshold chosen to be non-vacuous). */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val probes = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val corpus = emb.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    corpus.join(broadcast(probes), col("a_id") < col("b_id"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= 0.4)
+      .select(col("a_id"), col("b_id"), col("cos"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Random-hyperplane LSH buckets (8 planes) — the ANN scale path:
+    * bucket assignment is a projection; candidate generation is an
+    * equi-join on the bucket id. Emits each vector's bucket plus
+    * verified same-bucket pairs with cosine >= 0.3. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"),
+        Similarity.lshBucket(col("embedding"), 8).as("bucket"))
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("va"),
+      col("bucket"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
+      col("bucket").as("bucket_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= 0.3)
+      .select(col("a_id"), col("b_id"), col("bucket"), col("cos"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "y1_cosine_topk"   -> (cosineTopK _),
+    "y2_embed_neardup" -> (embedNearDup _),
+    "y3_ann_lsh"       -> (annLsh _)
+  )
+
+  // ---- DuckDB oracles ----
+
+  /** Exact int64 dot product of snapped components (mirrors
+    * Similarity.dotSnapped). */
+  private def dotSql(a: String, b: String): String =
+    s"""CAST(list_aggregate(list_transform(list_zip($a, $b),
+       |  p -> CAST(floor(CAST(p[1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+       |     * CAST(floor(CAST(p[2] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)), 'sum')
+       |  AS DOUBLE)""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** 8-plane LSH bucket (mirrors Similarity.lshBucket). */
+  private val bucketSql: String = {
+    val bits = (0 until 8).map { j =>
+      val proj =
+        s"""list_aggregate(list_transform(range(1, len(embedding) + 1),
+           |  i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) *
+           |       CAST(${Similarity.weightSqlFor(j)} AS BIGINT)), 'sum')""".stripMargin
+      s"(CASE WHEN $proj > 0 THEN ${1 << j} ELSE 0 END)"
+    }
+    "CAST(" + bits.mkString(" + ") + " AS BIGINT)"
+  }
+
+  def oracles: Map[String, String] = Map(
+    "y1_cosine_topk" ->
+      s"""WITH probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS probe_vec
+         |  FROM embeddings WHERE vec_id < 16
+         |), scored AS (
+         |  SELECT p.probe_id, e.vec_id AS neighbor_id,
+         |    ${cosSql("p.probe_vec", "e.embedding")} AS cos
+         |  FROM probes p, embeddings e WHERE p.probe_id <> e.vec_id
+         |), ranked AS (
+         |  SELECT probe_id, neighbor_id, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored
+         |)
+         |SELECT probe_id, neighbor_id, rank, cos FROM ranked
+         |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+    "y2_embed_neardup" ->
+      s"""WITH probes AS (
+         |  SELECT vec_id AS a_id, embedding AS va
+         |  FROM embeddings WHERE vec_id % 5 = 0
+         |)
+         |SELECT p.a_id, e.vec_id AS b_id,
+         |  ${cosSql("p.va", "e.embedding")} AS cos
+         |FROM probes p, embeddings e
+         |WHERE p.a_id < e.vec_id
+         |  AND ${cosSql("p.va", "e.embedding")} >= 0.4
+         |ORDER BY a_id, b_id""".stripMargin,
+    "y3_ann_lsh" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings
+         |)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cos
+         |FROM bucketed a JOIN bucketed b
+         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin
+  )
+}
