@@ -37,12 +37,24 @@ object Dedup {
   /** LSH band hash over two signature chunks. */
   def bandHash(sigA: Column, sigB: Column): Column = md5(concat(sigA, sigB))
 
-  /** doc_id -> (sig0..sig3, band0, band1) signature frame. */
+  /** doc_id -> distinct-shingle array, via staged projections.
+    * Staging matters: tokenize once, then shingle from the materialized
+    * token array — inlining the split into the shingle lambda would
+    * re-split the text for every element access (O(n²) per doc). */
+  def shingleFrame(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), split(col(textCol), "\\s+").as("__toks"))
+      .select(col(idCol), array_distinct(shingles3(col("__toks"))).as("sh"))
+
+  /** doc_id -> (sig0..sig3, band0, band1) signature frame.
+    * One md5 per shingle (hashed once, then sliced into 4 chunks). */
   def minhashSignatures(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
-    val sh = array_distinct(shingles3(split(col(textCol), "\\s+")))
-    val withSig = docs.select(col(idCol), sh.as("sh"))
-      .select(col(idCol) +: (0 to 3).map(k => minhashChunk(col("sh"), k).as(s"sig$k")): _*)
+    val hashed = shingleFrame(docs, textCol, idCol)
+      .select(col(idCol), transform(col("sh"), s => md5(s)).as("hs"))
+    val withSig = hashed
+      .select(col(idCol) +: (0 to 3).map(k =>
+        array_min(transform(col("hs"), h => substring(h, 8 * k + 1, 8))).as(s"sig$k")): _*)
     withSig
       .withColumn("band0", bandHash(col("sig0"), col("sig1")))
       .withColumn("band1", bandHash(col("sig2"), col("sig3")))
@@ -64,23 +76,27 @@ object Dedup {
   }
 
   /** Exact Jaccard (over distinct shingle sets) for given candidate
-    * pairs; returns pairs with jaccard >= minJaccard. */
+    * pairs; returns pairs with jaccard >= minJaccard.
+    *
+    * The candidate set is tiny relative to the corpus (that's the point
+    * of LSH), so verification joins the per-doc shingle ARRAYS to the
+    * pairs and intersects in place — no exploded-shingle self-join, no
+    * broadcast of a shingle-row table. Cost: O(|candidates| x shingle
+    * count), independent of corpus size. */
   def verifyJaccard(docs: DataFrame, pairs: DataFrame, minJaccard: Double,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sh = docs.select(col(idCol).as("sid"),
-      explode(array_distinct(shingles3(split(col(textCol), "\\s+")))).as("sh"))
-    val nsh = sh.groupBy(col("sid")).agg(count(lit(1)).as("n"))
-    val common = pairs
-      .join(sh.as("sa"), col("sa.sid") === col("a_id"))
-      .join(sh.as("sb"), col("sb.sid") === col("b_id") && col("sb.sh") === col("sa.sh"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_common"))
-    common
-      .join(nsh.as("na"), col("na.sid") === col("a_id"))
-      .join(nsh.as("nb"), col("nb.sid") === col("b_id"))
-      .select(col("a_id"), col("b_id"), col("n_common"),
-        col("na.n").as("n_a"), col("nb.n").as("n_b"),
+    val sh = shingleFrame(docs, textCol, idCol)
+    val sa = sh.select(col(idCol).as("said"), col("sh").as("sha"))
+    val sb = sh.select(col(idCol).as("sbid"), col("sh").as("shb"))
+    pairs
+      .join(sa, col("said") === col("a_id"))
+      .join(sb, col("sbid") === col("b_id"))
+      .withColumn("n_common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("n_a", size(col("sha")).cast("long"))
+      .withColumn("n_b", size(col("shb")).cast("long"))
+      .select(col("a_id"), col("b_id"), col("n_common"), col("n_a"), col("n_b"),
         (col("n_common").cast("double") /
-          (col("na.n") + col("nb.n") - col("n_common")).cast("double")).as("jaccard"))
+          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 

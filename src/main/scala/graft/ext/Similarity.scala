@@ -28,6 +28,24 @@ object Similarity {
   private def snap(c: Column): Column =
     floor(c.cast("double") * lit(1000000.0) + lit(0.5)).cast("long")
 
+  /** Snap a whole float array once — project this to a column before
+    * pairwise work so each vector snaps once, not once per pair. */
+  def snapVec(c: Column): Column = transform(c, x => snap(x))
+
+  /** Exact int64 dot product of two pre-snapped (long-array) columns —
+    * a native codegen Expression (see DotProductLong: HOF lambdas are
+    * interpreted per element and were the pairwise-scan bottleneck). */
+  def dotLong(a: Column, b: Column): Column =
+    graft.functions.DotProductLong.dot_long(a, b)
+
+  /** Euclidean norm of a pre-snapped vector (exact int64 sum -> IEEE
+    * sqrt) — project per vector, never per pair. */
+  def normSnapped(sv: Column): Column = sqrt(dotLong(sv, sv).cast("double"))
+
+  /** Cosine from pre-snapped vectors and precomputed norms. */
+  def cosineFromSnapped(sva: Column, svb: Column, na: Column, nb: Column): Column =
+    dotLong(sva, svb).cast("double") / (na * nb)
+
   /** Exact int64 dot product of two (snapped) float arrays. */
   def dotSnapped(a: Column, b: Column): Column =
     aggregate(
@@ -36,27 +54,13 @@ object Similarity {
       (acc, x) => acc + x)
 
   /** Deterministic (quantized) cosine similarity of two float-array
-    * columns — every step exact or IEEE-defined. */
+    * columns — every step exact or IEEE-defined. Convenience form; the
+    * hot path should use snapVec/normSnapped/cosineFromSnapped. */
   def cosine(a: Column, b: Column): Column =
     dotSnapped(a, b).cast("double") /
       (sqrt(dotSnapped(a, a).cast("double")) * sqrt(dotSnapped(b, b).cast("double")))
 
   // ---- random-hyperplane LSH ----
-
-  /** 0-based position of single-char column `c` in the hex alphabet. */
-  private def hexDigit(c: Column): Column =
-    call_function("instr", lit("0123456789abcdef"), c) - 1
-
-  /** Integer value of the first 4 hex chars of `h`, shifted to
-    * [-1000, 1000] — the deterministic "random" hyperplane weight.
-    * Mirrors Dedup.hex4ValSql / weightSqlFor for the oracle. */
-  private def hex4Weight(h: Column): Column = {
-    val v = hexDigit(substring(h, 1, 1)) * 4096 +
-      hexDigit(substring(h, 2, 1)) * 256 +
-      hexDigit(substring(h, 3, 1)) * 16 +
-      hexDigit(substring(h, 4, 1))
-    (v % 2001) - 1000
-  }
 
   /** Dialect-portable SQL for the same weight, with `i` the 1-based dim
     * (for the DuckDB oracle). */
@@ -64,22 +68,30 @@ object Similarity {
     "(" + Dedup.hex4ValSql(s"substr(md5('${j}_' || CAST(i AS VARCHAR)), 1, 4)") +
       " % 2001 - 1000)"
 
-  /** Sign bit of hyperplane j's projection of `vec`: exact int64 sum of
-    * weight * snapped component — the sign has no float boundary. */
-  def planeBit(vec: Column, j: Int): Column = {
-    val proj = aggregate(
-      zip_with(vec, sequence(lit(1), size(vec)), (x, i) => {
-        val w = hex4Weight(substring(
-          md5(concat(lit(s"${j}_"), i.cast("string"))), 1, 4))
-        snap(x) * w.cast("long")
-      }),
-      lit(0L),
-      (acc, x) => acc + x)
-    when(proj > 0, lit(1)).otherwise(lit(0))
+  /** Driver-side weight table for plane j over `dims` dimensions — the
+    * exact same md5-derived values weightSqlFor(j) computes in SQL,
+    * materialized once as a literal array so executors do zero hashing. */
+  def planeWeights(j: Int, dims: Int): Array[Long] = {
+    val mdi = java.security.MessageDigest.getInstance("MD5")
+    (1 to dims).map { i =>
+      val hex = mdi.digest(s"${j}_$i".getBytes("UTF-8"))
+        .take(2).map(b => f"${b & 0xff}%02x").mkString
+      val v = java.lang.Long.parseLong(hex, 16)
+      (v % 2001) - 1000
+    }.toArray
   }
 
-  /** LSH bucket id from `nPlanes` hyperplane sign bits. */
-  def lshBucket(vec: Column, nPlanes: Int = 8): Column =
-    (0 until nPlanes).map(j => planeBit(vec, j) * lit(1 << j))
+  /** Sign bit of hyperplane j's projection of a pre-snapped vector:
+    * exact int64 dot with the literal weight array — no float boundary,
+    * no runtime hashing. */
+  def planeBit(sv: Column, j: Int, dims: Int): Column = {
+    val w = typedLit(planeWeights(j, dims))
+    when(dotLong(sv, w) > 0, lit(1)).otherwise(lit(0))
+  }
+
+  /** LSH bucket id from `nPlanes` hyperplane sign bits over a
+    * pre-snapped vector column. */
+  def lshBucket(sv: Column, nPlanes: Int, dims: Int): Column =
+    (0 until nPlanes).map(j => planeBit(sv, j, dims) * lit(1 << j))
       .reduce(_ + _).cast("long")
 }

@@ -31,7 +31,10 @@ object DedupQueries extends QueryGroup {
     * verify at 0.8. */
   def neardupPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val sigs = Dedup.minhashSignatures(docs)
+    // Both the signature table and the shingle rows feed two join sides;
+    // persist so each is computed once (the 100 TB design checkpoints
+    // the signature table for the same reason).
+    val sigs = Dedup.minhashSignatures(docs).persist()
     val cand = Dedup.candidatePairs(sigs)
     Dedup.verifyJaccard(docs, cand, 0.8)
       .orderBy(col("a_id"), col("b_id"))
@@ -130,21 +133,19 @@ object DedupQueries extends QueryGroup {
          |  FROM bands a JOIN bands b
          |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          |   AND a.doc_id < b.doc_id
-         |), sh AS (
-         |  SELECT doc_id AS sid, unnest(sh) AS sh FROM shingled
-         |), nsh AS (
-         |  SELECT sid, COUNT(*) AS n FROM sh GROUP BY sid
-         |), common AS (
-         |  SELECT a_id, b_id, COUNT(*) AS n_common
+         |), verified AS (
+         |  SELECT a_id, b_id,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
+         |    CAST(len(sa.sh) AS BIGINT) AS n_a,
+         |    CAST(len(sb.sh) AS BIGINT) AS n_b
          |  FROM cand
-         |  JOIN sh sa ON sa.sid = a_id
-         |  JOIN sh sb ON sb.sid = b_id AND sb.sh = sa.sh
-         |  GROUP BY a_id, b_id
+         |  JOIN shingled sa ON sa.doc_id = a_id
+         |  JOIN shingled sb ON sb.doc_id = b_id
          |)
-         |SELECT a_id, b_id, n_common, na.n AS n_a, nb.n AS n_b,
-         |  CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE) AS jaccard
-         |FROM common JOIN nsh na ON na.sid = a_id JOIN nsh nb ON nb.sid = b_id
-         |WHERE CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE) >= 0.8
+         |SELECT a_id, b_id, n_common, n_a, n_b,
+         |  CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+         |FROM verified
+         |WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.8
          |ORDER BY a_id, b_id""".stripMargin,
     "d4_simhash" ->
       s"""$simhashCte

@@ -16,15 +16,21 @@ object SimilarityQueries extends QueryGroup {
   /** Brute-force cosine top-10 for a fixed probe set (vec_id < 16).
     * Probe side broadcasts; the corpus side is never shuffled until the
     * per-probe top-k. */
+  /** Project (id, snapped vector, norm) once per vector — the pairwise
+    * stage then does exactly one int64 dot per pair. */
+  private def snapped(emb: DataFrame, id: String, sv: String, nrm: String): DataFrame =
+    emb.select(col("vec_id").as(id), Similarity.snapVec(col("embedding")).as(sv))
+      .withColumn(nrm, Similarity.normSnapped(col(sv)))
+
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    val probes = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val probes = snapped(emb.filter(col("vec_id") < 16), "probe_id", "pv", "pn")
+    val corpus = snapped(emb, "neighbor_id", "nv", "nn")
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     corpus.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
-      .withColumn("cos", Similarity.cosine(col("probe_vec"), col("embedding")))
+      .withColumn("cos", Similarity.cosineFromSnapped(
+        col("pv"), col("nv"), col("pn"), col("nn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)
       .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cos"))
@@ -36,11 +42,11 @@ object SimilarityQueries extends QueryGroup {
     * max pairwise cosine is ~0.51; threshold chosen to be non-vacuous). */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    val probes = emb.filter(col("vec_id") % 5 === 0)
-      .select(col("vec_id").as("a_id"), col("embedding").as("va"))
-    val corpus = emb.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val probes = snapped(emb.filter(col("vec_id") % 5 === 0), "a_id", "av", "an")
+    val corpus = snapped(emb, "b_id", "bv", "bn")
     corpus.join(broadcast(probes), col("a_id") < col("b_id"))
-      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("cos", Similarity.cosineFromSnapped(
+        col("av"), col("bv"), col("an"), col("bn")))
       .filter(col("cos") >= 0.4)
       .select(col("a_id"), col("b_id"), col("cos"))
       .orderBy(col("a_id"), col("b_id"))
@@ -52,14 +58,16 @@ object SimilarityQueries extends QueryGroup {
     * verified same-bucket pairs with cosine >= 0.3. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-      .select(col("vec_id"), col("embedding"),
-        Similarity.lshBucket(col("embedding"), 8).as("bucket"))
-    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("va"),
-      col("bucket"))
-    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
-      col("bucket").as("bucket_b"))
+    val sv = emb.select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
+      .withColumn("nrm", Similarity.normSnapped(col("sv")))
+      .withColumn("bucket", Similarity.lshBucket(col("sv"), 8, 64))
+    val a = sv.select(col("vec_id").as("a_id"), col("sv").as("av"),
+      col("nrm").as("an"), col("bucket"))
+    val b = sv.select(col("vec_id").as("b_id"), col("sv").as("bv"),
+      col("nrm").as("bn"), col("bucket").as("bucket_b"))
     a.join(b, col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
-      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("cos", Similarity.cosineFromSnapped(
+        col("av"), col("bv"), col("an"), col("bn")))
       .filter(col("cos") >= 0.3)
       .select(col("a_id"), col("b_id"), col("bucket"), col("cos"))
       .orderBy(col("a_id"), col("b_id"))
