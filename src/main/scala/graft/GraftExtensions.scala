@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.{DotProductLong, RollingHash}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions, so `spark.sql("SELECT rolling_hash(x)")`
+  * works alongside the Column API.
+  *
+  * Wire up with:
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  *   // or spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      exprs => RollingHash(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("dot_long"),
+      new ExpressionInfo(classOf[DotProductLong].getName, "dot_long"),
+      exprs => DotProductLong(exprs(0), exprs(1))))
+  }
+}

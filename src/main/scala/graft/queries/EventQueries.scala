@@ -68,10 +68,33 @@ object EventQueries extends QueryGroup {
       .orderBy(col("event_id"))
   }
 
+  /** Session windows (gap 30 min) per user — beyond the reference's
+    * assigners (SURVEY.md §2.8); Spark has session_window built in, the
+    * batch-deterministic analog here is gaps-and-islands: a new session
+    * starts when the gap from the previous event exceeds the timeout.
+    * One shuffle on user_id + in-partition sort — scales like any
+    * windowed fold. */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * S
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs ||
+             lag(col("ts_us"), 1).over(byUser).isNull, 1L).otherwise(0L).as("new_sess"))
+      .withColumn("session_id", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_us")).as("sess_start_us"), max(col("ts_us")).as("sess_end_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a2_rolling_sum"     -> (rollingSum _),
     "a3_tumbling_counts" -> (tumblingCounts _),
     "a4_sliding_counts"  -> (slidingCounts _),
+    "a5_session_windows" -> (sessionWindows _),
     "w5_late_data_audit" -> (lateDataAudit _)
   )
 
@@ -93,6 +116,24 @@ object EventQueries extends QueryGroup {
          |  COUNT(*) AS cnt
          |FROM events CROSS JOIN (VALUES (0), (${5 * S})) AS k(off)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a5_session_windows" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > ${30L * 60 * S}
+         |           OR LAG(epoch_us(ts)) OVER w IS NULL
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         |), sess AS (
+         |  SELECT user_id, event_id, ts_us,
+         |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM flagged
+         |)
+         |SELECT user_id, session_id, MIN(ts_us) AS sess_start_us,
+         |  MAX(ts_us) AS sess_end_us, COUNT(*) AS n_events
+         |FROM sess GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
     "w5_late_data_audit" ->
       s"""SELECT event_id, ts_us, watermark_us,
          |  CASE WHEN watermark_us IS NOT NULL AND ts_us < watermark_us - ${5 * S}
