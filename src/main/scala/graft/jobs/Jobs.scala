@@ -62,16 +62,31 @@ object EventTimeWordCountJob {
   }
 }
 
-/** ref UserClickCounter.java — bounded in-memory clicks → running counts. */
+/** ref UserClickCounter.java — bounded in-memory clicks → running
+  * counts. Pass `v2` to run the Spark-4 transformWithState form
+  * (named ValueState, RocksDB state store) over a MemoryStream. */
 object UserClickCounterJob {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
     import spark.implicits._
-    val clicks = Seq(
+    val data = Seq(
       Click("user1", 1, "click"), Click("user2", 2, "click"),
       Click("user1", 3, "click"), Click("user3", 4, "click"),
-      Click("user2", 5, "click"), Click("user1", 6, "click")).toDS()
-    StatefulOps.clickCounts(clicks).show(false)
+      Click("user2", 5, "click"), Click("user1", 6, "click"))
+    if (args.headOption.contains("v2")) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Click]
+      val q = StatefulV2.clickCounts(in.toDS())
+        .writeStream.format("console").outputMode("append")
+        .option("truncate", "false").start()
+      in.addData(data.take(3)); q.processAllAvailable()
+      in.addData(data.drop(3)); q.processAllAvailable()
+      q.stop()
+    } else {
+      StatefulOps.clickCounts(data.toDS()).show(false)
+    }
     spark.stop()
   }
 }

@@ -64,12 +64,39 @@ object DedupQueries extends QueryGroup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Character 5-gram Jaccard over sampled adjacent doc pairs — the
+    * direct n-gram-Jaccard method (d3 is its LSH-accelerated scale
+    * path). Shingling is a staged projection; comparison is per-pair
+    * array intersection. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val grams = docs
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .select(col("doc_id"),
+        when(col("n") >= 5,
+          array_distinct(transform(sequence(lit(1), col("n") - 4),
+            i => col("text").substr(i, lit(5)))))
+          .otherwise(array().cast("array<string>")).as("g"))
+    val a = grams.select(col("doc_id").as("a_id"), col("g").as("ga"))
+      .filter(col("a_id") % 10 === 0)
+    val b = grams.select(col("doc_id").as("b_id"), col("g").as("gb"))
+    a.join(b, col("b_id") === col("a_id") + 1)
+      .withColumn("n_common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("n_a", size(col("ga")).cast("long"))
+      .withColumn("n_b", size(col("gb")).cast("long"))
+      .select(col("a_id"), col("b_id"), col("n_common"), col("n_a"), col("n_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+      .orderBy(col("a_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup"   -> (exactDedup _),
     "d2_minhash_sigs"  -> (minhashSigs _),
     "d3_neardup_pairs" -> (neardupPairs _),
     "d4_simhash"       -> (simhashes _),
-    "d5_simhash_pairs" -> (simhashPairs _)
+    "d5_simhash_pairs" -> (simhashPairs _),
+    "d6_ngram_jaccard" -> (ngramJaccard _)
   )
 
   // ---- DuckDB oracles ----
@@ -150,6 +177,24 @@ object DedupQueries extends QueryGroup {
     "d4_simhash" ->
       s"""$simhashCte
          |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
+    "d6_ngram_jaccard" ->
+      """WITH grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN strlen(text) >= 5 THEN
+        |      list_distinct(list_transform(range(1, strlen(text) - 3),
+        |        i -> substr(text, CAST(i AS INT), 5)))
+        |    ELSE [] END AS g
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS n_common,
+        |  CAST(len(a.g) AS BIGINT) AS n_a,
+        |  CAST(len(b.g) AS BIGINT) AS n_b,
+        |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        |    CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS jaccard
+        |FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 10 = 0
+        |ORDER BY a_id""".stripMargin,
     "d5_simhash_pairs" ->
       s"""$simhashCte
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,

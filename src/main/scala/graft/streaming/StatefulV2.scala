@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
+  TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** Spark 4 `transformWithState` forms of the reference's keyed state
+  * (SURVEY.md §2.6, §2.9): named ValueState/ListState registered on the
+  * StatefulProcessorHandle — the direct analog of Flink's state
+  * descriptors registered in `open()` (UserClickCounter.java:45-49,
+  * UserEventListState.java:45-49).
+  *
+  * Differences vs the flatMapGroupsWithState forms in StatefulOps:
+  *  - state variables are named + independently typed (like Flink's
+  *    descriptors) instead of a single state case class;
+  *  - ListState appends without rewriting the whole list (the
+  *    UserEventListState scale concern, SURVEY §7 known-hard #5);
+  *  - TTLConfig gives production state expiry for free.
+  */
+object StatefulV2 {
+
+  /** T1 — running click counter with a named ValueState[Int]
+    * (ref UserClickCounter.java:39-61). */
+  class ClickCountProcessor extends StatefulProcessor[String, Click, ClickCount] {
+    @transient private var count: ValueState[Int] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Int]("clickCount", Encoders.scalaInt,
+        TTLConfig.NONE)
+
+    override def handleInputRows(userId: String, rows: Iterator[Click],
+                                 timers: TimerValues): Iterator[ClickCount] = {
+      var n = if (count.exists()) count.get() else 0
+      val out = rows.toSeq.sortBy(_.seq).map { _ =>
+        n += 1
+        ClickCount(userId, n, s"$userId has clicked $n times.")
+      }
+      count.update(n)
+      out.iterator
+    }
+  }
+
+  def clickCounts(clicks: Dataset[Click]): Dataset[ClickCount] = {
+    import clicks.sparkSession.implicits._
+    clicks.groupByKey(_.userId)
+      .transformWithState(new ClickCountProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** T2 — event-list accumulation with a named ListState[String]:
+    * appendValue is an O(1) state append, no full-list rewrite
+    * (ref UserEventListState.java:40-64). */
+  class EventListProcessor extends StatefulProcessor[String, UserEvent, EventListSnapshot] {
+    @transient private var events: ListState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      events = getHandle.getListState[String]("events", Encoders.STRING,
+        TTLConfig.NONE)
+
+    override def handleInputRows(userId: String, rows: Iterator[UserEvent],
+                                 timers: TimerValues): Iterator[EventListSnapshot] = {
+      val out = rows.toSeq.sortBy(_.seq).map { e =>
+        events.appendValue(e.event)
+        EventListSnapshot(userId, events.get().toSeq)
+      }
+      out.iterator
+    }
+  }
+
+  def eventLists(events: Dataset[UserEvent]): Dataset[EventListSnapshot] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .transformWithState(new EventListProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+}

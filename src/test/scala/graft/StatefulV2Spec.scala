@@ -1,0 +1,95 @@
+package graft
+
+import graft.streaming._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** transformWithState (Spark 4 arbitrary-state API) goldens — the same
+  * reference scenarios as StatefulStreamingSpec, through named
+  * ValueState/ListState, plus streaming dedup. transformWithState
+  * requires the RocksDB state store provider.
+  */
+class StatefulV2Spec extends SparkTestBase {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def withRocksDB[A](f: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("T1 via transformWithState ValueState: reference click golden") {
+    withRocksDB {
+      val in = MemoryStream[Click]
+      val q = StatefulV2.clickCounts(in.toDS())
+        .writeStream.format("memory").queryName("v2_t1").outputMode("append").start()
+      in.addData(Click("user1", 1, "click"), Click("user2", 2, "click"))
+      q.processAllAvailable()
+      in.addData(Click("user1", 3, "click"), Click("user3", 4, "click"),
+                 Click("user2", 5, "click"), Click("user1", 6, "click"))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("v2_t1").as[ClickCount].collect()
+      assert(rows.length === 6)
+      val finalCounts = rows.groupBy(_.userId).view.mapValues(_.map(_.clicks).max).toMap
+      assert(finalCounts === Map("user1" -> 3, "user2" -> 2, "user3" -> 1))
+    }
+  }
+
+  test("T2 via transformWithState ListState: snapshots accumulate, O(1) append") {
+    withRocksDB {
+      val in = MemoryStream[UserEvent]
+      val q = StatefulV2.eventLists(in.toDS())
+        .writeStream.format("memory").queryName("v2_t2").outputMode("append").start()
+      in.addData(UserEvent("user1", 1, "login"), UserEvent("user2", 2, "view"))
+      q.processAllAvailable()
+      in.addData(UserEvent("user1", 3, "click"), UserEvent("user2", 4, "logout"),
+                 UserEvent("user1", 5, "purchase"))
+      q.processAllAvailable(); q.stop()
+      val byUser = spark.table("v2_t2").as[EventListSnapshot].collect()
+        .groupBy(_.userId).view.mapValues(_.maxBy(_.events.length).events.toList).toMap
+      assert(byUser === Map(
+        "user1" -> List("login", "click", "purchase"),
+        "user2" -> List("view", "logout")))
+    }
+  }
+
+  test("streaming dedup within watermark suppresses resends") {
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("ts_ms", "k")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = StreamDedup.withinWatermark(df, "ts", "10 seconds", Seq("k"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    in.addData((1000L, "a"), (2000L, "a"), (3000L, "b"))
+    q.processAllAvailable()
+    in.addData((4000L, "a"), (5000L, "b"), (6000L, "c"))
+    q.processAllAvailable(); q.stop()
+    val keys = spark.table("dedup_out").select("k").as[String].collect().sorted
+    assert(keys.toSeq === Seq("a", "b", "c"))
+  }
+
+  test("streaming sliding window counts (A4 streaming form)") {
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("ts_ms", "word")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = df.withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "10 seconds", "5 seconds"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("w_us"), col("word"), col("cnt"))
+      .writeStream.format("memory").queryName("slide_out").outputMode("append").start()
+    in.addData((1000L, "x"), (6000L, "x"))
+    q.processAllAvailable()
+    in.addData((30000L, "y")) // advance watermark, close early windows
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("slide_out").as[(Long, String, Long)].collect().toSet
+    // x@1s in windows [-5,5) and [0,10); x@6s in [0,10) and [5,15)
+    assert(rows.contains((0L, "x", 2L)))
+    assert(rows.contains((-5000000L, "x", 1L)))
+    assert(rows.contains((5000000L, "x", 1L)))
+  }
+}
