@@ -69,7 +69,34 @@ object AnalysisQueries extends QueryGroup {
       .toDF()
       .orderBy(col("doc_id"))
 
+  /** End-to-end curation pipeline — the shape of a real training-data
+    * job: exact-dedup to canonical docs, quality-score filter, language
+    * ID, token budget. Composes the library ops in one declarative plan
+    * (one window shuffle for dedup; everything else is projection +
+    * scan-level filters). */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text_md5"))
+    val p = TA.langProfiles
+    Tables(spark, dir).documents
+      .withColumn("text_md5", md5(col("text")))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("canonical_id")) // exact dedup: keep canonical
+      .select(col("doc_id"), col("text"),
+        TA.qualityScore(toks, col("text")).as("quality"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        TA.profileScore(toks, p("en")).as("s_en"),
+        TA.profileScore(toks, p("de")).as("s_de"),
+        TA.profileScore(toks, p("fr")).as("s_fr"),
+        TA.profileScore(toks, p("es")).as("s_es"))
+      .withColumn("pred_lang",
+        TA.predictLang(col("s_en"), col("s_de"), col("s_fr"), col("s_es")))
+      .filter(col("quality") >= 0.5 && col("n_tokens").between(20, 200))
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_curation_pipeline" -> (curationPipeline _),
     "x_text_stats"      -> (textStats _),
     "x_lang_id"         -> (langId _),
     "x_token_counts"    -> (tokenCounts _),
@@ -79,6 +106,37 @@ object AnalysisQueries extends QueryGroup {
   )
 
   def oracles: Map[String, String] = Map(
+    "x_curation_pipeline" -> {
+      val p = TA.langProfiles
+      def score(ws: Seq[String]) =
+        s"CAST(len(list_filter($toksSql, t -> t IN (${sqlIn(ws)}))) AS BIGINT)"
+      val quality =
+        s"""(least(CAST(len($toksSql) AS DOUBLE), 100.0) / 100.0)
+           |    * (1.0 - CAST(len(list_filter($toksSql, t -> t IN (${sqlIn(graft.ops.TextOps.stopWords)}))) AS DOUBLE)
+           |        / greatest(CAST(len($toksSql) AS DOUBLE), 1.0))
+           |    * (1.0 - CAST(strlen(text) - strlen(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')) AS DOUBLE)
+           |        / greatest(CAST(strlen(text) AS DOUBLE), 1.0))""".stripMargin
+      s"""WITH canonical AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+         |    FROM documents) WHERE doc_id = canonical_id
+         |), scored AS (
+         |  SELECT doc_id, $quality AS quality,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    ${score(p("en"))} AS s_en, ${score(p("de"))} AS s_de,
+         |    ${score(p("fr"))} AS s_fr, ${score(p("es"))} AS s_es
+         |  FROM canonical
+         |)
+         |SELECT doc_id, quality, n_tokens,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS pred_lang
+         |FROM scored
+         |WHERE quality >= 0.5 AND n_tokens BETWEEN 20 AND 200
+         |ORDER BY doc_id""".stripMargin
+    },
     "x_text_stats" ->
       s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          |  CAST(len($toksSql) AS BIGINT) AS n_tokens,

@@ -97,6 +97,19 @@ object RelationalQueries extends QueryGroup {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q6-style forecast revenue: highly selective scan-only agg.
+    * All three predicates push to the parquet scan — at 100 TB this
+    * reads a fraction of row groups via min/max pruning and never
+    * shuffles more than one partial-agg row per partition. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+              col("l_shipdate") < lit("1998-01-01") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(dsumProd(col("l_extendedprice"), col("l_discount")).as("revenue"),
+           count(lit(1)).as("n_rows"))
+
   /** Top-10 customers by total order value — join + agg + top-k. */
   def topCustomers(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -143,6 +156,7 @@ object RelationalQueries extends QueryGroup {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q_top_customers" -> (topCustomers _),
     "q_rank_orders" -> (rankOrdersPerCustomer _),
@@ -162,6 +176,14 @@ object RelationalQueries extends QueryGroup {
          |  AND l_shipdate > TIMESTAMP '1998-01-01'
          |GROUP BY o_orderkey, o_orderdate
          |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q6_forecast_revenue" ->
+      s"""SELECT ${sqlDsumProd("l_extendedprice", "l_discount")} AS revenue,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin,
     "q5_local_supplier" ->
       s"""SELECT n_name, ${sqlDsumProd("l_extendedprice", "(1 - l_discount)")} AS revenue
          |FROM lineitem, orders, customer, supplier, nation, region

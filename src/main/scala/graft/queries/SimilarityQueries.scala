@@ -73,10 +73,50 @@ object SimilarityQueries extends QueryGroup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** IVF-style ANN: coarse quantization to K=16 deterministic centroids
+    * (vec_id < 16 — production replaces the seed pick with k-means
+    * iterations over the same assignment machinery), then probes search
+    * only their own cell (nprobe=1). Assignment is an exact int64 L2
+    * argmin — no float boundary; recall/latency trades off via K and
+    * nprobe exactly as in a real IVF index. At scale the corpus is
+    * range-partitioned by cell id, so a probe touches one partition. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val vecs = snapped(emb, "vec_id", "sv", "nrm")
+    val cents = vecs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("sv").as("cv"))
+    val l2 = aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("c_id"))
+    val assigned = vecs.join(broadcast(cents), lit(true))
+      .withColumn("dist", l2)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sv"), col("nrm"), col("c_id").as("cell"))
+      .persist() // probed twice below
+    val probes = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("sv").as("pv"),
+        col("nrm").as("pn"), col("cell").as("p_cell"))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    assigned.select(col("vec_id").as("neighbor_id"), col("sv").as("nv"),
+        col("nrm").as("nn"), col("cell"))
+      .join(broadcast(probes),
+        col("cell") === col("p_cell") && col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", Similarity.cosineFromSnapped(
+        col("pv"), col("nv"), col("pn"), col("nn")))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("neighbor_id"), col("cell").cast("long").as("cell"),
+        col("rank"), col("cos"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "y1_cosine_topk"   -> (cosineTopK _),
     "y2_embed_neardup" -> (embedNearDup _),
-    "y3_ann_lsh"       -> (annLsh _)
+    "y3_ann_lsh"       -> (annLsh _),
+    "y4_ann_ivf"       -> (annIvf _)
   )
 
   // ---- DuckDB oracles ----
@@ -132,6 +172,37 @@ object SimilarityQueries extends QueryGroup {
          |WHERE p.a_id < e.vec_id
          |  AND ${cosSql("p.va", "e.embedding")} >= 0.4
          |ORDER BY a_id, b_id""".stripMargin,
+    "y4_ann_ivf" ->
+      s"""WITH sv AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS s
+         |  FROM embeddings
+         |), cents AS (
+         |  SELECT vec_id AS c_id, s AS cs FROM sv WHERE vec_id < 16
+         |), dists AS (
+         |  SELECT v.vec_id, v.embedding, c.c_id,
+         |    list_aggregate(list_transform(list_zip(v.s, c.cs),
+         |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS dist
+         |  FROM sv v CROSS JOIN cents c
+         |), assigned AS (
+         |  SELECT vec_id, embedding, c_id AS cell FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
+         |    FROM dists) WHERE rn = 1
+         |), probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe, cell AS p_cell
+         |  FROM assigned WHERE vec_id % 50 = 0
+         |), scored AS (
+         |  SELECT p.probe_id, a.vec_id AS neighbor_id, CAST(a.cell AS BIGINT) AS cell,
+         |    ${cosSql("p.pe", "a.embedding")} AS cos
+         |  FROM probes p JOIN assigned a
+         |    ON a.cell = p.p_cell AND p.probe_id <> a.vec_id
+         |), ranked AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM scored
+         |)
+         |SELECT probe_id, neighbor_id, cell, rank, cos FROM ranked
+         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
     "y3_ann_lsh" ->
       s"""WITH bucketed AS (
          |  SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings
