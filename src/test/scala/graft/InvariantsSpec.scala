@@ -1,0 +1,68 @@
+package graft
+
+import graft.ext.{Dedup, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Cross-cutting invariants of the dedup/similarity primitives, plus a
+  * schema guard over the driver-generated testdata (catches drift in
+  * later rounds before it breaks oracles). */
+class InvariantsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("identical texts produce identical minhash signatures and survive the full pipeline at jaccard 1.0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup
+      (3L, "totally different words here nothing shared at all ok")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs)
+    val rows = sigs.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(rows(1L) === rows(2L))
+    assert(rows(1L) !== rows(3L))
+    val verified = Dedup.verifyJaccard(docs, Dedup.candidatePairs(sigs), 0.8).collect()
+    assert(verified.length === 1)
+    assert(verified.head.getAs[Long]("a_id") === 1L)
+    assert(verified.head.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("cosine(v, v) ~ 1 and symmetric under the snapped arithmetic") {
+    val vecs = Tables(spark, sf()).embeddings.limit(20)
+      .select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
+      .withColumn("nrm", Similarity.normSnapped(col("sv")))
+    val self = vecs.select(Similarity.cosineFromSnapped(
+      col("sv"), col("sv"), col("nrm"), col("nrm")).as("c")).as[Double].collect()
+    self.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+    val a = vecs.select(col("vec_id").as("ai"), col("sv").as("sa"), col("nrm").as("na"))
+    val b = vecs.select(col("vec_id").as("bi"), col("sv").as("sb"), col("nrm").as("nb"))
+    val pairs = a.join(b, col("ai") < col("bi"))
+      .select(
+        Similarity.cosineFromSnapped(col("sa"), col("sb"), col("na"), col("nb")).as("ab"),
+        Similarity.cosineFromSnapped(col("sb"), col("sa"), col("nb"), col("na")).as("ba"))
+      .as[(Double, Double)].collect()
+    pairs.foreach { case (ab, ba) => assert(ab === ba) } // bitwise symmetric
+  }
+
+  test("identical vectors land in the same LSH bucket") {
+    val v = Tables(spark, sf()).embeddings.limit(5)
+      .select(Similarity.snapVec(col("embedding")).as("sv"))
+    val b1 = v.select(Similarity.lshBucket(col("sv"), 8, 64).as("b")).as[Long].collect()
+    val b2 = v.select(Similarity.lshBucket(col("sv"), 8, 64).as("b")).as[Long].collect()
+    assert(b1.toSeq === b2.toSeq)
+  }
+
+  test("testdata schemas match FIXTURES.md (drift guard)") {
+    val t = Tables(spark, sf())
+    def names(df: org.apache.spark.sql.DataFrame) = df.schema.fieldNames.toSeq
+    assert(names(t.lineitem) === Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate"))
+    assert(names(t.orders) === Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"))
+    assert(names(t.events) === Seq("event_id", "user_id", "event_type",
+      "value", "props", "ts_us")) // ts normalized to ts_us by the loader
+    assert(names(t.documents) === Seq("doc_id", "text", "lang", "source", "n_chars"))
+    assert(names(t.embeddings) === Seq("vec_id", "embedding", "label"))
+    assert(t.events.schema("ts_us").dataType.typeName === "long")
+  }
+}
