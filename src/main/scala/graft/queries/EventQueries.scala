@@ -93,7 +93,25 @@ object EventQueries extends QueryGroup {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** As-of join (beyond the reference — the classic temporal operator
+    * Spark lacks as a built-in): each event gets the user's most recent
+    * order date at-or-before the event time. Implemented with the
+    * union-sort-window composition (ops/AsOf.scala); the oracle uses
+    * DuckDB's native ASOF JOIN. */
+  def asofLastOrder(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val ord = Tables(spark, dir).orders
+      .select(col("o_custkey").as("user_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"))
+    graft.ops.AsOf.lastRightTs(ev, ord, "user_id", "ts_us", "o_date_us",
+        "last_order_date_us", Seq("event_id", "ts_us"))
+      .orderBy(col("event_id"))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("last_order_date_us"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a6_asof_last_order" -> (asofLastOrder _),
     "a2_rolling_sum"     -> (rollingSum _),
     "a3_tumbling_counts" -> (tumblingCounts _),
     "a4_sliding_counts"  -> (slidingCounts _),
@@ -120,6 +138,13 @@ object EventQueries extends QueryGroup {
          |  COUNT(*) AS cnt
          |FROM events CROSS JOIN (VALUES (0), (${5 * S})) AS k(off)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a6_asof_last_order" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  epoch_us(o.o_orderdate) AS last_order_date_us
+        |FROM events e
+        |ASOF JOIN orders o
+        |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
     "a5_session_windows" ->
       s"""WITH flagged AS (
          |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

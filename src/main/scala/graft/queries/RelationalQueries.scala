@@ -153,7 +153,75 @@ object RelationalQueries extends QueryGroup {
       .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Set operations (union / intersect / except) over customer key sets. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val building = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val bigSpenders = t.orders.filter(col("o_totalprice") > 200000)
+      .select(col("o_custkey").as("k")).distinct()
+    def tagged(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("op"), col("n"))
+    tagged("union", building.union(bigSpenders).distinct())
+      .unionByName(tagged("intersect", building.intersect(bigSpenders)))
+      .unionByName(tagged("except", building.except(bigSpenders)))
+      .orderBy(col("op"))
+  }
+
+  /** Semi/anti joins (EXISTS / NOT EXISTS) per market segment. */
+  def semiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cust = t.customer.select(col("c_custkey"), col("c_mktsegment"))
+    val openOrders = t.orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"))
+    val withOpen = cust.join(openOrders, cust("c_custkey") === openOrders("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .select(col("c_mktsegment"), lit("with_open_order").as("cls"), col("n"))
+    val allOrders = t.orders.select(col("o_custkey"))
+    val noOrders = cust.join(allOrders, cust("c_custkey") === allOrders("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .select(col("c_mktsegment"), lit("no_orders").as("cls"), col("n"))
+    withOpen.unionByName(noOrders).orderBy(col("c_mktsegment"), col("cls"))
+  }
+
+  /** Exact interpolated quartiles of l_quantity per return flag
+    * (integer-valued data + binary-exact fractions -> both engines
+    * interpolate to identical doubles). */
+  def quartiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q1"),
+        expr("percentile(l_quantity, 0.5)").as("median"),
+        expr("percentile(l_quantity, 0.75)").as("q3"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Mean / population variance / stddev per order priority, built from
+    * exact decimal sums so the double arithmetic is engine-identical
+    * (same expression shape on both sides: (n*sxx - sx*sx)/(n*n)). */
+  def statsMoments(spark: SparkSession, dir: String): DataFrame = {
+    val sx = round(sum(col("o_totalprice").cast("decimal(18,6)")), 6).cast("double")
+    // scale 0: the squared sum is ~1e13 — at scale 6 its scaled integer
+    // would exceed 2^53 and the double conversion stops being exact
+    val sxx = round(sum(col("o_totalprice").cast("decimal(18,6)") *
+      col("o_totalprice").cast("decimal(18,6)")), 0).cast("double")
+    val n = count(lit(1)).cast("double")
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sx.as("sx"), sxx.as("sxx"))
+      .select(col("o_orderpriority"), col("n"),
+        (col("sx") / col("n")).as("mean"),
+        ((col("n") * col("sxx") - col("sx") * col("sx")) / (col("n") * col("n"))).as("var_pop"))
+      .withColumn("stddev_pop", sqrt(col("var_pop")))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_set_ops" -> (setOps _),
+    "q_semi_anti" -> (semiAnti _),
+    "q_quartiles" -> (quartiles _),
+    "q_stats_moments" -> (statsMoments _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
@@ -165,6 +233,51 @@ object RelationalQueries extends QueryGroup {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_set_ops" ->
+      """WITH building AS (
+        |  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |), big AS (
+        |  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 200000
+        |)
+        |SELECT * FROM (
+        |  SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT k FROM building UNION SELECT k FROM big)
+        |  UNION ALL
+        |  SELECT 'intersect', COUNT(*) FROM (SELECT k FROM building INTERSECT SELECT k FROM big)
+        |  UNION ALL
+        |  SELECT 'except', COUNT(*) FROM (SELECT k FROM building EXCEPT SELECT k FROM big)
+        |) ORDER BY op""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT * FROM (
+        |  SELECT c_mktsegment, 'with_open_order' AS cls, COUNT(*) AS n
+        |  FROM customer c
+        |  WHERE EXISTS (SELECT 1 FROM orders o
+        |                WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |  GROUP BY c_mktsegment
+        |  UNION ALL
+        |  SELECT c_mktsegment, 'no_orders', COUNT(*)
+        |  FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  GROUP BY c_mktsegment
+        |) ORDER BY c_mktsegment, cls""".stripMargin,
+    "q_quartiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q1,
+        |  quantile_cont(l_quantity, 0.5) AS median,
+        |  quantile_cont(l_quantity, 0.75) AS q3,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_stats_moments" ->
+      """WITH sums AS (
+        |  SELECT o_orderpriority, COUNT(*) AS n,
+        |    CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 6) AS DOUBLE) AS sx,
+        |    CAST(round(SUM(CAST(o_totalprice AS DECIMAL(19,6)) *
+        |               CAST(o_totalprice AS DECIMAL(19,6))), 0) AS DOUBLE) AS sxx
+        |  FROM orders GROUP BY o_orderpriority
+        |)
+        |SELECT o_orderpriority, n, (sx / n) AS mean,
+        |  ((n * sxx - sx * sx) / (n * n)) AS var_pop,
+        |  sqrt((n * sxx - sx * sx) / (n * n)) AS stddev_pop
+        |FROM sums ORDER BY o_orderpriority""".stripMargin,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" ->
       s"""SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
