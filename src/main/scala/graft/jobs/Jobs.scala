@@ -118,7 +118,20 @@ object FraudDetectorJob {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
     import spark.implicits._
-    StatefulOps.fraudAlerts(referenceTxns.toDS()).show(false)
+    if (args.headOption.contains("v2")) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Transaction]
+      val q = StatefulV2.fraudAlerts(in.toDS())
+        .writeStream.format("console").outputMode("append")
+        .option("truncate", "false").start()
+      in.addData(referenceTxns.take(5)); q.processAllAvailable()
+      in.addData(referenceTxns.drop(5)); q.processAllAvailable()
+      q.stop()
+    } else {
+      StatefulOps.fraudAlerts(referenceTxns.toDS()).show(false)
+    }
     spark.stop()
   }
 }

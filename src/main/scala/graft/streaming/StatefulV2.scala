@@ -73,4 +73,58 @@ object StatefulV2 {
       .transformWithState(new EventListProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** T3 — fraud detector with the reference's EXACT dual-state shape:
+    * a ListState of recent transactions plus a ValueState of the last
+    * alert time (FraudDetectorExample.java:73-74) — unlike the
+    * flatMapGroupsWithState form, which packs both into one case class.
+    * Eviction rewrites the list (like the reference's :96-105 loop);
+    * alerting is throttled (:107-118). */
+  class FraudProcessor(threshold: Double, lookbackMs: Long, throttleMs: Long,
+                       minCount: Int)
+      extends StatefulProcessor[String, Transaction, FraudAlert] {
+    @transient private var recent: ListState[Transaction] = _
+    @transient private var lastAlert: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      implicit val txEnc = org.apache.spark.sql.Encoders.product[Transaction]
+      recent = getHandle.getListState[Transaction]("recentTransactions",
+        txEnc, TTLConfig.NONE)
+      lastAlert = getHandle.getValueState[Long]("lastAlertTime",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(userId: String, rows: Iterator[Transaction],
+                                 timers: TimerValues): Iterator[FraudAlert] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[FraudAlert]
+      rows.toSeq.sortBy(_.timestamp).foreach { tx =>
+        if (tx.amount > threshold) recent.appendValue(tx)
+        val survivors = recent.get().toSeq
+          .filter(_.timestamp >= tx.timestamp - lookbackMs)
+        // the store rejects empty list writes — clear() instead
+        if (survivors.isEmpty) recent.clear()
+        else recent.put(survivors.toArray)
+        val throttled = lastAlert.exists() &&
+          tx.timestamp - lastAlert.get() <= throttleMs
+        if (survivors.size >= minCount && !throttled) {
+          out += FraudAlert(userId, tx.timestamp, survivors.size,
+            s"FRAUD ALERT: $userId made ${survivors.size} high-value transactions within window (latest at ${tx.timestamp})")
+          lastAlert.update(tx.timestamp)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  def fraudAlerts(txns: Dataset[Transaction],
+                  threshold: Double = 100.0,
+                  lookbackMs: Long = 10 * 60 * 1000,
+                  throttleMs: Long = 10 * 60 * 1000,
+                  minCount: Int = 3): Dataset[FraudAlert] = {
+    import txns.sparkSession.implicits._
+    txns.groupByKey(_.userId)
+      .transformWithState(
+        new FraudProcessor(threshold, lookbackMs, throttleMs, minCount),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -1,0 +1,53 @@
+package graft
+
+/** Plan-quality regression guard: builds the physical plan of every
+  * registered query (no execution) and asserts the properties the 100 TB
+  * design depends on — filters reach the parquet scans, no accidental
+  * cartesian products, nested-loop joins only where a small probe set is
+  * deliberately broadcast against the corpus.
+  */
+class PlanQualitySpec extends SparkTestBase {
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf()).queryExecution.executedPlan.toString
+    }
+
+  /** Pairwise scans that intentionally broadcast a small side into a
+    * non-equi join. */
+  private val intendedBnlj = Set(
+    "d5_simhash_pairs", "d6_ngram_jaccard", "y1_cosine_topk",
+    "y2_embed_neardup", "y4_ann_ivf")
+
+  test("no CartesianProduct anywhere") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("CartesianProduct") => n
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("BroadcastNestedLoopJoin only in intended pairwise scans") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") && !intendedBnlj(n) => n
+    }
+    assert(offenders.isEmpty, s"unintended nested-loop joins in: $offenders")
+  }
+
+  test("selective scans push their filters to parquet") {
+    for (q <- Seq("q6_forecast_revenue", "q3_shipping_priority", "q1_pricing_summary")) {
+      assert(plans(q).contains("PushedFilters: ["), s"$q lost scan pushdown")
+    }
+    assert(plans("q6_forecast_revenue").contains("l_shipdate"),
+      "q6 shipdate predicate not pushed")
+  }
+
+  test("joins with dimension tables broadcast the dimension") {
+    for (q <- Seq("q3_shipping_priority", "q5_local_supplier", "q_top_customers"))
+      assert(plans(q).contains("BroadcastHashJoin"), s"$q lost broadcast join")
+  }
+
+  test("top-k queries use TakeOrderedAndProject, not a global sort+limit") {
+    for (q <- Seq("q3_shipping_priority", "q_top_customers"))
+      assert(plans(q).contains("TakeOrderedAndProject"), s"$q lost top-k")
+  }
+}

@@ -59,6 +59,39 @@ class StatefulV2Spec extends SparkTestBase {
     }
   }
 
+  test("T3 via transformWithState ListState+ValueState: reference fraud golden") {
+    withRocksDB {
+      val in = MemoryStream[Transaction]
+      val q = StatefulV2.fraudAlerts(in.toDS())
+        .writeStream.format("memory").queryName("v2_t3").outputMode("append").start()
+      val txns = graft.jobs.FraudDetectorJob.referenceTxns
+      in.addData(txns.take(5)); q.processAllAvailable()
+      in.addData(txns.drop(5)); q.processAllAvailable(); q.stop()
+      val alerts = spark.table("v2_t3").as[FraudAlert].collect().sortBy(_.timestamp)
+      assert(alerts.map(a => (a.userId, a.timestamp, a.recentCount)).toSeq ===
+        Seq(("user1", 2500L, 3), ("user2", 19000L, 3)))
+    }
+  }
+
+  test("streaming session_window merges events within the gap") {
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("ts_ms", "user")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = df.withWatermark("ts", "5 seconds")
+      .groupBy(session_window(col("ts"), "10 seconds"), col("user"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("session_window.start")).as("s_us"), col("user"), col("cnt"))
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    // u1: events at 1s and 8s merge (gap < 10s); the 40s event is separate
+    in.addData((1000L, "u1"), (8000L, "u1"), (40000L, "u1"))
+    q.processAllAvailable()
+    in.addData((90000L, "u1")) // advance watermark, close earlier sessions
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sess_out").as[(Long, String, Long)].collect().toSet
+    assert(rows.contains((1000000L, "u1", 2L)))  // merged session of 2
+    assert(rows.contains((40000000L, "u1", 1L)))
+  }
+
   test("streaming dedup within watermark suppresses resends") {
     val in = MemoryStream[(Long, String)]
     val df = in.toDF().toDF("ts_ms", "k")
