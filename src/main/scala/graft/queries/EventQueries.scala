@@ -110,7 +110,33 @@ object EventQueries extends QueryGroup {
       .select(col("event_id"), col("user_id"), col("ts_us"), col("last_order_date_us"))
   }
 
+  /** Pivot: per-user event-type counts as columns. Spark's `pivot` with
+    * explicit values compiles to conditional aggregation — one shuffle,
+    * no second pass to discover the column set (the explicit value list
+    * is what makes pivot scale-safe). */
+  def pivotEventCounts(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables(spark, dir).events
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy(col("user_id"))
+  }
+
+  /** Approximate distinct (HLL++) — sketch internals differ per engine,
+    * so this is a rows-only query (no hash oracle); the unit guarantee
+    * (±5% of exact) is asserted in QueriesSmokeSpec-adjacent tests. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+           countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a7_pivot_event_counts" -> (pivotEventCounts _),
+    "a8_approx_distinct" -> (approxDistinct _),
     "a6_asof_last_order" -> (asofLastOrder _),
     "a2_rolling_sum"     -> (rollingSum _),
     "a3_tumbling_counts" -> (tumblingCounts _),
@@ -138,6 +164,14 @@ object EventQueries extends QueryGroup {
          |  COUNT(*) AS cnt
          |FROM events CROSS JOIN (VALUES (0), (${5 * S})) AS k(off)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a7_pivot_event_counts" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "a6_asof_last_order" ->
       """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
         |  epoch_us(o.o_orderdate) AS last_order_date_us

@@ -51,6 +51,16 @@ class InvariantsSpec extends SparkTestBase {
     assert(b1.toSeq === b2.toSeq)
   }
 
+  test("approx_count_distinct within its 2% rsd guarantee on events") {
+    val rows = graft.queries.EventQueries.approxDistinct(spark, sf())
+      .select(col("approx_users"), col("exact_users"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.1,
+        s"approx $approx too far from exact $exact")
+    }
+  }
+
   test("testdata schemas match FIXTURES.md (drift guard)") {
     val t = Tables(spark, sf())
     def names(df: org.apache.spark.sql.DataFrame) = df.schema.fieldNames.toSeq
