@@ -36,7 +36,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // headline throughput: lineitem rows scanned per second on the
+    // pricing-summary scan (pure scan+agg, the IO-bound shape)
+    val liRows = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val q1Sec = results.toMap.getOrElse("q1_pricing_summary", Double.NaN)
+    val rps = if (q1Sec > 0) liRows / q1Sec else 0.0
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","lineitem_rows":$liRows,"q1_rows_per_sec":$rps%.0f}""")
     spark.stop()
   }
 }
