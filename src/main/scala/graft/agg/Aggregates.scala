@@ -37,6 +37,9 @@ object Aggregates {
     * containing `tsUs`, as an exploded column. A row belongs to
     * size/slide consecutive windows. */
   def slideStartsUs(tsUs: Column, sizeUs: Long, slideUs: Long): Column = {
+    require(sizeUs % slideUs == 0,
+      s"window size ($sizeUs) must be a multiple of slide ($slideUs); " +
+        "otherwise rows near the trailing edge lose a window")
     val n = (sizeUs / slideUs).toInt
     val base = tsUs - (tsUs % slideUs)
     explode(array((0 until n).map(k => base - lit(k * slideUs)): _*))

@@ -37,14 +37,16 @@ object TextAnalysis {
   /** BPE-ish token count: letter runs, digit runs, or single other
     * non-space chars — the pre-tokenization regex family used by
     * byte-pair encoders. */
-  val bpeTokenRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  val bpeTokenRegex = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpeTokenRegex), lit(0))).cast("long")
 
   /** Non-alphanumeric/non-space ("punctuation-ish") character ratio —
-    * char class chosen to mean the same thing in Java regex and RE2. */
+    * char class chosen to mean the same thing in Java regex and RE2,
+    * case-insensitive so capitalized prose isn't counted as punctuation. */
+  val punctClass = "[^a-zA-Z0-9\\s]"
   def punctRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(text, "[^a-z0-9\\s]", ""))).cast("double") /
+    (length(text) - length(regexp_replace(text, punctClass, ""))).cast("double") /
       greatest(length(text).cast("double"), lit(1.0))
 
   /** Stopword token ratio. */

@@ -37,13 +37,14 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c => {
       val bytes = ctx.freshName("bytes")
       val i = ctx.freshName("i")
+      val h = ctx.freshName("h") // freshName: two rolling_hash calls may share one codegen scope
       s"""
          |byte[] $bytes = $c.getBytes();
-         |long h = 0L;
+         |long $h = 0L;
          |for (int $i = 0; $i < $bytes.length; $i++) {
-         |  h = h * 31L + ($bytes[$i] & 0xff);
+         |  $h = $h * 31L + ($bytes[$i] & 0xff);
          |}
-         |${ev.value} = h;
+         |${ev.value} = $h;
        """.stripMargin
     })
 

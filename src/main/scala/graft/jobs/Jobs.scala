@@ -141,13 +141,17 @@ object TradeChangeDetectionJob {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
     import spark.implicits._
-    val lines = StreamSources.kafkaLines(spark,
+    // Kafka offsets are the arrival-order seq: per-partition ordered,
+    // which is exactly the ordering guarantee the reference's Flink
+    // consumer has. (monotonically_increasing_id is rejected in
+    // streaming plans and wouldn't encode cross-batch order anyway.)
+    val records = StreamSources.kafkaRecords(spark,
       args.headOption.getOrElse("localhost:29092"),
       args.lift(1).getOrElse("trades"),
       Some("trade-change-detector"))
-    val trades = lines.select(
+    val trades = records.select(
         get_json_object(col("value"), "$.id").as("id"),
-        monotonically_increasing_id().as("seq"),
+        col("offset").as("seq"),
         col("value").as("payload"))
       .as[Trade]
     StatefulOps.tradeChanges(trades)

@@ -114,8 +114,8 @@ object AnalysisQueries extends QueryGroup {
         s"""(least(CAST(len($toksSql) AS DOUBLE), 100.0) / 100.0)
            |    * (1.0 - CAST(len(list_filter($toksSql, t -> t IN (${sqlIn(graft.ops.TextOps.stopWords)}))) AS DOUBLE)
            |        / greatest(CAST(len($toksSql) AS DOUBLE), 1.0))
-           |    * (1.0 - CAST(strlen(text) - strlen(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')) AS DOUBLE)
-           |        / greatest(CAST(strlen(text) AS DOUBLE), 1.0))""".stripMargin
+           |    * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+           |        / greatest(CAST(length(text) AS DOUBLE), 1.0))""".stripMargin
       s"""WITH canonical AS (
          |  SELECT doc_id, text FROM (
          |    SELECT doc_id, text,
@@ -142,13 +142,13 @@ object AnalysisQueries extends QueryGroup {
          |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
          |  CAST(len(list_filter($toksSql, t -> t IN (${sqlIn(graft.ops.TextOps.stopWords)}))) AS DOUBLE)
          |    / greatest(CAST(len($toksSql) AS DOUBLE), 1.0) AS stopword_ratio,
-         |  CAST(strlen(text) - strlen(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')) AS DOUBLE)
-         |    / greatest(CAST(strlen(text) AS DOUBLE), 1.0) AS punct_ratio,
+         |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |    / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
          |  (least(CAST(len($toksSql) AS DOUBLE), 100.0) / 100.0)
          |    * (1.0 - CAST(len(list_filter($toksSql, t -> t IN (${sqlIn(graft.ops.TextOps.stopWords)}))) AS DOUBLE)
          |        / greatest(CAST(len($toksSql) AS DOUBLE), 1.0))
-         |    * (1.0 - CAST(strlen(text) - strlen(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')) AS DOUBLE)
-         |        / greatest(CAST(strlen(text) AS DOUBLE), 1.0)) AS quality
+         |    * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |        / greatest(CAST(length(text) AS DOUBLE), 1.0)) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
     "x_lang_id" -> {
       val p = TA.langProfiles
@@ -173,7 +173,7 @@ object AnalysisQueries extends QueryGroup {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "x_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |  hex(substr(text, 1, 8)) AS header_hex,
+        |  substr(hex(encode(text)), 1, 16) AS header_hex,
         |  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
         |  CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
         |  CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS frames

@@ -181,8 +181,8 @@ object DedupQueries extends QueryGroup {
     "d6_ngram_jaccard" ->
       """WITH grams AS (
         |  SELECT doc_id,
-        |    CASE WHEN strlen(text) >= 5 THEN
-        |      list_distinct(list_transform(range(1, strlen(text) - 3),
+        |    CASE WHEN length(text) >= 5 THEN
+        |      list_distinct(list_transform(range(1, length(text) - 3),
         |        i -> substr(text, CAST(i AS INT), 5)))
         |    ELSE [] END AS g
         |  FROM documents

@@ -176,7 +176,7 @@ object EventQueries extends QueryGroup {
       """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
         |  epoch_us(o.o_orderdate) AS last_order_date_us
         |FROM events e
-        |ASOF JOIN orders o
+        |ASOF LEFT JOIN orders o
         |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
         |ORDER BY e.event_id""".stripMargin,
     "a5_session_windows" ->

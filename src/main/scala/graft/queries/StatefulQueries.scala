@@ -129,15 +129,31 @@ object StatefulQueries extends QueryGroup {
         |) WHERE prev_props IS NOT NULL AND prev_props <> props
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
     "t5_json_diff" ->
-      """SELECT user_id, event_id, 'k' AS field, 'MODIFIED' AS action,
-        |  json_extract_string(prev_props, '$.k') AS old_value,
-        |  json_extract_string(props, '$.k') AS new_value
-        |FROM (
-        |  SELECT user_id, event_id, props,
-        |    LAG(props) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_props
-        |  FROM events
-        |) WHERE prev_props IS NOT NULL
-        |  AND json_extract_string(prev_props, '$.k') <> json_extract_string(props, '$.k')
+      """WITH valid AS (
+        |  SELECT user_id, event_id, props, prev_props FROM (
+        |    SELECT user_id, event_id, props,
+        |      LAG(props) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_props
+        |    FROM events
+        |  ) WHERE prev_props IS NOT NULL
+        |), fields AS (
+        |  SELECT user_id, event_id, props, prev_props,
+        |         unnest(json_keys(prev_props)) AS field FROM valid
+        |  UNION
+        |  SELECT user_id, event_id, props, prev_props,
+        |         unnest(json_keys(props)) FROM valid
+        |), diffs AS (
+        |  SELECT user_id, event_id, field,
+        |    json_extract_string(prev_props, '$.' || field) AS old_value,
+        |    json_extract_string(props, '$.' || field) AS new_value
+        |  FROM fields
+        |)
+        |SELECT user_id, event_id, field,
+        |  CASE WHEN old_value IS NULL THEN 'ADDED'
+        |       WHEN new_value IS NULL THEN 'REMOVED'
+        |       ELSE 'MODIFIED' END AS action,
+        |  old_value, new_value
+        |FROM diffs
+        |WHERE old_value IS DISTINCT FROM new_value
         |ORDER BY user_id, event_id, field""".stripMargin
   )
 }

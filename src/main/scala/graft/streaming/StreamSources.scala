@@ -31,6 +31,20 @@ object StreamSources {
       .selectExpr("CAST(value AS STRING) AS value")
   }
 
+  /** S4 variant keeping Kafka metadata: (value, partition, offset).
+    * The offset is the per-partition arrival sequence — the ordering
+    * basis for stateful folds downstream. */
+  def kafkaRecords(spark: SparkSession, bootstrap: String, topic: String,
+                   groupId: Option[String] = None): DataFrame = {
+    val base = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+    groupId.fold(base)(g => base.option("kafka.group.id", g))
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value", "partition", "offset")
+  }
+
   /** Deterministic local generator for smoke runs (no reference analog;
     * Spark's built-in rate source). */
   def rate(spark: SparkSession, rowsPerSecond: Int): DataFrame =

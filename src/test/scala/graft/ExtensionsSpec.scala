@@ -15,6 +15,15 @@ class ExtensionsSpec extends SparkTestBase {
     got.foreach { case (s, h) => assert(h === RollingHash.reference(s), s"for '$s'") }
   }
 
+  test("two rolling_hash calls share one codegen stage without colliding") {
+    val df = Seq(("abc", "xyz"), ("q", "r")).toDF("a", "b")
+    val got = df.select(rolling_hash(col("a")).as("ha"), rolling_hash(col("b")).as("hb"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (RollingHash.reference("abc"), RollingHash.reference("xyz")),
+      (RollingHash.reference("q"), RollingHash.reference("r"))))
+  }
+
   test("rolling_hash survives a filter pushdown context (stays in plan)") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
     val n = docs.select(rolling_hash(col("text")).as("h")).filter(col("h") =!= 0).count()

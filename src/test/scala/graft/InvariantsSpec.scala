@@ -51,12 +51,12 @@ class InvariantsSpec extends SparkTestBase {
     assert(b1.toSeq === b2.toSeq)
   }
 
-  test("approx_count_distinct within its 2% rsd guarantee on events") {
+  test("approx_count_distinct within 5% of exact (rsd=0.02 plus small-N variance)") {
     val rows = graft.queries.EventQueries.approxDistinct(spark, sf())
       .select(col("approx_users"), col("exact_users"))
       .as[(Long, Long)].collect()
     rows.foreach { case (approx, exact) =>
-      assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      assert(math.abs(approx - exact).toDouble / exact < 0.05,
         s"approx $approx too far from exact $exact")
     }
   }
