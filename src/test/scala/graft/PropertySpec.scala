@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.TextOps
+import graft.streaming._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** SURVEY.md §5 property tests: tokenizer emptiness invariant and a
+  * randomized differential test of the fraud fold against an
+  * independently-written in-memory reference. */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("property: tokenizer never yields empty tokens") {
+    val rnd = new Random(42)
+    val chars = "ab  c\t d\n e!#  "
+    val lines = (1 to 200).map { _ =>
+      (1 to rnd.nextInt(30)).map(_ => chars(rnd.nextInt(chars.length))).mkString
+    }
+    val toks = TextOps.explodeTokens(lines.toDF("value"), col("value"), "word")
+      .as[String].collect()
+    assert(toks.forall(_.nonEmpty))
+    assert(toks.forall(t => !t.exists(_.isWhitespace)))
+  }
+
+  test("differential: fraud fold matches an independent reference on random input") {
+    // independent reference implementation of FraudDetectorExample.java
+    def referenceAlerts(txns: Seq[Transaction]): Seq[(String, Long, Int)] = {
+      val byUser = txns.groupBy(_.userId)
+      byUser.toSeq.flatMap { case (u, ts) =>
+        var recent = List.empty[Transaction]
+        var lastAlert = Option.empty[Long]
+        ts.sortBy(_.timestamp).flatMap { tx =>
+          if (tx.amount > 100) recent = recent :+ tx
+          recent = recent.filter(_.timestamp >= tx.timestamp - 600000L)
+          val throttled = lastAlert.exists(la => tx.timestamp - la <= 600000L)
+          if (recent.size >= 3 && !throttled) {
+            lastAlert = Some(tx.timestamp)
+            Some((u, tx.timestamp, recent.size))
+          } else None
+        }
+      }
+    }
+
+    val rnd = new Random(7)
+    // distinct timestamps so ordering is unambiguous (Flink's arrival
+    // order == timestamp order in this scenario)
+    val txns = rnd.shuffle((1 to 300).toList).map { i =>
+      Transaction(s"u${rnd.nextInt(5)}", rnd.nextInt(200).toDouble, i * 40000L)
+    }
+    val expected = referenceAlerts(txns)
+      .map(a => (a._1, a._2, a._3)).sortBy(a => (a._1, a._2))
+
+    val in = MemoryStream[Transaction]
+    val q = StatefulOps.fraudAlerts(in.toDS())
+      .writeStream.format("memory").queryName("prop_fraud").outputMode("append").start()
+    // arrival order must respect time across micro-batches (a later batch
+    // cannot deliver an earlier arrival); disorder *within* a batch is
+    // what the fold's sortBy absorbs
+    txns.sortBy(_.timestamp).grouped(37).foreach { batch =>
+      in.addData(rnd.shuffle(batch)); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("prop_fraud").as[FraudAlert].collect()
+      .map(a => (a.userId, a.timestamp, a.recentCount)).sortBy(a => (a._1, a._2)).toSeq
+    assert(got === expected)
+  }
+}
