@@ -146,6 +146,27 @@ object RelationalQueries extends QueryGroup {
         sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"))
       .orderBy(col("o_orderpriority"))
 
+  /** Full cube over returnflag x linestatus (all 2^2 grouping sets). */
+  def cubeQuantities(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Explicit GROUPING SETS via the SQL surface (the DataFrame API has
+    * rollup/cube; arbitrary sets go through the parser — also exercising
+    * `spark.sql` as an engine entry point). */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).lineitem.createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  COUNT(*) AS cnt
+         |FROM lineitem_gs
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
   /** Grouping-set rollup over returnflag x linestatus. */
   def rollupQuantities(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).lineitem
@@ -229,7 +250,9 @@ object RelationalQueries extends QueryGroup {
     "q_top_customers" -> (topCustomers _),
     "q_rank_orders" -> (rankOrdersPerCustomer _),
     "q_distinct_agg" -> (distinctAgg _),
-    "q_rollup" -> (rollupQuantities _)
+    "q_rollup" -> (rollupQuantities _),
+    "q_cube" -> (cubeQuantities _),
+    "q_grouping_sets" -> (groupingSets _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -332,6 +355,18 @@ object RelationalQueries extends QueryGroup {
          |  ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS cnt
          |FROM lineitem
          |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS cnt
+         |FROM lineitem
+         |GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS cnt
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
   )
 }
