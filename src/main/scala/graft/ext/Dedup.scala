@@ -120,6 +120,45 @@ object Dedup {
     * portable integer. */
   val simhashBits = 24
 
+  /** All pairs at Hamming distance <= maxHamming, by band rotation —
+    * never by an all-pairs scan. The simhash is split into
+    * (maxHamming + 1) equal bit-bands; by pigeonhole, any pair whose
+    * simhashes differ in <= maxHamming bits must agree exactly on at
+    * least one band, so candidate generation is a single equi-join on
+    * (band_idx, band_bits) — the same shuffle shape as MinHash LSH
+    * (candidatePairs), with bucket sizes ~ duplicate-cluster sizes.
+    * Exact `bit_count(xor)` verification then touches only candidates,
+    * and a final distinct collapses multi-band collisions.
+    *
+    * `sim` must have columns (idCol, simhash); callers should persist it
+    * since both join sides read it. */
+  def simhashBandPairs(sim: DataFrame, maxHamming: Int = 2,
+                       idCol: String = "doc_id"): DataFrame = {
+    val nBands = maxHamming + 1
+    require(simhashBits % nBands == 0,
+      s"simhashBits=$simhashBits not divisible into ${nBands} bands")
+    val bandBits = simhashBits / nBands
+    val mask = (1L << bandBits) - 1
+    val bands = sim.select(col(idCol), col("simhash"),
+      posexplode(array((0 until nBands).map(j =>
+        shiftright(col("simhash"), j * bandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band_idx", "band_bits")))
+    // Carry each side's full simhash through the join so verification
+    // needs no extra join back to `sim`.
+    val a = bands.select(col(idCol).as("a_id"), col("simhash").as("ha"),
+      col("band_idx"), col("band_bits"))
+    val b = bands.select(col(idCol).as("b_id"), col("simhash").as("hb"),
+      col("band_idx").as("band_idx_b"), col("band_bits").as("band_bits_b"))
+    a.join(b,
+        col("band_idx") === col("band_idx_b") &&
+        col("band_bits") === col("band_bits_b") &&
+        col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .distinct()
+  }
+
   /** SimHash over a doc's distinct tokens, from per-token md5 hex
     * values: bit j of the result is set iff the sum over tokens of
     * (+1 if token-bit j else -1) is positive. `tokRows` must have

@@ -48,19 +48,15 @@ object DedupQueries extends QueryGroup {
     Dedup.simhash(toks).orderBy(col("doc_id"))
   }
 
-  /** SimHash near-dup candidates: pairs at Hamming distance <= 2.
-    * (Brute-force pair scan here; at scale the standard trick is 4-way
-    * band rotation so candidates come from an equi-join, same as LSH.) */
+  /** SimHash near-dup candidates: pairs at Hamming distance <= 2, via
+    * 3x8-bit band rotation (Dedup.simhashBandPairs) — candidates come
+    * from an equi-join on (band_idx, band_bits), never an all-pairs
+    * scan, so the plan scales like the LSH path (d3). */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir).documents
       .select(col("doc_id"), explode(array_distinct(split(col("text"), "\\s+"))).as("t"))
-    val s = Dedup.simhash(toks)
-    val a = s.select(col("doc_id").as("a_id"), col("simhash").as("ha"))
-    val b = s.select(col("doc_id").as("b_id"), col("simhash").as("hb"))
-    a.join(b, col("a_id") < col("b_id"))
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
-      .filter(col("hamming") <= 2)
-      .select(col("a_id"), col("b_id"), col("hamming"))
+    val s = Dedup.simhash(toks).persist() // both band-join sides read it
+    Dedup.simhashBandPairs(s, maxHamming = 2)
       .orderBy(col("a_id"), col("b_id"))
   }
 

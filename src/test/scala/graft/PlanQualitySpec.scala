@@ -15,9 +15,7 @@ class PlanQualitySpec extends SparkTestBase {
 
   /** Pairwise scans that intentionally broadcast a small side into a
     * non-equi join. */
-  private val intendedBnlj = Set(
-    "d5_simhash_pairs", "d6_ngram_jaccard", "y1_cosine_topk",
-    "y2_embed_neardup", "y4_ann_ivf")
+  private val intendedBnlj = Set("d6_ngram_jaccard", "y1_cosine_topk")
 
   test("no CartesianProduct anywhere") {
     val offenders = plans.collect {
