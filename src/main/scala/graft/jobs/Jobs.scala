@@ -136,18 +136,22 @@ object FraudDetectorJob {
   }
 }
 
-/** ref kafka/TradeChangeDetectionJob.java — Kafka JSON CDC. */
+/** ref kafka/TradeChangeDetectionJob.java — Kafka JSON CDC. Args:
+  * bootstrap (a real broker, or `mock:<dir>` for the file-backed
+  * contract mock), input topic, and optionally an output topic — given
+  * one, changes are produced back to Kafka keyed by trade id (K3, ref
+  * :48) instead of printed. */
 object TradeChangeDetectionJob {
-  def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local()
+
+  /** The topology, sink-agnostic: kafka records → keyed JSON CDC. */
+  def changes(spark: SparkSession, bootstrap: String, topic: String)
+      : org.apache.spark.sql.Dataset[TradeChange] = {
     import spark.implicits._
     // Kafka offsets are the arrival-order seq: per-partition ordered,
     // which is exactly the ordering guarantee the reference's Flink
     // consumer has. (monotonically_increasing_id is rejected in
     // streaming plans and wouldn't encode cross-batch order anyway.)
-    val records = StreamSources.kafkaRecords(spark,
-      args.headOption.getOrElse("localhost:29092"),
-      args.lift(1).getOrElse("trades"),
+    val records = StreamSources.kafkaRecords(spark, bootstrap, topic,
       Some("trade-change-detector"))
     val trades = records.select(
         get_json_object(col("value"), "$.id").as("id"),
@@ -155,8 +159,26 @@ object TradeChangeDetectionJob {
         col("value").as("payload"))
       .as[Trade]
     StatefulOps.tradeChanges(trades)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    val bootstrap = args.headOption.getOrElse("localhost:29092")
+    val out = changes(spark, bootstrap, args.lift(1).getOrElse("trades"))
       .select(col("tradeId"), to_json(col("diffs")).as("changes"))
-      .writeStream.outputMode("append").format("console")
+    val writer = args.lift(2) match {
+      case Some(outTopic) => // K3: produce (key=id, value=changes JSON)
+        val (fmt, opts) =
+          if (bootstrap.startsWith("mock:"))
+            ("graft-kafka", Map(graft.sources.kafka.KafkaMock.BrokerDirKey ->
+              bootstrap.stripPrefix("mock:")))
+          else ("kafka", Map("kafka.bootstrap.servers" -> bootstrap))
+        out.select(col("tradeId").as("key"), col("changes").as("value"))
+          .writeStream.format(fmt).options(opts).option("topic", outTopic)
+      case None =>
+        out.writeStream.format("console")
+    }
+    writer.outputMode("append")
       .option("checkpointLocation", "/tmp/graft-trade-cdc")
       .start().awaitTermination()
   }

@@ -16,28 +16,32 @@ object StreamSources {
     spark.readStream.format("socket")
       .option("host", host).option("port", port).load()
 
+  /** Bootstrap strings of the form `mock:<brokerDir>` select the
+    * file-backed `graft-kafka` contract mock (the only broker available
+    * in a no-network container); anything else is a real Kafka
+    * bootstrap. Downstream topology is identical either way. */
+  private def kafkaFormat(bootstrap: String): (String, Map[String, String]) =
+    if (bootstrap.startsWith("mock:"))
+      ("graft-kafka", Map(graft.sources.kafka.KafkaMock.BrokerDirKey ->
+        bootstrap.stripPrefix("mock:")))
+    else
+      ("kafka", Map("kafka.bootstrap.servers" -> bootstrap))
+
   /** S4 — Kafka topic values as UTF-8 strings from earliest offset
     * (ref KafkaSource builder, TradeChangeDetectionJob.java:31-41).
     * One Spark input partition per Kafka partition; offsets are tracked
     * in the checkpoint WAL. */
   def kafkaLines(spark: SparkSession, bootstrap: String, topic: String,
-                 groupId: Option[String] = None): DataFrame = {
-    val base = spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-    groupId.fold(base)(g => base.option("kafka.group.id", g))
-      .load()
-      .selectExpr("CAST(value AS STRING) AS value")
-  }
+                 groupId: Option[String] = None): DataFrame =
+    kafkaRecords(spark, bootstrap, topic, groupId).select("value")
 
   /** S4 variant keeping Kafka metadata: (value, partition, offset).
     * The offset is the per-partition arrival sequence — the ordering
     * basis for stateful folds downstream. */
   def kafkaRecords(spark: SparkSession, bootstrap: String, topic: String,
                    groupId: Option[String] = None): DataFrame = {
-    val base = spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
+    val (fmt, opts) = kafkaFormat(bootstrap)
+    val base = spark.readStream.format(fmt).options(opts)
       .option("subscribe", topic)
       .option("startingOffsets", "earliest")
     groupId.fold(base)(g => base.option("kafka.group.id", g))
