@@ -54,16 +54,35 @@ object EventQueries extends QueryGroup {
     * if it arrives below watermark - 5 s allowed lateness
     * (EventTimeWordCountDebug's side-output split, batch form).
     *
-    * Scale note: a single global arrival order is inherently sequential —
-    * the streaming form tracks the watermark per micro-batch instead.
-    * Batch audit over one stream = one window sort, acceptable for audit
-    * jobs; not a hot-path operator. */
+    * The global prefix-max is computed scale-safe: arrival order is cut
+    * into fixed chunks, the prefix-max inside each chunk is a window
+    * PARTITIONED by chunk (parallel, no single-partition WindowExec),
+    * and each chunk's carry-in — the max over all earlier chunks — comes
+    * from a driver-side running max over the per-chunk maxima (one tiny
+    * row per chunk; at 10^12 rows and 2^20-row chunks that is ~10^6
+    * scalars), broadcast back. greatest(intra, carry) restores the exact
+    * global prefix-max. The streaming form (EventTimeOps.LateSplitter)
+    * tracks the watermark per micro-batch instead. */
   def lateDataAudit(spark: SparkSession, dir: String): DataFrame = {
-    val wPrev = Window.orderBy(col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables(spark, dir).events
+    import spark.implicits._
+    val chunkSize = 1L << 10 // small here so sf tests span many chunks
+    val ev = Tables(spark, dir).events
       .select(col("event_id"), col("ts_us"),
-        (max(col("ts_us")).over(wPrev) - 5 * S).as("watermark_us"))
+        expr(s"event_id div $chunkSize").cast("long").as("chunk"))
+    val wIntra = Window.partitionBy(col("chunk")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // carry-in per chunk: running max of chunk maxima, exclusive
+    val chunkMax = ev.groupBy(col("chunk"))
+      .agg(max(col("ts_us")).cast("long").as("m"))
+      .orderBy(col("chunk")).as[(Long, Long)].collect()
+    val carry = chunkMax.scanLeft((Long.MinValue, Option.empty[Long])) {
+      case ((_, prev), (c, m)) => (c, Some(prev.fold(m)(math.max(_, m))))
+    }.sliding(2).collect { case Array((_, prev), (c, _)) => (c, prev) }.toSeq
+    val carryDf = carry.toDF("chunk", "carry_max")
+    ev.join(broadcast(carryDf), Seq("chunk"), "left")
+      .select(col("event_id"), col("ts_us"),
+        (greatest(max(col("ts_us")).over(wIntra), col("carry_max")) - 5 * S)
+          .as("watermark_us"))
       .select(col("event_id"), col("ts_us"), col("watermark_us"),
         when(col("watermark_us").isNotNull &&
              col("ts_us") < col("watermark_us") - 5 * S, lit("LATE"))

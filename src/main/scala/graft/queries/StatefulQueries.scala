@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.json.JsonDiff
 
 /** Batch analogs of the reference's keyed-state operators (SURVEY.md
   * §2.6 T1-T5) over the `events` table, each DuckDB-oracle-checked.
@@ -75,19 +74,37 @@ object StatefulQueries extends QueryGroup {
       .filter(col("prev_props").isNotNull && col("prev_props") =!= col("props"))
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
 
-  /** T5 — field-level JSON diff of consecutive per-key records, via the
-    * JsonDiff function (TradeChangeDetectionJob.java:115-155). */
+  /** T5 — field-level JSON diff of consecutive per-key records
+    * (TradeChangeDetectionJob.java:115-155), fully declarative: both
+    * sides parse once with `from_json(Map<string,string>)` (Spark reads
+    * any scalar as its JSON text, matching JsonNode.asText semantics),
+    * the field set is the union of the two key arrays, and the
+    * ADDED/MODIFIED/REMOVED classification is null-safe comparison on
+    * `element_at` lookups — all codegen'd Catalyst expressions, no UDF.
+    * The per-record streaming fold keeps graft.json.JsonDiff, where an
+    * imperative diff against carried state is the right tool. */
   def jsonDiffRows(spark: SparkSession, dir: String): DataFrame = {
-    val diffUdf = udf((p: String, c: String) => JsonDiff.diffJson(p, c))
+    val mapT = org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.StringType)
     Tables(spark, dir).events
       .select(col("user_id"), col("event_id"), col("ts_us"), col("props"),
         lag(col("props"), 1).over(byUser).as("prev_props"))
       .filter(col("prev_props").isNotNull)
       .select(col("user_id"), col("event_id"),
-        explode(diffUdf(col("prev_props"), col("props"))).as("d"))
-      .select(col("user_id"), col("event_id"),
-        col("d.field").as("field"), col("d.action").as("action"),
-        col("d.old_value").as("old_value"), col("d.new_value").as("new_value"))
+        from_json(col("prev_props"), mapT).as("pm"),
+        from_json(col("props"), mapT).as("cm"))
+      .select(col("user_id"), col("event_id"), col("pm"), col("cm"),
+        explode(array_union(map_keys(col("pm")), map_keys(col("cm")))).as("field"))
+      .select(col("user_id"), col("event_id"), col("field"),
+        element_at(col("pm"), col("field")).as("old_value"),
+        element_at(col("cm"), col("field")).as("new_value"))
+      .filter(not(col("old_value") <=> col("new_value")))
+      .select(col("user_id"), col("event_id"), col("field"),
+        when(col("old_value").isNull, "ADDED")
+          .when(col("new_value").isNull, "REMOVED")
+          .otherwise("MODIFIED").as("action"),
+        col("old_value"), col("new_value"))
       .orderBy(col("user_id"), col("event_id"), col("field"))
   }
 

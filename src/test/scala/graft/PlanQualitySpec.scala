@@ -39,6 +39,19 @@ class PlanQualitySpec extends SparkTestBase {
       "q6 shipdate predicate not pushed")
   }
 
+  test("t5 json diff is fully declarative (no UDF nodes)") {
+    assert(!plans("t5_json_diff").toLowerCase.contains("udf"),
+      "t5 regressed to a UDF")
+  }
+
+  test("w5 audit windows are partitioned (no single-partition WindowExec)") {
+    // the chunked prefix-max keeps every window PARTITION BY chunk; a
+    // regression to the global form would show a windowspecdefinition
+    // whose partition spec is empty
+    val w = plans("w5_late_data_audit")
+    assert(w.contains("chunk"), "w5 lost its chunked window")
+  }
+
   test("joins with dimension tables broadcast the dimension") {
     for (q <- Seq("q3_shipping_priority", "q5_local_supplier", "q_top_customers"))
       assert(plans(q).contains("BroadcastHashJoin"), s"$q lost broadcast join")
