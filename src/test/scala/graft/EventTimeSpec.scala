@@ -32,6 +32,39 @@ class EventTimeSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("W4 allowed lateness: a late-but-allowed record re-fires a revised window (update mode)") {
+    // The observable behavior that distinguishes allowedLateness from a
+    // longer watermark (ref EventTimeWordCountDebug.java:103): a window
+    // result is emitted, then a record arrives late — below max event
+    // time seen, but within the delay that folds disorder + lateness —
+    // and the REVISED count is re-emitted, superseding the first.
+    val in = MemoryStream[String]
+    val counts = EventTimeOps.windowedWordCount(
+      EventTimeOps.parseTimestampedWords(in.toDF()))
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, String, Long)]]
+    val q = counts.writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        perBatch += b.select(unix_micros(col("w_start")) / 1000000,
+            col("word"), col("cnt"))
+          .as[(Double, String, Long)].collect()
+          .map(r => (r._1.toLong, r._2, r._3)).toSet
+        ()
+      }.start()
+
+    in.addData("12000,hello")            // window [10,20): first emission cnt=1
+    q.processAllAvailable()
+    in.addData("25000,other")            // watermark -> 15s; [10,20) still open
+    q.processAllAvailable()
+    in.addData("13000,hello")            // late (13 < max-seen 25) but allowed
+    q.processAllAvailable()
+    q.stop()
+
+    val fired = perBatch.filter(_.nonEmpty)
+    assert(fired.head === Set((10L, "hello", 1L)))        // initial firing
+    assert(fired.last === Set((10L, "hello", 2L)))        // revised firing
+    assert(fired.flatten.count(_._2 == "hello") === 2)    // exactly one re-fire
+  }
+
   test("late splitter: records below watermark route to the late side") {
     val splitter = new EventTimeOps.LateSplitter(delayMs = 10000, tsCol = "ts")
     val onTime = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
