@@ -54,9 +54,11 @@ object AnalysisQueries extends QueryGroup {
       .select(col("doc_id"), TA.fingerprint(toks).as("fingerprint"))
       .orderBy(col("doc_id"))
 
-  /** Rolling polynomial hash via the custom codegen Expression — not
-    * SQL-expressible in DuckDB (weaker rows-only check); unit-tested
-    * against the Scala reference implementation. */
+  /** Rolling polynomial hash via the custom codegen Expression. The
+    * DuckDB oracle reproduces the base-31 int64 fold with HUGEINT
+    * arithmetic mod 2^64 over the UTF-8 bytes (hex-pair decode), then
+    * recasts to signed — full hash-match, plus the unit test against
+    * the Scala reference implementation. */
   def rollingFingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id"), rolling_hash(col("text")).as("rhash"))
@@ -171,6 +173,24 @@ object AnalysisQueries extends QueryGroup {
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_rolling_hash" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |), folded AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      [CAST(0 AS HUGEINT)] ||
+        |      list_transform(range(1, n + 1), i ->
+        |        CAST((strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+        |           + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS HUGEINT)),
+        |      (acc, x) -> (acc * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS h
+        |  FROM b
+        |)
+        |SELECT doc_id, CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |  THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT) AS rhash
+        |FROM folded ORDER BY doc_id""".stripMargin,
     "x_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  substr(hex(encode(text)), 1, 16) AS header_hex,

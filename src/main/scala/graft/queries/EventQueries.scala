@@ -143,14 +143,20 @@ object EventQueries extends QueryGroup {
       .orderBy(col("user_id"))
   }
 
-  /** Approximate distinct (HLL++) — sketch internals differ per engine,
-    * so this is a rows-only query (no hash oracle); the unit guarantee
-    * (±5% of exact) is asserted in QueriesSmokeSpec-adjacent tests. */
+  /** Approximate distinct (HLL++). Sketch estimates differ per engine,
+    * so the hash-checked columns are the exact count plus a boolean
+    * asserting the sketch landed within its ±5% guarantee — the estimate
+    * itself stays out of the hash (the oracle emits TRUE there). The
+    * numeric error bound is additionally unit-asserted in
+    * QueriesSmokeSpec. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
            countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.05).as("approx_within_5pct"))
       .orderBy(col("event_type"))
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -216,6 +222,10 @@ object EventQueries extends QueryGroup {
          |  MAX(ts_us) AS sess_end_us, COUNT(*) AS n_events
          |FROM sess GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+    "a8_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS approx_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "w5_late_data_audit" ->
       s"""SELECT event_id, ts_us, watermark_us,
          |  CASE WHEN watermark_us IS NOT NULL AND ts_us < watermark_us - ${5 * S}

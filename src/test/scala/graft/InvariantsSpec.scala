@@ -53,11 +53,11 @@ class InvariantsSpec extends SparkTestBase {
 
   test("approx_count_distinct within 5% of exact (rsd=0.02 plus small-N variance)") {
     val rows = graft.queries.EventQueries.approxDistinct(spark, sf())
-      .select(col("approx_users"), col("exact_users"))
-      .as[(Long, Long)].collect()
-    rows.foreach { case (approx, exact) =>
-      assert(math.abs(approx - exact).toDouble / exact < 0.05,
-        s"approx $approx too far from exact $exact")
+      .select(col("event_type"), col("exact_users"), col("approx_within_5pct"))
+      .as[(String, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, exact, ok) =>
+      assert(ok, s"$et: approx estimate outside 5% of exact $exact")
     }
   }
 
