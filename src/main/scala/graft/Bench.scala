@@ -45,7 +45,46 @@ object Bench {
     val liRows = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val q1Sec = results.toMap.getOrElse("q1_pricing_summary", -1.0)
     val rps = if (q1Sec > 0) liRows / q1Sec else 0.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","lineitem_rows":$liRows,"q1_rows_per_sec":$rps%.0f}""")
+    val trend = prevDelta(results)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","lineitem_rows":$liRows,"q1_rows_per_sec":$rps%.0f$trend}""")
     spark.stop()
+  }
+
+  /** Per-query regression signal: seconds vs the latest BENCH_r{N}.json
+    * in the working directory (driver-written each round). Emits
+    * `"prev_round":N,"prev_delta":{q:cur-prev,...}` or nothing when no
+    * prior round exists. Deltas only cover queries present in both. */
+  private def prevDelta(results: Seq[(String, Double)]): String = {
+    val benchRe = """BENCH_r(\d+)\.json""".r
+    val prior = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .flatMap(f => f.getName match {
+        case benchRe(n) => Some(n.toInt -> f)
+        case _ => None
+      }).sortBy(_._1).lastOption
+    prior.fold("") { case (round, file) =>
+      // the driver may embed the bench line inside a log-tail string
+      // with escaped quotes — unescape so the queries map matches either
+      // way
+      val text = scala.io.Source.fromFile(file, "UTF-8").mkString
+        .replace("\\\"", "\"")
+      // the queries map is flat "name":secs — extract pairs by regex so
+      // no JSON dependency is needed
+      val pairRe = """"([a-z0-9_]+)":(-?\d+\.?\d*)""".r
+      val inQueries = text.indexOf("\"queries\":")
+      val prev: Map[String, Double] =
+        if (inQueries < 0) Map.empty
+        else {
+          val tail = text.substring(inQueries)
+          val end = tail.indexOf('}')
+          pairRe.findAllMatchIn(tail.substring(0, math.max(end, 0)))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      val deltas = results.collect {
+        case (name, cur) if cur >= 0 && prev.get(name).exists(_ >= 0) =>
+          "\"" + name + "\":" + f"${cur - prev(name)}%.3f"
+      }
+      if (deltas.isEmpty) ""
+      else s""","prev_round":$round,"prev_delta":${deltas.mkString("{", ",", "}")}"""
+    }
   }
 }
