@@ -108,17 +108,23 @@ object Dedup {
   def hexValSql(h: String, nHex: Int): String =
     (0 until nHex).map { k =>
       val mult = 1L << (4 * (nHex - 1 - k))
-      s"(instr('0123456789abcdef', substr($h,${k + 1},1))-1)*$mult"
+      // CAST the multiplier: this SQL runs on Spark AND DuckDB, and a
+      // bare int-ranged literal would make digit*mult int arithmetic on
+      // Spark, which overflows under ANSI once mult >= 2^28.
+      s"(instr('0123456789abcdef', substr($h,${k + 1},1))-1)*CAST($mult AS BIGINT)"
     }.mkString("(", " + ", ")")
 
   /** 4-hex variant kept for the hyperplane weights. */
   def hex4ValSql(h: String): String = hexValSql(h, 4)
 
-  /** SimHash bit width: 24 bits (6 md5 hex chars). At Hamming radius 2
-    * the random-collision rate is (1+24+276)/2^24 ≈ 2e-5 — tight enough
-    * that surviving pairs are signal, wide enough to stay cheap as a
-    * portable integer. */
-  val simhashBits = 24
+  /** SimHash bit width: 48 bits (12 md5 hex chars). Width is what makes
+    * banded candidate generation scale: 3 bands of 16 bits give 65536
+    * buckets per band, so bucket occupancy tracks true duplicate-cluster
+    * sizes instead of corpus size (24-bit/8-bit-band banding saturates
+    * its 256 buckets and the candidate join goes quadratic — measured
+    * 17.5x time at 10x data before widening). At 100 TB the same
+    * machinery widens to 64 bits / 4x16 (Manku et al., WWW'07). */
+  val simhashBits = 48
 
   /** All pairs at Hamming distance <= maxHamming, by band rotation —
     * never by an all-pairs scan. The simhash is split into
@@ -164,7 +170,7 @@ object Dedup {
     * (+1 if token-bit j else -1) is positive. `tokRows` must have
     * columns (doc_id, t). */
   def simhash(tokRows: DataFrame, divOp: String = "div"): DataFrame = {
-    val v = expr(hexValSql("substr(md5(t),1,6)", 6))
+    val v = expr(hexValSql(s"substr(md5(t),1,${simhashBits / 4})", simhashBits / 4))
     val withV = tokRows.withColumn("v", v)
     val bitSums = (0 until simhashBits).map { j =>
       sum(when(expr(s"(v $divOp ${1L << j}) % 2") === 1, 1).otherwise(-1)).as(s"b$j")

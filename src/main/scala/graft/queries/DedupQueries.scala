@@ -40,7 +40,7 @@ object DedupQueries extends QueryGroup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** 24-bit SimHash per document (Dedup.simhashBits). */
+  /** 48-bit SimHash per document (Dedup.simhashBits). */
   def simhashes(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir).documents
       .select(col("doc_id"),
@@ -119,9 +119,10 @@ object DedupQueries extends QueryGroup {
        |)""".stripMargin
 
   private val simhashCte = {
-    val v = graft.ext.Dedup.hexValSql("substr(md5(t),1,6)", 6)
+    val nHex = graft.ext.Dedup.simhashBits / 4
+    val v = graft.ext.Dedup.hexValSql(s"substr(md5(t),1,$nHex)", nHex)
     val bitSums = (0 until graft.ext.Dedup.simhashBits)
-      .map(j => s"SUM(CASE WHEN (v // ${1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .map(j => s"SUM(CASE WHEN (v // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j")
       .mkString(", ")
     val sim = (0 until graft.ext.Dedup.simhashBits)
       .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")

@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesizes a larger scale factor from an existing testdata directory
+  * by unioning `factor` key-shifted replicas of every fact table —
+  * referential integrity preserved by applying consistent offsets to
+  * every foreign key (replica i shifts custkeys by i*maxCust, orderkeys
+  * by i*maxOrder, …). Dimension tables (region, nation) copy as-is.
+  * Document text is perturbed per replica so dedup clusters stay
+  * bounded (cluster size = factor, not corpus-sized).
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <factor>
+  * Used for the BASELINE.md scaling probe (sf0.1 -> sf1-equivalent);
+  * correctness gates keep using the driver-provided parquet unmodified.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, factorStr) = args
+    val factor = factorStr.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.ts is parquet TIMESTAMP(NANOS) — read as raw long (same
+      // normalization Tables.events applies); the replica is written as
+      // plain INT64 nanos, which downstream reads handle identically
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def tbl(name: String): DataFrame =
+      spark.read.parquet(s"$srcDir/$name.parquet")
+    def maxOf(name: String, key: String): Long =
+      tbl(name).agg(max(col(key))).collect()(0).getLong(0) + 1
+
+    val cMax = maxOf("customer", "c_custkey")
+    val sMax = maxOf("supplier", "s_suppkey")
+    val pMax = maxOf("part", "p_partkey")
+    val oMax = maxOf("orders", "o_orderkey")
+    val eMax = maxOf("events", "event_id")
+    val dMax = maxOf("documents", "doc_id")
+    val vMax = maxOf("embeddings", "vec_id")
+
+    /** Union of factor replicas, with the given per-replica column
+      * rewrites applied ( column -> base offset ). */
+    def replicate(name: String, shifts: Map[String, Long],
+                  extra: (DataFrame, Int) => DataFrame = (df, _) => df): Unit = {
+      val src = tbl(name)
+      val out = (0 until factor).map { i =>
+        val shifted = shifts.foldLeft(src) { case (df, (c, base)) =>
+          df.withColumn(c, col(c) + lit(i * base))
+        }
+        extra(shifted, i)
+      }.reduce(_ unionAll _)
+      out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+
+    // dims copy as-is
+    Seq("region", "nation").foreach { n =>
+      tbl(n).write.mode("overwrite").parquet(s"$outDir/$n.parquet")
+    }
+    replicate("customer", Map("c_custkey" -> cMax))
+    replicate("supplier", Map("s_suppkey" -> sMax))
+    replicate("part", Map("p_partkey" -> pMax))
+    replicate("orders", Map("o_orderkey" -> oMax, "o_custkey" -> cMax))
+    replicate("lineitem", Map("l_orderkey" -> oMax, "l_partkey" -> pMax,
+      "l_suppkey" -> sMax))
+    replicate("events", Map("event_id" -> eMax, "user_id" -> cMax))
+    replicate("documents", Map("doc_id" -> dMax), (df, i) =>
+      if (i == 0) df
+      else df.withColumn("text", concat(col("text"), lit(s" r$i"))))
+    replicate("embeddings", Map("vec_id" -> vMax))
+
+    println(s"scaled $srcDir x$factor -> $outDir")
+    spark.stop()
+  }
+}
