@@ -64,6 +64,23 @@ object AnalysisQueries extends QueryGroup {
       .select(col("doc_id"), rolling_hash(col("text")).as("rhash"))
       .orderBy(col("doc_id"))
 
+  /** Corpus integrity checksum per (lang, source): order-independent
+    * multiplicative checksum (mod 2^64) of per-doc content hashes — the
+    * custom-Aggregator surface (SURVEY.md §2.9) composed with the
+    * custom rolling-hash Expression. Comparing these checksums across
+    * two copies/runs of a corpus detects changed, missing, or
+    * duplicated documents with one partial-aggregated pass: no sort, no
+    * full-content shuffle, result independent of row order and
+    * partitioning. */
+  def groupChecksum(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("lang"), col("source"),
+        rolling_hash(col("text")).bitwiseOR(1).as("u"))
+      .groupBy(col("lang"), col("source"))
+      .agg(graft.agg.ModProduct.product_mod64(col("u")).as("checksum"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("source"))
+
   /** Multimodal metadata decode over binary payloads (stub codec —
     * deterministic fake; see Multimodal.fakeDecode). */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
@@ -104,6 +121,7 @@ object AnalysisQueries extends QueryGroup {
     "x_token_counts"    -> (tokenCounts _),
     "x_fingerprint"     -> (fingerprints _),
     "x_rolling_hash"    -> (rollingFingerprints _),
+    "x_group_checksum"  -> (groupChecksum _),
     "x_multimodal_meta" -> (multimodalMeta _)
   )
 
@@ -191,6 +209,41 @@ object AnalysisQueries extends QueryGroup {
         |SELECT doc_id, CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
         |  THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT) AS rhash
         |FROM folded ORDER BY doc_id""".stripMargin,
+    "x_group_checksum" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, source, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |), folded AS (
+        |  SELECT lang, source,
+        |    list_reduce(
+        |      [CAST(0 AS HUGEINT)] ||
+        |      list_transform(range(1, n + 1), i ->
+        |        CAST((strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+        |           + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS HUGEINT)),
+        |      (acc, x) -> (acc * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS h
+        |  FROM b
+        |), odd AS (
+        |  SELECT lang, source, h - (h % 2) + 1 AS u FROM folded
+        |), grp AS (
+        |  -- 64x64-bit modular multiply via 32-bit limbs: a*x mod 2^64 =
+        |  -- a0*x0 + ((a1*x0 + a0*x1) mod 2^32)*2^32  (mod 2^64); every
+        |  -- intermediate < 2^65, so the signed INT128 HUGEINT never
+        |  -- overflows (a direct a*x of two ~2^64 factors would)
+        |  SELECT lang, source,
+        |    list_reduce([CAST(1 AS HUGEINT)] || list(u),
+        |      (a, x) -> ((a % 4294967296) * (x % 4294967296)
+        |        + (((a // 4294967296) * (x % 4294967296)
+        |           + (a % 4294967296) * (x // 4294967296)) % 4294967296)
+        |          * 4294967296)
+        |        % CAST('18446744073709551616' AS HUGEINT)) AS c,
+        |    COUNT(*) AS n_docs
+        |  FROM odd GROUP BY lang, source
+        |)
+        |SELECT lang, source, CAST(CASE WHEN c >= CAST('9223372036854775808' AS HUGEINT)
+        |  THEN c - CAST('18446744073709551616' AS HUGEINT) ELSE c END AS BIGINT) AS checksum,
+        |  n_docs
+        |FROM grp ORDER BY lang, source""".stripMargin,
     "x_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  substr(hex(encode(text)), 1, 16) AS header_hex,
