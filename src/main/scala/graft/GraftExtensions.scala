@@ -25,5 +25,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_long"),
       new ExpressionInfo(classOf[DotProductLong].getName, "dot_long"),
       exprs => DotProductLong(exprs(0), exprs(1))))
+    e.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
   }
 }

@@ -238,7 +238,21 @@ object RelationalQueries extends QueryGroup {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Per-key top-k via the custom TopKPerKey operator (graft.plans):
+    * bounded heaps partial→final instead of a rank window's full
+    * partition sort. Total order (price DESC, orderkey ASC) makes the
+    * result deterministic; the oracle is the equivalent rank window. */
+  def topkPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir).orders
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    graft.ops.TopK.perKey(base,
+        keys = Seq("o_orderpriority"),
+        order = Seq("o_totalprice" -> true, "o_orderkey" -> false), k = 3)
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_per_key" -> (topkPerKey _),
     "q_set_ops" -> (setOps _),
     "q_semi_anti" -> (semiAnti _),
     "q_quartiles" -> (quartiles _),
@@ -256,6 +270,13 @@ object RelationalQueries extends QueryGroup {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_topk_per_key" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q_set_ops" ->
       """WITH building AS (
         |  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'

@@ -52,6 +52,13 @@ class PlanQualitySpec extends SparkTestBase {
     assert(w.contains("chunk"), "w5 lost its chunked window")
   }
 
+  test("q_topk_per_key plans with the custom exec, not a rank window") {
+    val p = plans("q_topk_per_key")
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"),
+      "custom top-k execs missing")
+    assert(!p.contains("WindowExec"), "regressed to a rank window")
+  }
+
   test("joins with dimension tables broadcast the dimension") {
     for (q <- Seq("q3_shipping_priority", "q5_local_supplier", "q_top_customers"))
       assert(plans(q).contains("BroadcastHashJoin"), s"$q lost broadcast join")

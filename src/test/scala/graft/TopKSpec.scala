@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.TopK
+
+/** The custom-plan tier (logical node + strategy + partial/final exec):
+  * per-key top-k must agree with the rank-window reference, plan with
+  * both exec phases and no Window/Sort, and stay correct under
+  * repartitioning (the partial phase sees arbitrary row placement).
+  */
+class TopKSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def events =
+    graft.sources.Tables(spark, sf()).events
+      .select(col("event_type"), col("event_id"), col("value"))
+
+  private def reference(k: Int) = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    events.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("event_type"), col("event_id"), col("value"))
+  }
+
+  private def custom(k: Int, parts: Int) = {
+    val base = events.repartition(parts)
+    TopK.perKey(base, Seq("event_type"),
+      Seq("value" -> true, "event_id" -> false), k)
+  }
+
+  test("matches the rank-window reference across k and partitioning") {
+    for (k <- Seq(1, 5, 100); parts <- Seq(1, 7)) {
+      val expect = reference(k).collect().map(_.toString).sorted.toSeq
+      val got = custom(k, parts).collect().map(_.toString).sorted.toSeq
+      assert(got === expect, s"k=$k parts=$parts")
+    }
+  }
+
+  test("k larger than any group passes everything through") {
+    assert(custom(1000000, 3).count() === events.count())
+  }
+
+  test("plans as partial + shuffle + final, with no window or sort") {
+    val plan = custom(3, 7).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyPartial"), "missing map-side partial")
+    assert(plan.contains("TopKPerKeyFinal"), "missing reduce-side final")
+    assert(plan.contains("Exchange"), "missing the key shuffle")
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "), "regressed to a rank window")
+    assert(!plan.contains("Sort "), "regressed to a sort")
+    // the partial must run BELOW the exchange (cutting shuffle volume)
+    val pPartial = plan.indexOf("TopKPerKeyPartial")
+    val pExchange = plan.indexOf("Exchange")
+    assert(pExchange < pPartial, "partial is not below the exchange")
+  }
+
+  test("duplicate order values at the boundary resolve by the tie-break column") {
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 10.0), ("b", 4L, 5.0))
+      .toDF("k", "id", "v")
+    val got = TopK.perKey(df, Seq("k"),
+        Seq("v" -> true, "id" -> false), 2)
+      .select("k", "id").as[(String, Long)].collect().toSet
+    assert(got === Set(("a", 1L), ("a", 2L), ("b", 4L)))
+  }
+}
