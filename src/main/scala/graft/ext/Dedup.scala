@@ -49,8 +49,15 @@ object Dedup {
   /** doc_id -> (sig0..sig3, band0, band1) signature frame.
     * One md5 per shingle (hashed once, then sliced into 4 chunks). */
   def minhashSignatures(docs: DataFrame, textCol: String = "text",
-                        idCol: String = "doc_id"): DataFrame = {
-    val hashed = shingleFrame(docs, textCol, idCol)
+                        idCol: String = "doc_id"): DataFrame =
+    signaturesFromShingles(shingleFrame(docs, textCol, idCol), idCol)
+
+  /** Signature frame from an existing (idCol, sh) shingle frame — split
+    * out so pipelines that also verify candidates (neardupPairs) compute
+    * and persist the shingle arrays ONCE and feed both stages. */
+  def signaturesFromShingles(shingled: DataFrame,
+                             idCol: String = "doc_id"): DataFrame = {
+    val hashed = shingled
       .select(col(idCol), transform(col("sh"), s => md5(s)).as("hs"))
     val withSig = hashed
       .select(col(idCol) +: (0 to 3).map(k =>
@@ -84,8 +91,14 @@ object Dedup {
     * broadcast of a shingle-row table. Cost: O(|candidates| x shingle
     * count), independent of corpus size. */
   def verifyJaccard(docs: DataFrame, pairs: DataFrame, minJaccard: Double,
-                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sh = shingleFrame(docs, textCol, idCol)
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    verifyJaccardOnShingles(shingleFrame(docs, textCol, idCol), pairs,
+      minJaccard, idCol)
+
+  /** verifyJaccard against a pre-computed (idCol, sh) shingle frame. */
+  def verifyJaccardOnShingles(sh: DataFrame, pairs: DataFrame,
+                              minJaccard: Double,
+                              idCol: String = "doc_id"): DataFrame = {
     val sa = sh.select(col(idCol).as("said"), col("sh").as("sha"))
     val sb = sh.select(col(idCol).as("sbid"), col("sh").as("shb"))
     pairs

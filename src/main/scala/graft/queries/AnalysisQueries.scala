@@ -15,26 +15,39 @@ object AnalysisQueries extends QueryGroup {
   private val toksSql = "string_split_regex(text, '\\s+')"
   private def sqlIn(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
 
-  /** Per-document stats + deterministic quality score. */
+  /** Per-document stats + deterministic quality score. The token array
+    * is STAGED into a materialized column first: inlining `split` into
+    * each consumer would re-split the text once per scoring expression
+    * (higher-order-function lambdas re-evaluate inlined subtrees, and
+    * CollapseProject rightly refuses to merge a non-cheap expr used
+    * many times). */
   def textStats(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"), toks.as("__toks"))
       .select(col("doc_id"),
         octet_length(col("text")).cast("long").as("n_bytes"),
-        TA.tokenCount(col("text")).as("n_tokens"),
-        TA.stopwordRatio(toks).as("stopword_ratio"),
-        TA.punctRatio(col("text")).as("punct_ratio"),
-        TA.qualityScore(toks, col("text")).as("quality"))
+        size(col("__toks")).cast("long").as("n_tokens"),
+        TA.stopwordRatio(col("__toks")).as("stopword_ratio"),
+        TA.punctRatio(col("text")).as("punct_ratio"))
+      // quality rebuilt from the staged ratios — the same product
+      // TA.qualityScore computes, without re-running the punct regex
+      // and the stopword filter a second time per row
+      .withColumn("quality",
+        (least(col("n_tokens").cast("double"), lit(100.0)) / lit(100.0)) *
+          (lit(1.0) - col("stopword_ratio")) * (lit(1.0) - col("punct_ratio")))
       .orderBy(col("doc_id"))
 
-  /** Heuristic language ID via stopword-profile overlap. */
+  /** Heuristic language ID via stopword-profile overlap (token array
+    * staged once — see textStats). */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val p = TA.langProfiles
     Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), toks.as("__toks"))
       .select(col("doc_id"), col("lang").as("labeled_lang"),
-        TA.profileScore(toks, p("en")).as("s_en"),
-        TA.profileScore(toks, p("de")).as("s_de"),
-        TA.profileScore(toks, p("fr")).as("s_fr"),
-        TA.profileScore(toks, p("es")).as("s_es"))
+        TA.profileScore(col("__toks"), p("en")).as("s_en"),
+        TA.profileScore(col("__toks"), p("de")).as("s_de"),
+        TA.profileScore(col("__toks"), p("fr")).as("s_fr"),
+        TA.profileScore(col("__toks"), p("es")).as("s_es"))
       .withColumn("pred_lang",
         TA.predictLang(col("s_en"), col("s_de"), col("s_fr"), col("s_es")))
       .orderBy(col("doc_id"))
@@ -100,13 +113,14 @@ object AnalysisQueries extends QueryGroup {
       .withColumn("text_md5", md5(col("text")))
       .withColumn("canonical_id", min(col("doc_id")).over(w))
       .filter(col("doc_id") === col("canonical_id")) // exact dedup: keep canonical
+      .select(col("doc_id"), col("text"), toks.as("__toks")) // stage: split once
       .select(col("doc_id"), col("text"),
-        TA.qualityScore(toks, col("text")).as("quality"),
-        TA.tokenCount(col("text")).as("n_tokens"),
-        TA.profileScore(toks, p("en")).as("s_en"),
-        TA.profileScore(toks, p("de")).as("s_de"),
-        TA.profileScore(toks, p("fr")).as("s_fr"),
-        TA.profileScore(toks, p("es")).as("s_es"))
+        TA.qualityScore(col("__toks"), col("text")).as("quality"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        TA.profileScore(col("__toks"), p("en")).as("s_en"),
+        TA.profileScore(col("__toks"), p("de")).as("s_de"),
+        TA.profileScore(col("__toks"), p("fr")).as("s_fr"),
+        TA.profileScore(col("__toks"), p("es")).as("s_es"))
       .withColumn("pred_lang",
         TA.predictLang(col("s_en"), col("s_de"), col("s_fr"), col("s_es")))
       .filter(col("quality") >= 0.5 && col("n_tokens").between(20, 200))

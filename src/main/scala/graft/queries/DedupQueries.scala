@@ -31,12 +31,15 @@ object DedupQueries extends QueryGroup {
     * verify at 0.8. */
   def neardupPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    // Both the signature table and the shingle rows feed two join sides;
-    // persist so each is computed once (the 100 TB design checkpoints
-    // the signature table for the same reason).
-    val sigs = Dedup.minhashSignatures(docs).persist()
+    // Shingle ONCE, persist, and feed both the signature stage and the
+    // Jaccard verification (each reads the frame from two join sides) —
+    // the shingling + per-shingle md5 projection is the pipeline's
+    // dominant cost and used to run twice. The 100 TB design checkpoints
+    // the same frame.
+    val sh = Dedup.shingleFrame(docs).persist()
+    val sigs = Dedup.signaturesFromShingles(sh).persist()
     val cand = Dedup.candidatePairs(sigs)
-    Dedup.verifyJaccard(docs, cand, 0.8)
+    Dedup.verifyJaccardOnShingles(sh, cand, 0.8)
       .orderBy(col("a_id"), col("b_id"))
   }
 

@@ -30,6 +30,25 @@ class ExtensionsSpec extends SparkTestBase {
     assert(n > 0)
   }
 
+  test("punct_count matches the regex form it replaces (incl. unicode)") {
+    val cases = Seq("hello, world!", "", "abc", "  \t\n", "a.b,c;d:e!f?",
+      "ünïcödé ✓ test", "emoji 😀 x", "1+1=2", "no punct here 123")
+    val got = cases.toDF("s")
+      .select(col("s"), graft.functions.PunctCount.punct_count(col("s")))
+      .as[(String, Long)].collect().toMap
+    cases.foreach { s =>
+      assert(got(s) === graft.functions.PunctCount.reference(s), s"for '$s'")
+    }
+    // differential vs the regex expression on real corpus text
+    val docs = spark.read.parquet(sf() + "/documents.parquet").limit(200)
+    val diff = docs.select(
+        graft.functions.PunctCount.punct_count(col("text")).as("fast"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", ""))).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff === 0)
+  }
+
   test("multimodal decode produces deterministic metadata from payload bytes") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
     val metas = Multimodal.decodeMeta(docs).collect()
