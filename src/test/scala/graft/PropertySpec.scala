@@ -25,6 +25,33 @@ class PropertySpec extends SparkTestBase {
     assert(toks.forall(t => !t.exists(_.isWhitespace)))
   }
 
+  test("property: band rotation finds exactly the brute-force Hamming pairs") {
+    // pigeonhole guarantee of Dedup.simhashBandPairs: with maxHamming+1
+    // bands, the equi-join candidates cover every pair at Hamming <=
+    // maxHamming, and the verify filter drops everything else — so the
+    // result must EQUAL the all-pairs scan on random fingerprints
+    val rnd = new Random(11)
+    val bits = graft.ext.Dedup.simhashBits
+    // cluster around a few centers so near pairs actually exist
+    val centers = Seq.fill(6)(math.abs(rnd.nextLong()) & ((1L << bits) - 1))
+    val sims = (0 until 300).map { i =>
+      val c = centers(rnd.nextInt(centers.length))
+      val flips = rnd.nextInt(4) // 0..3 bit flips
+      val h = (0 until flips).foldLeft(c)((acc, _) => acc ^ (1L << rnd.nextInt(bits)))
+      (i.toLong, h)
+    }.toDF("doc_id", "simhash")
+    val banded = graft.ext.Dedup.simhashBandPairs(sims, maxHamming = 2)
+      .select("a_id", "b_id", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val rows = sims.as[(Long, Long)].collect()
+    val brute = (for {
+      (a, ha) <- rows; (b, hb) <- rows if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 2
+    } yield (a, b, h.toLong)).toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty) // the generator must actually produce near pairs
+  }
+
   test("differential: fraud fold matches an independent reference on random input") {
     // independent reference implementation of FraudDetectorExample.java
     def referenceAlerts(txns: Seq[Transaction]): Seq[(String, Long, Int)] = {
