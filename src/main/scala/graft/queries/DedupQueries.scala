@@ -19,13 +19,12 @@ object DedupQueries extends QueryGroup {
       .select(col("doc_id"), md5(col("text")).as("text_md5"))
       .withColumn("canonical_id", min(col("doc_id")).over(w))
       .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("boolean"))
-      .orderBy(col("doc_id"))
+    // full-output queries: no presentation sort (order-insensitive gate)
   }
 
   /** MinHash signatures + LSH band hashes — pure projection, no shuffle. */
   def minhashSigs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(Tables(spark, dir).documents)
-      .orderBy(col("doc_id"))
 
   /** Full near-dup pipeline: LSH candidates -> exact n-gram Jaccard
     * verify at 0.8. */
@@ -40,7 +39,6 @@ object DedupQueries extends QueryGroup {
     val sigs = Dedup.signaturesFromShingles(sh).persist()
     val cand = Dedup.candidatePairs(sigs)
     Dedup.verifyJaccardOnShingles(sh, cand, 0.8)
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** 48-bit SimHash per document (Dedup.simhashBits). */
@@ -48,7 +46,7 @@ object DedupQueries extends QueryGroup {
     val toks = Tables(spark, dir).documents
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), "\\s+"))).as("t"))
-    Dedup.simhash(toks).orderBy(col("doc_id"))
+    Dedup.simhash(toks)
   }
 
   /** SimHash near-dup candidates: pairs at Hamming distance <= 2, via
@@ -60,7 +58,6 @@ object DedupQueries extends QueryGroup {
       .select(col("doc_id"), explode(array_distinct(split(col("text"), "\\s+"))).as("t"))
     val s = Dedup.simhash(toks).persist() // both band-join sides read it
     Dedup.simhashBandPairs(s, maxHamming = 2)
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** Character 5-gram Jaccard over sampled adjacent doc pairs — the

