@@ -26,5 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductLong].getName, "dot_long"),
       exprs => DotProductLong(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+    // rank-filter idiom -> TopKPerKey (the strategy above plans it)
+    e.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
   }
 }

@@ -54,6 +54,42 @@ class TopKSpec extends SparkTestBase {
     assert(pExchange < pPartial, "partial is not below the exchange")
   }
 
+  test("optimizer rule rewrites the rank-filter idiom to TopKPerKey") {
+    import graft.plans.RewriteRankFilterToTopK
+    if (!spark.experimental.extraOptimizations.contains(RewriteRankFilterToTopK))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteRankFilterToTopK
+    if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.GraftStrategy
+
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    val idiom = events
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5).drop("rn")
+
+    val plan = idiom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyFinal"), "rank-filter idiom not rewritten")
+    assert(!plan.contains("WindowExec"), "window survived the rewrite")
+
+    // and the rewritten result equals the un-rewritten window form
+    val expect = reference(5).collect().map(_.toString).sorted.toSeq
+    assert(idiom.collect().map(_.toString).sorted.toSeq === expect)
+  }
+
+  test("optimizer rule leaves ineligible shapes alone") {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    // rn kept in the output -> not a pure top-k, must stay a window
+    val keepsRank = events
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+    assert(!keepsRank.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    // rank() (ties share numbers) is not row_number -> must stay a window
+    val rankFn = events
+      .withColumn("rk", rank().over(w)).filter(col("rk") <= 5).drop("rk")
+    assert(!rankFn.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+  }
+
   test("duplicate order values at the boundary resolve by the tie-break column") {
     val df = Seq(("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 10.0), ("b", 4L, 5.0))
       .toDF("k", "id", "v")
