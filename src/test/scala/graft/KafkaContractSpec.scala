@@ -125,6 +125,22 @@ class KafkaContractSpec extends SparkTestBase {
     assert(got.toArray.toSeq === Seq("new"))
   }
 
+  test("one Spark input partition per broker partition (read parallelism contract)") {
+    val dir = newBroker()
+    FileBroker.createTopic(dir, "t", 4)
+    (0 until 4).foreach { p =>
+      FileBroker.send(dir, "t", p, null, s"v$p".getBytes, 0L)
+    }
+    val df = spark.read.format("graft-kafka")
+      .option(KafkaMock.BrokerDirKey, dir).option("subscribe", "t").load()
+    assert(df.rdd.getNumPartitions === 4)
+    // and each Spark partition holds exactly its broker partition's data
+    val perPart = df.select(col("partition")).rdd
+      .mapPartitions(it => Iterator(it.map(_.getInt(0)).toSet)).collect()
+    assert(perPart.forall(_.size == 1))
+    assert(perPart.flatten.toSet === Set(0, 1, 2, 3))
+  }
+
   test("offset json round-trips in the Kafka source's shape") {
     val o = graft.sources.kafka.KafkaMockOffset("trades", Map(0 -> 12L, 1 -> 7L))
     assert(o.json() === """{"trades":{"0":12,"1":7}}""")
