@@ -26,13 +26,16 @@ object SimilarityQueries extends QueryGroup {
     val emb = Tables(spark, dir).embeddings
     val probes = snapped(emb.filter(col("vec_id") < 16), "probe_id", "pv", "pn")
     val corpus = snapped(emb, "neighbor_id", "nv", "nn")
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    corpus.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+    val scored = corpus.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
       .withColumn("cos", Similarity.cosineFromSnapped(
         col("pv"), col("nv"), col("pn"), col("nn")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
+      .select(col("probe_id"), col("neighbor_id"), col("cos"))
+    // bounded-heap top-k per probe (TopKPerKey exec) — the rank window
+    // then orders only the <= k survivors per probe, not probe x corpus
+    graft.ops.TopK.perKey(scored, Seq("probe_id"),
+        Seq("cos" -> true, "neighbor_id" -> false), 10)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
       .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cos"))
       .orderBy(col("probe_id"), col("rank"))
   }
