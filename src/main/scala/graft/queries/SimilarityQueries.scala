@@ -158,16 +158,19 @@ object SimilarityQueries extends QueryGroup {
     val probes = assigned.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("probe_id"), col("sv").as("pv"),
         col("nrm").as("pn"), col("cell").as("p_cell"))
-    val wTop = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    assigned.select(col("vec_id").as("neighbor_id"), col("sv").as("nv"),
+    val scored = assigned.select(col("vec_id").as("neighbor_id"), col("sv").as("nv"),
         col("nrm").as("nn"), col("cell"))
       .join(broadcast(probes),
         col("cell") === col("p_cell") && col("probe_id") =!= col("neighbor_id"))
       .withColumn("cos", Similarity.cosineFromSnapped(
         col("pv"), col("nv"), col("pn"), col("nn")))
-      .withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("neighbor_id"), col("cell"), col("cos"))
+    // bounded-heap top-3 per probe over its cell's candidates, then rank
+    // only the survivors (cell candidate sets are corpus/K-sized at scale)
+    graft.ops.TopK.perKey(scored, Seq("probe_id"),
+        Seq("cos" -> true, "neighbor_id" -> false), 3)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
       .select(col("probe_id"), col("neighbor_id"), col("cell").cast("long").as("cell"),
         col("rank"), col("cos"))
       .orderBy(col("probe_id"), col("rank"))
