@@ -28,15 +28,26 @@ object TopK {
              k: Int): DataFrame = {
     val spark = df.sparkSession
     // idempotent self-registration so the operator works on sessions
-    // built without spark.sql.extensions=graft.GraftExtensions
-    if (!spark.experimental.extraStrategies.contains(GraftStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ GraftStrategy
+    // built without spark.sql.extensions=graft.GraftExtensions;
+    // synchronized: extraStrategies is a read-modify-write on shared
+    // session state
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(GraftStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ GraftStrategy
+    }
     val child = PlanBridge.logicalPlan(df)
+    // resolve with the session's resolver (case-insensitive by default,
+    // matching df.col) and reject ambiguity instead of first-match
+    val resolver = org.apache.spark.sql.internal.SQLConf.get.resolver
     def attr(name: String): Attribute =
-      child.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"TopK.perKey: no column '$name' in [${child.output.map(_.name).mkString(", ")}]"))
+      child.output.filter(a => resolver(a.name, name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"TopK.perKey: no column '$name' in [${child.output.map(_.name).mkString(", ")}]")
+        case many => throw new IllegalArgumentException(
+          s"TopK.perKey: ambiguous column '$name' matches [${many.map(_.name).mkString(", ")}]")
+      }
     val sortOrders = order.map { case (name, desc) =>
       SortOrder(attr(name), if (desc) Descending else Ascending)
     }

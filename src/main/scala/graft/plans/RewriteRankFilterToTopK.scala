@@ -44,7 +44,10 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
   private object IntegerLiteral {
     def unapply(e: Expression): Option[Int] = e match {
       case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => Some(v)
-      case Literal(v: Long, org.apache.spark.sql.types.LongType) if v <= Int.MaxValue => Some(v.toInt)
+      // both bounds matter: a long below Int.MinValue would wrap in toInt
+      // and could turn an always-false filter into a positive k
+      case Literal(v: Long, org.apache.spark.sql.types.LongType)
+          if v >= Int.MinValue && v <= Int.MaxValue => Some(v.toInt)
       case _ => None
     }
   }
@@ -55,7 +58,14 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  /** Kill switch: `SET spark.graft.topk.rewriteEnabled=false` restores
+    * the stock window plan (e.g. to compare, or if a workload prefers
+    * Spark's spillable WindowExec over the bounded-heap operator). */
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.topk.rewriteEnabled", "true").toBoolean) plan
+    else rewrite(plan)
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projectList,
         Filter(cond, Window(Seq(we), partitionSpec, orderSpec, wChild, _)))
         if isRowNumberWindow(we) =>

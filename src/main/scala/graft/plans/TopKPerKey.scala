@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
@@ -20,13 +20,21 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   *
   *   - partial exec (map side, any distribution): each input partition
   *     reduces to <= k rows per key it has seen — shuffle volume drops
-  *     from |rows| to <= k * keys * partitions
-  *   - final exec (requires ClusteredDistribution on the key): merges
-  *     the survivors with the same bounded heaps
+  *     from |rows| to <= k * keys * partitions. Memory is bounded: past
+  *     `spark.graft.topk.partialFlushKeys` distinct keys the current
+  *     heaps are emitted and the map restarts (the output stays a
+  *     superset of each key's true top-k — a true top-k row can never
+  *     meet k better rows inside one flush epoch, so it survives it)
+  *   - final exec (requires ClusteredDistribution on the key AND, for
+  *     orderable key types, child ordering on the key): consumes one
+  *     key group at a time with a single k-heap, O(k) memory. The
+  *     key-sort this requests covers only the partial's survivors and
+  *     runs in Spark's spillable SortExec — the full input is never
+  *     sorted. Non-orderable keys fall back to a hash map of heaps over
+  *     survivors.
   *
-  * Memory is O(keys-per-partition * k), never a full-partition sort
-  * buffer; time is O(n log k) vs the window's O(n log n) per partition.
-  * The `order` must be a TOTAL order (break ties — e.g. by a unique id)
+  * Time is O(n log k) vs the window's O(n log n) per partition. The
+  * `order` must be a TOTAL order (break ties — e.g. by a unique id)
   * for deterministic results.
   */
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
@@ -46,12 +54,34 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
   override def nodeName: String =
     if (partial) "TopKPerKeyPartial" else "TopKPerKeyFinal"
 
+  /** Sort-grouped final: one heap at a time instead of a map of heaps.
+    * Only possible when the key type sorts (always, for keys that came
+    * from a Window partitionSpec — map types are rejected there). */
+  private def sortedFinal: Boolean = !partial && RowOrdering.isOrderable(keys)
+
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(keys))
 
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (sortedFinal) Seq(keys.map(SortOrder(_, Ascending)))
+    else Seq(Nil)
+
+  // the grouped final emits key groups in key order (rows within a group
+  // tie on the key, so key-ascending holds row-to-row) — downstream
+  // key-sorts can be elided
+  override def outputOrdering: Seq[SortOrder] =
+    if (sortedFinal) keys.map(SortOrder(_, Ascending)) else Nil
+
   override protected def doExecute(): RDD[InternalRow] = {
     val (ks, so, kk, childOut) = (keys, order, k, child.output)
+    // partial: bound the heap map; final hash fallback must hold every
+    // key of its (clustered) partition or it would emit >k per key
+    val flushKeys =
+      if (partial)
+        conf.getConfString("spark.graft.topk.partialFlushKeys", "65536").toInt
+      else Int.MaxValue
+    val grouped = sortedFinal
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(ks, childOut)
       val ord = RowOrdering.create(so, childOut)
@@ -59,22 +89,80 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
       val rev = new java.util.Comparator[InternalRow] {
         override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
       }
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kk + 1, rev)
-          heaps.put(key.copy(), heap)
-        }
+      def newHeap() = new java.util.PriorityQueue[InternalRow](kk + 1, rev)
+      def insert(heap: java.util.PriorityQueue[InternalRow], row: InternalRow): Unit =
         if (heap.size < kk) heap.add(row.copy())
         else if (ord.compare(row, heap.peek()) < 0) {
           heap.poll(); heap.add(row.copy())
         }
+
+      if (grouped) new Iterator[InternalRow] {
+        // input arrives key-sorted: detect group changes with the key
+        // types' natural ordering (binary equality is too strict for the
+        // sort's notion of equal)
+        private val keyOrd = RowOrdering.createNaturalAscendingOrdering(ks.map(_.dataType))
+        private var curKey: UnsafeRow = null
+        private var heap = newHeap()
+        private var drain: java.util.Iterator[InternalRow] =
+          java.util.Collections.emptyIterator()
+        private var done = false
+        private def fill(): Unit =
+          while (!drain.hasNext && !done) {
+            if (!iter.hasNext) { done = true; drain = heap.iterator() }
+            else {
+              val row = iter.next()
+              val key = keyProj(row)
+              if (curKey == null || keyOrd.compare(key, curKey) != 0) {
+                if (curKey != null) {
+                  val closed = heap
+                  heap = newHeap()
+                  drain = closed.iterator()
+                }
+                curKey = key.copy()
+              }
+              insert(heap, row)
+            }
+          }
+        override def hasNext: Boolean = { fill(); drain.hasNext }
+        override def next(): InternalRow = {
+          fill()
+          if (!drain.hasNext) throw new NoSuchElementException("empty iterator")
+          drain.next()
+        }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      else new Iterator[InternalRow] {
+        import scala.jdk.CollectionConverters._
+        private val heaps =
+          new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+        private var drain: Iterator[InternalRow] = Iterator.empty
+        private var done = false
+        private def flush(): Unit = {
+          val closed = new java.util.ArrayList(heaps.values())
+          heaps.clear()
+          drain = closed.iterator().asScala.flatMap(_.iterator().asScala)
+        }
+        private def fill(): Unit =
+          while (!drain.hasNext && !done) {
+            if (!iter.hasNext) { done = true; flush() }
+            else {
+              val row = iter.next()
+              val key = keyProj(row)
+              var heap = heaps.get(key)
+              if (heap == null) {
+                heap = newHeap()
+                heaps.put(key.copy(), heap)
+              }
+              insert(heap, row)
+              if (heaps.size >= flushKeys) flush()
+            }
+          }
+        override def hasNext: Boolean = { fill(); drain.hasNext }
+        override def next(): InternalRow = {
+          fill()
+          if (!drain.hasNext) throw new NoSuchElementException("empty iterator")
+          drain.next()
+        }
+      }
     }, preservesPartitioning = true)
   }
 

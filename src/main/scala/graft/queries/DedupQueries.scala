@@ -49,10 +49,12 @@ object DedupQueries extends QueryGroup {
     Dedup.simhash(toks)
   }
 
-  /** SimHash near-dup candidates: pairs at Hamming distance <= 2, via
-    * 3x8-bit band rotation (Dedup.simhashBandPairs) — candidates come
-    * from an equi-join on (band_idx, band_bits), never an all-pairs
-    * scan, so the plan scales like the LSH path (d3). */
+  /** SimHash near-dup candidates: pairs at Hamming distance <= maxHamming,
+    * via band rotation (Dedup.simhashBandPairs): maxHamming+1 = 3 bands
+    * of simhashBits/3 = 16 bits each, so any pair within distance 2
+    * collides on at least one band (pigeonhole). Candidates come from an
+    * equi-join on (band_idx, band_bits), never an all-pairs scan, so the
+    * plan scales like the LSH path (d3). */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir).documents
       .select(col("doc_id"), explode(array_distinct(split(col("text"), "\\s+"))).as("t"))
