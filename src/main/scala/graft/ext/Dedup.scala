@@ -178,6 +178,65 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected pair list — dedup-cluster
+    * assignment: every doc in a near-dup component gets the component's
+    * minimum doc id as its cluster id, so "keep one doc per cluster" is
+    * a single groupBy downstream.
+    *
+    * Algorithm: hash-to-min label propagation. L(v) starts at v; each
+    * round sets L(v) := min(L(v), min over neighbors of L(u)); the loop
+    * stops when no label changes. The min label travels one hop per
+    * round, so rounds = component diameter — near-dup clusters are
+    * dense and shallow (single-digit diameter), independent of corpus
+    * size. Each round is one equi-join plus one groupBy-min, both
+    * hash-partitioned on vertex id — the d3 shuffle shape, never
+    * all-pairs. Each round ends in an eager `localCheckpoint`, which
+    * BOTH materializes the round and truncates plan lineage — without
+    * it the logical plan nests one join per round and analysis cost
+    * grows exponentially with graph diameter (the standard iterative-
+    * DataFrame trap; GraphFrames checkpoints the same way). The
+    * per-round `count()` then reads one scalar off the checkpointed
+    * frame to test convergence; superseded rounds' storage is freed by
+    * the ContextCleaner once unreferenced. For adversarial long-path
+    * graphs, production runs
+    * swap in the large-star/small-star round pair (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) with the
+    * identical join/agg building blocks; corpus dedup graphs don't need
+    * it.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
+                          bCol: String = "b_id",
+                          maxIters: Int = 30): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      // carry the old label through the round so the convergence test is
+      // a filter on the SAME materialized frame — no extra join
+      val next = labels.as("o")
+        .join(nbrMin, col("o.id") === nbrMin("src"), "left")
+        .select(col("o.id").as("id"),
+          least(col("o.label"), coalesce(col("nbr_min"), col("o.label"))).as("label"),
+          col("o.label").as("old_label"))
+        .localCheckpoint(true)
+      val changed = next.filter(col("label") =!= col("old_label")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iters += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** SimHash over a doc's distinct tokens, from per-token md5 hex
     * values: bit j of the result is set iff the sum over tokens of
     * (+1 if token-bit j else -1) is positive. `tokRows` must have

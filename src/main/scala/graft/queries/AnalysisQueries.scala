@@ -96,6 +96,38 @@ object AnalysisQueries extends QueryGroup {
     Multimodal.decodeMeta(Tables(spark, dir).documents)
       .toDF()
 
+  /** Deterministic hash sampling — reproducible train/eval splits. The
+    * bucket is the first 32 bits of md5(doc_id) mod 100, so membership
+    * is a property of the ROW, not of the run: re-executions, retries,
+    * and different cluster sizes all select the same ~10% — unlike
+    * `df.sample`, whose RNG is seeded per-partition and reshuffles
+    * membership when partitioning changes. Pure projection + filter,
+    * no shuffle, fraction accuracy by the law of large numbers. */
+  def hashSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      expr(graft.ext.Dedup.hexValSql("substr(md5(cast(doc_id as string)),1,8)", 8)) % 100
+    Tables(spark, dir).documents
+      .select(col("doc_id"), bucket.cast("long").as("bucket"))
+      .filter(col("bucket") < 10)
+  }
+
+  /** PII scrubbing — the redaction pass every training corpus needs:
+    * count and mask email addresses and long digit runs (phone/account
+    * shaped). Stock codegen'd regex expressions, pure projection; the
+    * patterns are RE2-compatible so the same scrub runs on any engine.
+    * A production pass adds more patterns (SSN, IP, street addresses) —
+    * same plan shape, one `regexp_replace` chain per pattern. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val numRe = "[0-9]{6,}"
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(numRe)).cast("long").as("n_longnums"),
+      regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        numRe, "<NUM>").as("scrubbed"))
+  }
+
   /** End-to-end curation pipeline — the shape of a real training-data
     * job: exact-dedup to canonical docs, quality-score filter, language
     * ID, token budget. Composes the library ops in one declarative plan
@@ -131,7 +163,9 @@ object AnalysisQueries extends QueryGroup {
     "x_fingerprint"     -> (fingerprints _),
     "x_rolling_hash"    -> (rollingFingerprints _),
     "x_group_checksum"  -> (groupChecksum _),
-    "x_multimodal_meta" -> (multimodalMeta _)
+    "x_multimodal_meta" -> (multimodalMeta _),
+    "x_hash_sample"     -> (hashSample _),
+    "x_pii_scrub"       -> (piiScrub _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -253,6 +287,20 @@ object AnalysisQueries extends QueryGroup {
         |  THEN c - CAST('18446744073709551616' AS HUGEINT) ELSE c END AS BIGINT) AS checksum,
         |  n_docs
         |FROM grp ORDER BY lang, source""".stripMargin,
+    "x_hash_sample" -> {
+      val v = graft.ext.Dedup.hexValSql("substr(md5(CAST(doc_id AS VARCHAR)),1,8)", 8)
+      s"""SELECT doc_id, bucket FROM (
+         |  SELECT doc_id, $v % 100 AS bucket FROM documents
+         |) WHERE bucket < 10 ORDER BY doc_id""".stripMargin
+    },
+    "x_pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_longnums,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  substr(hex(encode(text)), 1, 16) AS header_hex,

@@ -89,13 +89,31 @@ object DedupQueries extends QueryGroup {
       .orderBy(col("a_id"))
   }
 
+  /** Dedup clusters: connected components over the verified near-dup
+    * pairs (d3's graph), labeling every clustered doc with its
+    * component's min doc id. This is the step that turns pairwise
+    * near-dup hits into "keep one canonical doc per cluster" — without
+    * it, A~B and B~C can both drop their right-hand doc while A~C was
+    * never compared. Label propagation is a per-round equi-join +
+    * groupBy-min on the (tiny) pair graph, never on the corpus. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val sh = Dedup.shingleFrame(docs).persist()
+    val sigs = Dedup.signaturesFromShingles(sh)
+    val cand = Dedup.candidatePairs(sigs)
+    val pairs = Dedup.verifyJaccardOnShingles(sh, cand, 0.8)
+      .select(col("a_id"), col("b_id"))
+    Dedup.connectedComponents(pairs)
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup"   -> (exactDedup _),
     "d2_minhash_sigs"  -> (minhashSigs _),
     "d3_neardup_pairs" -> (neardupPairs _),
     "d4_simhash"       -> (simhashes _),
     "d5_simhash_pairs" -> (simhashPairs _),
-    "d6_ngram_jaccard" -> (ngramJaccard _)
+    "d6_ngram_jaccard" -> (ngramJaccard _),
+    "d7_dup_clusters"  -> (dupClusters _)
   )
 
   // ---- DuckDB oracles ----
@@ -201,6 +219,39 @@ object DedupQueries extends QueryGroup {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
-         |ORDER BY a_id, b_id""".stripMargin
+         |ORDER BY a_id, b_id""".stripMargin,
+    // transitive closure of the d3 pair graph via a recursive CTE;
+    // cluster id = min reachable doc id (including self)
+    "d7_dup_clusters" ->
+      s"""${sigsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, bands AS (
+         |  SELECT doc_id, 0 AS band_idx, band0 AS band_hash FROM banded
+         |  UNION ALL
+         |  SELECT doc_id, 1, band1 FROM banded
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id
+         |), pairs AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a_id, b_id,
+         |      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS n_common,
+         |      CAST(len(sa.sh) AS DOUBLE) AS n_a,
+         |      CAST(len(sb.sh) AS DOUBLE) AS n_b
+         |    FROM cand
+         |    JOIN shingled sa ON sa.doc_id = a_id
+         |    JOIN shingled sb ON sb.doc_id = b_id
+         |  ) WHERE n_common / (n_a + n_b - n_common) >= 0.8
+         |), und AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION
+         |  SELECT b_id, a_id FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM und
+         |  UNION
+         |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+         |)
+         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
   )
 }

@@ -52,6 +52,23 @@ class PropertySpec extends SparkTestBase {
     assert(brute.nonEmpty) // the generator must actually produce near pairs
   }
 
+  test("connected components: golden clusters, and chains converge across rounds") {
+    import graft.ext.Dedup
+    // two triangles-ish clusters + a 10-node chain (diameter 9 forces
+    // multiple propagation rounds) + an isolated pair
+    val chain = (100L until 109L).map(i => (i, i + 1))
+    val edges = (Seq((1L, 2L), (2L, 3L), (1L, 3L), (20L, 21L), (50L, 51L),
+      (51L, 52L), (21L, 22L)) ++ chain).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val expect =
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        20L -> 20L, 21L -> 20L, 22L -> 20L,
+        50L -> 50L, 51L -> 50L, 52L -> 50L).toMap ++
+        (100L to 109L).map(_ -> 100L).toMap
+    assert(got === expect)
+  }
+
   test("differential: fraud fold matches an independent reference on random input") {
     // independent reference implementation of FraudDetectorExample.java
     def referenceAlerts(txns: Seq[Transaction]): Seq[(String, Long, Int)] = {
