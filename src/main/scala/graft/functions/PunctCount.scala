@@ -54,17 +54,23 @@ case class PunctCount(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i")
       val b = ctx.freshName("b")
       val cnt = ctx.freshName("cnt")
+      val alnum = ctx.freshName("alnum")
+      val ws = ctx.freshName("ws")
+      // NOTE: Spark's Block interpolator stripMargin-processes emitted
+      // code at every nesting level, so no emitted line may START with
+      // '|' — a leading `|| (...)` continuation gets its pipes eaten and
+      // the survivor parses as a Janino cast ("expression is not a
+      // type"), silently demoting the whole operator to interpreted
+      // mode. Keep boolean chains on one line.
       s"""
          |byte[] $bytes = $c.getBytes();
          |long $cnt = 0L;
          |for (int $i = 0; $i < $bytes.length; $i++) {
          |  int $b = $bytes[$i] & 0xff;
          |  if ($b < 0x80) {
-         |    boolean alnum = ($b >= 'a' && $b <= 'z') || ($b >= 'A' && $b <= 'Z')
-         |      || ($b >= '0' && $b <= '9');
-         |    boolean ws = $b == ' ' || $b == '\\t' || $b == '\\n' || $b == 0x0b
-         |      || $b == '\\f' || $b == '\\r';
-         |    if (!alnum && !ws) $cnt++;
+         |    boolean $alnum = ($b >= 'a' && $b <= 'z') || ($b >= 'A' && $b <= 'Z') || ($b >= '0' && $b <= '9');
+         |    boolean $ws = $b == ' ' || $b == '\\t' || $b == '\\n' || $b == 0x0b || $b == '\\f' || $b == '\\r';
+         |    if (!$alnum && !$ws) $cnt++;
          |  } else if (($b & 0xc0) != 0x80) {
          |    $cnt++;
          |  }
