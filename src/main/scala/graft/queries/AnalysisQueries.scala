@@ -128,6 +128,94 @@ object AnalysisQueries extends QueryGroup {
         numRe, "<NUM>").as("scrubbed"))
   }
 
+  /** Train/eval decontamination — flag training docs that share word
+    * 3-grams with a held-out eval set. The eval set is the
+    * deterministic md5-bucket sample (< 5%), so the split is
+    * reproducible; its distinct n-gram set is SMALL (eval benchmarks
+    * are thousands of docs, not billions) and is broadcast — the train
+    * side streams through a broadcast hash join with no shuffle of the
+    * corpus. Per-doc overlap counts let the caller pick a drop
+    * threshold. Reuses the dedup module's staged shingle frame. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Dedup
+    val bucket =
+      expr(Dedup.hexValSql("substr(md5(cast(doc_id as string)),1,8)", 8)) % 100
+    val sh = Dedup.shingleFrame(Tables(spark, dir).documents)
+      .withColumn("__b", bucket.cast("long"))
+    val evalNgrams = sh.filter(col("__b") < 5)
+      .select(explode(col("sh")).as("ng")).distinct()
+    val trainNgrams = sh.filter(col("__b") >= 5)
+      .select(col("doc_id"), explode(col("sh")).as("ng")) // sh is distinct per doc
+    trainNgrams.join(broadcast(evalNgrams), Seq("ng"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
+  /** Stratified deterministic sampling — different keep-fractions per
+    * language (upsample scarce strata, downsample dominant ones), with
+    * the same run-stable md5-bucket membership as [[hashSample]]. Still
+    * a pure projection + filter: the stratum only selects the
+    * threshold, so there is no shuffle and no per-stratum pass. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      expr(graft.ext.Dedup.hexValSql("substr(md5(cast(doc_id as string)),1,8)", 8)) % 100
+    val thr = Map("en" -> 10, "de" -> 25, "fr" -> 40, "es" -> 60)
+      .foldLeft(lit(5)) { case (acc, (l, t)) =>
+        when(col("lang") === l, t).otherwise(acc)
+      }
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), bucket.cast("long").as("bucket"))
+      .filter(col("bucket") < thr)
+  }
+
+  /** Intra-document repetition score — boilerplate/spam signal: the
+    * distinct-token ratio and the share of the single most frequent
+    * token. Explode + two-level hash aggregation (partial map-side
+    * combine on (doc, token), then per-doc), all codegen'd; ratios are
+    * int64/int64 IEEE divisions so both engines agree bit-for-bit. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
+        explode(col("__toks")).as("tok"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_distinct"), max(col("c")).as("max_tok_count"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("max_tok_count"),
+        (col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .as("distinct_ratio"),
+        (col("max_tok_count").cast("double") / col("n_tokens").cast("double"))
+          .as("max_tok_share"))
+
+  /** Top TF-IDF terms per document, through the custom TopKPerKey
+    * operator (bounded heaps, no full per-doc sort). The plan is the
+    * canonical distributed TF-IDF: one shuffle to (doc, term) counts,
+    * one to term document-frequencies, a shuffled equi-join back on
+    * term, and a 1-row broadcast of the corpus size N. The score is
+    * integer-scaled — tf * (1e6*N div df) — so both engines compute the
+    * identical int64 (a float log-idf would hash-mismatch in the last
+    * ulp; integer reciprocal-df preserves the idf ranking). */
+  def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val tf = docs
+      .select(col("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), explode(col("__toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.select(col("tok").as("__dftok"))
+      .groupBy(col("__dftok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(dfreq, col("tok") === col("__dftok"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        (col("tf") * expr("(1000000 * n_docs) div df")).as("score"))
+    graft.ops.TopK.perKey(scored, Seq("doc_id"),
+      Seq(("score", true), ("tok", false)), 3)
+  }
+
   /** End-to-end curation pipeline — the shape of a real training-data
     * job: exact-dedup to canonical docs, quality-score filter, language
     * ID, token budget. Composes the library ops in one declarative plan
@@ -165,7 +253,11 @@ object AnalysisQueries extends QueryGroup {
     "x_group_checksum"  -> (groupChecksum _),
     "x_multimodal_meta" -> (multimodalMeta _),
     "x_hash_sample"     -> (hashSample _),
-    "x_pii_scrub"       -> (piiScrub _)
+    "x_pii_scrub"       -> (piiScrub _),
+    "x_decontaminate"   -> (decontaminate _),
+    "x_stratified_sample" -> (stratifiedSample _),
+    "x_repetition"      -> (repetition _),
+    "x_tfidf_topk"      -> (tfidfTopK _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -301,6 +393,59 @@ object AnalysisQueries extends QueryGroup {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_decontaminate" -> {
+      val b = graft.ext.Dedup.hexValSql("substr(md5(CAST(doc_id AS VARCHAR)),1,8)", 8)
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${DedupQueries.shSql} AS sh, $b % 100 AS b FROM documents
+         |), ev AS (
+         |  SELECT DISTINCT unnest(sh) AS ng FROM sh WHERE b < 5
+         |), tr AS (
+         |  SELECT doc_id, unnest(sh) AS ng FROM sh WHERE b >= 5
+         |)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+         |FROM tr JOIN ev USING (ng)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "x_stratified_sample" -> {
+      val b = graft.ext.Dedup.hexValSql("substr(md5(CAST(doc_id AS VARCHAR)),1,8)", 8)
+      s"""SELECT doc_id, lang, bucket FROM (
+         |  SELECT doc_id, lang, $b % 100 AS bucket FROM documents
+         |) WHERE bucket < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 25
+         |                           WHEN 'fr' THEN 40 WHEN 'es' THEN 60 ELSE 5 END
+         |ORDER BY doc_id""".stripMargin
+    },
+    "x_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |         unnest($toksSql) AS tok
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, n_tokens, tok, COUNT(*) AS c FROM t GROUP BY 1, 2, 3
+         |)
+         |SELECT doc_id, n_tokens, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |  CAST(MAX(c) AS BIGINT) AS max_tok_count,
+         |  CAST(COUNT(*) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+         |  CAST(MAX(c) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS max_tok_share
+         |FROM c GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+    "x_tfidf_topk" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents
+         |), tf AS (
+         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+         |), dfreq AS (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+         |), n AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+         |), scored AS (
+         |  SELECT doc_id, tf.tok AS tok, tf, df,
+         |         tf * ((1000000 * n_docs) // df) AS score
+         |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+         |)
+         |SELECT doc_id, tok, tf, df, score FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+         |  FROM scored
+         |) WHERE rn <= 3 ORDER BY doc_id, tok""".stripMargin,
     "x_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  substr(hex(encode(text)), 1, 16) AS header_hex,

@@ -119,7 +119,8 @@ object DedupQueries extends QueryGroup {
   // ---- DuckDB oracles ----
 
   private val toksSql = "string_split_regex(text, '\\s+')"
-  private val shSql =
+  // shared with AnalysisQueries' decontamination oracle
+  private[queries] val shSql =
     s"""list_distinct(list_transform(range(1, greatest(len($toksSql) - 1, 1)),
        |  i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2]))""".stripMargin
   private def sigSql(k: Int) =

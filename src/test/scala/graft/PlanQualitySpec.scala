@@ -14,8 +14,10 @@ class PlanQualitySpec extends SparkTestBase {
     }
 
   /** Pairwise scans that intentionally broadcast a small side into a
-    * non-equi join. */
-  private val intendedBnlj = Set("d6_ngram_jaccard", "y1_cosine_topk")
+    * non-equi join — plus x_tfidf_topk, whose "nested loop" is a 1-row
+    * corpus-size scalar broadcast (the right plan at any scale). */
+  private val intendedBnlj =
+    Set("d6_ngram_jaccard", "y1_cosine_topk", "x_tfidf_topk")
 
   test("no CartesianProduct anywhere") {
     val offenders = plans.collect {
