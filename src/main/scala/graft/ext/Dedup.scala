@@ -206,23 +206,36 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
                           bCol: String = "b_id",
-                          maxIters: Int = 30): DataFrame = {
+                          maxIters: Int = 30,
+                          broadcastVertexLimit: Long = 5000000L): DataFrame = {
+    // persisted PRE-PARTITIONED on dst: the cached plan's output
+    // partitioning satisfies the per-round join's distribution, so each
+    // round shuffles only the (smaller) label frame — the edge list is
+    // shuffled once, not once per round
     val edges = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(pairs
         .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
-      .distinct().persist()
+      .distinct().repartition(col("dst")).persist()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    // a dedup pair graph is tiny relative to the corpus that produced
+    // it; when the vertex set fits a broadcast, ship the label map to
+    // the (dst-partitioned, cached) edge list and each round costs ONE
+    // shuffle — the groupBy(src) that IS the label propagation. Huge
+    // graphs fall back to the shuffled equi-join on vertex id.
+    val bcast = labels.count() <= broadcastVertexLimit
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+      val lab = if (bcast) broadcast(labels) else labels
+      val nbrMin = edges.join(lab, edges("dst") === lab("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
       // carry the old label through the round so the convergence test is
       // a filter on the SAME materialized frame — no extra join
       val next = labels.as("o")
-        .join(nbrMin, col("o.id") === nbrMin("src"), "left")
+        .join(if (bcast) broadcast(nbrMin) else nbrMin,
+          col("o.id") === nbrMin("src"), "left")
         .select(col("o.id").as("id"),
           least(col("o.label"), coalesce(col("nbr_min"), col("o.label"))).as("label"),
           col("o.label").as("old_label"))

@@ -140,8 +140,11 @@ object AnalysisQueries extends QueryGroup {
     import graft.ext.Dedup
     val bucket =
       expr(Dedup.hexValSql("substr(md5(cast(doc_id as string)),1,8)", 8)) % 100
+    // persisted: both the eval and train branches read this frame, and
+    // recomputing it would tokenize + shingle the corpus twice
     val sh = Dedup.shingleFrame(Tables(spark, dir).documents)
       .withColumn("__b", bucket.cast("long"))
+      .persist()
     val evalNgrams = sh.filter(col("__b") < 5)
       .select(explode(col("sh")).as("ng")).distinct()
     val trainNgrams = sh.filter(col("__b") >= 5)
