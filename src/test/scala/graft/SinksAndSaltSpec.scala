@@ -23,6 +23,40 @@ class SinksAndSaltSpec extends SparkTestBase {
     assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("lang=")))
   }
 
+  test("bucketed tables join without an exchange (co-located join)") {
+    // managed tables land in ./spark-warehouse (the static default —
+    // session-level warehouse.dir can't be changed); DROP TABLE below
+    // removes the data
+    val t = Tables(spark, sf())
+    Sinks.parquetBucketed(
+      t.orders.select(col("o_custkey"), col("o_totalprice")),
+      "b_orders", 4, Seq("o_custkey"))
+    Sinks.parquetBucketed(
+      t.customer.select(col("c_custkey"), col("c_name")),
+      "b_customer", 4, Seq("c_custkey"))
+    // force a sort-merge join so the plan would NEED an exchange if the
+    // bucketing were not honored
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be shuffle-free:\n$plan")
+      // and it computes the same result as the plain (shuffled) join
+      val expected = t.orders.join(t.customer,
+        col("o_custkey") === col("c_custkey")).count()
+      assert(joined.count() === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
   test("salted join equals plain join (deterministic salt)") {
     val orders = Tables(spark, sf()).orders
       .select(col("o_custkey"), col("o_totalprice"))
