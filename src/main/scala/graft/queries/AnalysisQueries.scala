@@ -207,14 +207,22 @@ object AnalysisQueries extends QueryGroup {
       .select(col("doc_id"), explode(col("__toks")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.select(col("tok").as("__dftok"))
-      .groupBy(col("__dftok")).agg(count(lit(1)).as("df"))
+    // dfreq is derived from tf UNCHANGED below its aggregate, so AQE
+    // reuses the (doc, tok) shuffle stage for both branches and the
+    // corpus is scanned and aggregated ONCE. The tf > 0 predicate is a
+    // tautology that exists only to keep the count in dfreq's subtree:
+    // without it Catalyst prunes the inner aggregate to a distinct,
+    // the two exchanges stop being canonically equal, and the reuse is
+    // lost (double scan + double shuffle).
+    val dfreq = tf.filter(col("tf") > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf
-      .join(dfreq, col("tok") === col("__dftok"))
+    val scored = tf.as("t")
+      .join(dfreq.as("d"), col("t.tok") === col("d.tok"))
       .crossJoin(broadcast(n))
-      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
-        (col("tf") * expr("(1000000 * n_docs) div df")).as("score"))
+      .select(col("t.doc_id").as("doc_id"), col("t.tok").as("tok"),
+        col("t.tf").as("tf"), col("d.df").as("df"),
+        (col("t.tf") * expr("(1000000 * n_docs) div df")).as("score"))
     graft.ops.TopK.perKey(scored, Seq("doc_id"),
       Seq(("score", true), ("tok", false)), 3)
   }
