@@ -125,6 +125,46 @@ object EventQueries extends QueryGroup {
       .select(col("event_id"), col("user_id"), col("ts_us"), col("last_order_date_us"))
   }
 
+  /** Interval (range) join, binned — purchase attribution: for each
+    * purchase, count the same user's click/view events in the preceding
+    * 24 hours. A naive range join is a nested-loop scan (no equi-key);
+    * the scale-safe form adds one: bucket time into window-sized bins,
+    * explode each purchase's (p_ts - 24h, p_ts] lookback into the
+    * (exactly two) bins it can overlap, equi-join on (user, bin), and
+    * apply the exact range predicate AFTER the hash join. The shuffle is
+    * keyed by (user, bin) so bucket sizes track per-user daily activity
+    * — no pair explosion, no broadcast of a fact table. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val W = 86400L * 1000000L // 24 h in µs
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_event"),
+        col("ts_us").as("p_ts"))
+      .withColumn("bin",
+        explode(array(expr(s"p_ts div $W"), expr(s"p_ts div $W - 1"))))
+    val prior = ev.filter(col("event_type").isin("click", "view"))
+      .withColumn("bin", expr(s"ts_us div $W"))
+    prior.join(purchases,
+        col("user_id") === col("p_user") &&
+        prior("bin") === purchases("bin") &&
+        col("ts_us") > col("p_ts") - W &&
+        col("ts_us") <= col("p_ts"))
+      .groupBy(col("p_event"), col("p_user"))
+      .agg(count(lit(1)).as("n_prior"), max(col("ts_us")).as("last_prior_us"))
+  }
+
+  /** Lead/lag window functions: per-user inter-event gap and the next
+    * event's type — the sequence-analysis staples. One partitioned
+    * window (user), fully parallel across users. */
+  def leadLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+  }
+
   /** Pivot: per-user event-type counts as columns. Spark's `pivot` with
     * explicit values compiles to conditional aggregation — one shuffle,
     * no second pass to discover the column set (the explicit value list
@@ -163,6 +203,8 @@ object EventQueries extends QueryGroup {
     "a3_tumbling_counts" -> (tumblingCounts _),
     "a4_sliding_counts"  -> (slidingCounts _),
     "a5_session_windows" -> (sessionWindows _),
+    "a9_interval_join"   -> (intervalJoin _),
+    "a10_lead_lag"       -> (leadLag _),
     "w5_late_data_audit" -> (lateDataAudit _)
   )
 
@@ -193,6 +235,24 @@ object EventQueries extends QueryGroup {
         |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a9_interval_join" ->
+      s"""SELECT p.event_id AS p_event, p.user_id AS p_user,
+         |  CAST(COUNT(*) AS BIGINT) AS n_prior,
+         |  MAX(epoch_us(e.ts)) AS last_prior_us
+         |FROM events p JOIN events e
+         |  ON p.event_type = 'purchase'
+         | AND e.event_type IN ('click', 'view')
+         | AND e.user_id = p.user_id
+         | AND epoch_us(e.ts) >  epoch_us(p.ts) - ${86400L * 1000000L}
+         | AND epoch_us(e.ts) <= epoch_us(p.ts)
+         |GROUP BY 1, 2 ORDER BY p_event""".stripMargin,
+    "a10_lead_lag" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1)
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us,
+        |  lead(event_type, 1)
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type
+        |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin,
     "a6_asof_last_order" ->
       """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
         |  epoch_us(o.o_orderdate) AS last_order_date_us
