@@ -176,11 +176,32 @@ object SimilarityQueries extends QueryGroup {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** Per-label embedding centroids — the aggregate every retrieval /
+    * clustering pipeline needs (class prototypes, IVF seeding, drift
+    * monitoring). posexplode to (label, dim, snapped component) rows,
+    * then ONE hash aggregation keyed (label, dim) with map-side partial
+    * sums — 64·|labels| output rows regardless of corpus size, no
+    * per-label array materialization on a single executor. Components
+    * are snapped to int64 before summing (order-independent exact sum;
+    * a float sum would be partition-order-dependent), and the mean is
+    * one IEEE division at the end. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("label").cast("long").as("label"),
+        posexplode(Similarity.snapVec(col("embedding"))).as(Seq("d0", "iv")))
+      .select(col("label"), (col("d0") + 1).cast("long").as("dim"), col("iv"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("iv")).as("sum_snapped"), count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("dim"), col("sum_snapped"), col("n_vecs"),
+        (col("sum_snapped").cast("double") /
+          (lit(1000000.0) * col("n_vecs").cast("double"))).as("centroid"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "y1_cosine_topk"   -> (cosineTopK _),
     "y2_embed_neardup" -> (embedNearDup _),
     "y3_ann_lsh"       -> (annLsh _),
-    "y4_ann_ivf"       -> (annIvf _)
+    "y4_ann_ivf"       -> (annIvf _),
+    "y5_label_centroids" -> (labelCentroids _)
   )
 
   // ---- DuckDB oracles ----
@@ -276,6 +297,19 @@ object SimilarityQueries extends QueryGroup {
          |FROM bucketed a JOIN bucketed b
          |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
-         |ORDER BY a_id, b_id""".stripMargin
+         |ORDER BY a_id, b_id""".stripMargin,
+    "y5_label_centroids" ->
+      """WITH comp AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> struct_pack(d := i,
+        |        iv := CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))) AS u
+        |  FROM embeddings
+        |)
+        |SELECT label, CAST(u.d AS BIGINT) AS dim,
+        |  CAST(SUM(u.iv) AS BIGINT) AS sum_snapped,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(u.iv) AS DOUBLE) / (1000000.0 * COUNT(*)) AS centroid
+        |FROM comp GROUP BY label, u.d ORDER BY label, dim""".stripMargin
   )
 }
