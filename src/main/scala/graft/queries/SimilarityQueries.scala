@@ -57,12 +57,35 @@ object SimilarityQueries extends QueryGroup {
   }
 
   /** Seed centroids: the first k vectors, id recast as a dense long
-    * cell id (production swaps the seed pick for k-means iterations over
-    * the same assignment machinery). */
+    * cell id. y4 refines these with a Lloyd step (lloydRefine) before
+    * its final assignment; y2 uses them raw (its triangle-inequality
+    * pruning is exact for ANY centroids, so refinement only affects
+    * pruning efficiency there, not results). */
   private def seedCentroids(vecs: DataFrame, k: Int): DataFrame =
     vecs.filter(col("vec_id") < k)
       .select(col("vec_id").cast("long").as("c_id"),
         col("sv").as("cv"), col("nrm").as("cn"))
+
+  /** One Lloyd (k-means) refinement step: each cell's new centroid is
+    * the component-wise mean of its members. posexplode to (cell, dim,
+    * component) rows, exact int64 sums with map-side combine (the y5
+    * centroid shape — scales to any corpus), mean floored through one
+    * IEEE division so both engines produce the identical snapped
+    * centroid (integer `div` is NOT portable here: Spark truncates
+    * toward zero, DuckDB's `//` floors — they disagree on negative
+    * sums). Every seed cell retains at least its seed member, so all k
+    * cells survive refinement. */
+  private def lloydRefine(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("sv")).as(Seq("d", "v")))
+      .groupBy(col("cell"), col("d"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("cm",
+        floor(col("s").cast("double") / col("n").cast("double")).cast("long"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("d"), col("cm")))).as("pairs"))
+      .select(col("cell").as("c_id"),
+        transform(col("pairs"), p => p.getField("cm")).as("cv"))
+      .withColumn("cn", Similarity.normSnapped(col("cv")))
 
   /** Chord distance between two unit vectors, sqrt(2 - 2 cos), from the
     * exact int64 cosine — the metric the triangle-inequality pruning in
@@ -143,17 +166,21 @@ object SimilarityQueries extends QueryGroup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** IVF-style ANN: coarse quantization to K=16 deterministic centroids
-    * (vec_id < 16 — production replaces the seed pick with k-means
-    * iterations over the same assignment machinery), then probes search
-    * only their own cell (nprobe=1). Assignment is an exact int64 L2
-    * argmin — no float boundary; recall/latency trades off via K and
-    * nprobe exactly as in a real IVF index. At scale the corpus is
-    * range-partitioned by cell id, so a probe touches one partition. */
+  /** IVF-style ANN: coarse quantization to K=16 centroids — seed pick
+    * (first 16 vectors) refined by one Lloyd k-means step over the same
+    * assignment machinery — then probes search only their own cell
+    * (nprobe=1). Assignment is an exact int64 L2 argmin and the Lloyd
+    * means are exact int64 sums, so there is no float boundary anywhere
+    * in the quantizer; recall/latency trades off via K and nprobe
+    * exactly as in a real IVF index. At scale the corpus is
+    * range-partitioned by cell id, so a probe touches one partition,
+    * and further Lloyd iterations are more of the identical
+    * assign/refine rounds. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     val vecs = snapped(emb, "vec_id", "sv", "nrm")
-    val assigned = assignToCells(vecs, seedCentroids(vecs, 16), 16)
+    val assigned0 = assignToCells(vecs, seedCentroids(vecs, 16), 16)
+    val assigned = assignToCells(vecs, lloydRefine(assigned0), 16)
       .persist() // probed twice below
     val probes = assigned.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("probe_id"), col("sv").as("pv"),
@@ -263,8 +290,27 @@ object SimilarityQueries extends QueryGroup {
          |    list_transform(embedding,
          |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS s
          |  FROM embeddings
-         |), cents AS (
+         |), cents0 AS (
          |  SELECT vec_id AS c_id, s AS cs FROM sv WHERE vec_id < 16
+         |), dists0 AS (
+         |  SELECT v.vec_id, v.s, c.c_id,
+         |    list_aggregate(list_transform(list_zip(v.s, c.cs),
+         |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS dist
+         |  FROM sv v CROSS JOIN cents0 c
+         |), assigned0 AS (
+         |  SELECT vec_id, s, c_id AS cell FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
+         |    FROM dists0) WHERE rn = 1
+         |), comp AS (
+         |  SELECT cell, unnest(list_transform(range(1, len(s) + 1),
+         |    i -> struct_pack(d := i, v := s[i]))) AS u
+         |  FROM assigned0
+         |), means AS (
+         |  SELECT cell, u.d AS d,
+         |    CAST(floor(CAST(SUM(u.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+         |  FROM comp GROUP BY cell, u.d
+         |), cents AS (
+         |  SELECT cell AS c_id, list(cm ORDER BY d) AS cs FROM means GROUP BY cell
          |), dists AS (
          |  SELECT v.vec_id, v.embedding, c.c_id,
          |    list_aggregate(list_transform(list_zip(v.s, c.cs),
