@@ -197,34 +197,41 @@ object Dedup {
     * DataFrame trap; GraphFrames checkpoints the same way). The
     * per-round `count()` then reads one scalar off the checkpointed
     * frame to test convergence; superseded rounds' storage is freed by
-    * the ContextCleaner once unreferenced. For adversarial long-path
-    * graphs, production runs
-    * swap in the large-star/small-star round pair (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond", SoCC'14) with the
-    * identical join/agg building blocks; corpus dedup graphs don't need
-    * it.
+    * the ContextCleaner once unreferenced (there is no eager per-round
+    * free: localCheckpoint storage is RDD-level, outside the Dataset
+    * cache manager). Throws if the graph fails to converge within
+    * `maxIters` — a silent cap would return WRONG labels for vertices
+    * farther than maxIters hops from their component's minimum; graphs
+    * that deep should use the large-star/small-star round pair (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14),
+    * built from the identical join/agg blocks; corpus dedup graphs
+    * don't need it.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
                           bCol: String = "b_id",
-                          maxIters: Int = 30,
+                          maxIters: Int = 50,
                           broadcastVertexLimit: Long = 5000000L): DataFrame = {
-    // persisted PRE-PARTITIONED on dst: the cached plan's output
-    // partitioning satisfies the per-round join's distribution, so each
-    // round shuffles only the (smaller) label frame — the edge list is
-    // shuffled once, not once per round
-    val edges = pairs
+    val spark = pairs.sparkSession
+    var labels = pairs.select(col(aCol).cast("long").as("id"))
+      .union(pairs.select(col(bCol).cast("long").as("id")))
+      .distinct().withColumn("label", col("id")).localCheckpoint(true)
+    // a dedup pair graph is tiny relative to the corpus that produced
+    // it; when the vertex set fits a broadcast, ship the label map to
+    // the cached edge list and each round costs ONE shuffle — the
+    // groupBy(src) that IS the label propagation. Huge graphs fall back
+    // to the shuffled equi-join on vertex id, with the edge list
+    // persisted PRE-PARTITIONED on dst so its cached partitioning
+    // satisfies the join distribution every round (the broadcast path
+    // skips that shuffle — a broadcast join puts no distribution
+    // requirement on the edges).
+    val bcast = labels.count() <= broadcastVertexLimit
+    val edgesPlan = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(pairs
         .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
-      .distinct().repartition(col("dst")).persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
-    // a dedup pair graph is tiny relative to the corpus that produced
-    // it; when the vertex set fits a broadcast, ship the label map to
-    // the (dst-partitioned, cached) edge list and each round costs ONE
-    // shuffle — the groupBy(src) that IS the label propagation. Huge
-    // graphs fall back to the shuffled equi-join on vertex id.
-    val bcast = labels.count() <= broadcastVertexLimit
+      .distinct()
+    val edges =
+      (if (bcast) edgesPlan else edgesPlan.repartition(col("dst"))).persist()
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
@@ -241,12 +248,16 @@ object Dedup {
           col("o.label").as("old_label"))
         .localCheckpoint(true)
       val changed = next.filter(col("label") =!= col("old_label")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iters += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "component diameter exceeds the cap; raise maxIters or use a " +
+          "star-contraction variant for long-path graphs")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

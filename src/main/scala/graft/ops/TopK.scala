@@ -37,9 +37,12 @@ object TopK {
           spark.experimental.extraStrategies :+ GraftStrategy
     }
     val child = PlanBridge.logicalPlan(df)
-    // resolve with the session's resolver (case-insensitive by default,
-    // matching df.col) and reject ambiguity instead of first-match
-    val resolver = org.apache.spark.sql.internal.SQLConf.get.resolver
+    // resolve with the OWNING session's resolver (case-insensitive by
+    // default, matching df.col) and reject ambiguity instead of
+    // first-match. df.sparkSession, not the thread-local SQLConf.get:
+    // the active session on this thread may be a different session with
+    // a different case-sensitivity setting
+    val resolver = spark.sessionState.conf.resolver
     def attr(name: String): Attribute =
       child.output.filter(a => resolver(a.name, name)) match {
         case Seq(one) => one

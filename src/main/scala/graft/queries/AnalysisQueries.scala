@@ -131,11 +131,15 @@ object AnalysisQueries extends QueryGroup {
   /** Train/eval decontamination — flag training docs that share word
     * 3-grams with a held-out eval set. The eval set is the
     * deterministic md5-bucket sample (< 5%), so the split is
-    * reproducible; its distinct n-gram set is SMALL (eval benchmarks
-    * are thousands of docs, not billions) and is broadcast — the train
-    * side streams through a broadcast hash join with no shuffle of the
-    * corpus. Per-doc overlap counts let the caller pick a drop
-    * threshold. Reuses the dedup module's staged shingle frame. */
+    * reproducible. In the real use case the eval side is a fixed
+    * benchmark suite — thousands of docs — and the optimizer broadcasts
+    * its distinct n-gram set, streaming the corpus through a broadcast
+    * hash join with no shuffle. The hint is deliberately NOT forced:
+    * this synthetic eval split is corpus-proportional, and a forced
+    * broadcast of a corpus-sized side would die on the broadcast limit
+    * instead of degrading to a shuffled equi-join. Per-doc overlap
+    * counts let the caller pick a drop threshold. Reuses the dedup
+    * module's staged shingle frame. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     import graft.ext.Dedup
     val bucket =
@@ -149,7 +153,7 @@ object AnalysisQueries extends QueryGroup {
       .select(explode(col("sh")).as("ng")).distinct()
     val trainNgrams = sh.filter(col("__b") >= 5)
       .select(col("doc_id"), explode(col("sh")).as("ng")) // sh is distinct per doc
-    trainNgrams.join(broadcast(evalNgrams), Seq("ng"))
+    trainNgrams.join(evalNgrams, Seq("ng"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated"))
   }

@@ -73,8 +73,12 @@ object SimilarityQueries extends QueryGroup {
     * IEEE division so both engines produce the identical snapped
     * centroid (integer `div` is NOT portable here: Spark truncates
     * toward zero, DuckDB's `//` floors — they disagree on negative
-    * sums). Every seed cell retains at least its seed member, so all k
-    * cells survive refinement. */
+    * sums). A cell CAN end up empty (if two seed vectors snap
+    * identically, the dist-then-id tie-break assigns both to the lower
+    * cell); refinement then emits no centroid for it and the
+    * assignment join simply runs with fewer cells — the oracle mirrors
+    * the drop, and correctness is unaffected (fewer cells only means
+    * coarser quantization). */
   private def lloydRefine(assigned: DataFrame): DataFrame =
     assigned.select(col("cell"), posexplode(col("sv")).as(Seq("d", "v")))
       .groupBy(col("cell"), col("d"))

@@ -69,6 +69,15 @@ class PropertySpec extends SparkTestBase {
     assert(got === expect)
   }
 
+  test("connected components: non-convergence throws instead of returning wrong labels") {
+    import graft.ext.Dedup
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("differential: fraud fold matches an independent reference on random input") {
     // independent reference implementation of FraudDetectorExample.java
     def referenceAlerts(txns: Seq[Transaction]): Seq[(String, Long, Int)] = {
