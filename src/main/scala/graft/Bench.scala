@@ -25,7 +25,11 @@ object Bench {
     // first query
     spark.range(1000000).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query names to time (iterating locally on one
+    // query); the driver passes none and gets the full suite
+    val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => args.isEmpty || args.contains(n) }
+    val results = wanted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -190,34 +190,58 @@ object Dedup {
     * dense and shallow (single-digit diameter), independent of corpus
     * size. Each round is one equi-join plus one groupBy-min, both
     * hash-partitioned on vertex id — the d3 shuffle shape, never
-    * all-pairs. Each round ends in an eager `localCheckpoint`, which
-    * BOTH materializes the round and truncates plan lineage — without
-    * it the logical plan nests one join per round and analysis cost
-    * grows exponentially with graph diameter (the standard iterative-
-    * DataFrame trap; GraphFrames checkpoints the same way). The
-    * per-round `count()` then reads one scalar off the checkpointed
-    * frame to test convergence; superseded rounds' storage is freed by
-    * the ContextCleaner once unreferenced (there is no eager per-round
-    * free: localCheckpoint storage is RDD-level, outside the Dataset
-    * cache manager). Throws if the graph fails to converge within
-    * `maxIters` — a silent cap would return WRONG labels for vertices
-    * farther than maxIters hops from their component's minimum; graphs
-    * that deep should use the large-star/small-star round pair (Kiveris
-    * et al., "Connected Components in MapReduce and Beyond", SoCC'14),
-    * built from the identical join/agg blocks; corpus dedup graphs
-    * don't need it.
+    * all-pairs.
+    *
+    * Materialization discipline (this is where iterative DataFrames go
+    * wrong):
+    *  - the input pair list is persisted HERE, before anything reads it:
+    *    the vertex set reads it twice (the id union) and the edge list
+    *    twice more (the direction union) — without the persist, the
+    *    caller's whole upstream pipeline (for d7 that is d3's LSH
+    *    candidate join + Jaccard verify) re-executes up to 4x;
+    *  - each round re-plans from the previous round's persisted row RDD
+    *    (`LogicalRDD`), which truncates logical-plan lineage exactly like
+    *    `localCheckpoint` (one join per round would otherwise nest and
+    *    analysis cost grows exponentially — the standard iterative-
+    *    DataFrame trap; GraphFrames checkpoints the same way) BUT, unlike
+    *    a local checkpoint, the superseded round can be unpersisted
+    *    EAGERLY the moment its successor is materialized, so at most two
+    *    rounds of labels (plus the edges) ever hold storage;
+    *  - one action per round: the `changed` count both materializes the
+    *    round's RDD and tests convergence.
+    * Per-round broadcast hints create one BroadcastExchange each; those
+    * are freed by the ContextCleaner once the superseded round's plan is
+    * unreferenced (eagerly dropping our references each round is what
+    * lets it). Throws if the graph fails to converge within `maxIters` —
+    * a silent cap would return WRONG labels for vertices farther than
+    * maxIters hops from their component's minimum; graphs that deep
+    * should use [[connectedComponentsStar]] (alternating large-star/
+    * small-star contraction, O(log^2 n) rounds regardless of diameter).
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
                           bCol: String = "b_id",
                           maxIters: Int = 50,
-                          broadcastVertexLimit: Long = 5000000L): DataFrame = {
+                          broadcastVertexLimit: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
-    var labels = pairs.select(col(aCol).cast("long").as("id"))
-      .union(pairs.select(col(bCol).cast("long").as("id")))
-      .distinct().withColumn("label", col("id")).localCheckpoint(true)
+    import org.apache.spark.storage.StorageLevel
+    val p = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // materialize a round: persist its row RDD and re-plan from it
+    def materialize(df: DataFrame) = {
+      val r = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(r, df.schema), r)
+    }
+
+    var (labels, labelsRdd) = materialize(
+      p.select(col("src").as("id")).union(p.select(col("dst").as("id")))
+        .distinct().withColumn("label", col("id")))
     // a dedup pair graph is tiny relative to the corpus that produced
-    // it; when the vertex set fits a broadcast, ship the label map to
-    // the cached edge list and each round costs ONE shuffle — the
+    // it; when the vertex set fits a broadcast (default cap 1M vertices
+    // ~ 16 MB of (id,label) rows — small enough that a fresh broadcast
+    // per round never pressures driver/executor storage), ship the label
+    // map to the cached edge list and each round costs ONE shuffle — the
     // groupBy(src) that IS the label propagation. Huge graphs fall back
     // to the shuffled equi-join on vertex id, with the edge list
     // persisted PRE-PARTITIONED on dst so its cached partitioning
@@ -225,11 +249,7 @@ object Dedup {
     // skips that shuffle — a broadcast join puts no distribution
     // requirement on the edges).
     val bcast = labels.count() <= broadcastVertexLimit
-    val edgesPlan = pairs
-      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(pairs
-        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
-      .distinct()
+    val edgesPlan = p.union(p.select(col("dst"), col("src"))).distinct()
     val edges =
       (if (bcast) edgesPlan else edgesPlan.repartition(col("dst"))).persist()
     var converged = false
@@ -240,25 +260,148 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
       // carry the old label through the round so the convergence test is
       // a filter on the SAME materialized frame — no extra join
-      val next = labels.as("o")
+      val (next, nextRdd) = materialize(labels.as("o")
         .join(if (bcast) broadcast(nbrMin) else nbrMin,
           col("o.id") === nbrMin("src"), "left")
         .select(col("o.id").as("id"),
           least(col("o.label"), coalesce(col("nbr_min"), col("o.label"))).as("label"),
-          col("o.label").as("old_label"))
-        .localCheckpoint(true)
+          col("o.label").as("old_label")))
       val changed = next.filter(col("label") =!= col("old_label")).count()
+      labelsRdd.unpersist(false) // superseded round: release eagerly
       labels = next
+      labelsRdd = nextRdd
       converged = changed == 0
       iters += 1
     }
     edges.unpersist()
+    p.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds — " +
-          "component diameter exceeds the cap; raise maxIters or use a " +
-          "star-contraction variant for long-path graphs")
+          "component diameter exceeds the cap; raise maxIters or use " +
+          "connectedComponentsStar for long-path graphs")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the long-diameter escape hatch for
+    * [[connectedComponents]]: hash-to-min needs diameter-many rounds,
+    * star contraction converges in O(log^2 n) rounds regardless of
+    * diameter (a path graph of length 10^6 finishes in ~20 rounds, not
+    * 10^6).
+    *
+    * Each round is two passes over the edge list, each the same shape as
+    * a hash-to-min round — a groupBy-min on one endpoint plus a
+    * projection, all hash-partitioned by vertex, never all-pairs:
+    *  - large-star: for every vertex u, connect each STRICTLY LARGER
+    *    neighbor to m(u) = min(N(u) ∪ {u});
+    *  - small-star: orient each edge large→small, then for every vertex
+    *    u connect each smaller neighbor (and u itself) to the minimum.
+    * Both operations preserve connectivity and strictly shrink a
+    * monovariant (sum of parent pointers), so termination is guaranteed;
+    * at the fixed point the edge set is a star forest (every vertex
+    * points at its component minimum). Output matches
+    * [[connectedComponents]]: (doc_id, cluster_id = component min id),
+    * one row per vertex including the minimum itself. Same
+    * materialization discipline as hash-to-min: rounds re-plan from a
+    * persisted row RDD, superseded rounds released eagerly; convergence
+    * is tested with a symmetric `except` on the (tiny, contracted) edge
+    * set. */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String = "a_id",
+                              bCol: String = "b_id",
+                              maxIters: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+
+    def materialize(df: DataFrame) = {
+      val r = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(r, df.schema), r)
+    }
+
+    // large-star: emit (v, m(u)) for v ∈ N(u), v > u. The edge (u, m)
+    // itself is kept by small-star, which follows immediately.
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = nbrs.groupBy(col("src"))
+        .agg(least(min(col("dst")), col("src")).as("m"))
+        .select(col("src").as("mu"), col("m"))
+      nbrs.join(m, col("src") === col("mu"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    // small-star: orient large→small, connect u and its smaller
+    // neighbors to their minimum.
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val m = oriented.groupBy(col("src")).agg(min(col("dst")).as("m"))
+        .select(col("src").as("mu"), col("m"))
+      oriented.join(m, col("src") === col("mu"))
+        .select(col("dst").as("v"), col("mu").as("u"), col("m"))
+        .select(explode(array(
+            struct(col("v").as("src"), col("m").as("dst")),
+            struct(col("u").as("src"), col("m").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    val p = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var (edges, edgesRdd) = materialize(
+      p.filter(col("src") =!= col("dst")).distinct())
+    // remember every vertex — from the UNFILTERED pairs, so a vertex that
+    // appears only in a self-pair still gets a (trivial) label, matching
+    // connectedComponents; contraction also drops vertices once they
+    // point directly at the component minimum with no larger neighbor.
+    // Materialized eagerly (the count): its lineage reads the round-0
+    // edge RDD, which round 1 unpersists.
+    val (vertices, verticesRdd) = materialize(
+      p.select(col("src").as("id")).union(p.select(col("dst").as("id")))
+        .distinct())
+    verticesRdd.count()
+    edgesRdd.count()
+    p.unpersist() // both reads of p are materialized now
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val (next, nextRdd) = materialize(smallStar(largeStar(edges)))
+      // fixed point: edge sets equal (both tiny — the graph only shrinks)
+      converged =
+        next.except(edges).isEmpty && edges.except(next).isEmpty
+      edgesRdd.unpersist(false)
+      edges = next
+      edgesRdd = nextRdd
+      iters += 1
+    }
+    if (!converged) {
+      edgesRdd.unpersist(false)
+      verticesRdd.unpersist(false)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIters rounds " +
+          "(needs O(log^2 n); raise maxIters)")
+    }
+    // star forest: every non-root vertex has exactly one edge to its
+    // root; roots (and any vertex whose component contracted away, e.g.
+    // a 2-cycle collapsing to one edge) label themselves via the left
+    // join's coalesce
+    val roots = edges.groupBy(col("src")).agg(min(col("dst")).as("root"))
+    val out = vertices.join(roots, vertices("id") === roots("src"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("root"), col("id")).as("cluster_id"))
+    // force the result's RDD before releasing edges/vertices — the caller
+    // consumes `res` after this returns, and an unpersisted lineage here
+    // would re-run every contraction round at that point
+    val (res, resRdd) = materialize(out)
+    resRdd.count()
+    edgesRdd.unpersist(false)
+    verticesRdd.unpersist(false)
+    res
   }
 
   /** SimHash over a doc's distinct tokens, from per-token md5 hex

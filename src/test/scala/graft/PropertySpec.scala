@@ -78,6 +78,32 @@ class PropertySpec extends SparkTestBase {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("property: star contraction labels a diameter-120 path in O(log^2 n) rounds") {
+    import graft.ext.Dedup
+    // hash-to-min would need 120 rounds here; the star variant must land
+    // the same labels well inside maxIters = 15 (~2 log2 rounds)
+    val path = (0L until 120L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponentsStar(path, maxIters = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(got === (0L to 120L).map(_ -> 0L).toMap)
+  }
+
+  test("property: star contraction matches hash-to-min on random graphs") {
+    import graft.ext.Dedup
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new Random(seed)
+      // sparse random graph: many small components, some self-pairs
+      val edges = ((0 until 150).map { _ =>
+        (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)
+      } :+ ((500L, 500L))).toDF("a_id", "b_id")
+      val viaStar = Dedup.connectedComponentsStar(edges)
+        .as[(Long, Long)].collect().toMap
+      val viaHashMin = Dedup.connectedComponents(edges)
+        .as[(Long, Long)].collect().toMap
+      assert(viaStar === viaHashMin, s"seed=$seed")
+    }
+  }
+
   test("differential: fraud fold matches an independent reference on random input") {
     // independent reference implementation of FraudDetectorExample.java
     def referenceAlerts(txns: Seq[Transaction]): Seq[(String, Long, Int)] = {
