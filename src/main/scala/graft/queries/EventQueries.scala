@@ -61,10 +61,17 @@ object EventQueries extends QueryGroup {
     * row per chunk; at 10^12 rows and 2^20-row chunks that is ~10^6
     * scalars), broadcast back. greatest(intra, carry) restores the exact
     * global prefix-max. The streaming form (EventTimeOps.LateSplitter)
-    * tracks the watermark per micro-batch instead. */
-  def lateDataAudit(spark: SparkSession, dir: String): DataFrame = {
+    * tracks the watermark per micro-batch instead.
+    *
+    * `chunkSize` bounds the driver-side carry-in at n/chunkSize rows:
+    * the production default 2^20 collects ~10^6 scalars at 10^12 rows.
+    * The result is chunk-size-invariant (spec-asserted) — the registered
+    * sf-scale query passes 2^10 explicitly so oracle runs still span
+    * many chunks. */
+  def lateDataAudit(spark: SparkSession, dir: String,
+                    chunkSize: Long = 1L << 20): DataFrame = {
     import spark.implicits._
-    val chunkSize = 1L << 10 // small here so sf tests span many chunks
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
     val ev = Tables(spark, dir).events
       .select(col("event_id"), col("ts_us"),
         expr(s"event_id div $chunkSize").cast("long").as("chunk"))
@@ -205,7 +212,8 @@ object EventQueries extends QueryGroup {
     "a5_session_windows" -> (sessionWindows _),
     "a9_interval_join"   -> (intervalJoin _),
     "a10_lead_lag"       -> (leadLag _),
-    "w5_late_data_audit" -> (lateDataAudit _)
+    "w5_late_data_audit" ->
+      ((s: SparkSession, d: String) => lateDataAudit(s, d, chunkSize = 1L << 10))
   )
 
   def oracles: Map[String, String] = Map(

@@ -137,10 +137,14 @@ object SimilarityQueries extends QueryGroup {
       .join(broadcast(cellStats.select(col("cell").as("c_id"), col("radius"))), "c_id")
       .filter(col("d_pc") <= lit(r + 1e-9) + col("radius"))
       .select(col("a_id"), col("av"), col("an"), col("c_id").as("p_cell"))
+    // NO broadcast hint on probeCells: it is corpus-proportional (every
+    // 5th vector x surviving cells), so a forced broadcast OOMs at scale.
+    // The equi-key on cell lets the optimizer pick broadcast at small SF
+    // and a shuffled hash join at scale — same rows either way.
     assigned
       .select(col("vec_id").as("b_id"), col("sv").as("bv"),
         col("nrm").as("bn"), col("cell"))
-      .join(broadcast(probeCells),
+      .join(probeCells,
         col("cell") === col("p_cell") && col("a_id") < col("b_id"))
       .withColumn("cos", Similarity.cosineFromSnapped(
         col("av"), col("bv"), col("an"), col("bn")))
@@ -180,12 +184,25 @@ object SimilarityQueries extends QueryGroup {
     * range-partitioned by cell id, so a probe touches one partition,
     * and further Lloyd iterations are more of the identical
     * assign/refine rounds. */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvf(spark, dir, lloydIters = 1)
+
+  /** `lloydIters` extra assign/refine rounds after the seed assignment —
+    * each is the identical (broadcast-join argmin, int64-mean) round, so
+    * cost is linear in iters and results stay engine-deterministic at
+    * any setting (spec-checked at iters = 2). */
+  def annIvf(spark: SparkSession, dir: String, lloydIters: Int): DataFrame = {
     val emb = Tables(spark, dir).embeddings
+    // the snap projection feeds the seed pick plus every assignment
+    // round — persist it once instead of re-projecting per round
     val vecs = snapped(emb, "vec_id", "sv", "nrm")
-    val assigned0 = assignToCells(vecs, seedCentroids(vecs, 16), 16)
-    val assigned = assignToCells(vecs, lloydRefine(assigned0), 16)
-      .persist() // probed twice below
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var rounds = assignToCells(vecs, seedCentroids(vecs, 16), 16)
+    for (_ <- 0 until lloydIters)
+      rounds = assignToCells(vecs, lloydRefine(rounds), 16)
+    val assigned = rounds.persist() // probed twice below
+    assigned.count() // materialize, then release the projection eagerly
+    vecs.unpersist()
     val probes = assigned.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("probe_id"), col("sv").as("pv"),
         col("nrm").as("pn"), col("cell").as("p_cell"))

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   TimeMode, TimerValues, TTLConfig, ValueState}
+import graft.json.JsonDiff
 
 /** Spark 4 `transformWithState` forms of the reference's keyed state
   * (SURVEY.md §2.6, §2.9): named ValueState/ListState registered on the
@@ -125,6 +126,46 @@ object StatefulV2 {
     txns.groupByKey(_.userId)
       .transformWithState(
         new FraudProcessor(threshold, lookbackMs, throttleMs, minCount),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** T4 — per-key CDC with a named ValueState[String] holding the
+    * previous payload (ref TradeChangeDetectionJob.java:67-113),
+    * completing the V2 quartet: first occurrence stores silently,
+    * identical re-delivery emits nothing, otherwise emit the JSON field
+    * diff and advance the stored payload. Same semantics as
+    * StatefulOps.tradeChanges (flatMapGroupsWithState form). */
+  class CdcProcessor extends StatefulProcessor[String, Trade, TradeChange] {
+    @transient private var prev: ValueState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      prev = getHandle.getValueState[String]("prevPayload", Encoders.STRING,
+        TTLConfig.NONE)
+
+    override def handleInputRows(id: String, rows: Iterator[Trade],
+                                 timers: TimerValues): Iterator[TradeChange] = {
+      var p = if (prev.exists()) prev.get() else null
+      val out = scala.collection.mutable.ArrayBuffer.empty[TradeChange]
+      rows.toSeq.sortBy(_.seq).foreach { t =>
+        if (p == null) {
+          p = t.payload // first occurrence: store silently (ref :89-92)
+        } else {
+          val diffs = JsonDiff.diffJson(p, t.payload)
+          if (diffs.nonEmpty) { // unchanged resend emits nothing (ref :109-111)
+            out += TradeChange(id, t.seq, diffs)
+            p = t.payload
+          }
+        }
+      }
+      if (p != null) prev.update(p)
+      out.iterator
+    }
+  }
+
+  def tradeChanges(trades: Dataset[Trade]): Dataset[TradeChange] = {
+    import trades.sparkSession.implicits._
+    trades.groupByKey(_.id)
+      .transformWithState(new CdcProcessor,
         TimeMode.None(), OutputMode.Append())
   }
 }

@@ -13,6 +13,18 @@ class EventTimeSpec extends SparkTestBase {
   import spark.implicits._
   implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
+  test("w5 late-data audit is chunk-size-invariant") {
+    // the chunked prefix-max must reproduce the exact global prefix-max
+    // at ANY chunk size — compare the sf-test size (2^10), the production
+    // default (2^20, one chunk at this SF), and a ragged odd size
+    def run(cs: Long) = graft.queries.EventQueries.lateDataAudit(spark, sf(), cs)
+      .select(col("event_id"), col("ts_us"), col("watermark_us"), col("status"))
+      .as[(Long, Long, Option[Long], String)].collect().sortBy(_._1).toSeq
+    val small = run(1L << 10)
+    assert(small === run(1L << 20))
+    assert(small === run(997L))
+  }
+
   test("tumbling window + watermark: windows close when watermark passes end+delay") {
     val in = MemoryStream[String]
     val counts = EventTimeOps.windowedWordCount(

@@ -51,6 +51,31 @@ class InvariantsSpec extends SparkTestBase {
     assert(b1.toSeq === b2.toSeq)
   }
 
+  test("annIvf at lloydIters = 2 runs the identical round again and keeps the invariants") {
+    // "further iterations are more of the identical rounds": iters = 2
+    // must produce a well-formed top-3 per probe with exact-deterministic
+    // scores, same schema and probe set as the default iters = 1
+    val one = graft.queries.SimilarityQueries.annIvf(spark, sf(), lloydIters = 1)
+    val two = graft.queries.SimilarityQueries.annIvf(spark, sf(), lloydIters = 2)
+    assert(one.schema === two.schema)
+    val rows = two.select(col("probe_id"), col("rank"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // rank is 1..<=3 per probe, cosine non-increasing within a probe
+    rows.groupBy(_._1).foreach { case (p, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq, s"probe $p ranks")
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).sortBy(-_).toSeq, s"probe $p order")
+    }
+    assert(one.select("probe_id").distinct().count() ===
+      two.select("probe_id").distinct().count())
+    // determinism: the same call twice is bitwise-identical
+    val again = graft.queries.SimilarityQueries.annIvf(spark, sf(), lloydIters = 2)
+      .select(col("probe_id"), col("rank"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq === again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("approx_count_distinct within 5% of exact (rsd=0.02 plus small-N variance)") {
     val rows = graft.queries.EventQueries.approxDistinct(spark, sf())
       .select(col("event_type"), col("exact_users"), col("approx_within_5pct"))

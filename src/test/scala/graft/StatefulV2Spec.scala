@@ -73,6 +73,31 @@ class StatefulV2Spec extends SparkTestBase {
     }
   }
 
+  test("T4 via transformWithState ValueState: reference CDC golden") {
+    withRocksDB {
+      val in = MemoryStream[Trade]
+      val q = StatefulV2.tradeChanges(in.toDS())
+        .writeStream.format("memory").queryName("v2_t4").outputMode("append").start()
+      val t0 = """{"id":"TRD1","symbol":"AAPL","price":10.32}"""
+      in.addData(Trade("TRD1", 1, t0)) // first occurrence: silent
+      q.processAllAvailable()
+      in.addData(Trade("TRD1", 2, t0)) // identical resend: silent
+      q.processAllAvailable()
+      in.addData(Trade("TRD1", 3, """{"id":"TRD1","symbol":"AAPL","price":11.00}""")) // modified
+      in.addData(Trade("TRD1", 4, """{"id":"TRD1","symbol":"AAPL","price":11.00,"trader":"t9"}""")) // added
+      q.processAllAvailable()
+      in.addData(Trade("TRD1", 5, """{"id":"TRD1","symbol":"AAPL","price":11.00}""")) // removed
+      q.processAllAvailable(); q.stop()
+      val changes = spark.table("v2_t4").as[TradeChange].collect().sortBy(_.seq)
+      assert(changes.map(_.seq).toSeq === Seq(3L, 4L, 5L))
+      assert(changes(0).diffs.map(d => (d.field, d.action)) === Seq(("price", "MODIFIED")))
+      assert(changes(0).diffs.head.old_value === "10.32")
+      assert(changes(0).diffs.head.new_value === "11.0")
+      assert(changes(1).diffs.map(d => (d.field, d.action)) === Seq(("trader", "ADDED")))
+      assert(changes(2).diffs.map(d => (d.field, d.action)) === Seq(("trader", "REMOVED")))
+    }
+  }
+
   test("streaming session_window merges events within the gap") {
     val in = MemoryStream[(Long, String)]
     val df = in.toDF().toDF("ts_ms", "user")
