@@ -9,6 +9,18 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Real Kafka connector for cluster builds: `StreamSources.kafkaLines`
+// emits format("kafka"), which needs spark-sql-kafka-0-10 on the
+// classpath. This container is zero-egress (the artifact can never
+// resolve here), so the dependency is gated behind -Dgraft.kafka=true —
+// CI uses the in-repo `graft-kafka` DSv2 contract source instead. On a
+// cluster: sbt -Dgraft.kafka=true package, or add the jar via
+// --packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2.
+libraryDependencies ++= (
+  if (sys.props.get("graft.kafka").contains("true"))
+    Seq("org.apache.spark" %% "spark-sql-kafka-0-10" % "4.1.2")
+  else Seq.empty
+)
 Test / fork := true
 run / fork := true
 // Forward the forked run's stdout/stderr verbatim (no "[info] " logger

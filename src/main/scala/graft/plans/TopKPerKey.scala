@@ -78,9 +78,17 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     // partial: bound the heap map; final hash fallback must hold every
     // key of its (clustered) partition or it would emit >k per key
     val flushKeys =
-      if (partial)
-        conf.getConfString("spark.graft.topk.partialFlushKeys", "65536").toInt
-      else Int.MaxValue
+      if (partial) {
+        val key = "spark.graft.topk.partialFlushKeys"
+        val raw = conf.getConfString(key, "65536")
+        val v = try raw.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$key must be a positive int, got '$raw'")
+        }
+        require(v > 0, s"$key must be a positive int, got $v" +
+          " (0/negative would flush after every row, disabling map-side reduction)")
+        v
+      } else Int.MaxValue
     val grouped = sortedFinal
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(ks, childOut)
