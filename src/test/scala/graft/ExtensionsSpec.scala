@@ -49,6 +49,41 @@ class ExtensionsSpec extends SparkTestBase {
     assert(diff === 0)
   }
 
+  test("punct_count and rolling_hash generated code compiles (no interpreted fallback)") {
+    // A Janino parse failure in doGenCode silently demotes the expression to
+    // interpreted mode — results stay identical, so a plain result-compare
+    // test cannot catch it. Compile the emitted Java directly: a codegen
+    // regression throws here instead of falling back.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val in = BoundReference(0, StringType, nullable = true)
+    val proj = GenerateMutableProjection.generate(
+      Seq(graft.functions.PunctCount(in), graft.functions.RollingHash(in)))
+    val row = proj(InternalRow(UTF8String.fromString("a, b! ünïcødé?")))
+    assert(row.getLong(0) === graft.functions.PunctCount.reference("a, b! ünïcødé?"))
+    assert(row.getLong(1) === RollingHash.reference("a, b! ünïcødé?"))
+    // And end-to-end through whole-stage codegen with fallback disabled, so a
+    // compile failure inside the fused stage fails the query instead of
+    // re-running interpreted.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val got = Seq("x! y?", "").toDF("s")
+        .select(graft.functions.PunctCount.punct_count(col("s")).as("p"),
+          rolling_hash(col("s")).as("h"))
+        .as[(Long, Long)].collect().toSeq
+      assert(got === Seq(
+        (graft.functions.PunctCount.reference("x! y?"), RollingHash.reference("x! y?")),
+        (0L, RollingHash.reference(""))))
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("multimodal decode produces deterministic metadata from payload bytes") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
     val metas = Multimodal.decodeMeta(docs).collect()
