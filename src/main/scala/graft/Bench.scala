@@ -37,7 +37,10 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
-      spark.catalog.clearCache() // drop query-local persists between runs
+      // drop query-local persists between runs (releaseAll frees the
+      // RDD-backed CC results that clearCache cannot see)
+      graft.core.CacheScope.releaseAll()
+      spark.catalog.clearCache()
       // failed queries report -1 so they're distinguishable in the JSON
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }

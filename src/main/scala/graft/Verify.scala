@@ -22,7 +22,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries may persist() intermediates (LSH signatures etc.) —
-      // drop them so later queries aren't charged for the cache
+      // drop them so later queries aren't charged for the cache.
+      // releaseAll also frees the RDD-backed CC results that
+      // clearCache cannot see.
+      graft.core.CacheScope.releaseAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

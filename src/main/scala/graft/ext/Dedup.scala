@@ -280,6 +280,9 @@ object Dedup {
         s"connectedComponents did not converge in $maxIters rounds — " +
           "component diameter exceeds the cap; raise maxIters or use " +
           "connectedComponentsStar for long-path graphs")
+    // the returned frame is backed by the final round's persisted RDD
+    // (catalog.clearCache() cannot free it) — register it for release
+    graft.core.CacheScope.trackRdd(labelsRdd)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -401,6 +404,9 @@ object Dedup {
     resRdd.count()
     edgesRdd.unpersist(false)
     verticesRdd.unpersist(false)
+    // same release contract as connectedComponents: the result's backing
+    // RDD is freed by CacheScope.releaseAll(), not catalog.clearCache()
+    graft.core.CacheScope.trackRdd(resRdd)
     res
   }
 

@@ -145,10 +145,13 @@ object AnalysisQueries extends QueryGroup {
     val bucket =
       expr(Dedup.hexValSql("substr(md5(cast(doc_id as string)),1,8)", 8)) % 100
     // persisted: both the eval and train branches read this frame, and
-    // recomputing it would tokenize + shingle the corpus twice
-    val sh = Dedup.shingleFrame(Tables(spark, dir).documents)
-      .withColumn("__b", bucket.cast("long"))
-      .persist()
+    // recomputing it would tokenize + shingle the corpus twice; tracked
+    // so library callers can release it (CacheScope.releaseAll) instead
+    // of it living for the session
+    val sh = graft.core.CacheScope.track(
+      Dedup.shingleFrame(Tables(spark, dir).documents)
+        .withColumn("__b", bucket.cast("long"))
+        .persist())
     val evalNgrams = sh.filter(col("__b") < 5)
       .select(explode(col("sh")).as("ng")).distinct()
     val trainNgrams = sh.filter(col("__b") >= 5)

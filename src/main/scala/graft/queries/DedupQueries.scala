@@ -35,8 +35,8 @@ object DedupQueries extends QueryGroup {
     // the shingling + per-shingle md5 projection is the pipeline's
     // dominant cost and used to run twice. The 100 TB design checkpoints
     // the same frame.
-    val sh = Dedup.shingleFrame(docs).persist()
-    val sigs = Dedup.signaturesFromShingles(sh).persist()
+    val sh = graft.core.CacheScope.track(Dedup.shingleFrame(docs).persist())
+    val sigs = graft.core.CacheScope.track(Dedup.signaturesFromShingles(sh).persist())
     val cand = Dedup.candidatePairs(sigs)
     Dedup.verifyJaccardOnShingles(sh, cand, 0.8)
   }
@@ -58,7 +58,8 @@ object DedupQueries extends QueryGroup {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir).documents
       .select(col("doc_id"), explode(array_distinct(split(col("text"), "\\s+"))).as("t"))
-    val s = Dedup.simhash(toks).persist() // both band-join sides read it
+    val s = graft.core.CacheScope.track( // both band-join sides read it
+      Dedup.simhash(toks).persist())
     Dedup.simhashBandPairs(s, maxHamming = 2)
   }
 
@@ -68,14 +69,15 @@ object DedupQueries extends QueryGroup {
     * array intersection. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val grams = docs
+    val gramsPlan = docs
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
       .select(col("doc_id"),
         when(col("n") >= 5,
           array_distinct(transform(sequence(lit(1), col("n") - 4),
             i => col("text").substr(i, lit(5)))))
           .otherwise(array().cast("array<string>")).as("g"))
-      .persist() // both join sides read the gram frame
+    val grams = graft.core.CacheScope.track( // both join sides read the gram frame
+      gramsPlan.persist())
     val a = grams.select(col("doc_id").as("a_id"), col("g").as("ga"))
       .filter(col("a_id") % 10 === 0)
     val b = grams.select(col("doc_id").as("b_id"), col("g").as("gb"))
@@ -103,7 +105,12 @@ object DedupQueries extends QueryGroup {
     val cand = Dedup.candidatePairs(sigs)
     val pairs = Dedup.verifyJaccardOnShingles(sh, cand, 0.8)
       .select(col("a_id"), col("b_id"))
-    Dedup.connectedComponents(pairs)
+    val out = Dedup.connectedComponents(pairs)
+    // CC materialized every read of the pair graph before returning (its
+    // result is backed by its own persisted RDD), so the shingle frame
+    // can be released eagerly instead of leaking into the session
+    sh.unpersist()
+    out
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -122,7 +122,8 @@ object SimilarityQueries extends QueryGroup {
     val emb = Tables(spark, dir).embeddings
     val vecs = snapped(emb, "vec_id", "sv", "nrm")
     val cents = seedCentroids(vecs, k)
-    val assigned = assignToCells(vecs, cents, k).persist()
+    val assigned = graft.core.CacheScope.track(
+      assignToCells(vecs, cents, k).persist())
     val cellStats = assigned
       .join(broadcast(cents), col("cell") === col("c_id"))
       .select(col("cell"),
@@ -200,7 +201,8 @@ object SimilarityQueries extends QueryGroup {
     var rounds = assignToCells(vecs, seedCentroids(vecs, 16), 16)
     for (_ <- 0 until lloydIters)
       rounds = assignToCells(vecs, lloydRefine(rounds), 16)
-    val assigned = rounds.persist() // probed twice below
+    val assigned = graft.core.CacheScope.track(
+      rounds.persist()) // probed twice below
     assigned.count() // materialize, then release the projection eagerly
     vecs.unpersist()
     val probes = assigned.filter(col("vec_id") % 50 === 0)

@@ -69,6 +69,26 @@ class PropertySpec extends SparkTestBase {
     assert(got === expect)
   }
 
+  test("CacheScope.releaseAll frees the RDD storage behind CC results") {
+    import graft.ext.Dedup
+    graft.core.CacheScope.releaseAll() // clean slate from earlier tests
+    // baseline: other suites in this JVM may hold persists (e.g.
+    // localCheckpoints) this test doesn't own — diff against them
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val viaHashMin = Dedup.connectedComponents(edges)
+    val viaStar = Dedup.connectedComponentsStar(edges)
+    // results stay readable while their backing RDDs are cached
+    assert(viaHashMin.count() === 5 && viaStar.count() === 5)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
+      "CC results should be backed by persisted RDDs before release")
+    graft.core.CacheScope.releaseAll()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "releaseAll must free the RDD persists catalog.clearCache cannot see")
+    // releasing is safe, never wrong: the frames recompute from lineage
+    assert(viaHashMin.count() === 5 && viaStar.count() === 5)
+  }
+
   test("connected components: non-convergence throws instead of returning wrong labels") {
     import graft.ext.Dedup
     val chain = (0L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
