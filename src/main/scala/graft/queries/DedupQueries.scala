@@ -66,21 +66,23 @@ object DedupQueries extends QueryGroup {
   /** Character 5-gram Jaccard over sampled adjacent doc pairs — the
     * direct n-gram-Jaccard method (d3 is its LSH-accelerated scale
     * path). Shingling is a staged projection; comparison is per-pair
-    * array intersection. */
+    * array intersection. The sample predicate is applied BEFORE
+    * shingling on each side (side a needs doc_id % 10 == 0, side b its
+    * successors, % 10 == 1), so only 20% of the corpus is ever
+    * shingled — the shingling lambda is the query's dominant cost. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val gramsPlan = docs
+    def grams(side: DataFrame): DataFrame = side
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
       .select(col("doc_id"),
         when(col("n") >= 5,
           array_distinct(transform(sequence(lit(1), col("n") - 4),
             i => col("text").substr(i, lit(5)))))
           .otherwise(array().cast("array<string>")).as("g"))
-    val grams = graft.core.CacheScope.track( // both join sides read the gram frame
-      gramsPlan.persist())
-    val a = grams.select(col("doc_id").as("a_id"), col("g").as("ga"))
-      .filter(col("a_id") % 10 === 0)
-    val b = grams.select(col("doc_id").as("b_id"), col("g").as("gb"))
+    val a = grams(docs.filter(col("doc_id") % 10 === 0))
+      .select(col("doc_id").as("a_id"), col("g").as("ga"))
+    val b = grams(docs.filter(col("doc_id") % 10 === 1))
+      .select(col("doc_id").as("b_id"), col("g").as("gb"))
     a.join(b, col("b_id") === col("a_id") + 1)
       .withColumn("n_common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
       .withColumn("n_a", size(col("ga")).cast("long"))
