@@ -178,6 +178,30 @@ object AnalysisQueries extends QueryGroup {
       .filter(col("bucket") < thr)
   }
 
+  /** Sequence packing: assign each doc a (shard, seq_id) so consecutive
+    * docs within a shard fill fixed 4096-token context windows — the
+    * step that turns a curated corpus into training sequences. A doc
+    * lands in the window its starting token offset falls in (running
+    * per-shard token sum). Scale shape: the only ordered operation is
+    * the per-shard cumulative-sum window, and shards are independent —
+    * at 100 TB you set nShards to O(cluster cores) and each window is
+    * one local sort over its shard partition, not a global order-by
+    * (a single unsharded cumsum would serialize the whole corpus
+    * through one partition). Packing is deterministic (shard =
+    * doc_id % n, order = doc_id), so re-runs shard identically —
+    * resumable preprocessing for free. */
+  def packSequences(spark: SparkSession, dir: String,
+                    nShards: Int = 8, budget: Long = 4096L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tok"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        expr(s"(cum - n_tok) div $budget").as("seq_id"))
+  }
+
   /** Intra-document repetition score — boilerplate/spam signal: the
     * distinct-token ratio and the share of the single most frequent
     * token. Explode + two-level hash aggregation (partial map-side
@@ -275,7 +299,8 @@ object AnalysisQueries extends QueryGroup {
     "x_decontaminate"   -> (decontaminate _),
     "x_stratified_sample" -> (stratifiedSample _),
     "x_repetition"      -> (repetition _),
-    "x_tfidf_topk"      -> (tfidfTopK _)
+    "x_tfidf_topk"      -> (tfidfTopK _),
+    "x_pack_sequences"  -> ((s, d) => packSequences(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -340,6 +365,19 @@ object AnalysisQueries extends QueryGroup {
       s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS ws_tokens,
          |  CAST(len(regexp_extract_all(text, '${TA.bpeTokenRegex}')) AS BIGINT) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // window SUM cast back to BIGINT (DuckDB widens to HUGEINT)
+    "x_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tok,
+         |         doc_id % 8 AS shard
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, shard, n_tok,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+         |  FROM t
+         |)
+         |SELECT doc_id, shard, n_tok, (cum - n_tok) // 4096 AS seq_id
+         |FROM c ORDER BY doc_id""".stripMargin,
     "x_fingerprint" ->
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fingerprint

@@ -115,6 +115,30 @@ object DedupQueries extends QueryGroup {
     out
   }
 
+  /** Apply dedup: the corpus that SURVIVES near-dup removal — each d7
+    * cluster keeps only its min-id (canonical) member, every
+    * unclustered doc passes through. This is the step a curation
+    * pipeline actually ships: d3/d7 only REPORT duplicates; this emits
+    * the deduplicated doc set, each survivor tagged with how many
+    * corpus docs it now represents (its cluster size, 1 when
+    * unclustered). Exact duplicates need no separate pass — identical
+    * texts have identical MinHash signatures and Jaccard 1.0, so they
+    * are always cluster-mates of their copies. Scale shape: the
+    * cluster label frame is pair-graph-sized (≪ corpus), so the
+    * anti-join and the size lookup both broadcast — the corpus itself
+    * is never shuffled. */
+  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dupClusters(spark, dir) // (doc_id, cluster_id)
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_merged"))
+    val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    Tables(spark, dir).documents.select(col("doc_id"))
+      .join(losers, Seq("doc_id"), "left_anti")
+      .join(sizes, col("doc_id") === col("cluster_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_merged"), lit(1L)).as("n_merged"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup"   -> (exactDedup _),
     "d2_minhash_sigs"  -> (minhashSigs _),
@@ -122,7 +146,8 @@ object DedupQueries extends QueryGroup {
     "d4_simhash"       -> (simhashes _),
     "d5_simhash_pairs" -> (simhashPairs _),
     "d6_ngram_jaccard" -> (ngramJaccard _),
-    "d7_dup_clusters"  -> (dupClusters _)
+    "d7_dup_clusters"  -> (dupClusters _),
+    "d8_dedup_apply"   -> (dedupApply _)
   )
 
   // ---- DuckDB oracles ----
@@ -233,35 +258,56 @@ object DedupQueries extends QueryGroup {
     // transitive closure of the d3 pair graph via a recursive CTE;
     // cluster id = min reachable doc id (including self)
     "d7_dup_clusters" ->
-      s"""${sigsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, bands AS (
-         |  SELECT doc_id, 0 AS band_idx, band0 AS band_hash FROM banded
-         |  UNION ALL
-         |  SELECT doc_id, 1, band1 FROM banded
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         |   AND a.doc_id < b.doc_id
-         |), pairs AS (
-         |  SELECT a_id, b_id FROM (
-         |    SELECT a_id, b_id,
-         |      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS n_common,
-         |      CAST(len(sa.sh) AS DOUBLE) AS n_a,
-         |      CAST(len(sb.sh) AS DOUBLE) AS n_b
-         |    FROM cand
-         |    JOIN shingled sa ON sa.doc_id = a_id
-         |    JOIN shingled sb ON sb.doc_id = b_id
-         |  ) WHERE n_common / (n_a + n_b - n_common) >= 0.8
-         |), und AS (
-         |  SELECT a_id AS src, b_id AS dst FROM pairs
-         |  UNION
-         |  SELECT b_id, a_id FROM pairs
-         |), reach(src, dst) AS (
-         |  SELECT src, dst FROM und
-         |  UNION
-         |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
-         |)
+      s"""$ccCte
          |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // survivors = docs that are not a non-canonical cluster member;
+    // canonical members carry their cluster size as n_merged
+    "d8_dedup_apply" ->
+      s"""$ccCte, labels AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src
+         |), sizes AS (
+         |  SELECT cluster_id, COUNT(*) AS n_merged FROM labels
+         |  GROUP BY cluster_id
+         |)
+         |SELECT d.doc_id, COALESCE(s.n_merged, 1) AS n_merged
+         |FROM documents d
+         |LEFT JOIN labels l ON l.doc_id = d.doc_id AND l.doc_id <> l.cluster_id
+         |LEFT JOIN sizes s ON s.cluster_id = d.doc_id
+         |WHERE l.doc_id IS NULL
+         |ORDER BY d.doc_id""".stripMargin
   )
+
+  /** Shared prefix of d7/d8: LSH candidates -> Jaccard verify ->
+    * undirected edge set -> recursive reachability. */
+  private def ccCte: String =
+    s"""${sigsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, bands AS (
+       |  SELECT doc_id, 0 AS band_idx, band0 AS band_hash FROM banded
+       |  UNION ALL
+       |  SELECT doc_id, 1, band1 FROM banded
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a_id, b_id,
+       |      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS n_common,
+       |      CAST(len(sa.sh) AS DOUBLE) AS n_a,
+       |      CAST(len(sb.sh) AS DOUBLE) AS n_b
+       |    FROM cand
+       |    JOIN shingled sa ON sa.doc_id = a_id
+       |    JOIN shingled sb ON sb.doc_id = b_id
+       |  ) WHERE n_common / (n_a + n_b - n_common) >= 0.8
+       |), und AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION
+       |  SELECT b_id, a_id FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM und
+       |  UNION
+       |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+       |)""".stripMargin
 }

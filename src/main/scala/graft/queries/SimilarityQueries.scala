@@ -175,6 +175,33 @@ object SimilarityQueries extends QueryGroup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** kNN graph: every vector's top-5 same-bucket neighbors by cosine —
+    * the batch neighbor-graph build behind embedding-level dedup,
+    * clustering, and retrieval eval (y1 answers 16 fixed probes; this
+    * answers ALL of them). Candidates come from the y3 hyperplane-LSH
+    * equi-join — never all-pairs — and the per-vector top-k is the
+    * bounded-heap TopKPerKey exec, so no bucket-sized sort either: cost
+    * is O(sum of squared bucket sizes) candidate dots + O(n·k) heap
+    * state, both corpus-shaped with enough planes (buckets must satisfy
+    * 2^planes ≫ n/target_bucket, same sizing rule as d5's simhash
+    * bands). */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val sv = emb.select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
+      .withColumn("nrm", Similarity.normSnapped(col("sv")))
+      .withColumn("bucket", Similarity.lshBucket(col("sv"), 8, 64))
+    val a = sv.select(col("vec_id").as("a_id"), col("sv").as("av"),
+      col("nrm").as("an"), col("bucket"))
+    val b = sv.select(col("vec_id").as("b_id"), col("sv").as("bv"),
+      col("nrm").as("bn"), col("bucket").as("bucket_b"))
+    val scored = a.join(b, col("bucket") === col("bucket_b") && col("a_id") =!= col("b_id"))
+      .withColumn("cos", Similarity.cosineFromSnapped(
+        col("av"), col("bv"), col("an"), col("bn")))
+      .select(col("a_id"), col("b_id"), col("cos"))
+    graft.ops.TopK.perKey(scored, Seq("a_id"),
+      Seq("cos" -> true, "b_id" -> false), 5)
+  }
+
   /** IVF-style ANN: coarse quantization to K=16 centroids — seed pick
     * (first 16 vectors) refined by one Lloyd k-means step over the same
     * assignment machinery — then probes search only their own cell
@@ -250,6 +277,7 @@ object SimilarityQueries extends QueryGroup {
     "y1_cosine_topk"   -> (cosineTopK _),
     "y2_embed_neardup" -> (embedNearDup _),
     "y3_ann_lsh"       -> (annLsh _),
+    "y6_knn_graph"     -> (knnGraph _),
     "y4_ann_ivf"       -> (annIvf _),
     "y5_label_centroids" -> (labelCentroids _)
   )
@@ -366,6 +394,21 @@ object SimilarityQueries extends QueryGroup {
          |FROM bucketed a JOIN bucketed b
          |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin,
+    "y6_knn_graph" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings
+         |), scored AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |), ranked AS (
+         |  SELECT a_id, b_id, cos,
+         |    row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
+         |  FROM scored
+         |)
+         |SELECT a_id, b_id, cos FROM ranked WHERE rn <= 5
          |ORDER BY a_id, b_id""".stripMargin,
     "y5_label_centroids" ->
       """WITH comp AS (
