@@ -124,9 +124,14 @@ object DedupQueries extends QueryGroup {
     * unclustered). Exact duplicates need no separate pass — identical
     * texts have identical MinHash signatures and Jaccard 1.0, so they
     * are always cluster-mates of their copies. Scale shape: the
-    * cluster label frame is pair-graph-sized (≪ corpus), so the
-    * anti-join and the size lookup both broadcast — the corpus itself
-    * is never shuffled. */
+    * cluster label frame is pair-graph-sized — usually ≪ corpus, so
+    * AQE converts the anti-join and the size lookup to broadcast joins
+    * at runtime (the label frame sits behind an ExistingRDD with no
+    * static stats, so the conversion is AQE's, after the label
+    * exchange materializes) and the corpus is never shuffled; when
+    * dups ARE corpus-proportional a broadcast would OOM, and the same
+    * plan degrades to shuffled equi-joins on doc_id instead — which is
+    * why the broadcast is deliberately not forced with a hint. */
   def dedupApply(spark: SparkSession, dir: String): DataFrame = {
     val clusters = dupClusters(spark, dir) // (doc_id, cluster_id)
     val sizes = clusters.groupBy(col("cluster_id"))

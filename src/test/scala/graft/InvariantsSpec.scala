@@ -86,6 +86,71 @@ class InvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("dedupApply keeps exactly one doc per cluster and accounts for every corpus doc") {
+    val survivors = graft.queries.DedupQueries.dedupApply(spark, sf())
+      .select(col("doc_id"), col("n_merged")).as[(Long, Long)].collect().toMap
+    val clusters = graft.queries.DedupQueries.dupClusters(spark, sf())
+      .select(col("doc_id"), col("cluster_id")).as[(Long, Long)].collect()
+    val nDocs = Tables(spark, sf()).documents.count()
+    // every cluster contributes exactly its min member, with the cluster size
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(survivors.contains(cid), s"cluster $cid canonical missing")
+      assert(survivors(cid) === members.length.toLong, s"cluster $cid size")
+      members.map(_._1).filter(_ != cid).foreach(m =>
+        assert(!survivors.contains(m), s"non-canonical $m survived"))
+    }
+    // survivors + dropped docs partition the corpus: each survivor
+    // represents n_merged docs, nothing is double-counted or lost
+    assert(survivors.values.sum === nDocs)
+  }
+
+  test("packSequences: per-shard token offsets are a prefix sum and seq ids are the offset div budget") {
+    val rows = graft.queries.AnalysisQueries
+      .packSequences(spark, sf(), nShards = 4, budget = 64L)
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("seq_id"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, shard, _, _) => assert(shard === id % 4) }
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      var offset = 0L
+      docs.sortBy(_._1).foreach { case (id, _, nTok, seqId) =>
+        assert(seqId === offset / 64L, s"doc $id seq id")
+        offset += nTok
+      }
+    }
+    // packing is deterministic: a second run assigns identically
+    val again = graft.queries.AnalysisQueries
+      .packSequences(spark, sf(), nShards = 4, budget = 64L)
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("seq_id"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("knnGraph returns each vector's true bucket-restricted top-k") {
+    val knn = graft.queries.SimilarityQueries.knnGraph(spark, sf())
+      .select(col("a_id"), col("b_id"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+    assert(knn.nonEmpty)
+    // brute-force reference: same buckets, same cosine, rank by
+    // (cos desc, b_id asc), take 5
+    val emb = Tables(spark, sf()).embeddings
+    val sv = emb.select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
+      .withColumn("nrm", Similarity.normSnapped(col("sv")))
+      .withColumn("bucket", Similarity.lshBucket(col("sv"), 8, 64))
+    val a = sv.select(col("vec_id").as("a_id"), col("sv").as("av"),
+      col("nrm").as("an"), col("bucket"))
+    val b = sv.select(col("vec_id").as("b_id"), col("sv").as("bv"),
+      col("nrm").as("bn"), col("bucket").as("bucket_b"))
+    val all = a.join(b, col("bucket") === col("bucket_b") && col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), Similarity.cosineFromSnapped(
+        col("av"), col("bv"), col("an"), col("bn")).as("cos"))
+      .as[(Long, Long, Double)].collect()
+    val expected = all.groupBy(_._1).toSeq.flatMap { case (_, cands) =>
+      cands.sortBy(c => (-c._3, c._2)).take(5).toSeq
+    }.toSet
+    assert(knn.toSet === expected)
+  }
+
   test("testdata schemas match FIXTURES.md (drift guard)") {
     val t = Tables(spark, sf())
     def names(df: org.apache.spark.sql.DataFrame) = df.schema.fieldNames.toSeq
