@@ -47,13 +47,19 @@ object SimilarityQueries extends QueryGroup {
   private def assignToCells(vecs: DataFrame, cents: DataFrame, k: Int): DataFrame = {
     val l2 = aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("c_id"))
+    // argmin as a min_by hash aggregate, not a row_number window: the
+    // map-side partial agg collapses the k-way fan-out back to one row
+    // per vector BEFORE the exchange (the window form shuffled and
+    // sorted all k·n candidate rows), and exact int64 (dist, c_id)
+    // ordering keeps the same deterministic tie-break
     vecs.withColumn("c_id", explode(sequence(lit(0L), lit(k - 1L))))
       .join(broadcast(cents), "c_id")
       .withColumn("dist", l2)
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("sv"), col("nrm"), col("c_id").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("sv"), col("nrm"), col("c_id")),
+        struct(col("dist"), col("c_id"))).as("m"))
+      .select(col("vec_id"), col("m.sv").as("sv"), col("m.nrm").as("nrm"),
+        col("m.c_id").as("cell"))
   }
 
   /** Seed centroids: the first k vectors, id recast as a dense long
