@@ -43,8 +43,13 @@ object Dedup {
     * re-split the text for every element access (O(n²) per doc). */
   def shingleFrame(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame =
+    // sorted so the per-pair verify can merge-count (SortedIntersectCount)
+    // instead of hash-building per pair; one sort per doc, amortized over
+    // every candidate pair the doc appears in. The minhash sigs are mins
+    // over the shingle set, so element order never affects them.
     docs.select(col(idCol), split(col(textCol), "\\s+").as("__toks"))
-      .select(col(idCol), array_distinct(shingles3(col("__toks"))).as("sh"))
+      .select(col(idCol),
+        sort_array(array_distinct(shingles3(col("__toks")))).as("sh"))
 
   /** doc_id -> (sig0..sig3, band0, band1) signature frame.
     * One md5 per shingle (hashed once, then sliced into 4 chunks). */
@@ -104,7 +109,8 @@ object Dedup {
     pairs
       .join(sa, col("said") === col("a_id"))
       .join(sb, col("sbid") === col("b_id"))
-      .withColumn("n_common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("n_common", graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("sha"), col("shb")))
       .withColumn("n_a", size(col("sha")).cast("long"))
       .withColumn("n_b", size(col("shb")).cast("long"))
       .select(col("a_id"), col("b_id"), col("n_common"), col("n_a"), col("n_b"),

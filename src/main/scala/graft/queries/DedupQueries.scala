@@ -76,15 +76,16 @@ object DedupQueries extends QueryGroup {
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
       .select(col("doc_id"),
         when(col("n") >= 5,
-          array_distinct(transform(sequence(lit(1), col("n") - 4),
-            i => col("text").substr(i, lit(5)))))
+          sort_array(array_distinct(transform(sequence(lit(1), col("n") - 4),
+            i => col("text").substr(i, lit(5))))))
           .otherwise(array().cast("array<string>")).as("g"))
     val a = grams(docs.filter(col("doc_id") % 10 === 0))
       .select(col("doc_id").as("a_id"), col("g").as("ga"))
     val b = grams(docs.filter(col("doc_id") % 10 === 1))
       .select(col("doc_id").as("b_id"), col("g").as("gb"))
     a.join(b, col("b_id") === col("a_id") + 1)
-      .withColumn("n_common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("n_common", graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("ga"), col("gb")))
       .withColumn("n_a", size(col("ga")).cast("long"))
       .withColumn("n_b", size(col("gb")).cast("long"))
       .select(col("a_id"), col("b_id"), col("n_common"), col("n_a"), col("n_b"),

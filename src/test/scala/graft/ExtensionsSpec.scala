@@ -84,6 +84,38 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("sorted_intersect_count matches size(array_intersect) on sorted distinct arrays") {
+    val rnd = new scala.util.Random(42)
+    val cases = (0 until 50).map { _ =>
+      val pool = (0 until 30).map(i => s"tok$i")
+      val a = rnd.shuffle(pool).take(rnd.nextInt(pool.size + 1)).distinct.sorted
+      val b = rnd.shuffle(pool).take(rnd.nextInt(pool.size + 1)).distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[String], Seq("x"))) :+ ((Seq.empty[String], Seq.empty[String]))
+    val df = cases.toDF("a", "b")
+    val got = df.select(
+      graft.functions.SortedIntersectCount.sorted_intersect_count(col("a"), col("b")).as("n"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (n, ref) => assert(n === ref) }
+  }
+
+  test("sorted_intersect_count generated code compiles (no interpreted fallback)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val at = ArrayType(StringType, containsNull = false)
+    val proj = GenerateMutableProjection.generate(Seq(
+      graft.functions.SortedIntersectCount(
+        BoundReference(0, at, nullable = true), BoundReference(1, at, nullable = true))))
+    def arr(xs: String*) = new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+    val row = proj(InternalRow(arr("a", "b", "d"), arr("b", "c", "d", "e")))
+    assert(row.getLong(0) === 2L)
+  }
+
   test("multimodal decode produces deterministic metadata from payload bytes") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
     val metas = Multimodal.decodeMeta(docs).collect()
