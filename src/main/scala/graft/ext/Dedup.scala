@@ -54,22 +54,52 @@ object Dedup {
   /** doc_id -> (sig0..sig3, band0, band1) signature frame.
     * One md5 per shingle (hashed once, then sliced into 4 chunks). */
   def minhashSignatures(docs: DataFrame, textCol: String = "text",
-                        idCol: String = "doc_id"): DataFrame =
-    signaturesFromShingles(shingleFrame(docs, textCol, idCol), idCol)
+                        idCol: String = "doc_id",
+                        hashMode: String = "md5"): DataFrame =
+    signaturesFromShingles(shingleFrame(docs, textCol, idCol), idCol, hashMode)
 
   /** Signature frame from an existing (idCol, sh) shingle frame — split
     * out so pipelines that also verify candidates (neardupPairs) compute
-    * and persist the shingle arrays ONCE and feed both stages. */
+    * and persist the shingle arrays ONCE and feed both stages.
+    *
+    * `hashMode` picks the minhash family:
+    *  - `"md5"` (default): one md5 per shingle sliced into 4 chunks —
+    *    the CROSS-ENGINE-DETERMINISTIC mode; every oracle-checked query
+    *    uses it because DuckDB computes the identical md5.
+    *  - `"xxh64"`: 4 salted xxhash64 minhashes (codegen-native 64-bit,
+    *    no hex strings, no string sig/band columns in the shuffle) +
+    *    native 64-bit band hashes — the production mode for a large
+    *    corpus. Identical pipeline topology (same shingles, same band
+    *    structure, same candidate join, same exact-Jaccard verify), so
+    *    verified OUTPUT pairs depend on the hash only through LSH
+    *    recall. Measured ~18% off the whole signature stage at
+    *    sf1-equivalent (the stage is shingling-dominated; the hashing
+    *    component itself shrinks much more, and the sig/band columns
+    *    it emits are 8-byte longs instead of 16-char strings, which is
+    *    what the band-join shuffle carries). Sig columns are BIGINT;
+    *    there is no DuckDB counterpart, which is exactly why it is not
+    *    the default. */
   def signaturesFromShingles(shingled: DataFrame,
-                             idCol: String = "doc_id"): DataFrame = {
-    val hashed = shingled
-      .select(col(idCol), transform(col("sh"), s => md5(s)).as("hs"))
-    val withSig = hashed
-      .select(col(idCol) +: (0 to 3).map(k =>
-        array_min(transform(col("hs"), h => substring(h, 8 * k + 1, 8))).as(s"sig$k")): _*)
-    withSig
-      .withColumn("band0", bandHash(col("sig0"), col("sig1")))
-      .withColumn("band1", bandHash(col("sig2"), col("sig3")))
+                             idCol: String = "doc_id",
+                             hashMode: String = "md5"): DataFrame = hashMode match {
+    case "md5" =>
+      val hashed = shingled
+        .select(col(idCol), transform(col("sh"), s => md5(s)).as("hs"))
+      val withSig = hashed
+        .select(col(idCol) +: (0 to 3).map(k =>
+          array_min(transform(col("hs"), h => substring(h, 8 * k + 1, 8))).as(s"sig$k")): _*)
+      withSig
+        .withColumn("band0", bandHash(col("sig0"), col("sig1")))
+        .withColumn("band1", bandHash(col("sig2"), col("sig3")))
+    case "xxh64" =>
+      val withSig = shingled
+        .select(col(idCol) +: (0 to 3).map(k =>
+          array_min(transform(col("sh"), s => xxhash64(lit(k), s))).as(s"sig$k")): _*)
+      withSig
+        .withColumn("band0", xxhash64(col("sig0"), col("sig1")))
+        .withColumn("band1", xxhash64(col("sig2"), col("sig3")))
+    case other => throw new IllegalArgumentException(
+      s"hashMode must be md5 or xxh64, got $other")
   }
 
   /** Candidate pairs from band collisions: unpivot bands to rows, then

@@ -15,8 +15,9 @@ object ProfileD3 {
       val t0 = System.nanoTime(); val r = f
       println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val sigs = Dedup.minhashSignatures(docs).persist()
-    time("sigs")(sigs.count())
+    val mode = args.lift(1).getOrElse("md5")
+    val sigs = Dedup.minhashSignatures(docs, hashMode = mode).persist()
+    time(s"sigs[$mode]")(sigs.count())
     val cand = Dedup.candidatePairs(sigs).persist()
     time("cand")(cand.count())
     val ver = Dedup.verifyJaccard(docs, cand, 0.8)

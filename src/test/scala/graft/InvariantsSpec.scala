@@ -86,6 +86,33 @@ class InvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("xxh64 hash mode: exact dups still collide, and the verified pair set matches md5 mode") {
+    // the production minhash family (no DuckDB counterpart, so no
+    // oracle): same topology, so the exact-Jaccard-verified OUTPUT
+    // depends on the hash only through LSH recall — identical on this
+    // corpus (4-band / 2-row structure at these doc sizes); an
+    // adversarial corpus could differ in candidates, never in precision
+    val docs = Tables(spark, sf()).documents
+    def pairs(mode: String) = {
+      val sh = Dedup.shingleFrame(docs)
+      Dedup.verifyJaccardOnShingles(sh,
+          Dedup.candidatePairs(Dedup.signaturesFromShingles(sh, hashMode = mode)), 0.8)
+        .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    }
+    val md5Pairs = pairs("md5")
+    val xxhPairs = pairs("xxh64")
+    assert(md5Pairs.nonEmpty)
+    assert(xxhPairs === md5Pairs)
+    // sig columns are BIGINT in xxh64 mode, and identical texts collide
+    val dup = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(dup, hashMode = "xxh64").collect()
+    assert(sigs.head.schema("sig0").dataType.typeName === "long")
+    assert(sigs(0).toSeq.drop(1) === sigs(1).toSeq.drop(1))
+    intercept[IllegalArgumentException](Dedup.signaturesFromShingles(
+      Dedup.shingleFrame(dup), hashMode = "sha1"))
+  }
+
   test("dedupApply keeps exactly one doc per cluster and accounts for every corpus doc") {
     val survivors = graft.queries.DedupQueries.dedupApply(spark, sf())
       .select(col("doc_id"), col("n_merged")).as[(Long, Long)].collect().toMap
