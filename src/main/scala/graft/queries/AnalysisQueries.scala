@@ -178,6 +178,31 @@ object AnalysisQueries extends QueryGroup {
       .filter(col("bucket") < thr)
   }
 
+  /** Mixture weights: per-source token shares and the renormalization
+    * weight that would equalize the training mixture across sources —
+    * the sampling-weight computation behind "balance the corpus by
+    * source" (weight > 1: upsample, < 1: downsample; feed them to the
+    * stratified sampler's per-stratum rates). One per-source hash agg
+    * (map-side combined) plus a 1-row broadcast of the corpus totals —
+    * the same scalar-broadcast shape as x_tfidf_topk's corpus size;
+    * each ratio is one int64->double division/multiply so both engines
+    * agree bit-for-bit. */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables(spark, dir).documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TA.tokenCount(col("text"))).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("token_share"),
+        (col("total_tokens").cast("double") /
+          (col("n_sources").cast("double") * col("n_tokens").cast("double")))
+          .as("weight"))
+  }
+
   /** Sequence packing: assign each doc a (shard, seq_id) so consecutive
     * docs within a shard fill fixed 4096-token context windows — the
     * step that turns a curated corpus into training sequences. A doc
@@ -300,7 +325,8 @@ object AnalysisQueries extends QueryGroup {
     "x_stratified_sample" -> (stratifiedSample _),
     "x_repetition"      -> (repetition _),
     "x_tfidf_topk"      -> (tfidfTopK _),
-    "x_pack_sequences"  -> ((s, d) => packSequences(s, d))
+    "x_pack_sequences"  -> ((s, d) => packSequences(s, d)),
+    "x_mixture_weights" -> (mixtureWeights _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -365,6 +391,24 @@ object AnalysisQueries extends QueryGroup {
       s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS ws_tokens,
          |  CAST(len(regexp_extract_all(text, '${TA.bpeTokenRegex}')) AS BIGINT) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // aggregate SUMs cast back to BIGINT (DuckDB widens to HUGEINT);
+    // int * double multiplies keep DuckDB's implicit int->double cast
+    // explicit on the Spark side so both engines do the same two ops
+    "x_mixture_weights" ->
+      s"""WITH per AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source
+         |), tot AS (
+         |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |    COUNT(*) AS n_sources
+         |  FROM per
+         |)
+         |SELECT source, n_docs, n_tokens,
+         |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
+         |  CAST(total_tokens AS DOUBLE) /
+         |    (CAST(n_sources AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS weight
+         |FROM per, tot ORDER BY source""".stripMargin,
     // window SUM cast back to BIGINT (DuckDB widens to HUGEINT)
     "x_pack_sequences" ->
       s"""WITH t AS (

@@ -17,7 +17,8 @@ class PlanQualitySpec extends SparkTestBase {
     * non-equi join — plus x_tfidf_topk, whose "nested loop" is a 1-row
     * corpus-size scalar broadcast (the right plan at any scale). */
   private val intendedBnlj =
-    Set("d6_ngram_jaccard", "y1_cosine_topk", "x_tfidf_topk")
+    Set("d6_ngram_jaccard", "y1_cosine_topk", "x_tfidf_topk",
+      "x_mixture_weights") // 1-row corpus-totals broadcast, like tfidf's N
 
   test("no CartesianProduct anywhere") {
     val offenders = plans.collect {
