@@ -27,6 +27,10 @@ object Bench {
       .format("noop").mode("overwrite").save()
     // optional args = query names to time (iterating locally on one
     // query); the driver passes none and gets the full suite
+    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — a typo here would " +
+        "otherwise print a normal-looking zero-total JSON line")
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
     val results = wanted.map { case (name, fn) =>

@@ -95,11 +95,32 @@ object Dedup {
       val withSig = shingled
         .select(col(idCol) +: (0 to 3).map(k =>
           array_min(transform(col("sh"), s => xxhash64(lit(k), s))).as(s"sig$k")): _*)
+      // xxhash64 SKIPS null inputs (all-null args hash to the bare seed),
+      // unlike md5(concat(...)) which propagates NULL — without the guard
+      // every shingle-less doc (< 3 tokens) would collide into one band
+      // bucket, an O(m^2) candidate explosion plus 0/0 Jaccards. NULL
+      // bands drop out of the candidate equi-join, matching md5 mode.
       withSig
-        .withColumn("band0", xxhash64(col("sig0"), col("sig1")))
-        .withColumn("band1", xxhash64(col("sig2"), col("sig3")))
+        .withColumn("band0", when(col("sig0").isNotNull && col("sig1").isNotNull,
+          xxhash64(col("sig0"), col("sig1"))))
+        .withColumn("band1", when(col("sig2").isNotNull && col("sig3").isNotNull,
+          xxhash64(col("sig2"), col("sig3"))))
     case other => throw new IllegalArgumentException(
       s"hashMode must be md5 or xxh64, got $other")
+  }
+
+  /** Materialize one round of an iterative algorithm: persist its row
+    * RDD and re-plan from it. Truncates logical-plan lineage like
+    * `localCheckpoint` (one join per round would otherwise nest and
+    * analysis cost grows exponentially with round count) but, unlike a
+    * checkpoint, the superseded round can be unpersisted EAGERLY the
+    * moment its successor is materialized. Shared by both
+    * connected-components variants — the most delicate piece of the
+    * iteration machinery lives in exactly one place. */
+  private def materializeRound(df: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val r = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (df.sparkSession.createDataFrame(r, df.schema), r)
   }
 
   /** Candidate pairs from band collisions: unpivot bands to rows, then
@@ -130,12 +151,18 @@ object Dedup {
     verifyJaccardOnShingles(shingleFrame(docs, textCol, idCol), pairs,
       minJaccard, idCol)
 
-  /** verifyJaccard against a pre-computed (idCol, sh) shingle frame. */
+  /** verifyJaccard against a pre-computed (idCol, sh) shingle frame.
+    * REQUIRES the `sh` arrays ascending-sorted with distinct non-null
+    * elements, i.e. built by [[shingleFrame]] — the intersection count
+    * is a sorted-merge (SortedIntersectCount) and silently undercounts
+    * on unsorted input. A pair of two shingle-less docs scores
+    * jaccard 0.0 (not 0/0, which would throw under ANSI). */
   def verifyJaccardOnShingles(sh: DataFrame, pairs: DataFrame,
                               minJaccard: Double,
                               idCol: String = "doc_id"): DataFrame = {
     val sa = sh.select(col(idCol).as("said"), col("sh").as("sha"))
     val sb = sh.select(col(idCol).as("sbid"), col("sh").as("shb"))
+    val union = col("n_a") + col("n_b") - col("n_common")
     pairs
       .join(sa, col("said") === col("a_id"))
       .join(sb, col("sbid") === col("b_id"))
@@ -144,8 +171,8 @@ object Dedup {
       .withColumn("n_a", size(col("sha")).cast("long"))
       .withColumn("n_b", size(col("shb")).cast("long"))
       .select(col("a_id"), col("b_id"), col("n_common"), col("n_a"), col("n_b"),
-        (col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+        when(union > 0, col("n_common").cast("double") / union.cast("double"))
+          .otherwise(0.0).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 
@@ -264,13 +291,7 @@ object Dedup {
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // materialize a round: persist its row RDD and re-plan from it
-    def materialize(df: DataFrame) = {
-      val r = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      (spark.createDataFrame(r, df.schema), r)
-    }
-
-    var (labels, labelsRdd) = materialize(
+    var (labels, labelsRdd) = materializeRound(
       p.select(col("src").as("id")).union(p.select(col("dst").as("id")))
         .distinct().withColumn("label", col("id")))
     // a dedup pair graph is tiny relative to the corpus that produced
@@ -296,7 +317,7 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
       // carry the old label through the round so the convergence test is
       // a filter on the SAME materialized frame — no extra join
-      val (next, nextRdd) = materialize(labels.as("o")
+      val (next, nextRdd) = materializeRound(labels.as("o")
         .join(if (bcast) broadcast(nbrMin) else nbrMin,
           col("o.id") === nbrMin("src"), "left")
         .select(col("o.id").as("id"),
@@ -311,11 +332,15 @@ object Dedup {
     }
     edges.unpersist()
     p.unpersist()
-    if (!converged)
+    if (!converged) {
+      // release the final round too — nothing is returned, so nothing
+      // would ever track it (the Star variant's throw path does the same)
+      labelsRdd.unpersist(false)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds — " +
           "component diameter exceeds the cap; raise maxIters or use " +
           "connectedComponentsStar for long-path graphs")
+    }
     // the returned frame is backed by the final round's persisted RDD
     // (catalog.clearCache() cannot free it) — register it for release
     graft.core.CacheScope.trackRdd(labelsRdd)
@@ -353,11 +378,6 @@ object Dedup {
     val spark = pairs.sparkSession
     import org.apache.spark.storage.StorageLevel
 
-    def materialize(df: DataFrame) = {
-      val r = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      (spark.createDataFrame(r, df.schema), r)
-    }
-
     // large-star: emit (v, m(u)) for v ∈ N(u), v > u. The edge (u, m)
     // itself is kept by small-star, which follows immediately.
     def largeStar(e: DataFrame): DataFrame = {
@@ -392,7 +412,7 @@ object Dedup {
     val p = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var (edges, edgesRdd) = materialize(
+    var (edges, edgesRdd) = materializeRound(
       p.filter(col("src") =!= col("dst")).distinct())
     // remember every vertex — from the UNFILTERED pairs, so a vertex that
     // appears only in a self-pair still gets a (trivial) label, matching
@@ -400,7 +420,7 @@ object Dedup {
     // point directly at the component minimum with no larger neighbor.
     // Materialized eagerly (the count): its lineage reads the round-0
     // edge RDD, which round 1 unpersists.
-    val (vertices, verticesRdd) = materialize(
+    val (vertices, verticesRdd) = materializeRound(
       p.select(col("src").as("id")).union(p.select(col("dst").as("id")))
         .distinct())
     verticesRdd.count()
@@ -409,7 +429,7 @@ object Dedup {
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
-      val (next, nextRdd) = materialize(smallStar(largeStar(edges)))
+      val (next, nextRdd) = materializeRound(smallStar(largeStar(edges)))
       // fixed point: edge sets equal (both tiny — the graph only shrinks)
       converged =
         next.except(edges).isEmpty && edges.except(next).isEmpty
@@ -436,7 +456,7 @@ object Dedup {
     // force the result's RDD before releasing edges/vertices — the caller
     // consumes `res` after this returns, and an unpersisted lineage here
     // would re-run every contraction round at that point
-    val (res, resRdd) = materialize(out)
+    val (res, resRdd) = materializeRound(out)
     resRdd.count()
     edgesRdd.unpersist(false)
     verticesRdd.unpersist(false)

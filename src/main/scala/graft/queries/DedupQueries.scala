@@ -89,8 +89,12 @@ object DedupQueries extends QueryGroup {
       .withColumn("n_a", size(col("ga")).cast("long"))
       .withColumn("n_b", size(col("gb")).cast("long"))
       .select(col("a_id"), col("b_id"), col("n_common"), col("n_a"), col("n_b"),
-        (col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+        // guarded: two sub-5-char docs have empty gram arrays and d6 has
+        // no threshold filter to drop them — 0/0 throws under ANSI
+        when(col("n_a") + col("n_b") - col("n_common") > 0,
+          col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .otherwise(0.0).as("jaccard"))
       .orderBy(col("a_id"))
   }
 
@@ -104,16 +108,19 @@ object DedupQueries extends QueryGroup {
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val sh = Dedup.shingleFrame(docs).persist()
-    val sigs = Dedup.signaturesFromShingles(sh)
-    val cand = Dedup.candidatePairs(sigs)
-    val pairs = Dedup.verifyJaccardOnShingles(sh, cand, 0.8)
-      .select(col("a_id"), col("b_id"))
-    val out = Dedup.connectedComponents(pairs)
-    // CC materialized every read of the pair graph before returning (its
-    // result is backed by its own persisted RDD), so the shingle frame
-    // can be released eagerly instead of leaking into the session
-    sh.unpersist()
-    out
+    try {
+      val sigs = Dedup.signaturesFromShingles(sh)
+      val cand = Dedup.candidatePairs(sigs)
+      val pairs = Dedup.verifyJaccardOnShingles(sh, cand, 0.8)
+        .select(col("a_id"), col("b_id"))
+      Dedup.connectedComponents(pairs)
+    } finally {
+      // CC materialized every read of the pair graph before returning
+      // (its result is backed by its own persisted RDD), so the shingle
+      // frame can be released eagerly instead of leaking into the
+      // session — including when CC throws on non-convergence
+      sh.unpersist()
+    }
   }
 
   /** Apply dedup: the corpus that SURVIVES near-dup removal — each d7
@@ -249,8 +256,10 @@ object DedupQueries extends QueryGroup {
         |  CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS n_common,
         |  CAST(len(a.g) AS BIGINT) AS n_a,
         |  CAST(len(b.g) AS BIGINT) AS n_b,
-        |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-        |    CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS jaccard
+        |  CASE WHEN len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) > 0 THEN
+        |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        |      CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |  ELSE 0.0 END AS jaccard
         |FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
         |WHERE a.doc_id % 10 = 0
         |ORDER BY a_id""".stripMargin,

@@ -113,6 +113,26 @@ class InvariantsSpec extends SparkTestBase {
       Dedup.shingleFrame(dup), hashMode = "sha1"))
   }
 
+  test("shingle-less docs never pair, in either hash mode, and degenerate pairs don't divide by zero") {
+    // docs under 3 tokens have empty shingle arrays -> null sigs; both
+    // hash modes must emit NULL bands for them (xxhash64 would otherwise
+    // hash all-null sigs to the bare seed and collide every short doc
+    // into one O(m^2) bucket)
+    val shorts = Seq((1L, "hi"), (2L, "yo"), (3L, "ok there"),
+      (4L, "a proper document with plenty of words inside it"))
+      .toDF("doc_id", "text")
+    for (mode <- Seq("md5", "xxh64")) {
+      val cand = Dedup.candidatePairs(
+        Dedup.signaturesFromShingles(Dedup.shingleFrame(shorts), hashMode = mode))
+      assert(cand.count() === 0L, s"mode $mode paired shingle-less docs")
+    }
+    // a forced degenerate pair scores jaccard 0.0 instead of throwing
+    // DIVIDE_BY_ZERO under ANSI
+    val pair = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val v = Dedup.verifyJaccardOnShingles(Dedup.shingleFrame(shorts), pair, 0.8)
+    assert(v.count() === 0L) // 0.0 < 0.8: filtered, not thrown
+  }
+
   test("dedupApply keeps exactly one doc per cluster and accounts for every corpus doc") {
     val survivors = graft.queries.DedupQueries.dedupApply(spark, sf())
       .select(col("doc_id"), col("n_merged")).as[(Long, Long)].collect().toMap
