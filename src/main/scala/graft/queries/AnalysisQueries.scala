@@ -178,6 +178,40 @@ object AnalysisQueries extends QueryGroup {
       .filter(col("bucket") < thr)
   }
 
+  /** Cross-source overlap audit: for every source pair, how many
+    * distinct shingles they share — the contamination matrix that says
+    * which corpus slices leak into each other (the pairwise, corpus-
+    * internal complement of x_decontaminate's corpus-vs-eval check).
+    * Shape: ONE corpus-sized shuffle — explode to (shingle, source)
+    * rows, collect_set(source) per shingle (map-side partial agg eats
+    * the duplicate hits) — then the source pairs are generated INSIDE
+    * each row's array (≤ |sources| elements, a handful) and counted in
+    * a matrix-sized second agg. A distinct + self-join formulation
+    * measured 11 s at sf1 (three shuffles of the exploded frame); this
+    * one keeps everything after the first agg sub-corpus-sized. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    // explode_outer + post-filter, NOT explode: a bare explode plants an
+    // implicit `size(sh) > 0` filter that predicate-pushdown rewrites in
+    // terms of the raw text — re-inlining the whole shingling expression
+    // into a per-row Filter and computing it twice (measured ~2x on this
+    // query). The outer variant generates first; the null-filter then
+    // runs on the generated column and nothing is recomputed.
+    val sets = graft.ext.Dedup.shingleFrame(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(explode_outer(col("sh")).as("shingle"), col("source"))
+      .filter(col("shingle").isNotNull)
+      .groupBy(col("shingle"), col("source")).agg(count(lit(1))) // codegen dedup
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("source"))).as("srcs"))
+    // all (a < b) pairs of the (sorted) per-shingle source set
+    sets.select(explode(flatten(transform(col("srcs"), (x, i) =>
+        transform(slice(col("srcs"), i + 2, size(col("srcs"))),
+          y => struct(x.as("source_a"), y.as("source_b")))))).as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
   /** Mixture weights: per-source token shares and the renormalization
     * weight that would equalize the training mixture across sources —
     * the sampling-weight computation behind "balance the corpus by
@@ -236,7 +270,8 @@ object AnalysisQueries extends QueryGroup {
     Tables(spark, dir).documents
       .select(col("doc_id"), toks.as("__toks"))
       .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
-        explode(col("__toks")).as("tok"))
+        explode_outer(col("__toks")).as("tok")) // outer: see sourceOverlap
+      .filter(col("tok").isNotNull)
       .groupBy(col("doc_id"), col("n_tokens"), col("tok"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"), col("n_tokens"))
@@ -260,7 +295,8 @@ object AnalysisQueries extends QueryGroup {
     val docs = Tables(spark, dir).documents
     val tf = docs
       .select(col("doc_id"), toks.as("__toks"))
-      .select(col("doc_id"), explode(col("__toks")).as("tok"))
+      .select(col("doc_id"), explode_outer(col("__toks")).as("tok"))
+      .filter(col("tok").isNotNull) // outer: see sourceOverlap
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     // dfreq is derived from tf UNCHANGED below its aggregate, so AQE
@@ -326,7 +362,8 @@ object AnalysisQueries extends QueryGroup {
     "x_repetition"      -> (repetition _),
     "x_tfidf_topk"      -> (tfidfTopK _),
     "x_pack_sequences"  -> ((s, d) => packSequences(s, d)),
-    "x_mixture_weights" -> (mixtureWeights _)
+    "x_mixture_weights" -> (mixtureWeights _),
+    "x_source_overlap"  -> (sourceOverlap _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -394,6 +431,17 @@ object AnalysisQueries extends QueryGroup {
     // aggregate SUMs cast back to BIGINT (DuckDB widens to HUGEINT);
     // int * double multiplies keep DuckDB's implicit int->double cast
     // explicit on the Spark side so both engines do the same two ops
+    "x_source_overlap" ->
+      s"""WITH sh AS (
+         |  SELECT d.source, unnest(${DedupQueries.shSql}) AS shingle
+         |  FROM documents d
+         |), ss AS (
+         |  SELECT DISTINCT shingle, source FROM sh
+         |)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  COUNT(*) AS n_shared_shingles
+         |FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x_mixture_weights" ->
       s"""WITH per AS (
          |  SELECT source, COUNT(*) AS n_docs,

@@ -43,9 +43,13 @@ object DedupQueries extends QueryGroup {
 
   /** 48-bit SimHash per document (Dedup.simhashBits). */
   def simhashes(spark: SparkSession, dir: String): DataFrame = {
+    // explode_outer + post-filter: a bare explode's implicit size>0
+    // filter is pushdown-rewritten in terms of the raw text, inlining
+    // (and so re-running) the tokenize+distinct per row
     val toks = Tables(spark, dir).documents
       .select(col("doc_id"),
-        explode(array_distinct(split(col("text"), "\\s+"))).as("t"))
+        explode_outer(array_distinct(split(col("text"), "\\s+"))).as("t"))
+      .filter(col("t").isNotNull)
     Dedup.simhash(toks)
   }
 
@@ -57,7 +61,9 @@ object DedupQueries extends QueryGroup {
     * plan scales like the LSH path (d3). */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir).documents
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), "\\s+"))).as("t"))
+      .select(col("doc_id"),
+        explode_outer(array_distinct(split(col("text"), "\\s+"))).as("t"))
+      .filter(col("t").isNotNull) // see simhashes: avoids inlined re-tokenize
     val s = graft.core.CacheScope.track( // both band-join sides read it
       Dedup.simhash(toks).persist())
     Dedup.simhashBandPairs(s, maxHamming = 2)

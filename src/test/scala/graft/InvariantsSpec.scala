@@ -198,6 +198,26 @@ class InvariantsSpec extends SparkTestBase {
     assert(knn.toSet === expected)
   }
 
+  test("sourceOverlap is symmetric-upper-triangular and bounded by the smaller side's shingle count") {
+    val m = graft.queries.AnalysisQueries.sourceOverlap(spark, sf())
+      .select(col("source_a"), col("source_b"), col("n_shared_shingles"))
+      .as[(String, String, Long)].collect()
+    assert(m.nonEmpty)
+    m.foreach { case (a, b, n) =>
+      assert(a < b, "matrix must be upper-triangular (each pair once)")
+      assert(n > 0)
+    }
+    // shared count can never exceed either side's distinct-shingle total
+    val perSource = graft.ext.Dedup.shingleFrame(Tables(spark, sf()).documents)
+      .join(Tables(spark, sf()).documents.select(col("doc_id"), col("source")), "doc_id")
+      .select(explode(col("sh")).as("shingle"), col("source"))
+      .distinct().groupBy(col("source")).count()
+      .as[(String, Long)].collect().toMap
+    m.foreach { case (a, b, n) =>
+      assert(n <= math.min(perSource(a), perSource(b)))
+    }
+  }
+
   test("testdata schemas match FIXTURES.md (drift guard)") {
     val t = Tables(spark, sf())
     def names(df: org.apache.spark.sql.DataFrame) = df.schema.fieldNames.toSeq
