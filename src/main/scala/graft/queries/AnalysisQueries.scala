@@ -183,25 +183,29 @@ object AnalysisQueries extends QueryGroup {
     * which corpus slices leak into each other (the pairwise, corpus-
     * internal complement of x_decontaminate's corpus-vs-eval check).
     * Shape: ONE corpus-sized shuffle — explode to (shingle, source)
-    * rows, collect_set(source) per shingle (map-side partial agg eats
-    * the duplicate hits) — then the source pairs are generated INSIDE
-    * each row's array (≤ |sources| elements, a handful) and counted in
-    * a matrix-sized second agg. A distinct + self-join formulation
-    * measured 11 s at sf1 (three shuffles of the exploded frame); this
-    * one keeps everything after the first agg sub-corpus-sized. */
+    * rows, codegen-distinct them (map-side partial agg eats the
+    * duplicate hits), then collect the per-shingle source list (input
+    * already deduped and shingle-partitioned) and generate the source
+    * pairs INSIDE each row's array (≤ |sources| elements, a handful),
+    * counted in a matrix-sized second agg. A distinct + self-join
+    * formulation measured 11 s at sf1 (three shuffles of the exploded
+    * frame); this one keeps everything after the distinct
+    * sub-corpus-sized. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    // explode_outer + post-filter, NOT explode: a bare explode plants an
-    // implicit `size(sh) > 0` filter that predicate-pushdown rewrites in
-    // terms of the raw text — re-inlining the whole shingling expression
-    // into a per-row Filter and computing it twice (measured ~2x on this
-    // query). The outer variant generates first; the null-filter then
-    // runs on the generated column and nothing is recomputed.
+    // explode_outer + post-filter, NOT explode: exploding an ATTRIBUTE
+    // column makes InferFiltersFromGenerate plant an implicit
+    // `size(sh) > 0` filter, and predicate pushdown rewrites it in terms
+    // of the raw text — re-inlining the whole shingling expression into
+    // a per-row Filter and computing it twice (measured ~2x, 8.9 -> 1.9 s
+    // warm at sf1; complex-expression generator inputs never get the
+    // filter, probe-verified). The outer variant generates first; the
+    // null-filter then runs on the generated column, recomputing nothing.
     val sets = graft.ext.Dedup.shingleFrame(docs)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .select(explode_outer(col("sh")).as("shingle"), col("source"))
       .filter(col("shingle").isNotNull)
-      .groupBy(col("shingle"), col("source")).agg(count(lit(1))) // codegen dedup
+      .distinct() // codegen hash agg; ObjectHashAggregate sees deduped rows only
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("source"))).as("srcs"))
     // all (a < b) pairs of the (sorted) per-shingle source set
@@ -270,7 +274,7 @@ object AnalysisQueries extends QueryGroup {
     Tables(spark, dir).documents
       .select(col("doc_id"), toks.as("__toks"))
       .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
-        explode_outer(col("__toks")).as("tok")) // outer: see sourceOverlap
+        explode_outer(col("__toks")).as("tok")) // attribute input: see sourceOverlap
       .filter(col("tok").isNotNull)
       .groupBy(col("doc_id"), col("n_tokens"), col("tok"))
       .agg(count(lit(1)).as("c"))
@@ -296,7 +300,7 @@ object AnalysisQueries extends QueryGroup {
     val tf = docs
       .select(col("doc_id"), toks.as("__toks"))
       .select(col("doc_id"), explode_outer(col("__toks")).as("tok"))
-      .filter(col("tok").isNotNull) // outer: see sourceOverlap
+      .filter(col("tok").isNotNull) // attribute input: see sourceOverlap
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     // dfreq is derived from tf UNCHANGED below its aggregate, so AQE

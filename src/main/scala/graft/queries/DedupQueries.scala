@@ -43,13 +43,13 @@ object DedupQueries extends QueryGroup {
 
   /** 48-bit SimHash per document (Dedup.simhashBits). */
   def simhashes(spark: SparkSession, dir: String): DataFrame = {
-    // explode_outer + post-filter: a bare explode's implicit size>0
-    // filter is pushdown-rewritten in terms of the raw text, inlining
-    // (and so re-running) the tokenize+distinct per row
+    // bare explode is safe here: the generator input is a complex
+    // expression, and InferFiltersFromGenerate only plants its implicit
+    // size>0 filter for Attribute inputs (probe-verified on 4.1.2) —
+    // the staged-column form would need explode_outer (see sourceOverlap)
     val toks = Tables(spark, dir).documents
       .select(col("doc_id"),
-        explode_outer(array_distinct(split(col("text"), "\\s+"))).as("t"))
-      .filter(col("t").isNotNull)
+        explode(array_distinct(split(col("text"), "\\s+"))).as("t"))
     Dedup.simhash(toks)
   }
 
@@ -62,8 +62,7 @@ object DedupQueries extends QueryGroup {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir).documents
       .select(col("doc_id"),
-        explode_outer(array_distinct(split(col("text"), "\\s+"))).as("t"))
-      .filter(col("t").isNotNull) // see simhashes: avoids inlined re-tokenize
+        explode(array_distinct(split(col("text"), "\\s+"))).as("t")) // see simhashes
     val s = graft.core.CacheScope.track( // both band-join sides read it
       Dedup.simhash(toks).persist())
     Dedup.simhashBandPairs(s, maxHamming = 2)

@@ -271,10 +271,7 @@ object SimilarityQueries extends QueryGroup {
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).embeddings
       .select(col("label").cast("long").as("label"),
-        // outer + post-filter: a bare posexplode's implicit size>0 filter
-        // would re-inline the snap transform per row (see sourceOverlap)
-        posexplode_outer(Similarity.snapVec(col("embedding"))).as(Seq("d0", "iv")))
-      .filter(col("d0").isNotNull)
+        posexplode(Similarity.snapVec(col("embedding"))).as(Seq("d0", "iv")))
       .select(col("label"), (col("d0") + 1).cast("long").as("dim"), col("iv"))
       .groupBy(col("label"), col("dim"))
       .agg(sum(col("iv")).as("sum_snapped"), count(lit(1)).as("n_vecs"))

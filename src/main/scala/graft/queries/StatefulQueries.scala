@@ -94,12 +94,8 @@ object StatefulQueries extends QueryGroup {
       .select(col("user_id"), col("event_id"),
         from_json(col("prev_props"), mapT).as("pm"),
         from_json(col("props"), mapT).as("cm"))
-      // explode_outer + post-filter: a bare explode's implicit size>0
-      // filter would be pushdown-rewritten in terms of props, re-running
-      // both from_json parses per row
       .select(col("user_id"), col("event_id"), col("pm"), col("cm"),
-        explode_outer(array_union(map_keys(col("pm")), map_keys(col("cm")))).as("field"))
-      .filter(col("field").isNotNull)
+        explode(array_union(map_keys(col("pm")), map_keys(col("cm")))).as("field"))
       .select(col("user_id"), col("event_id"), col("field"),
         element_at(col("pm"), col("field")).as("old_value"),
         element_at(col("cm"), col("field")).as("new_value"))
