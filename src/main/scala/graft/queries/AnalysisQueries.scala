@@ -178,6 +178,30 @@ object AnalysisQueries extends QueryGroup {
       .filter(col("bucket") < thr)
   }
 
+  /** End-to-end curation, round-4 edition — the new operators COMPOSED
+    * the way a real corpus-prep job chains them: near-dup removal
+    * (d8's cluster-canonical filter, subsuming exact dedup), a token-
+    * length quality gate, then fixed-budget sequence packing of the
+    * SURVIVING corpus into per-shard training windows. One DAG: the
+    * cluster-frame joins stay AQE-adaptive, the only ordered operation
+    * is the per-shard cumulative sum, and each survivor carries
+    * n_merged so downstream loss-weighting can account for collapsed
+    * duplicates. (x_curation_pipeline is the round-2 single-pass
+    * filter chain; this one exercises the heavy pipeline stages.) */
+  def curatePack(spark: SparkSession, dir: String): DataFrame = {
+    val survivors = DedupQueries.dedupApply(spark, dir) // (doc_id, n_merged)
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tok"))
+    val kept = survivors.join(toks, "doc_id")
+      .filter(col("n_tok").between(20, 2000))
+      .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+    kept.withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("n_merged"),
+        expr("(cum - n_tok) div 4096").as("seq_id"))
+  }
+
   /** Cross-source overlap audit: for every source pair, how many
     * distinct shingles they share — the contamination matrix that says
     * which corpus slices leak into each other (the pairwise, corpus-
@@ -367,7 +391,8 @@ object AnalysisQueries extends QueryGroup {
     "x_tfidf_topk"      -> (tfidfTopK _),
     "x_pack_sequences"  -> ((s, d) => packSequences(s, d)),
     "x_mixture_weights" -> (mixtureWeights _),
-    "x_source_overlap"  -> (sourceOverlap _)
+    "x_source_overlap"  -> (sourceOverlap _),
+    "x_curate_pack"     -> (curatePack _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -435,6 +460,32 @@ object AnalysisQueries extends QueryGroup {
     // aggregate SUMs cast back to BIGINT (DuckDB widens to HUGEINT);
     // int * double multiplies keep DuckDB's implicit int->double cast
     // explicit on the Spark side so both engines do the same two ops
+    // d8's survivors (recursive-CTE connected components) -> token gate
+    // -> per-shard packing, composed exactly like the Spark DAG
+    "x_curate_pack" ->
+      s"""${DedupQueries.ccCte}, labels AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src
+         |), sizes AS (
+         |  SELECT cluster_id, COUNT(*) AS n_merged FROM labels
+         |  GROUP BY cluster_id
+         |), surv AS (
+         |  SELECT d.doc_id, COALESCE(s.n_merged, 1) AS n_merged,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tok
+         |  FROM documents d
+         |  LEFT JOIN labels l ON l.doc_id = d.doc_id AND l.doc_id <> l.cluster_id
+         |  LEFT JOIN sizes s ON s.cluster_id = d.doc_id
+         |  WHERE l.doc_id IS NULL
+         |), kept AS (
+         |  SELECT doc_id, n_merged, n_tok, doc_id % 8 AS shard FROM surv
+         |  WHERE n_tok BETWEEN 20 AND 2000
+         |), c AS (
+         |  SELECT doc_id, shard, n_tok, n_merged,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+         |  FROM kept
+         |)
+         |SELECT doc_id, shard, n_tok, n_merged, (cum - n_tok) // 4096 AS seq_id
+         |FROM c ORDER BY doc_id""".stripMargin,
     "x_source_overlap" ->
       s"""WITH sh AS (
          |  SELECT d.source, unnest(${DedupQueries.shSql}) AS shingle

@@ -299,9 +299,10 @@ object DedupQueries extends QueryGroup {
          |ORDER BY d.doc_id""".stripMargin
   )
 
-  /** Shared prefix of d7/d8: LSH candidates -> Jaccard verify ->
-    * undirected edge set -> recursive reachability. */
-  private def ccCte: String =
+  /** Shared prefix of d7/d8 (and AnalysisQueries' end-to-end curation
+    * oracle): LSH candidates -> Jaccard verify -> undirected edge set ->
+    * recursive reachability. */
+  private[queries] def ccCte: String =
     s"""${sigsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, bands AS (
        |  SELECT doc_id, 0 AS band_idx, band0 AS band_hash FROM banded
        |  UNION ALL
