@@ -251,7 +251,25 @@ object RelationalQueries extends QueryGroup {
       .orderBy(col("o_orderpriority"), col("o_orderkey"))
   }
 
+  /** Correlated scalar subquery through the SQL surface — each
+    * customer's max-price order(s). Catalyst DECORRELATES it
+    * (RewriteCorrelatedScalarSubquery): the per-row subquery becomes
+    * one aggregate on o_custkey plus an equi-join — O(n) + a shuffle,
+    * not an O(n²) per-row re-execution. MAX + exact equality on the
+    * stored values, so no float-boundary risk; ties (a customer with
+    * two max-price orders) are all kept, deterministically. */
+  def correlatedMax(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).orders.createOrReplaceTempView("orders_cm")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders_cm o
+        |WHERE o_totalprice = (SELECT MAX(o2.o_totalprice)
+        |                      FROM orders_cm o2
+        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_correlated_max" -> (correlatedMax _),
     "q_topk_per_key" -> (topkPerKey _),
     "q_set_ops" -> (setOps _),
     "q_semi_anti" -> (semiAnti _),
@@ -270,6 +288,12 @@ object RelationalQueries extends QueryGroup {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_correlated_max" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_topk_per_key" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
