@@ -194,12 +194,23 @@ object AnalysisQueries extends QueryGroup {
       .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tok"))
     val kept = survivors.join(toks, "doc_id")
       .filter(col("n_tok").between(20, 2000))
-      .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+    packIntoSequences(kept)
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("n_merged"),
+        col("seq_id"))
+  }
+
+  /** The packing stage shared by x_pack_sequences and x_curate_pack:
+    * shard by doc_id, per-shard running token sum, window id = start
+    * offset div budget. One place owns the scheme (and its scale note —
+    * see packSequences). */
+  private def packIntoSequences(df: DataFrame, nShards: Int = 8,
+                                budget: Long = 4096L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
-    kept.withColumn("cum", sum(col("n_tok")).over(w))
-      .select(col("doc_id"), col("shard"), col("n_tok"), col("n_merged"),
-        expr("(cum - n_tok) div 4096").as("seq_id"))
+    df.withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id", expr(s"(cum - n_tok) div $budget"))
+      .drop("cum")
   }
 
   /** Cross-source overlap audit: for every source pair, how many
@@ -278,16 +289,11 @@ object AnalysisQueries extends QueryGroup {
     * doc_id % n, order = doc_id), so re-runs shard identically —
     * resumable preprocessing for free. */
   def packSequences(spark: SparkSession, dir: String,
-                    nShards: Int = 8, budget: Long = 4096L): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("doc_id"))
-    Tables(spark, dir).documents
-      .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tok"),
-        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))
-      .withColumn("cum", sum(col("n_tok")).over(w))
-      .select(col("doc_id"), col("shard"), col("n_tok"),
-        expr(s"(cum - n_tok) div $budget").as("seq_id"))
-  }
+                    nShards: Int = 8, budget: Long = 4096L): DataFrame =
+    packIntoSequences(Tables(spark, dir).documents
+        .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tok")),
+        nShards, budget)
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("seq_id"))
 
   /** Intra-document repetition score — boilerplate/spam signal: the
     * distinct-token ratio and the share of the single most frequent
@@ -463,20 +469,7 @@ object AnalysisQueries extends QueryGroup {
     // d8's survivors (recursive-CTE connected components) -> token gate
     // -> per-shard packing, composed exactly like the Spark DAG
     "x_curate_pack" ->
-      s"""${DedupQueries.ccCte}, labels AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |  FROM reach GROUP BY src
-         |), sizes AS (
-         |  SELECT cluster_id, COUNT(*) AS n_merged FROM labels
-         |  GROUP BY cluster_id
-         |), surv AS (
-         |  SELECT d.doc_id, COALESCE(s.n_merged, 1) AS n_merged,
-         |    CAST(len($toksSql) AS BIGINT) AS n_tok
-         |  FROM documents d
-         |  LEFT JOIN labels l ON l.doc_id = d.doc_id AND l.doc_id <> l.cluster_id
-         |  LEFT JOIN sizes s ON s.cluster_id = d.doc_id
-         |  WHERE l.doc_id IS NULL
-         |), kept AS (
+      s"""${DedupQueries.survCte(s",\n    CAST(len($toksSql) AS BIGINT) AS n_tok")}, kept AS (
          |  SELECT doc_id, n_merged, n_tok, doc_id % 8 AS shard FROM surv
          |  WHERE n_tok BETWEEN 20 AND 2000
          |), c AS (

@@ -284,20 +284,30 @@ object DedupQueries extends QueryGroup {
     // survivors = docs that are not a non-canonical cluster member;
     // canonical members carry their cluster size as n_merged
     "d8_dedup_apply" ->
-      s"""$ccCte, labels AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |  FROM reach GROUP BY src
-         |), sizes AS (
-         |  SELECT cluster_id, COUNT(*) AS n_merged FROM labels
-         |  GROUP BY cluster_id
-         |)
-         |SELECT d.doc_id, COALESCE(s.n_merged, 1) AS n_merged
-         |FROM documents d
-         |LEFT JOIN labels l ON l.doc_id = d.doc_id AND l.doc_id <> l.cluster_id
-         |LEFT JOIN sizes s ON s.cluster_id = d.doc_id
-         |WHERE l.doc_id IS NULL
-         |ORDER BY d.doc_id""".stripMargin
+      s"""${survCte()}
+         |SELECT doc_id, n_merged FROM surv ORDER BY doc_id""".stripMargin
   )
+
+  /** Near-dup SURVIVORS as a CTE — the d8 semantics (one canonical doc
+    * per cluster, n_merged = docs it represents) in exactly one place,
+    * shared by the d8 oracle and AnalysisQueries' end-to-end curation
+    * oracle. `extraCols` injects additional select-list columns over
+    * `documents d` (e.g. a token count) without duplicating the
+    * survivor join. */
+  private[queries] def survCte(extraCols: String = ""): String =
+    s"""$ccCte, labels AS (
+       |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+       |  FROM reach GROUP BY src
+       |), sizes AS (
+       |  SELECT cluster_id, COUNT(*) AS n_merged FROM labels
+       |  GROUP BY cluster_id
+       |), surv AS (
+       |  SELECT d.doc_id, COALESCE(s.n_merged, 1) AS n_merged$extraCols
+       |  FROM documents d
+       |  LEFT JOIN labels l ON l.doc_id = d.doc_id AND l.doc_id <> l.cluster_id
+       |  LEFT JOIN sizes s ON s.cluster_id = d.doc_id
+       |  WHERE l.doc_id IS NULL
+       |)""".stripMargin
 
   /** Shared prefix of d7/d8 (and AnalysisQueries' end-to-end curation
     * oracle): LSH candidates -> Jaccard verify -> undirected edge set ->
