@@ -178,6 +178,28 @@ object AnalysisQueries extends QueryGroup {
       .filter(col("bucket") < thr)
   }
 
+  /** Rare-token score — the cross-document noise signal: the share of
+    * a doc's tokens whose CORPUS frequency is below a rarity floor
+    * (gibberish, codes, OCR junk score high; x_repetition is the
+    * within-doc complement). Two shuffles on the token: the frequency
+    * aggregation and the join back to the token stream — the same
+    * (doc, token)-shaped stages as TF-IDF, all exact int64 until the
+    * final ratio division. */
+  def rareTokenScore(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(spark, dir).documents
+      .select(col("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), explode_outer(col("__toks")).as("tok"))
+      .filter(col("tok").isNotNull) // attribute input: see sourceOverlap
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+    tok.join(freq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("cf") < 5, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_tok"), col("n_rare"),
+        (col("n_rare").cast("double") / col("n_tok").cast("double"))
+          .as("rare_ratio")) // n_tok >= 1 always (split of "" is [""])
+  }
+
   /** End-to-end curation, round-4 edition — the new operators COMPOSED
     * the way a real corpus-prep job chains them: near-dup removal
     * (d8's cluster-canonical filter, subsuming exact dedup), a token-
@@ -398,7 +420,8 @@ object AnalysisQueries extends QueryGroup {
     "x_pack_sequences"  -> ((s, d) => packSequences(s, d)),
     "x_mixture_weights" -> (mixtureWeights _),
     "x_source_overlap"  -> (sourceOverlap _),
-    "x_curate_pack"     -> (curatePack _)
+    "x_curate_pack"     -> (curatePack _),
+    "x_rare_tokens"     -> (rareTokenScore _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -479,6 +502,20 @@ object AnalysisQueries extends QueryGroup {
          |)
          |SELECT doc_id, shard, n_tok, n_merged, (cum - n_tok) // 4096 AS seq_id
          |FROM c ORDER BY doc_id""".stripMargin,
+    "x_rare_tokens" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents
+         |), freq AS (
+         |  SELECT tok, COUNT(*) AS cf FROM tok GROUP BY tok
+         |), scored AS (
+         |  SELECT t.doc_id, COUNT(*) AS n_tok,
+         |    CAST(SUM(CASE WHEN f.cf < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+         |  FROM tok t JOIN freq f ON t.tok = f.tok
+         |  GROUP BY t.doc_id
+         |)
+         |SELECT doc_id, n_tok, n_rare,
+         |  CAST(n_rare AS DOUBLE) / CAST(n_tok AS DOUBLE) AS rare_ratio
+         |FROM scored ORDER BY doc_id""".stripMargin,
     "x_source_overlap" ->
       s"""WITH sh AS (
          |  SELECT d.source, unnest(${DedupQueries.shSql}) AS shingle
