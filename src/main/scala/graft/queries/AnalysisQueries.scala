@@ -181,20 +181,25 @@ object AnalysisQueries extends QueryGroup {
   /** Rare-token score — the cross-document noise signal: the share of
     * a doc's tokens whose CORPUS frequency is below a rarity floor
     * (gibberish, codes, OCR junk score high; x_repetition is the
-    * within-doc complement). Two shuffles on the token: the frequency
-    * aggregation and the join back to the token stream — the same
-    * (doc, token)-shaped stages as TF-IDF, all exact int64 until the
-    * final ratio division. */
+    * within-doc complement). The tfidf stage-reuse shape: ONE corpus
+    * tokenize + shuffle to (doc, token) counts; the corpus-frequency
+    * branch derives from that aggregate with the subtree unchanged (the
+    * tautological `cnt > 0` keeps the exchanges canonically equal, so
+    * AQE reuses the shuffle stage instead of re-scanning the corpus —
+    * see tfidfTopK), and everything downstream is vocab/doc-sized.
+    * All exact int64 until the final ratio division. */
   def rareTokenScore(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables(spark, dir).documents
       .select(col("doc_id"), toks.as("__toks"))
       .select(col("doc_id"), explode_outer(col("__toks")).as("tok"))
       .filter(col("tok").isNotNull) // attribute input: see sourceOverlap
-    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("cf"))
-    tok.join(freq, "tok")
+    val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val freq = tf.filter(col("cnt") > 0) // tautological — canonical equality
+      .groupBy(col("tok")).agg(sum(col("cnt")).as("cf"))
+    tf.join(freq, "tok")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tok"),
-        sum(when(col("cf") < 5, 1L).otherwise(0L)).as("n_rare"))
+      .agg(sum(col("cnt")).as("n_tok"),
+        sum(when(col("cf") < 5, col("cnt")).otherwise(0L)).as("n_rare"))
       .select(col("doc_id"), col("n_tok"), col("n_rare"),
         (col("n_rare").cast("double") / col("n_tok").cast("double"))
           .as("rare_ratio")) // n_tok >= 1 always (split of "" is [""])
