@@ -2,6 +2,8 @@ package graft.core
 
 import scala.collection.mutable.ArrayBuffer
 
+import org.apache.spark.sql.SparkSession
+
 /** Registry for storage held on behalf of lazily-returned query results.
   *
   * Several queries persist an intermediate frame that the returned
@@ -19,23 +21,47 @@ import scala.collection.mutable.ArrayBuffer
   * between queries. Releasing is always safe — an unpersisted frame
   * recomputes from lineage on the next action (slow, never wrong) — and
   * double-release is a no-op.
+  *
+  * Concurrency contract: the registry is process-global, so a bare
+  * [[releaseAll]] drops EVERY tracked persist across all sessions —
+  * including another in-flight query's intermediates (correct but a
+  * recompute cliff; an RDD-backed CC result would replay its whole
+  * iterative cascade on its next action). Entries are therefore keyed
+  * by owning [[SparkSession]]: a concurrent library caller should use
+  * [[release]]`(session)` to free only its own session's persists and
+  * leave other sessions' storage alone. Single-pipeline harnesses
+  * (Verify/Bench — one query in flight at a time) use the global form.
   */
 object CacheScope {
-  private val cleanups = ArrayBuffer.empty[() => Unit]
+  private val cleanups = ArrayBuffer.empty[(SparkSession, () => Unit)]
 
-  /** Register a persisted Dataset for later [[releaseAll]]; returns it. */
+  /** Register a persisted Dataset for later release (owner inferred from
+    * the Dataset's session); returns it. */
   def track[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] =
-    synchronized { cleanups += (() => { ds.unpersist(false); () }); ds }
+    synchronized {
+      cleanups += ((ds.sparkSession, () => { ds.unpersist(false); () })); ds
+    }
 
-  /** Register a persisted RDD (the CC results' backing storage). */
-  def trackRdd[T](rdd: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] =
-    synchronized { cleanups += (() => { rdd.unpersist(false); () }); rdd }
+  /** Register a persisted RDD (the CC results' backing storage) under
+    * the session that produced it. */
+  def trackRdd[T](rdd: org.apache.spark.rdd.RDD[T],
+                  owner: SparkSession): org.apache.spark.rdd.RDD[T] =
+    synchronized { cleanups += ((owner, () => { rdd.unpersist(false); () })); rdd }
 
-  /** Release every tracked frame/RDD (non-blocking). Failures are
-    * swallowed: a frame whose session already stopped has nothing left
-    * to free. */
+  /** Release every tracked frame/RDD across all sessions (non-blocking).
+    * Failures are swallowed: a frame whose session already stopped has
+    * nothing left to free. */
   def releaseAll(): Unit = synchronized {
-    cleanups.foreach(f => try f() catch { case _: Throwable => () })
+    cleanups.foreach { case (_, f) => try f() catch { case _: Throwable => () } }
     cleanups.clear()
+  }
+
+  /** Release only the persists registered by queries running on
+    * `session` — the concurrent-caller form of [[releaseAll]]. */
+  def release(session: SparkSession): Unit = synchronized {
+    val (mine, others) = cleanups.partition(_._1 eq session)
+    mine.foreach { case (_, f) => try f() catch { case _: Throwable => () } }
+    cleanups.clear()
+    cleanups ++= others
   }
 }

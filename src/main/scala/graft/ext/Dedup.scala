@@ -343,7 +343,7 @@ object Dedup {
     }
     // the returned frame is backed by the final round's persisted RDD
     // (catalog.clearCache() cannot free it) — register it for release
-    graft.core.CacheScope.trackRdd(labelsRdd)
+    graft.core.CacheScope.trackRdd(labelsRdd, spark)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -462,7 +462,7 @@ object Dedup {
     verticesRdd.unpersist(false)
     // same release contract as connectedComponents: the result's backing
     // RDD is freed by CacheScope.releaseAll(), not catalog.clearCache()
-    graft.core.CacheScope.trackRdd(resRdd)
+    graft.core.CacheScope.trackRdd(resRdd, spark)
     res
   }
 

@@ -23,9 +23,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   *
   * Preconditions (callers: Dedup.shingleFrame, DedupQueries.ngramJaccard):
   * both arrays ascending-sorted (sort_array / UTF8String binary order)
-  * with distinct, non-null elements. Unsorted input returns an
-  * undercount rather than an error — keep the sort next to the
-  * array_distinct that feeds this.
+  * with distinct elements. Unsorted input returns an undercount rather
+  * than an error — keep the sort next to the array_distinct that feeds
+  * this. Null ELEMENTS are skipped (never counted as common, never
+  * dereferenced): the declared input type is ARRAY<STRING> with
+  * containsNull unrestricted, so a future caller handing an array that
+  * merely admits nulls must not NPE the merge loop.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -50,10 +53,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var j = 0
     var acc = 0L
     while (i < nx && j < ny) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (c == 0) { acc += 1L; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (c == 0) { acc += 1L; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
     }
     acc
   }
@@ -72,9 +79,13 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |int $i = 0; int $j = 0;
          |long $acc = 0L;
          |while ($i < $nx && $j < $ny) {
-         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |  if ($c == 0) { $acc++; $i++; $j++; }
-         |  else if ($c < 0) { $i++; } else { $j++; }
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |    if ($c == 0) { $acc++; $i++; $j++; }
+         |    else if ($c < 0) { $i++; } else { $j++; }
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

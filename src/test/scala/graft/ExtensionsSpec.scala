@@ -100,6 +100,20 @@ class ExtensionsSpec extends SparkTestBase {
     got.foreach { case (n, ref) => assert(n === ref) }
   }
 
+  test("sorted_intersect_count skips null elements instead of NPEing (containsNull inputs)") {
+    // the declared input type admits nulls even though the graft callers
+    // never produce them — a null element must be ignored by the merge,
+    // in both the interpreted and the codegen path
+    val df = Seq(
+      (Seq[String](null, "a", "b"), Seq("a", "b", "c")),
+      (Seq("a", null.asInstanceOf[String], "c"), Seq[String](null, "c")),
+      (Seq[String](null), Seq[String](null))
+    ).toDF("a", "b")
+    val got = df.select(graft.functions.SortedIntersectCount
+      .sorted_intersect_count(col("a"), col("b")).as("n")).as[Long].collect()
+    assert(got.toSeq === Seq(2L, 1L, 0L))
+  }
+
   test("sorted_intersect_count generated code compiles (no interpreted fallback)") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
