@@ -60,7 +60,9 @@ object Dedup {
 
   /** Signature frame from an existing (idCol, sh) shingle frame — split
     * out so pipelines that also verify candidates (neardupPairs) compute
-    * and persist the shingle arrays ONCE and feed both stages.
+    * and persist the shingle arrays ONCE and feed both stages. `keep`
+    * names input columns to carry through unchanged (e.g. `"sh"` when
+    * building a persistent index that stores shingles beside bands).
     *
     * `hashMode` picks the minhash family:
     *  - `"md5"` (default): one md5 per shingle sliced into 4 chunks —
@@ -81,19 +83,21 @@ object Dedup {
     *    the default. */
   def signaturesFromShingles(shingled: DataFrame,
                              idCol: String = "doc_id",
-                             hashMode: String = "md5"): DataFrame = hashMode match {
+                             hashMode: String = "md5",
+                             keep: Seq[String] = Nil): DataFrame = hashMode match {
     case "md5" =>
+      val kept = keep.map(col)
       val hashed = shingled
-        .select(col(idCol), transform(col("sh"), s => md5(s)).as("hs"))
+        .select(col(idCol) +: kept :+ transform(col("sh"), s => md5(s)).as("hs"): _*)
       val withSig = hashed
-        .select(col(idCol) +: (0 to 3).map(k =>
+        .select(col(idCol) +: kept ++: (0 to 3).map(k =>
           array_min(transform(col("hs"), h => substring(h, 8 * k + 1, 8))).as(s"sig$k")): _*)
       withSig
         .withColumn("band0", bandHash(col("sig0"), col("sig1")))
         .withColumn("band1", bandHash(col("sig2"), col("sig3")))
     case "xxh64" =>
       val withSig = shingled
-        .select(col(idCol) +: (0 to 3).map(k =>
+        .select(col(idCol) +: keep.map(col) ++: (0 to 3).map(k =>
           array_min(transform(col("sh"), s => xxhash64(lit(k), s))).as(s"sig$k")): _*)
       // xxhash64 SKIPS null inputs (all-null args hash to the bare seed),
       // unlike md5(concat(...)) which propagates NULL — without the guard
@@ -159,21 +163,84 @@ object Dedup {
     * jaccard 0.0 (not 0/0, which would throw under ANSI). */
   def verifyJaccardOnShingles(sh: DataFrame, pairs: DataFrame,
                               minJaccard: Double,
-                              idCol: String = "doc_id"): DataFrame = {
-    val sa = sh.select(col(idCol).as("said"), col("sh").as("sha"))
-    val sb = sh.select(col(idCol).as("sbid"), col("sh").as("shb"))
+                              idCol: String = "doc_id"): DataFrame =
+    verifyJaccardAcross(sh, sh, pairs, minJaccard, "a_id", "b_id", idCol)
+
+  /** [[verifyJaccardOnShingles]] generalized to DIFFERENT shingle frames
+    * per pair side — the incremental shape, where the left side is a
+    * fresh batch's shingle frame and the right side is the stored `sh`
+    * column of a persisted index. Same preconditions on both frames. */
+  def verifyJaccardAcross(shLeft: DataFrame, shRight: DataFrame,
+                          pairs: DataFrame, minJaccard: Double,
+                          leftCol: String, rightCol: String,
+                          idCol: String = "doc_id"): DataFrame = {
+    val sa = shLeft.select(col(idCol).as("said"), col("sh").as("sha"))
+    val sb = shRight.select(col(idCol).as("sbid"), col("sh").as("shb"))
     val union = col("n_a") + col("n_b") - col("n_common")
     pairs
-      .join(sa, col("said") === col("a_id"))
-      .join(sb, col("sbid") === col("b_id"))
+      .join(sa, col("said") === col(leftCol))
+      .join(sb, col("sbid") === col(rightCol))
       .withColumn("n_common", graft.functions.SortedIntersectCount
         .sorted_intersect_count(col("sha"), col("shb")))
       .withColumn("n_a", size(col("sha")).cast("long"))
       .withColumn("n_b", size(col("shb")).cast("long"))
-      .select(col("a_id"), col("b_id"), col("n_common"), col("n_a"), col("n_b"),
+      .select(col(leftCol), col(rightCol), col("n_common"), col("n_a"), col("n_b"),
         when(union > 0, col("n_common").cast("double") / union.cast("double"))
           .otherwise(0.0).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+  }
+
+  // ---- incremental near-dup (batch vs persisted index) ----
+
+  /** Write the persistent near-dup index for `docs`: one parquet table
+    * (idCol, sh, sig0..sig3, band0, band1) — the d2 signature frame with
+    * the sorted shingle arrays stored beside the bands, so a later batch
+    * can both band-join AND exact-verify against the index without ever
+    * re-tokenizing the corpus. At 100 TB this is the table a corpus team
+    * maintains between ingests; it is append-friendly (pure per-row
+    * projection, no cross-row state) and ~2 orders of magnitude smaller
+    * than the corpus it summarizes (shingles are the dominant column;
+    * partition by ingest date in production). */
+  def writeNeardupIndex(docs: DataFrame, path: String,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): Unit =
+    signaturesFromShingles(shingleFrame(docs, textCol, idCol), idCol,
+        keep = Seq("sh"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Near-dup pairs between a NEW batch and the indexed corpus — the
+    * operational 100 TB dedup shape: "dedup today's ingest against
+    * everything already indexed". Only the batch is shingled; the
+    * corpus side comes entirely from the index parquet — its bands for
+    * the candidate equi-join (column-pruned scan of (idCol, band0,
+    * band1)), its stored `sh` arrays for the exact-Jaccard verify
+    * (second pruned scan, touching only (idCol, sh)). Cost is
+    * O(batch) + O(candidates) + two index scans, independent of the
+    * corpus's tokenization cost. Output: (batch_id, corpus_id,
+    * n_common, n_a, n_b, jaccard) at jaccard >= minJaccard. */
+  def incrementalNeardup(spark: org.apache.spark.sql.SparkSession,
+                         batch: DataFrame, indexPath: String,
+                         minJaccard: Double,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val index = spark.read.parquet(indexPath)
+    // the batch shingle frame feeds its signature stage AND the verify
+    // join — persist it once (batch-sized, not corpus-sized)
+    val bsh = graft.core.CacheScope.track(
+      shingleFrame(batch, textCol, idCol).persist())
+    val bBands = signaturesFromShingles(bsh, idCol)
+      .select(col(idCol).as("batch_id"),
+        posexplode(array(col("band0"), col("band1")))
+          .as(Seq("band_idx", "band_hash")))
+    val iBands = index
+      .select(col(idCol).as("corpus_id"), posexplode(array(col("band0"), col("band1")))
+        .as(Seq("band_idx_b", "band_hash_b")))
+    val cand = bBands.join(iBands,
+        col("band_idx") === col("band_idx_b") &&
+        col("band_hash") === col("band_hash_b"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    verifyJaccardAcross(bsh, index.select(col(idCol), col("sh")), cand,
+      minJaccard, "batch_id", "corpus_id", idCol)
   }
 
   // ---- SimHash (16-bit, engine-portable) ----

@@ -157,6 +157,34 @@ object DedupQueries extends QueryGroup {
       .select(col("doc_id"), coalesce(col("n_merged"), lit(1L)).as("n_merged"))
   }
 
+  /** Incremental near-dup: dedup a NEW batch (doc_id % 5 = 0 — "today's
+    * ingest") against the already-indexed rest of the corpus. The first
+    * call builds the index — Dedup.writeNeardupIndex persists the corpus
+    * side's (sh, sigs, bands) as parquet, exactly the artifact a corpus
+    * team maintains between ingests; subsequent calls (and every rep the
+    * bench times after the first) reuse it via its _SUCCESS marker, so
+    * the measured query is the OPERATIONAL shape: shingle the batch
+    * only, band-join against the index's pruned (doc_id, band0, band1)
+    * scan, exact-verify against its stored `sh` arrays. The corpus text
+    * is never re-tokenized — spec-asserted on the plan (one
+    * documents.parquet scan, batch side only). */
+  def incrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val idx = indexPathFor(dir)
+    if (!new java.io.File(idx, "_SUCCESS").exists())
+      Dedup.writeNeardupIndex(docs.filter(col("doc_id") % 5 =!= 0), idx)
+    Dedup.incrementalNeardup(spark, docs.filter(col("doc_id") % 5 === 0), idx, 0.8)
+  }
+
+  /** Per-sf-dir index location: stable across calls (reuse is the point)
+    * yet collision-free across scale factors. */
+  private[queries] def indexPathFor(dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-neardup-index-$digest").getAbsolutePath
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup"   -> (exactDedup _),
     "d2_minhash_sigs"  -> (minhashSigs _),
@@ -165,7 +193,8 @@ object DedupQueries extends QueryGroup {
     "d5_simhash_pairs" -> (simhashPairs _),
     "d6_ngram_jaccard" -> (ngramJaccard _),
     "d7_dup_clusters"  -> (dupClusters _),
-    "d8_dedup_apply"   -> (dedupApply _)
+    "d8_dedup_apply"   -> (dedupApply _),
+    "d9_incremental_neardup" -> (incrementalNeardup _)
   )
 
   // ---- DuckDB oracles ----
@@ -285,7 +314,35 @@ object DedupQueries extends QueryGroup {
     // canonical members carry their cluster size as n_merged
     "d8_dedup_apply" ->
       s"""${survCte()}
-         |SELECT doc_id, n_merged FROM surv ORDER BY doc_id""".stripMargin
+         |SELECT doc_id, n_merged FROM surv ORDER BY doc_id""".stripMargin,
+    // batch (doc_id % 5 = 0) vs corpus (the rest): band collision then
+    // exact Jaccard — signatures are per-doc projections, so computing
+    // them over all docs and filtering sides afterwards is equivalent
+    // to the Spark side's separate batch/index pipelines
+    "d9_incremental_neardup" ->
+      s"""$sigsCte, bands AS (
+         |  SELECT doc_id, 0 AS band_idx, band0 AS band_hash FROM banded
+         |  UNION ALL
+         |  SELECT doc_id, 1, band1 FROM banded
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+         |), verified AS (
+         |  SELECT batch_id, corpus_id,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
+         |    CAST(len(sa.sh) AS BIGINT) AS n_a,
+         |    CAST(len(sb.sh) AS BIGINT) AS n_b
+         |  FROM cand
+         |  JOIN shingled sa ON sa.doc_id = batch_id
+         |  JOIN shingled sb ON sb.doc_id = corpus_id
+         |)
+         |SELECT batch_id, corpus_id, n_common, n_a, n_b,
+         |  CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+         |FROM verified
+         |WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.8
+         |ORDER BY batch_id, corpus_id""".stripMargin
   )
 
   /** Near-dup SURVIVORS as a CTE — the d8 semantics (one canonical doc

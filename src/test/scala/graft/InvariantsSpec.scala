@@ -151,6 +151,46 @@ class InvariantsSpec extends SparkTestBase {
     assert(survivors.values.sum === nDocs)
   }
 
+  test("incremental near-dup matches the d3-route pairs and never re-tokenizes the corpus") {
+    val docs = Tables(spark, sf()).documents
+    val batchPred = col("doc_id") % 5 === 0
+    val idx = java.nio.file.Files.createTempDirectory("graft-d9-spec").toString
+    Dedup.writeNeardupIndex(docs.filter(!batchPred), idx)
+    val inc = Dedup.incrementalNeardup(spark, docs.filter(batchPred), idx, 0.8)
+    val got = inc.select(col("batch_id"), col("corpus_id"))
+      .as[(Long, Long)].collect().toSet
+
+    // reference: the established d3 pipeline over the WHOLE corpus,
+    // restricted to pairs spanning the batch/corpus split — band
+    // collisions and Jaccard are per-pair properties, so the incremental
+    // path must find exactly these
+    val sh = Dedup.shingleFrame(docs)
+    val cand = Dedup.candidatePairs(Dedup.signaturesFromShingles(sh))
+    val expected = Dedup.verifyJaccardOnShingles(sh, cand, 0.8)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect()
+      .flatMap { case (a, b) =>
+        if (a % 5 == 0 && b % 5 != 0) Some((a, b))
+        else if (b % 5 == 0 && a % 5 != 0) Some((b, a))
+        else None
+      }.toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+
+    // scale contract: the returned plan reads the batch from the cached
+    // shingle frame and the corpus ONLY from the index parquet — no
+    // direct documents.parquet relation may appear (re-tokenizing the
+    // corpus is exactly what the index exists to avoid)
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val rels = inc.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.mkString(",")
+    }
+    assert(rels.count(_.contains("graft-d9-spec")) === 2,
+      s"expected 2 pruned index scans (bands + shingles), got $rels")
+    assert(!rels.exists(_.contains("documents.parquet")),
+      s"corpus re-scan found in $rels")
+  }
+
   test("packSequences: per-shard token offsets are a prefix sum and seq ids are the offset div budget") {
     val rows = graft.queries.AnalysisQueries
       .packSequences(spark, sf(), nShards = 4, budget = 64L)
