@@ -533,15 +533,45 @@ object Dedup {
     res
   }
 
-  /** SimHash over a doc's distinct tokens, from per-token md5 hex
-    * values: bit j of the result is set iff the sum over tokens of
-    * (+1 if token-bit j else -1) is positive. `tokRows` must have
-    * columns (doc_id, t). */
-  def simhash(tokRows: DataFrame, divOp: String = "div"): DataFrame = {
-    val v = expr(hexValSql(s"substr(md5(t),1,${simhashBits / 4})", simhashBits / 4))
-    val withV = tokRows.withColumn("v", v)
+  /** SimHash over a doc's distinct tokens: bit j of the result is set
+    * iff the sum over tokens of (+1 if token-bit j else -1) is positive.
+    * `tokRows` must have columns (doc_id, t).
+    *
+    * `hashMode` picks the per-token hash family (mirroring the minhash
+    * modes in [[signaturesFromShingles]]):
+    *  - `"md5"` (default): 48-bit value from the first 12 md5 hex chars,
+    *    extracted with dialect-portable substring/instr arithmetic — the
+    *    CROSS-ENGINE-DETERMINISTIC mode the DuckDB oracle reproduces
+    *    bit-for-bit. The 48 substring ops per token are the price of
+    *    portability.
+    *  - `"xxh64"`: low 48 bits of a salted xxhash64 — codegen-native
+    *    64-bit arithmetic end to end (one hash call + shift/mask per
+    *    bit, no hex strings anywhere), the production mode for a large
+    *    corpus. Same aggregation topology, so downstream banding
+    *    (simhashBandPairs) and Hamming verification are identical;
+    *    OUTPUT pairs depend on the hash because the simhash itself
+    *    does — near-identical token sets still land within the Hamming
+    *    radius under any uniform hash (each differing token shifts
+    *    every bit sum by at most 2), which is what the cross-mode spec
+    *    asserts. No DuckDB counterpart, hence not the default. */
+  def simhash(tokRows: DataFrame, divOp: String = "div",
+              hashMode: String = "md5"): DataFrame = {
+    val withV = hashMode match {
+      case "md5" => tokRows.withColumn("v",
+        expr(hexValSql(s"substr(md5(t),1,${simhashBits / 4})", simhashBits / 4)))
+      case "xxh64" => tokRows.withColumn("v",
+        xxhash64(lit("simhash"), col("t")).bitwiseAND(lit((1L << simhashBits) - 1)))
+      case other => throw new IllegalArgumentException(
+        s"hashMode must be md5 or xxh64, got $other")
+    }
     val bitSums = (0 until simhashBits).map { j =>
-      sum(when(expr(s"(v $divOp ${1L << j}) % 2") === 1, 1).otherwise(-1)).as(s"b$j")
+      val bitSet = hashMode match {
+        // div-then-mod kept verbatim in md5 mode: the same SQL text runs
+        // on DuckDB (divOp "//") for the oracle
+        case "md5" => expr(s"(v $divOp ${1L << j}) % 2") === 1
+        case _ => shiftright(col("v"), j).bitwiseAND(lit(1L)) === 1
+      }
+      sum(when(bitSet, 1).otherwise(-1)).as(s"b$j")
     }
     val agg = withV.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
     val sim = (0 until simhashBits).map { j =>

@@ -113,6 +113,56 @@ class InvariantsSpec extends SparkTestBase {
       Dedup.shingleFrame(dup), hashMode = "sha1"))
   }
 
+  test("xxh64 simhash mode: banding is brute-force-complete within the mode, exact dups pair in both modes") {
+    // Unlike the minhash modes (where the exact-Jaccard verify makes the
+    // OUTPUT hash-independent), a simhash IS its hash: on this heavily
+    // templated corpus most doc pairs sit at the Hamming-radius margin,
+    // so the <=2 pair SET genuinely differs between hash families
+    // (measured at sf0.001: 2291 md5 pairs vs 3588 xxh64, overlap 1023 —
+    // margin membership is hash noise, not signal). The mode-invariant
+    // contracts, asserted exactly:
+    //  1. within either mode, band rotation finds EXACTLY the brute-force
+    //     Hamming<=2 pairs (pigeonhole completeness is hash-independent);
+    //  2. identical distinct-token sets hash to the identical simhash in
+    //     both modes, so exact-dup pairs (Hamming 0) appear in both.
+    val docs = Tables(spark, sf()).documents
+    def toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), "\\s+"))).as("t"))
+    def pairsOf(mode: String): Set[(Long, Long)] = {
+      val s = Dedup.simhash(toks, hashMode = mode).persist()
+      try {
+        val banded = Dedup.simhashBandPairs(s, maxHamming = 2)
+          .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+        val a = s.select(col("doc_id").as("a_id"), col("simhash").as("ha"))
+        val b = s.select(col("doc_id").as("b_id"), col("simhash").as("hb"))
+        val brute = a.join(b, col("a_id") < col("b_id"))
+          .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 2)
+          .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+        assert(banded === brute, s"banding incomplete in $mode mode")
+        banded
+      } finally { s.unpersist(); () }
+    }
+    val md5Pairs = pairsOf("md5")
+    val xxhPairs = pairsOf("xxh64")
+    assert(md5Pairs.nonEmpty && xxhPairs.nonEmpty)
+    // pairs with IDENTICAL distinct-token sets have identical simhashes
+    // under any hash family (Hamming 0) — present in both modes' output
+    val ts = docs.select(col("doc_id"),
+      sort_array(array_distinct(split(col("text"), "\\s+"))).as("ts"))
+    val tokExact = ts.select(col("doc_id").as("a_id"), col("ts").as("ta"))
+      .join(ts.select(col("doc_id").as("b_id"), col("ts").as("tb")),
+        col("a_id") < col("b_id") && col("ta") === col("tb"))
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    assert(tokExact.subsetOf(md5Pairs) && tokExact.subsetOf(xxhPairs))
+    // identical token sets -> identical simhashes, in the new mode too
+    val twin = Seq((1L, "alpha"), (1L, "beta"), (2L, "alpha"), (2L, "beta"))
+      .toDF("doc_id", "t")
+    val sims = Dedup.simhash(twin, hashMode = "xxh64")
+      .as[(Long, Long)].collect().toMap
+    assert(sims(1L) === sims(2L))
+    intercept[IllegalArgumentException](Dedup.simhash(twin, hashMode = "sha1"))
+  }
+
   test("shingle-less docs never pair, in either hash mode, and degenerate pairs don't divide by zero") {
     // docs under 3 tokens have empty shingle arrays -> null sigs; both
     // hash modes must emit NULL bands for them (xxhash64 would otherwise
