@@ -90,7 +90,20 @@ object Similarity {
   }
 
   /** LSH bucket id from `nPlanes` hyperplane sign bits over a
-    * pre-snapped vector column. */
+    * pre-snapped vector column.
+    *
+    * Sizing rule (the same law as the simhash band width,
+    * Dedup.simhashBits): candidate joins on the bucket id cost
+    * O(Σ bucket²), so bucket occupancy must track CLUSTER sizes, not
+    * corpus size — pick nPlanes with 2^nPlanes ≫ n / target_bucket_size,
+    * i.e. grow nPlanes logarithmically with the corpus (8 planes / 256
+    * buckets saturates around 10⁴–10⁵ vectors; a 10⁹-vector corpus wants
+    * ~24–30 planes, recall recovered via multi-probe or band OR-ing).
+    * Buckets NEST across plane counts — bucket_k = bucket_m mod 2^k for
+    * k < m, because plane j's weights depend only on j — so raising
+    * nPlanes strictly refines the partition (spec-asserted:
+    * max-occupancy is non-increasing, same-bucket pair sets only
+    * shrink). */
   def lshBucket(sv: Column, nPlanes: Int, dims: Int): Column =
     (0 until nPlanes).map(j => planeBit(sv, j, dims) * lit(1 << j))
       .reduce(_ + _).cast("long")

@@ -160,15 +160,23 @@ object SimilarityQueries extends QueryGroup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** Random-hyperplane LSH buckets (8 planes) — the ANN scale path:
-    * bucket assignment is a projection; candidate generation is an
-    * equi-join on the bucket id. Emits each vector's bucket plus
-    * verified same-bucket pairs with cosine >= 0.3. */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** Random-hyperplane LSH buckets — the ANN scale path: bucket
+    * assignment is a projection; candidate generation is an equi-join
+    * on the bucket id. Emits each vector's bucket plus verified
+    * same-bucket pairs with cosine >= 0.3. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    annLsh(spark, dir, nPlanes = 8)
+
+  /** `nPlanes` is THE scale knob (Similarity.lshBucket's sizing rule:
+    * 2^nPlanes ≫ n / target bucket size) — the default 8 suits the test
+    * corpus; a 100 TB corpus raises it logarithmically. Registered at
+    * both 8 and 6 planes (y3_ann_lsh / y3_ann_lsh_p6), each with its
+    * own oracle; bucket nesting across settings is spec-asserted. */
+  def annLsh(spark: SparkSession, dir: String, nPlanes: Int): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     val sv = emb.select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
       .withColumn("nrm", Similarity.normSnapped(col("sv")))
-      .withColumn("bucket", Similarity.lshBucket(col("sv"), 8, 64))
+      .withColumn("bucket", Similarity.lshBucket(col("sv"), nPlanes, 64))
     val a = sv.select(col("vec_id").as("a_id"), col("sv").as("av"),
       col("nrm").as("an"), col("bucket"))
     val b = sv.select(col("vec_id").as("b_id"), col("sv").as("bv"),
@@ -191,11 +199,17 @@ object SimilarityQueries extends QueryGroup {
     * state, both corpus-shaped with enough planes (buckets must satisfy
     * 2^planes ≫ n/target_bucket, same sizing rule as d5's simhash
     * bands). */
-  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraph(spark, dir, nPlanes = 8)
+
+  /** `nPlanes` surfaces the bucket-count knob exactly as in [[annLsh]]:
+    * candidate cost is O(Σ bucket²), so the plane count must grow
+    * logarithmically with the corpus for the join to stay linear. */
+  def knnGraph(spark: SparkSession, dir: String, nPlanes: Int): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     val sv = emb.select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
       .withColumn("nrm", Similarity.normSnapped(col("sv")))
-      .withColumn("bucket", Similarity.lshBucket(col("sv"), 8, 64))
+      .withColumn("bucket", Similarity.lshBucket(col("sv"), nPlanes, 64))
     val a = sv.select(col("vec_id").as("a_id"), col("sv").as("av"),
       col("nrm").as("an"), col("bucket"))
     val b = sv.select(col("vec_id").as("b_id"), col("sv").as("bv"),
@@ -282,8 +296,9 @@ object SimilarityQueries extends QueryGroup {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "y1_cosine_topk"   -> (cosineTopK _),
     "y2_embed_neardup" -> (embedNearDup _),
-    "y3_ann_lsh"       -> (annLsh _),
-    "y6_knn_graph"     -> (knnGraph _),
+    "y3_ann_lsh"       -> ((s: SparkSession, d: String) => annLsh(s, d)),
+    "y3_ann_lsh_p6"    -> ((s: SparkSession, d: String) => annLsh(s, d, nPlanes = 6)),
+    "y6_knn_graph"     -> ((s: SparkSession, d: String) => knnGraph(s, d)),
     "y4_ann_ivf"       -> (annIvf _),
     "y5_label_centroids" -> (labelCentroids _)
   )
@@ -301,9 +316,9 @@ object SimilarityQueries extends QueryGroup {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
-  /** 8-plane LSH bucket (mirrors Similarity.lshBucket). */
-  private val bucketSql: String = {
-    val bits = (0 until 8).map { j =>
+  /** `nPlanes`-plane LSH bucket (mirrors Similarity.lshBucket). */
+  private def bucketSqlFor(nPlanes: Int): String = {
+    val bits = (0 until nPlanes).map { j =>
       val proj =
         s"""list_aggregate(list_transform(range(1, len(embedding) + 1),
            |  i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) *
@@ -312,6 +327,7 @@ object SimilarityQueries extends QueryGroup {
     }
     "CAST(" + bits.mkString(" + ") + " AS BIGINT)"
   }
+  private val bucketSql: String = bucketSqlFor(8)
 
   def oracles: Map[String, String] = Map(
     "y1_cosine_topk" ->
@@ -394,6 +410,16 @@ object SimilarityQueries extends QueryGroup {
     "y3_ann_lsh" ->
       s"""WITH bucketed AS (
          |  SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings
+         |)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cos
+         |FROM bucketed a JOIN bucketed b
+         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin,
+    "y3_ann_lsh_p6" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, embedding, ${bucketSqlFor(6)} AS bucket FROM embeddings
          |)
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket,
          |  ${cosSql("a.embedding", "b.embedding")} AS cos

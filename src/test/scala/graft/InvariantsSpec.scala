@@ -263,6 +263,38 @@ class InvariantsSpec extends SparkTestBase {
     assert(rows.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
 
+  test("lsh plane count: buckets nest, occupancy refines, pair sets shrink monotonically") {
+    // the scale knob the y3/y6 overloads surface: raising nPlanes must
+    // strictly refine the bucket partition (lshBucket's prefix
+    // property), so occupancy and candidate counts can only shrink
+    val sv = Tables(spark, sf()).embeddings
+      .select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
+    val buckets = sv.select(col("vec_id"),
+        Similarity.lshBucket(col("sv"), 4, 64).as("b4"),
+        Similarity.lshBucket(col("sv"), 8, 64).as("b8"),
+        Similarity.lshBucket(col("sv"), 10, 64).as("b10"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(buckets.nonEmpty)
+    // nesting: lower-plane bucket = higher-plane bucket mod 2^planes
+    buckets.foreach { case (id, b4, b8, b10) =>
+      assert(b4 === (b8 & 15L), s"vec $id: b4 not a prefix of b8")
+      assert(b8 === (b10 & 255L), s"vec $id: b8 not a prefix of b10")
+    }
+    // refinement: max occupancy is non-increasing in plane count, and
+    // the candidate-pair universe (same-bucket pairs) only shrinks
+    def maxOcc(f: ((Long, Long, Long, Long)) => Long) =
+      buckets.groupBy(f).values.map(_.length).max
+    assert(maxOcc(_._4) <= maxOcc(_._3) && maxOcc(_._3) <= maxOcc(_._2))
+    // y3 output at 8 planes is a subset of the 6-plane output (same
+    // exact-cosine verify, strictly coarser candidate generation at 6)
+    def y3Pairs(n: Int) = graft.queries.SimilarityQueries.annLsh(spark, sf(), n)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    val p8 = y3Pairs(8)
+    val p6 = y3Pairs(6)
+    assert(p8.subsetOf(p6))
+    assert(p6.nonEmpty)
+  }
+
   test("knnGraph returns each vector's true bucket-restricted top-k") {
     val knn = graft.queries.SimilarityQueries.knnGraph(spark, sf())
       .select(col("a_id"), col("b_id"), col("cos"))
