@@ -215,8 +215,18 @@ object AnalysisQueries extends QueryGroup {
     * n_merged so downstream loss-weighting can account for collapsed
     * duplicates. (x_curation_pipeline is the round-2 single-pass
     * filter chain; this one exercises the heavy pipeline stages.) */
-  def curatePack(spark: SparkSession, dir: String): DataFrame = {
-    val survivors = DedupQueries.dedupApply(spark, dir) // (doc_id, n_merged)
+  def curatePack(spark: SparkSession, dir: String): DataFrame =
+    curatePack(spark, dir, DedupQueries.dupClusters(spark, dir))
+
+  /** Composition form: run the same curation against a PRE-COMPUTED
+    * (doc_id, cluster_id) frame, so a pipeline that already ran d7
+    * (and persisted its output — it is backed by a persisted RDD
+    * anyway) never pays connected components twice. The registered
+    * query is this overload fed a fresh d7; spec-asserted identical. */
+  def curatePack(spark: SparkSession, dir: String,
+                 clusters: org.apache.spark.sql.DataFrame): DataFrame = {
+    val survivors = DedupQueries.dedupApplyOn(
+      Tables(spark, dir).documents, clusters) // (doc_id, n_merged)
     val toks = Tables(spark, dir).documents
       .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tok"))
     val kept = survivors.join(toks, "doc_id")

@@ -145,13 +145,22 @@ object DedupQueries extends QueryGroup {
     * dups ARE corpus-proportional a broadcast would OOM, and the same
     * plan degrades to shuffled equi-joins on doc_id instead — which is
     * why the broadcast is deliberately not forced with a hint. */
-  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = dupClusters(spark, dir) // (doc_id, cluster_id)
+  def dedupApply(spark: SparkSession, dir: String): DataFrame =
+    dedupApplyOn(Tables(spark, dir).documents, dupClusters(spark, dir))
+
+  /** The library composition form of d8: apply a PRE-COMPUTED
+    * (doc_id, cluster_id) frame — d7's output, persisted or checkpointed
+    * once per pipeline — to the corpus. A real curation job runs CC
+    * once and feeds the frame to every consumer (survivor filter,
+    * size accounting, curatePack); the registered standalone query
+    * recomputes it only because each gate query must be self-contained.
+    * Spec-asserted equal to the registered query's output. */
+  def dedupApplyOn(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val sizes = clusters.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_merged"))
     val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
-    Tables(spark, dir).documents.select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(losers, Seq("doc_id"), "left_anti")
       .join(sizes, col("doc_id") === col("cluster_id"), "left")
       .select(col("doc_id"), coalesce(col("n_merged"), lit(1L)).as("n_merged"))

@@ -241,6 +241,27 @@ class InvariantsSpec extends SparkTestBase {
       s"corpus re-scan found in $rels")
   }
 
+  test("cluster-frame reuse: dedupApplyOn/curatePack overloads equal the registered queries") {
+    // a library pipeline computes connected components ONCE and feeds
+    // the (doc_id, cluster_id) frame to every consumer — the overloads
+    // must be pointwise identical to the self-contained gate queries
+    val docs = Tables(spark, sf()).documents
+    val clusters = graft.queries.DedupQueries.dupClusters(spark, sf())
+    val viaOverload = graft.queries.DedupQueries.dedupApplyOn(docs, clusters)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val registered = graft.queries.DedupQueries.dedupApply(spark, sf())
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(viaOverload === registered)
+    val packOverload = graft.queries.AnalysisQueries
+      .curatePack(spark, sf(), clusters)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val packRegistered = graft.queries.AnalysisQueries.curatePack(spark, sf())
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(packOverload === packRegistered)
+    assert(packOverload.nonEmpty)
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("packSequences: per-shard token offsets are a prefix sum and seq ids are the offset div budget") {
     val rows = graft.queries.AnalysisQueries
       .packSequences(spark, sf(), nShards = 4, budget = 64L)
