@@ -37,10 +37,27 @@ object Multimodal {
       frames = ((n % 30) + 1).toInt)
   }
 
-  /** Attach a binary `payload` column (UTF-8 of `text` here — the
-    * testdata has no real media; real pipelines read parquet binary). */
+  /** Attach a binary `payload` column. A frame that ALREADY carries one
+    * (a true media table — see [[mediaFixtureFrame]]) passes through
+    * untouched; otherwise UTF-8 of `text` stands in (the driver corpus
+    * has no media column). */
   def withPayload(docs: DataFrame): DataFrame =
-    docs.withColumn("payload", col("text").cast("binary"))
+    if (docs.columns.contains("payload")) docs
+    else docs.withColumn("payload", col("text").cast("binary"))
+
+  /** Deterministic TRUE-BINARY media fixture: per doc, an 8-byte PNG
+    * magic header followed by (doc_id % 5 + 1) blocks of the 16 md5
+    * bytes of the id — variable-length real `BINARY` (via unhex), so
+    * writing it to parquet exercises the actual binary IO path instead
+    * of a string cast. ScaleUp emits this as `media.parquet` beside the
+    * scaled tables; byte_len = 8 + 16 * (doc_id % 5 + 1) and
+    * header_hex = the PNG magic, both spec-asserted after a parquet
+    * round-trip. */
+  def mediaFixtureFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      unhex(concat(lit("89504E470D0A1A0A"),
+        expr("repeat(md5(cast(doc_id as string)), cast(doc_id % 5 + 1 as int))")))
+        .as("payload"))
 
   /** Partition-wise decode: binary payloads -> typed metadata Dataset. */
   def decodeMeta(docs: DataFrame): Dataset[MediaMeta] = {

@@ -91,10 +91,18 @@ object AnalysisQueries extends QueryGroup {
       .orderBy(col("lang"), col("source"))
 
   /** Multimodal metadata decode over binary payloads (stub codec —
-    * deterministic fake; see Multimodal.fakeDecode). */
-  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeMeta(Tables(spark, dir).documents)
-      .toDF()
+    * deterministic fake; see Multimodal.fakeDecode). When the sf dir
+    * ships a true binary media table (`media.parquet` — ScaleUp emits
+    * one), decode THAT, exercising real parquet BINARY IO; the
+    * driver-provided dirs have no media column, so the oracle-checked
+    * path decodes UTF-8 text payloads as before. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val mediaPath = s"$dir/media.parquet"
+    val src =
+      if (new java.io.File(mediaPath).exists()) spark.read.parquet(mediaPath)
+      else Tables(spark, dir).documents
+    Multimodal.decodeMeta(src).toDF()
+  }
 
   /** Deterministic hash sampling — reproducible train/eval splits. The
     * bucket is the first 32 bits of md5(doc_id) mod 100, so membership

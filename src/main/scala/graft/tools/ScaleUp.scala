@@ -75,6 +75,13 @@ object ScaleUp {
       else df.withColumn("text", concat(col("text"), lit(s" r$i"))))
     replicate("embeddings", Map("vec_id" -> vMax))
 
+    // true-binary media fixture over the scaled corpus, so
+    // x_multimodal_meta at probe scale decodes real parquet BINARY
+    // instead of a string cast (the driver dirs carry no media table)
+    graft.ext.Multimodal
+      .mediaFixtureFrame(spark.read.parquet(s"$outDir/documents.parquet"))
+      .write.mode("overwrite").parquet(s"$outDir/media.parquet")
+
     println(s"scaled $srcDir x$factor -> $outDir")
     spark.stop()
   }

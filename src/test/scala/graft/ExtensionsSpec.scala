@@ -130,6 +130,32 @@ class ExtensionsSpec extends SparkTestBase {
     assert(row.getLong(0) === 2L)
   }
 
+  test("multimodal decode over a TRUE parquet binary fixture (real BINARY IO, not a string cast)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-media").toString
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    Multimodal.mediaFixtureFrame(docs)
+      .write.mode("overwrite").parquet(tmp + "/media.parquet")
+    val media = spark.read.parquet(tmp + "/media.parquet")
+    assert(media.schema("payload").dataType.typeName === "binary")
+    val metas = Multimodal.decodeMeta(media).collect()
+    assert(metas.length === docs.count())
+    // the fixture's contract survives the parquet round-trip: PNG magic
+    // header, variable body length 8 + 16 * (doc_id % 5 + 1)
+    metas.foreach { m =>
+      assert(m.header_hex === "89504E470D0A1A0A", s"doc ${m.doc_id} header")
+      assert(m.byte_len === 8 + 16 * (m.doc_id % 5 + 1), s"doc ${m.doc_id} len")
+    }
+    // the registered query prefers the media table when the dir has one
+    docs.write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val viaQuery = graft.queries.AnalysisQueries.multimodalMeta(spark, tmp)
+      .select(col("doc_id"), col("byte_len"), col("header_hex"))
+      .as[(Long, Long, String)].collect()
+    viaQuery.foreach { case (id, len, hdr) =>
+      assert(hdr === "89504E470D0A1A0A" && len === 8 + 16 * (id % 5 + 1))
+    }
+    assert(viaQuery.length === metas.length)
+  }
+
   test("multimodal decode produces deterministic metadata from payload bytes") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
     val metas = Multimodal.decodeMeta(docs).collect()
