@@ -208,6 +208,19 @@ object Dedup {
         keep = Seq("sh"))
       .write.mode("overwrite").parquet(path)
 
+  /** Index maintenance: append a new batch's rows to an existing
+    * near-dup index — the post-ingest step after [[incrementalNeardup]]
+    * screens the batch (append the SURVIVORS, so tomorrow's batch
+    * dedups against today's too). Pure per-row projection + parquet
+    * append; no compaction needed because every index consumer is a
+    * scan-side band/shingle read. */
+  def appendToNeardupIndex(docs: DataFrame, path: String,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): Unit =
+    signaturesFromShingles(shingleFrame(docs, textCol, idCol), idCol,
+        keep = Seq("sh"))
+      .write.mode("append").parquet(path)
+
   /** Near-dup pairs between a NEW batch and the indexed corpus — the
     * operational 100 TB dedup shape: "dedup today's ingest against
     * everything already indexed". Only the batch is shingled; the

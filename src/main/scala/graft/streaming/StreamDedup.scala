@@ -1,12 +1,16 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
 
 /** Streaming deduplication (SURVEY.md §7 build-plan step 7).
   *
   * Both forms are built-in stateful operators; the watermarked form
   * bounds state to the watermark horizon — the only sane configuration
   * at 100 TB (unbounded dedup state grows with distinct-key count).
+  * [[againstIndex]] is the third, OPERATIONAL form: near-dup-screen the
+  * ingest stream against the persisted corpus index, stateless.
   */
 object StreamDedup {
 
@@ -22,4 +26,61 @@ object StreamDedup {
                       cols: Seq[String]): DataFrame =
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(cols)
+
+  /** Streaming incremental near-dup: screen a stream of new docs
+    * (doc_id, text) against the STATIC corpus index that
+    * Dedup.writeNeardupIndex persisted — d9's operational shape moved
+    * into the ingest path, so duplicates are flagged as documents
+    * arrive rather than in a nightly batch.
+    *
+    * Plan shape: per micro-batch, the stream side is shingled and
+    * signed (pure projections); candidates come from TWO stream-static
+    * equi-joins — bands against the index's pruned (doc_id, bands)
+    * scan, then the surviving candidates against its (doc_id, sh) scan
+    * for the exact-Jaccard verify. Entirely STATELESS (append mode, no
+    * watermark): the static index IS the state, and all dedup of
+    * multi-band collisions happens inside the row via a carried-band
+    * comparison — a pair colliding on both bands keeps only its band-0
+    * row (`band_idx = 1` survives only when the band-0 hashes DIDN'T
+    * collide), because streaming `distinct` would otherwise need
+    * unbounded state. Output matches Dedup.incrementalNeardup row for
+    * row (spec-asserted differentially). */
+  def againstIndex(stream: DataFrame, indexPath: String,
+                   minJaccard: Double): DataFrame = {
+    val spark = stream.sparkSession
+    val index = spark.read.parquet(indexPath)
+    // batch side: carry the shingle array and BOTH band hashes through
+    // the explode, so the per-row collision filter and the verify need
+    // no stream-side re-computation
+    val b = Dedup.signaturesFromShingles(Dedup.shingleFrame(stream),
+      keep = Seq("sh"))
+    val bBands = b.select(col("doc_id").as("batch_id"), col("sh").as("sha"),
+      col("band0").as("b_band0"),
+      posexplode(array(col("band0"), col("band1")))
+        .as(Seq("band_idx", "band_hash")))
+    val iBands = index.select(col("doc_id").as("corpus_id"),
+      col("band0").as("i_band0"),
+      posexplode(array(col("band0"), col("band1")))
+        .as(Seq("band_idx_b", "band_hash_b")))
+    val collides0 = col("b_band0").isNotNull && col("i_band0").isNotNull &&
+      col("b_band0") === col("i_band0")
+    val cand = bBands.join(iBands,
+        col("band_idx") === col("band_idx_b") &&
+        col("band_hash") === col("band_hash_b"))
+      .filter(col("band_idx") === 0 || !collides0)
+      .select(col("batch_id"), col("corpus_id"), col("sha"))
+    val union = col("n_a") + col("n_b") - col("n_common")
+    cand
+      .join(index.select(col("doc_id").as("sbid"), col("sh").as("shb")),
+        col("sbid") === col("corpus_id"))
+      .withColumn("n_common", graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("sha"), col("shb")))
+      .withColumn("n_a", size(col("sha")).cast("long"))
+      .withColumn("n_b", size(col("shb")).cast("long"))
+      .select(col("batch_id"), col("corpus_id"), col("n_common"),
+        col("n_a"), col("n_b"),
+        when(union > 0, col("n_common").cast("double") / union.cast("double"))
+          .otherwise(0.0).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
 }
