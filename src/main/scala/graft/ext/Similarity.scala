@@ -105,6 +105,19 @@ object Similarity {
     * max-occupancy is non-increasing, same-bucket pair sets only
     * shrink). */
   def lshBucket(sv: Column, nPlanes: Int, dims: Int): Column =
-    (0 until nPlanes).map(j => planeBit(sv, j, dims) * lit(1 << j))
+    lshBucketBand(sv, 0, nPlanes, dims)
+
+  /** Bucket id from band `band`'s planes — plane indices
+    * [band*nPlanes, (band+1)*nPlanes), so bands draw DISJOINT,
+    * independent hyperplane sets ([[lshBucket]] is band 0). OR-ing
+    * candidates across bands is the recall knob that pairs with the
+    * plane-count scale knob: high nPlanes keeps every band's buckets
+    * small (the join stays linear), extra bands recover the true pairs
+    * a single band's 1-in-2^planes collision probability would miss —
+    * identical to MinHash banding's rows-per-band × bands trade-off
+    * (and to Dedup.simhashBandPairs' pigeonhole rotation). */
+  def lshBucketBand(sv: Column, band: Int, nPlanes: Int, dims: Int): Column =
+    (0 until nPlanes).map(k =>
+      planeBit(sv, band * nPlanes + k, dims) * lit(1 << k))
       .reduce(_ + _).cast("long")
 }

@@ -199,6 +199,44 @@ object SimilarityQueries extends QueryGroup {
     * state, both corpus-shaped with enough planes (buckets must satisfy
     * 2^planes ≫ n/target_bucket, same sizing rule as d5's simhash
     * bands). */
+  /** Multi-band OR-ing LSH: candidates collide in ANY of `nBands`
+    * disjoint 8-plane bands (Similarity.lshBucketBand), verified at
+    * cosine >= 0.3 — the recall knob on top of y3's plane-count scale
+    * knob. At 100 TB the two move together: raise nPlanes so every
+    * band's buckets stay cluster-sized (the equi-join stays linear),
+    * then raise nBands until recall meets target — each band is an
+    * independent 1-in-2^planes chance to catch a true pair, the exact
+    * MinHash rows×bands trade-off. Plan shape: ONE exchange keyed
+    * (band_idx, bucket) for candidates, distinct, then two broadcast/
+    * shuffled joins back to the (persisted) snap projection for the
+    * exact-cosine verify — never all-pairs, no per-band scans. */
+  def annLshMultiband(spark: SparkSession, dir: String,
+                      nPlanes: Int = 8, nBands: Int = 2): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    // the snap projection feeds the band explode AND both verify sides
+    val sv = graft.core.CacheScope.track(
+      snapped(emb, "vec_id", "sv", "nrm").persist())
+    val bands = sv.select(col("vec_id"),
+      posexplode(array((0 until nBands).map(b =>
+        Similarity.lshBucketBand(col("sv"), b, nPlanes, 64)): _*))
+        .as(Seq("band_idx", "bucket")))
+    val cand = bands.select(col("vec_id").as("a_id"), col("band_idx"), col("bucket"))
+      .join(bands.select(col("vec_id").as("b_id"),
+          col("band_idx").as("band_idx_b"), col("bucket").as("bucket_b")),
+        col("band_idx") === col("band_idx_b") &&
+        col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(sv.select(col("vec_id").as("a_id"), col("sv").as("av"),
+        col("nrm").as("an")), "a_id")
+      .join(sv.select(col("vec_id").as("b_id"), col("sv").as("bv"),
+        col("nrm").as("bn")), "b_id")
+      .withColumn("cos", Similarity.cosineFromSnapped(
+        col("av"), col("bv"), col("an"), col("bn")))
+      .filter(col("cos") >= 0.3)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+
   def knnGraph(spark: SparkSession, dir: String): DataFrame =
     knnGraph(spark, dir, nPlanes = 8)
 
@@ -298,6 +336,7 @@ object SimilarityQueries extends QueryGroup {
     "y2_embed_neardup" -> (embedNearDup _),
     "y3_ann_lsh"       -> ((s: SparkSession, d: String) => annLsh(s, d)),
     "y3_ann_lsh_p6"    -> ((s: SparkSession, d: String) => annLsh(s, d, nPlanes = 6)),
+    "y3_ann_lsh_mb2"   -> ((s: SparkSession, d: String) => annLshMultiband(s, d)),
     "y6_knn_graph"     -> ((s: SparkSession, d: String) => knnGraph(s, d)),
     "y4_ann_ivf"       -> (annIvf _),
     "y5_label_centroids" -> (labelCentroids _)
@@ -316,17 +355,19 @@ object SimilarityQueries extends QueryGroup {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
-  /** `nPlanes`-plane LSH bucket (mirrors Similarity.lshBucket). */
-  private def bucketSqlFor(nPlanes: Int): String = {
-    val bits = (0 until nPlanes).map { j =>
+  /** Band `band`'s `nPlanes`-plane LSH bucket (mirrors
+    * Similarity.lshBucketBand; band 0 = lshBucket). */
+  private def bucketSqlForBand(band: Int, nPlanes: Int): String = {
+    val bits = (0 until nPlanes).map { k =>
       val proj =
         s"""list_aggregate(list_transform(range(1, len(embedding) + 1),
            |  i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) *
-           |       CAST(${Similarity.weightSqlFor(j)} AS BIGINT)), 'sum')""".stripMargin
-      s"(CASE WHEN $proj > 0 THEN ${1 << j} ELSE 0 END)"
+           |       CAST(${Similarity.weightSqlFor(band * nPlanes + k)} AS BIGINT)), 'sum')""".stripMargin
+      s"(CASE WHEN $proj > 0 THEN ${1 << k} ELSE 0 END)"
     }
     "CAST(" + bits.mkString(" + ") + " AS BIGINT)"
   }
+  private def bucketSqlFor(nPlanes: Int): String = bucketSqlForBand(0, nPlanes)
   private val bucketSql: String = bucketSqlFor(8)
 
   def oracles: Map[String, String] = Map(
@@ -426,6 +467,27 @@ object SimilarityQueries extends QueryGroup {
          |FROM bucketed a JOIN bucketed b
          |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin,
+    "y3_ann_lsh_mb2" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, embedding, ${bucketSqlForBand(0, 8)} AS b0,
+         |         ${bucketSqlForBand(1, 8)} AS b1
+         |  FROM embeddings
+         |), bands AS (
+         |  SELECT vec_id, embedding, 0 AS band_idx, b0 AS bucket FROM bucketed
+         |  UNION ALL
+         |  SELECT vec_id, embedding, 1, b1 FROM bucketed
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+         |   AND a.vec_id < b.vec_id
+         |)
+         |SELECT a_id, b_id, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+         |FROM cand
+         |JOIN embeddings ea ON ea.vec_id = a_id
+         |JOIN embeddings eb ON eb.vec_id = b_id
+         |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.3
          |ORDER BY a_id, b_id""".stripMargin,
     "y6_knn_graph" ->
       s"""WITH bucketed AS (

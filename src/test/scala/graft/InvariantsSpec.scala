@@ -314,6 +314,20 @@ class InvariantsSpec extends SparkTestBase {
     val p6 = y3Pairs(6)
     assert(p8.subsetOf(p6))
     assert(p6.nonEmpty)
+    // OR-ing a second independent band only ADDS recall: the multiband
+    // pair set contains the single-band one (band 0 IS y3's bucket),
+    // and band 0's bucket equals lshBucket exactly
+    val mb = graft.queries.SimilarityQueries.annLshMultiband(spark, sf())
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    assert(p8.subsetOf(mb))
+    val snapped = Tables(spark, sf()).embeddings
+      .select(Similarity.snapVec(col("embedding")).as("sv"))
+    val sameBucket = snapped.select(
+        Similarity.lshBucket(col("sv"), 8, 64).as("b"),
+        Similarity.lshBucketBand(col("sv"), 0, 8, 64).as("b0"))
+      .filter(col("b") =!= col("b0")).count()
+    assert(sameBucket === 0L)
+    graft.core.CacheScope.releaseAll()
   }
 
   test("knnGraph returns each vector's true bucket-restricted top-k") {
