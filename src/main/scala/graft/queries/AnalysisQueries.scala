@@ -321,6 +321,52 @@ object AnalysisQueries extends QueryGroup {
           .as("weight"))
   }
 
+  /** Balanced sampling — the CONSUMER of x_mixture_weights: sample each
+    * source at rate min(1, base · weight_s), so the kept corpus's token
+    * mass is (approximately) equalized across sources — upsampled
+    * sources keep everything, oversized ones thin out. Membership is
+    * the same run-stable md5 bucket as x_hash_sample (a property of the
+    * row, not the run), at 1e6 granularity so the rate resolves finely;
+    * the weight frame is sources-sized and broadcasts. One corpus scan,
+    * no shuffle of the docs. */
+  def balancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val base = 0.5
+    val rates = mixtureWeights(spark, dir)
+      .select(col("source"),
+        least(lit(1.0), lit(base) * col("weight")).as("rate"))
+    val bucket = expr(graft.ext.Dedup.hexValSql(
+      "substr(md5(cast(doc_id as string)),1,8)", 8)) % 1000000
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(rates), "source")
+      .withColumn("bucket", bucket.cast("long"))
+      .filter(col("bucket").cast("double") < col("rate") * lit(1000000.0))
+      .select(col("doc_id"), col("source"), col("bucket"), col("rate"))
+  }
+
+  /** Sequence packing with a SEEDED SHUFFLE order — the production form
+    * of x_pack_sequences: consecutive doc ids are correlated (same
+    * source, same crawl window), so training packs should order docs by
+    * a deterministic pseudo-random key instead of id. Order = md5 of a
+    * seed-prefixed id: decorrelated, yet identical across re-runs and
+    * cluster sizes (resumable preprocessing, like everything keyed off
+    * the hash-bucket trick). Same per-shard cumsum scale shape — the
+    * shard-local sort just uses the shuffled key. */
+  def packShuffled(spark: SparkSession, dir: String,
+                   seed: String = "seed42", nShards: Int = 8,
+                   budget: Long = 4096L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__ord"), col("doc_id"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tok"))
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+      .withColumn("__ord",
+        md5(concat(lit(s"${seed}_"), col("doc_id").cast("string"))))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id", expr(s"(cum - n_tok) div $budget"))
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("seq_id"))
+  }
+
   /** Sequence packing: assign each doc a (shard, seq_id) so consecutive
     * docs within a shard fill fixed 4096-token context windows — the
     * step that turns a curated corpus into training sequences. A doc
@@ -443,8 +489,10 @@ object AnalysisQueries extends QueryGroup {
     "x_pack_sequences"  -> ((s, d) => packSequences(s, d)),
     "x_mixture_weights" -> (mixtureWeights _),
     "x_source_overlap"  -> (sourceOverlap _),
-    "x_curate_pack"     -> (curatePack _),
-    "x_rare_tokens"     -> (rareTokenScore _)
+    "x_curate_pack"     -> ((s: SparkSession, d: String) => curatePack(s, d)),
+    "x_rare_tokens"     -> (rareTokenScore _),
+    "x_balanced_sample" -> (balancedSample _),
+    "x_pack_shuffled"   -> ((s: SparkSession, d: String) => packShuffled(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -565,6 +613,41 @@ object AnalysisQueries extends QueryGroup {
          |  CAST(total_tokens AS DOUBLE) /
          |    (CAST(n_sources AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS weight
          |FROM per, tot ORDER BY source""".stripMargin,
+    "x_balanced_sample" -> {
+      val v = graft.ext.Dedup.hexValSql("substr(md5(CAST(doc_id AS VARCHAR)),1,8)", 8)
+      s"""WITH per AS (
+         |  SELECT source,
+         |    CAST(SUM(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source
+         |), tot AS (
+         |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |    COUNT(*) AS n_sources
+         |  FROM per
+         |), rates AS (
+         |  SELECT source,
+         |    least(1.0, 0.5 * (CAST(total_tokens AS DOUBLE) /
+         |      (CAST(n_sources AS DOUBLE) * CAST(n_tokens AS DOUBLE)))) AS rate
+         |  FROM per, tot
+         |)
+         |SELECT doc_id, d.source, CAST($v % 1000000 AS BIGINT) AS bucket, rate
+         |FROM documents d JOIN rates r ON r.source = d.source
+         |WHERE CAST($v % 1000000 AS DOUBLE) < rate * 1000000.0
+         |ORDER BY doc_id""".stripMargin
+    },
+    "x_pack_shuffled" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tok,
+         |         doc_id % 8 AS shard,
+         |         md5('seed42_' || CAST(doc_id AS VARCHAR)) AS ord
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, shard, n_tok,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY ord, doc_id)
+         |      AS BIGINT) AS cum
+         |  FROM t
+         |)
+         |SELECT doc_id, shard, n_tok, (cum - n_tok) // 4096 AS seq_id
+         |FROM c ORDER BY doc_id""".stripMargin,
     // window SUM cast back to BIGINT (DuckDB widens to HUGEINT)
     "x_pack_sequences" ->
       s"""WITH t AS (

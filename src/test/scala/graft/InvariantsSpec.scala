@@ -355,6 +355,53 @@ class InvariantsSpec extends SparkTestBase {
     assert(knn.toSet === expected)
   }
 
+  test("balancedSample membership matches the exact driver-side reference (weights + md5 buckets)") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val docs = Tables(spark, sf()).documents
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tok"))
+      .as[(Long, String, Long)].collect()
+    val perSource = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val total = perSource.values.sum
+    val nSources = perSource.size
+    val rate = perSource.map { case (s, n) =>
+      s -> math.min(1.0, 0.5 * (total.toDouble / (nSources.toDouble * n.toDouble)))
+    }
+    val expected = docs.collect {
+      case (id, src, _) if java.lang.Long.parseLong(
+          md5hex(id.toString).take(8), 16) % 1000000 <
+          rate(src) * 1000000.0 => id
+    }.toSet
+    val got = graft.queries.AnalysisQueries.balancedSample(spark, sf())
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < docs.length)
+  }
+
+  test("packShuffled: seeded order is deterministic and seq ids follow the per-shard prefix sum") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val rows = graft.queries.AnalysisQueries
+      .packShuffled(spark, sf(), nShards = 4, budget = 64L)
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("seq_id"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      var offset = 0L
+      docs.sortBy(d => (md5hex(s"seed42_${d._1}"), d._1)).foreach {
+        case (id, _, nTok, seqId) =>
+          assert(seqId === offset / 64L, s"doc $id seq id under shuffled order")
+          offset += nTok
+      }
+    }
+    val again = graft.queries.AnalysisQueries
+      .packShuffled(spark, sf(), nShards = 4, budget = 64L)
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("seq_id"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
   test("sourceOverlap is symmetric-upper-triangular and bounded by the smaller side's shingle count") {
     val m = graft.queries.AnalysisQueries.sourceOverlap(spark, sf())
       .select(col("source_a"), col("source_b"), col("n_shared_shingles"))
