@@ -311,6 +311,46 @@ object SimilarityQueries extends QueryGroup {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** Incremental ANN — d9's shape on the vector side: answer NEW
+    * vectors' top-3 neighbors against a persisted bucket index instead
+    * of re-projecting the corpus per query. The index stores each
+    * corpus vector PRE-SNAPPED with its norm and LSH bucket
+    * (writeAnnIndex), so the per-batch cost is: snap the new vectors
+    * (batch-sized projection), one equi-join on bucket against the
+    * index's scan, exact int64 cosines on candidates, bounded-heap
+    * top-k. First call per sf dir builds the index (_SUCCESS-gated,
+    * like d9); timed reps measure the incremental path. */
+  def incrementalAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val idx = annIndexPathFor(dir)
+    if (!new java.io.File(idx, "_SUCCESS").exists())
+      snapped(emb.filter(col("vec_id") % 5 =!= 0), "neighbor_id", "nv", "nn")
+        .withColumn("bucket_b", Similarity.lshBucket(col("nv"), 8, 64))
+        .write.mode("overwrite").parquet(idx)
+    val probes = snapped(emb.filter(col("vec_id") % 5 === 0),
+        "probe_id", "pv", "pn")
+      .withColumn("bucket", Similarity.lshBucket(col("pv"), 8, 64))
+    // probe side is corpus-proportional: no broadcast hint (same
+    // reasoning as y2) — the bucket equi-key lets the optimizer choose
+    val scored = spark.read.parquet(idx)
+      .join(probes, col("bucket") === col("bucket_b"))
+      .withColumn("cos", Similarity.cosineFromSnapped(
+        col("pv"), col("nv"), col("pn"), col("nn")))
+      .select(col("probe_id"), col("neighbor_id"), col("cos"))
+    graft.ops.TopK.perKey(scored, Seq("probe_id"),
+        Seq("cos" -> true, "neighbor_id" -> false), 3)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  private def annIndexPathFor(dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-ann-index-$digest").getAbsolutePath
+  }
+
   /** Per-label embedding centroids — the aggregate every retrieval /
     * clustering pipeline needs (class prototypes, IVF seeding, drift
     * monitoring). posexplode to (label, dim, snapped component) rows,
@@ -338,8 +378,9 @@ object SimilarityQueries extends QueryGroup {
     "y3_ann_lsh_p6"    -> ((s: SparkSession, d: String) => annLsh(s, d, nPlanes = 6)),
     "y3_ann_lsh_mb2"   -> ((s: SparkSession, d: String) => annLshMultiband(s, d)),
     "y6_knn_graph"     -> ((s: SparkSession, d: String) => knnGraph(s, d)),
-    "y4_ann_ivf"       -> (annIvf _),
-    "y5_label_centroids" -> (labelCentroids _)
+    "y4_ann_ivf"       -> ((s: SparkSession, d: String) => annIvf(s, d)),
+    "y5_label_centroids" -> (labelCentroids _),
+    "y7_incremental_ann" -> (incrementalAnn _)
   )
 
   // ---- DuckDB oracles ----
@@ -504,6 +545,27 @@ object SimilarityQueries extends QueryGroup {
          |)
          |SELECT a_id, b_id, cos FROM ranked WHERE rn <= 5
          |ORDER BY a_id, b_id""".stripMargin,
+    "y7_incremental_ann" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings
+         |), probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe, bucket
+         |  FROM bucketed WHERE vec_id % 5 = 0
+         |), corpus AS (
+         |  SELECT vec_id AS neighbor_id, embedding AS ne, bucket
+         |  FROM bucketed WHERE vec_id % 5 <> 0
+         |), scored AS (
+         |  SELECT p.probe_id, c.neighbor_id,
+         |    ${cosSql("p.pe", "c.ne")} AS cos
+         |  FROM probes p JOIN corpus c ON c.bucket = p.bucket
+         |), ranked AS (
+         |  SELECT probe_id, neighbor_id, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored
+         |)
+         |SELECT probe_id, neighbor_id, rank, cos FROM ranked
+         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
     "y5_label_centroids" ->
       """WITH comp AS (
         |  SELECT CAST(label AS BIGINT) AS label,

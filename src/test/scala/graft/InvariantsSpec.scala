@@ -330,6 +330,43 @@ class InvariantsSpec extends SparkTestBase {
     graft.core.CacheScope.releaseAll()
   }
 
+  test("incremental ANN equals the direct bucket-join reference and never re-snaps the corpus") {
+    val inc = graft.queries.SimilarityQueries.incrementalAnn(spark, sf())
+    val got = inc.select(col("probe_id"), col("neighbor_id"), col("rank"))
+      .as[(Long, Long, Long)].collect().toSet
+    // reference: the same semantics computed directly over embeddings
+    val emb = Tables(spark, sf()).embeddings
+    val sv = emb.select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
+      .withColumn("nrm", Similarity.normSnapped(col("sv")))
+      .withColumn("bucket", Similarity.lshBucket(col("sv"), 8, 64))
+    val probes = sv.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("p"), col("sv").as("pv"),
+        col("nrm").as("pn"), col("bucket"))
+    val corpus = sv.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("n"), col("sv").as("nv"),
+        col("nrm").as("nn"), col("bucket").as("bucket_b"))
+    val all = probes.join(corpus, col("bucket") === col("bucket_b"))
+      .select(col("p"), col("n"), Similarity.cosineFromSnapped(
+        col("pv"), col("nv"), col("pn"), col("nn")).as("cos"))
+      .as[(Long, Long, Double)].collect()
+    val expected = all.groupBy(_._1).toSeq.flatMap { case (_, cands) =>
+      cands.sortBy(c => (-c._3, c._2)).take(3).zipWithIndex
+        .map { case ((p, n, _), i) => (p, n, (i + 1).toLong) }
+    }.toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // scale contract: the corpus side comes from the index parquet
+    // (pre-snapped), embeddings.parquet is scanned once for the probes
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val rels = inc.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.mkString(",")
+    }
+    assert(rels.count(_.contains("graft-ann-index")) === 1, s"index scan missing: $rels")
+    assert(rels.count(_.contains("embeddings.parquet")) === 1,
+      s"corpus re-projection found: $rels")
+  }
+
   test("knnGraph returns each vector's true bucket-restricted top-k") {
     val knn = graft.queries.SimilarityQueries.knnGraph(spark, sf())
       .select(col("a_id"), col("b_id"), col("cos"))
