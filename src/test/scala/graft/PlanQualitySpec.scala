@@ -18,7 +18,8 @@ class PlanQualitySpec extends SparkTestBase {
     * corpus-size scalar broadcast (the right plan at any scale). */
   private val intendedBnlj =
     Set("d6_ngram_jaccard", "y1_cosine_topk", "x_tfidf_topk",
-      "x_mixture_weights") // 1-row corpus-totals broadcast, like tfidf's N
+      "x_mixture_weights",  // 1-row corpus-totals broadcast, like tfidf's N
+      "x_balanced_sample")  // same 1-row totals broadcast via its rate frame
 
   test("no CartesianProduct anywhere") {
     val offenders = plans.collect {
