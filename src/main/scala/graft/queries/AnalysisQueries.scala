@@ -386,6 +386,89 @@ object AnalysisQueries extends QueryGroup {
         nShards, budget)
       .select(col("doc_id"), col("shard"), col("n_tok"), col("seq_id"))
 
+  /** Overlapping token-window chunking — the long-document step that
+    * precedes packing and retrieval indexing: every document becomes
+    * ceil(n/stride) windows of up to `window` tokens starting every
+    * `stride` tokens (the last windows are shorter; consecutive windows
+    * overlap by window − stride tokens so no span falls across an
+    * unseen boundary). Scale shape: a pure per-row projection + one
+    * generator — NO shuffle, no window function, no join; chunk
+    * identity (doc_id, chunk_id) is a row property, so the operator is
+    * embarrassingly parallel and re-runs/retries chunk identically at
+    * any partitioning. Output cardinality is Σ ceil(n_i/stride) ≈
+    * corpus_tokens/stride — linear in corpus size. */
+  def chunkDocs(spark: SparkSession, dir: String,
+                window: Int = 64, stride: Int = 48): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), toks.as("__toks"))
+      // n >= 1 always (split of "" is [""]), so every doc emits at
+      // least one chunk and the sequence bound never inverts
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("chunk_id", explode(
+        sequence(lit(0L), expr(s"(__n + ${stride - 1}) div $stride") - 1)))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(window)).as("__ck"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("__ck")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("__ck")).as("chunk_text"))
+
+  /** Bigram language-model quality score — the CCNet-style fluency
+    * filter: each document is scored by the mean smoothed conditional
+    * probability of its bigrams under the corpus's OWN bigram model,
+    * p(w2|w1) = (C(w1,w2)+1) / (C(w1·)+B) with C(w1·) the leading-token
+    * count and B the number of distinct bigram types (add-one over the
+    * observed bigram vocabulary). Repetitive/templated text scores
+    * high, gibberish scores low — the standard perplexity gate with the
+    * log removed: probabilities are quantized to int64 at 1e-12 before
+    * the per-doc mean, so the aggregation is an exact integer sum
+    * (order- and partitioning-independent — a float log-prob sum would
+    * hash-mismatch in the last ulp and flap across shuffles) and the
+    * only float ops are one exact-input division and multiply per
+    * bigram TYPE, both IEEE-correctly-rounded in every engine.
+    *
+    * Plan shape at scale: one corpus tokenize → (doc,w1,w2) counts
+    * (map-side combine), the model tables DERIVED from that aggregate
+    * (AQE reuses the shuffle stage — the `c > 0` tautology keeps the
+    * subtree canonically equal, see tfidfTopK), then joins that are
+    * vocab-sized on the build side and a 1-row broadcast of B. Docs
+    * with fewer than two tokens have no bigrams and drop out. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    // (doc, w1, w2, c): zip the token array against itself shifted by
+    // one (zip_with pads the tail with null — the (w_n, null) pair is
+    // dropped), counted per doc BEFORE any join so the model joins
+    // carry bigram TYPES, not occurrences
+    val docBg = docs
+      .select(col("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), explode_outer(zip_with(
+        col("__toks"), slice(col("__toks"), lit(2), size(col("__toks"))),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"))
+      .filter(col("bg").isNotNull && col("bg.w2").isNotNull)
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    // corpus model: bigram counts, leading-token counts, bigram-type
+    // count — all derived from docBg's aggregate, no second corpus scan
+    val cb = docBg.filter(col("c") > 0) // tautological — canonical equality
+      .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("cb"))
+    val cu = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+    val nb = cb.agg(count(lit(1)).as("nb"))
+    val pq = floor((col("cb") + 1).cast("double") /
+        (col("cu") + col("nb")).cast("double") * lit(1e12) + lit(0.5))
+      .cast("long")
+    docBg
+      .join(cb, Seq("w1", "w2"))
+      .join(cu, Seq("w1"))
+      .crossJoin(broadcast(nb))
+      .withColumn("__pq", pq)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), sum(col("c") * col("__pq")).as("__spq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("__spq").cast("double") /
+          (col("n_bigrams").cast("double") * lit(1e12))).as("lm_score"))
+  }
+
   /** Intra-document repetition score — boilerplate/spam signal: the
     * distinct-token ratio and the share of the single most frequent
     * token. Explode + two-level hash aggregation (partial map-side
@@ -492,7 +575,9 @@ object AnalysisQueries extends QueryGroup {
     "x_curate_pack"     -> ((s: SparkSession, d: String) => curatePack(s, d)),
     "x_rare_tokens"     -> (rareTokenScore _),
     "x_balanced_sample" -> (balancedSample _),
-    "x_pack_shuffled"   -> ((s: SparkSession, d: String) => packShuffled(s, d))
+    "x_pack_shuffled"   -> ((s: SparkSession, d: String) => packShuffled(s, d)),
+    "x_chunk_docs"      -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
+    "x_lm_score"        -> (lmScore _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -785,6 +870,51 @@ object AnalysisQueries extends QueryGroup {
          |    PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
          |  FROM scored
          |) WHERE rn <= 3 ORDER BY doc_id, tok""".stripMargin,
+    "x_chunk_docs" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks,
+         |         CAST(len($toksSql) AS BIGINT) AS n
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, toks, unnest(range(0, (n + 47) // 48)) AS chunk_id
+         |  FROM t
+         |), s AS (
+         |  SELECT doc_id, chunk_id,
+         |         list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64) AS ck
+         |  FROM g
+         |)
+         |SELECT doc_id, chunk_id, CAST(len(ck) AS BIGINT) AS n_chunk_tokens,
+         |       array_to_string(ck, ' ') AS chunk_text
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "x_lm_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
+         |  FROM t
+         |), docbg AS (
+         |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM bg GROUP BY 1, 2, 3
+         |), cb AS (
+         |  SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS cb FROM docbg GROUP BY 1, 2
+         |), cu AS (
+         |  SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM cb GROUP BY 1
+         |), b AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM cb
+         |), q AS (
+         |  SELECT d.doc_id, d.c,
+         |    CAST(floor(CAST(cb.cb + 1 AS DOUBLE) / CAST(cu.cu + b.nb AS DOUBLE)
+         |      * 1000000000000.0 + 0.5) AS BIGINT) AS pq
+         |  FROM docbg d
+         |  JOIN cb ON d.w1 = cb.w1 AND d.w2 = cb.w2
+         |  JOIN cu ON d.w1 = cu.w1
+         |  CROSS JOIN b
+         |)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         |  CAST(CAST(SUM(c * pq) AS BIGINT) AS DOUBLE)
+         |    / (CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) * 1000000000000.0) AS lm_score
+         |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  substr(hex(encode(text)), 1, 16) AS header_hex,

@@ -371,6 +371,45 @@ object SimilarityQueries extends QueryGroup {
         (col("sum_snapped").cast("double") /
           (lit(1000000.0) * col("n_vecs").cast("double"))).as("centroid"))
 
+  /** SemDeDup-style semantic dedup: cluster the embedding space with
+    * the y4 k-means quantizer (seed pick + one Lloyd step, all exact
+    * int64), then WITHIN each cell drop every vector that has a
+    * lower-id neighbor at cosine >= `tau` — the greedy keep-one
+    * variant of semantic dedup (SemDeDup, Abbas et al. 2023, keeps one
+    * representative per semantic cluster; lowest-id is the
+    * deterministic pick). The rule needs no iteration: b drops iff ANY
+    * lower-id a in its cell is within tau — one pass — and the
+    * survivor set provably contains no within-cell pair at >= tau (if
+    * a < b both survived at cos >= tau, b would have dropped).
+    *
+    * Scale shape: candidate generation is the cell equi-join, never
+    * all-pairs — O(Σ cell²) with K the scale knob exactly as in y4
+    * (grow K with the corpus so cells stay bounded and the join stays
+    * linear; SemDeDup runs K≈10⁵ cells at 5B docs). The dup set is one
+    * distinct on the loser id, survivors one anti-join (dup side is
+    * dup-proportional, so the optimizer picks broadcast vs shuffle —
+    * same reasoning as d8). */
+  def semanticDedup(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val vecs = snapped(emb, "vec_id", "sv", "nrm")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = graft.core.CacheScope.track(
+      assignToCells(vecs, lloydRefine(
+        assignToCells(vecs, seedCentroids(vecs, 16), 16)), 16).persist())
+    assigned.count() // materialize, then release the projection eagerly
+    vecs.unpersist()
+    val a = assigned.select(col("vec_id").as("a_id"), col("sv").as("av"),
+      col("nrm").as("an"), col("cell"))
+    val b = assigned.select(col("vec_id").as("b_id"), col("sv").as("bv"),
+      col("nrm").as("bn"), col("cell").as("cell_b"))
+    val dups = a.join(b, col("cell") === col("cell_b") && col("a_id") < col("b_id"))
+      .filter(Similarity.cosineFromSnapped(col("av"), col("bv"),
+        col("an"), col("bn")) >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(dups, Seq("vec_id"), "left_anti")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "y1_cosine_topk"   -> (cosineTopK _),
     "y2_embed_neardup" -> (embedNearDup _),
@@ -380,7 +419,8 @@ object SimilarityQueries extends QueryGroup {
     "y6_knn_graph"     -> ((s: SparkSession, d: String) => knnGraph(s, d)),
     "y4_ann_ivf"       -> ((s: SparkSession, d: String) => annIvf(s, d)),
     "y5_label_centroids" -> (labelCentroids _),
-    "y7_incremental_ann" -> (incrementalAnn _)
+    "y7_incremental_ann" -> (incrementalAnn _),
+    "y8_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d))
   )
 
   // ---- DuckDB oracles ----
@@ -411,6 +451,47 @@ object SimilarityQueries extends QueryGroup {
   private def bucketSqlFor(nPlanes: Int): String = bucketSqlForBand(0, nPlanes)
   private val bucketSql: String = bucketSqlFor(8)
 
+  /** The y4 k-means quantizer as SQL (snap → seed pick → assign → one
+    * Lloyd step → re-assign), shared by y4_ann_ivf and
+    * y8_semantic_dedup. Ends with `assigned(vec_id, embedding, cell)`. */
+  private val kmeansAssignedCte: String =
+    """WITH sv AS (
+      |  SELECT vec_id, embedding,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS s
+      |  FROM embeddings
+      |), cents0 AS (
+      |  SELECT vec_id AS c_id, s AS cs FROM sv WHERE vec_id < 16
+      |), dists0 AS (
+      |  SELECT v.vec_id, v.s, c.c_id,
+      |    list_aggregate(list_transform(list_zip(v.s, c.cs),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS dist
+      |  FROM sv v CROSS JOIN cents0 c
+      |), assigned0 AS (
+      |  SELECT vec_id, s, c_id AS cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
+      |    FROM dists0) WHERE rn = 1
+      |), comp AS (
+      |  SELECT cell, unnest(list_transform(range(1, len(s) + 1),
+      |    i -> struct_pack(d := i, v := s[i]))) AS u
+      |  FROM assigned0
+      |), means AS (
+      |  SELECT cell, u.d AS d,
+      |    CAST(floor(CAST(SUM(u.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+      |  FROM comp GROUP BY cell, u.d
+      |), cents AS (
+      |  SELECT cell AS c_id, list(cm ORDER BY d) AS cs FROM means GROUP BY cell
+      |), dists AS (
+      |  SELECT v.vec_id, v.embedding, c.c_id,
+      |    list_aggregate(list_transform(list_zip(v.s, c.cs),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS dist
+      |  FROM sv v CROSS JOIN cents c
+      |), assigned AS (
+      |  SELECT vec_id, embedding, c_id AS cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
+      |    FROM dists) WHERE rn = 1
+      |)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "y1_cosine_topk" ->
       s"""WITH probes AS (
@@ -440,42 +521,7 @@ object SimilarityQueries extends QueryGroup {
          |  AND ${cosSql("p.va", "e.embedding")} >= 0.4
          |ORDER BY a_id, b_id""".stripMargin,
     "y4_ann_ivf" ->
-      s"""WITH sv AS (
-         |  SELECT vec_id, embedding,
-         |    list_transform(embedding,
-         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS s
-         |  FROM embeddings
-         |), cents0 AS (
-         |  SELECT vec_id AS c_id, s AS cs FROM sv WHERE vec_id < 16
-         |), dists0 AS (
-         |  SELECT v.vec_id, v.s, c.c_id,
-         |    list_aggregate(list_transform(list_zip(v.s, c.cs),
-         |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS dist
-         |  FROM sv v CROSS JOIN cents0 c
-         |), assigned0 AS (
-         |  SELECT vec_id, s, c_id AS cell FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
-         |    FROM dists0) WHERE rn = 1
-         |), comp AS (
-         |  SELECT cell, unnest(list_transform(range(1, len(s) + 1),
-         |    i -> struct_pack(d := i, v := s[i]))) AS u
-         |  FROM assigned0
-         |), means AS (
-         |  SELECT cell, u.d AS d,
-         |    CAST(floor(CAST(SUM(u.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
-         |  FROM comp GROUP BY cell, u.d
-         |), cents AS (
-         |  SELECT cell AS c_id, list(cm ORDER BY d) AS cs FROM means GROUP BY cell
-         |), dists AS (
-         |  SELECT v.vec_id, v.embedding, c.c_id,
-         |    list_aggregate(list_transform(list_zip(v.s, c.cs),
-         |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS dist
-         |  FROM sv v CROSS JOIN cents c
-         |), assigned AS (
-         |  SELECT vec_id, embedding, c_id AS cell FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
-         |    FROM dists) WHERE rn = 1
-         |), probes AS (
+      s"""$kmeansAssignedCte, probes AS (
          |  SELECT vec_id AS probe_id, embedding AS pe, cell AS p_cell
          |  FROM assigned WHERE vec_id % 50 = 0
          |), scored AS (
@@ -489,6 +535,17 @@ object SimilarityQueries extends QueryGroup {
          |)
          |SELECT probe_id, neighbor_id, cell, rank, cos FROM ranked
          |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+    "y8_semantic_dedup" ->
+      s"""$kmeansAssignedCte, dups AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
+         |)
+         |SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell
+         |FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
+         |WHERE d.vec_id IS NULL
+         |ORDER BY s.vec_id""".stripMargin,
     "y3_ann_lsh" ->
       s"""WITH bucketed AS (
          |  SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings

@@ -459,6 +459,89 @@ class InvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("chunkDocs windows reconstruct every doc's token sequence at the documented overlap") {
+    val docs = Tables(spark, sf()).documents
+    val chunks = graft.queries.AnalysisQueries.chunkDocs(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getString(3)))
+      .groupBy(_._1).map { case (id, cs) => id -> cs.sortBy(_._2) }
+    val toks = docs.select(col("doc_id"), split(col("text"), "\\s+").as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(chunks.keySet === toks.keySet, "every doc must emit chunks")
+    for ((id, cs) <- chunks) {
+      val t = toks(id)
+      // ceil(n/stride) chunks, ids dense from 0
+      assert(cs.map(_._2) === (0L until ((t.length + 47) / 48).toLong))
+      for ((_, cid, n, text) <- cs) {
+        val expect = t.slice((cid * 48).toInt, (cid * 48).toInt + 64)
+        assert(n === expect.length.toLong)
+        assert(text === expect.mkString(" "),
+          s"doc $id chunk $cid must be tokens [${cid * 48}, ${cid * 48 + 64})")
+      }
+      // stride < window: consecutive chunks overlap, so concatenating
+      // each chunk's first `stride` tokens (all of the last chunk)
+      // reproduces the doc exactly
+      val rebuilt = cs.init.flatMap(_._4.split(" ", -1).take(48)) ++
+        cs.last._4.split(" ", -1)
+      assert(rebuilt.toSeq === t, s"doc $id must reassemble from its chunks")
+    }
+  }
+
+  test("lmScore: scores lie in (0, 1], cover exactly the docs with a bigram, repetitive text scores higher than gibberish") {
+    val scored = graft.queries.AnalysisQueries.lmScore(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val withBigrams = Tables(spark, sf()).documents
+      .filter(size(split(col("text"), "\\s+")) >= 2)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(scored.map(_._1).toSet === withBigrams)
+    scored.foreach { case (id, n, s) =>
+      assert(n >= 1L)
+      assert(s > 0.0 && s <= 1.0, s"doc $id score $s out of range")
+    }
+    // the model is the corpus's own: a doc that repeats one corpus
+    // bigram must outscore a doc of singleton (count-1) bigrams
+    val docs = Seq(
+      (1L, ("the cat " * 30).trim),
+      (2L, (1 to 60).map(i => s"zz$i").mkString(" "))
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val m = graft.queries.AnalysisQueries.lmScore(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m(1L) > m(2L),
+      "repeated corpus bigrams must outscore one-off gibberish bigrams")
+  }
+
+  test("semanticDedup: survivors have no within-cell pair at tau, every dropped vec has a lower-id witness") {
+    val tau = 0.4
+    val survivors = graft.queries.SimilarityQueries.semanticDedup(spark, sf(), tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val all = Tables(spark, sf()).embeddings
+      .select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
+      .withColumn("nrm", Similarity.normSnapped(col("sv")))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Long](1).toArray, r.getDouble(2)))
+    def cos(a: (Long, Array[Long], Double), b: (Long, Array[Long], Double)) =
+      a._2.zip(b._2).map { case (x, y) => x * y }.sum.toDouble / (a._3 * b._3)
+    val byId = all.map(v => v._1 -> v).toMap
+    val cells = survivors.groupBy(_._2)
+    assert(survivors.nonEmpty && survivors.length < all.length,
+      "dedup must keep some and drop some on this corpus")
+    for ((_, members) <- cells; Array(x, y) <- members.map(m => byId(m._1))
+        .sortBy(_._1).combinations(2))
+      assert(cos(x, y) < tau,
+        s"survivors ${x._1},${y._1} violate the within-cell separation")
+    val survivorIds = survivors.map(_._1).toSet
+    // recompute each dropped vec's cell via the library's own assignment
+    // is overkill here: the witness property only needs SOME lower-id
+    // vec within tau anywhere in the corpus (cells only shrink the
+    // candidate set), which is what greedy semantic dedup guarantees
+    for (v <- all if !survivorIds.contains(v._1))
+      assert(all.exists(a => a._1 < v._1 && cos(a, v) >= tau),
+        s"dropped vec ${v._1} has no lower-id near neighbor")
+  }
+
   test("testdata schemas match FIXTURES.md (drift guard)") {
     val t = Tables(spark, sf())
     def names(df: org.apache.spark.sql.DataFrame) = df.schema.fieldNames.toSeq

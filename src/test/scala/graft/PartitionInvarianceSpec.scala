@@ -18,7 +18,9 @@ class PartitionInvarianceSpec extends SparkTestBase {
     "d7_dup_clusters",    // iterative CC over a shuffled pair graph
     "q_topk_per_key",     // bounded-heap partial/final execs
     "q1_pricing_summary", // decimal aggregation
-    "x_mixture_weights")  // int64 -> double ratio chain
+    "x_mixture_weights",  // int64 -> double ratio chain
+    "x_lm_score",         // quantized-int probability sums
+    "y8_semantic_dedup")  // k-means + within-cell anti-join
 
   private def rows(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted

@@ -19,7 +19,8 @@ class PlanQualitySpec extends SparkTestBase {
   private val intendedBnlj =
     Set("d6_ngram_jaccard", "y1_cosine_topk", "x_tfidf_topk",
       "x_mixture_weights",  // 1-row corpus-totals broadcast, like tfidf's N
-      "x_balanced_sample")  // same 1-row totals broadcast via its rate frame
+      "x_balanced_sample",  // same 1-row totals broadcast via its rate frame
+      "x_lm_score")         // 1-row bigram-type-count broadcast, same shape
 
   test("no CartesianProduct anywhere") {
     val offenders = plans.collect {
