@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.ext.{Multimodal, TextAnalysis => TA}
@@ -168,6 +168,149 @@ object AnalysisQueries extends QueryGroup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated"))
   }
+
+  /** Bloom-filter decontamination screen — the shape [[decontaminate]]
+    * takes when the benchmark set outgrows a broadcast hash join of raw
+    * n-gram STRINGS: the eval split's shingles are folded into an
+    * m = 2^18-bit Bloom filter (3 md5-derived hashes), and the corpus is
+    * screened by probing bits in that broadcast — ~32 KB regardless of
+    * how many n-grams it encodes (size m at ~14 bits/element for ~0.1%
+    * false positives; the FP rate only costs a few extra docs in the
+    * verify pass a real pipeline runs behind the screen). The screen
+    * itself is a pure projection per (doc, shingle) — 3 hashes + 3 map
+    * probes, no join against eval data at all; the only shuffle left is
+    * the per-doc count. Bits live in a word-indexed long map so the
+    * build is one tiny aggregation, not a dense-array construction.
+    *
+    * Everything is md5-derived and integer, so the flagged set is
+    * engine-exact: the DuckDB oracle reproduces the SAME bit positions
+    * and flags a shingle iff all three of its positions are set —
+    * including genuine Bloom false positives, which are deterministic
+    * given the hash family. Superset-of-exact is spec-asserted against
+    * [[decontaminate]]. */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    bloomDecontaminate(spark, dir, "md5")
+
+  /** `hashMode`: "md5" (registered default — DuckDB reproduces the bit
+    * positions exactly) or "xxh64" (production — one codegen'd
+    * xxhash64 per probe instead of an md5 + hex fold; same contract as
+    * the minhash/simhash modes, superset-of-exact spec-asserted in
+    * both modes). */
+  def bloomDecontaminate(spark: SparkSession, dir: String,
+                         hashMode: String): DataFrame = {
+    import graft.ext.Dedup
+    val m = 1 << 18
+    val bucket =
+      expr(Dedup.hexValSql("substr(md5(cast(doc_id as string)),1,8)", 8)) % 100
+    val sh = graft.core.CacheScope.track(
+      Dedup.shingleFrame(Tables(spark, dir).documents)
+        .withColumn("__b", bucket.cast("long"))
+        .persist())
+    // Per-mode position pipeline over a frame with an `ng` column. In
+    // md5 mode the md5 prefix is STAGED into its own column before the
+    // hex-digit fold: hexValSql references its input 8 times (once per
+    // digit), so inlining would evaluate the md5 8x per hash — and the
+    // optimizer's inferred not-null filter would push below the
+    // projection and re-inline it all again. CollapseProject refuses to
+    // merge a non-cheap expr used many times, so the staged form keeps
+    // exactly one md5 per (shingle, hash). (The DuckDB oracle can
+    // inline freely — it is correctness-only.) xxh64 mode is a single
+    // codegen'd hash per probe — no staging to protect.
+    def staged(base: DataFrame, keep: Seq[Column]): DataFrame = hashMode match {
+      case "md5" =>
+        base.select(keep ++ (0 until 3).map(j =>
+            substring(md5(concat(lit(s"bloom${j}_"), col("ng"))), 1, 8)
+              .as(s"hx$j")): _*)
+          .select(keep ++ (0 until 3).map(j =>
+            expr(s"(${Dedup.hexValSql(s"hx$j", 8)}) % $m").as(s"h$j")): _*)
+      case "xxh64" =>
+        base.select(keep ++ (0 until 3).map(j =>
+          pmod(xxhash64(lit(s"bloom$j"), col("ng")), lit(m.toLong)).as(s"h$j")): _*)
+      case other =>
+        throw new IllegalArgumentException(
+          s"hashMode must be md5 or xxh64, got: $other")
+    }
+    // build: distinct bit positions of the eval split -> word-indexed
+    // bit_or -> ONE map row (bounded by the eval set's size, not the
+    // corpus; 2^18 bits = at most 4096 entries)
+    val bloom = staged(sh.filter(col("__b") < 5)
+        .select(explode(col("sh")).as("ng")).distinct(), Nil)
+      .select(explode(array(col("h0"), col("h1"), col("h2"))).as("p"))
+      .distinct()
+      .groupBy(expr("p div 64").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(p % 64 as int)))").as("bits"))
+      .groupBy()
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("bm"))
+      // densify ONCE at build: Spark map lookups are linear scans over
+      // MapData (no hash index), so probing the sparse map per shingle
+      // was O(words) per probe — ~30 s at sf0.1. A dense long array
+      // makes each probe a true O(1) element_at; 4096 longs = 32 KB.
+      .select(transform(sequence(lit(0L), lit((m / 64 - 1).toLong)),
+        i => coalesce(element_at(col("bm"), i), lit(0L))).as("bloom"))
+    // The 32 KB bit array is COLLECTED and embedded as a literal, so
+    // the screen is one whole-stage-codegen'd projection with O(1)
+    // array probes — no join node at all. This is the w5-style
+    // documented bounded collect: the size is fixed by m (m/8 bytes,
+    // 32 KB here) regardless of corpus size, exactly the payload a
+    // real cluster ships to every executor anyway. The 1-row
+    // cross-join alternative pushed the probe into a
+    // BroadcastNestedLoopJoin condition — evaluated interpreted per
+    // shingle (3.2 s warm at sf0.1, md5 mode).
+    val bits = bloom.head().getSeq[Long](0)
+    // The probe is a PROJECTED 0/1 column summed through the aggregate,
+    // not a row filter: a Filter here is pushed below the staging
+    // projections by substitution (PushDownPredicates), re-inlining the
+    // md5+hex chain into the filter AND leaving the projection above to
+    // compute it again — measured 7.5 s warm. As a projection,
+    // CollapseProject's non-cheap-used-twice rule keeps the staging
+    // intact and the whole screen is one codegen span: 3.4 s warm in
+    // md5 mode (the floor is the 3 md5/shingle — DigestUtils per call;
+    // the oracle price) and 1.9 s in xxh64 mode (ProfileBloom; the
+    // earlier map-probe and unstaged drafts measured 30 s / 8.9 s —
+    // MapData lookups are linear scans, see git history).
+    // (Null-safe <=>: h is never null, and an ordinary =!= would let
+    // InferFiltersFromConstraints grow a vacuous isnotnull filter with
+    // the same re-inlining problem.)
+    val hit = (0 until 3).map { j =>
+      !(element_at(typedlit(bits), (expr(s"h$j div 64") + 1).cast("int"))
+        .bitwiseAND(expr(s"shiftleft(1L, cast(h$j % 64 as int))")) <=> lit(0L))
+    }.reduce(_ && _)
+    staged(sh.filter(col("__b") >= 5)
+        .select(col("doc_id"), explode(col("sh")).as("ng")), Seq(col("doc_id")))
+      .select(col("doc_id"), when(hit, 1L).otherwise(0L).as("__f"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__f")).as("n_flagged"))
+      .filter(col("n_flagged") > 0)
+  }
+
+  /** Corpus accounting report — the rollup a corpus team reads before
+    * and after every curation step: per (lang, source) cell plus both
+    * marginals and the grand total (ROLLUP-style via grouping sets),
+    * with doc/token/char volumes and the count of docs passing the
+    * curation quality bar. One pass, one shuffle on the grouping sets
+    * (Spark expands them inside a single hash aggregate); all counts
+    * int64 and the one ratio a final IEEE division, so every cell
+    * hash-matches. The NULL-vs-total ambiguity is resolved the
+    * standard way: explicit grouping flags, not sentinel strings. */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("lang"), col("source"),
+        octet_length(col("text")).cast("long").as("nb"),
+        TA.tokenCount(col("text")).as("nt"),
+        split(col("text"), "\\s+").as("__toks"), col("text"))
+      .select(col("lang"), col("source"), col("nb"), col("nt"),
+        (TA.qualityScore(col("__toks"), col("text")) >= 0.5)
+          .cast("long").as("q"))
+      .cube(col("lang"), col("source"))
+      .agg(grouping(col("lang")).cast("long").as("g_lang"),
+        grouping(col("source")).cast("long").as("g_source"),
+        count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        sum(col("nb")).as("n_bytes"), sum(col("q")).as("n_quality"),
+        (sum(col("q")).cast("double") / count(lit(1)).cast("double"))
+          .as("quality_rate"))
+      .select(col("g_lang"), col("g_source"), col("lang"), col("source"),
+        col("n_docs"), col("n_tokens"), col("n_bytes"), col("n_quality"),
+        col("quality_rate"))
 
   /** Stratified deterministic sampling — different keep-fractions per
     * language (upsample scarce strata, downsample dominant ones), with
@@ -577,8 +720,15 @@ object AnalysisQueries extends QueryGroup {
     "x_balanced_sample" -> (balancedSample _),
     "x_pack_shuffled"   -> ((s: SparkSession, d: String) => packShuffled(s, d)),
     "x_chunk_docs"      -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
-    "x_lm_score"        -> (lmScore _)
+    "x_lm_score"        -> (lmScore _),
+    "x_bloom_decontaminate" -> (bloomDecontaminate _),
+    "x_corpus_report"   -> (corpusReport _)
   )
+
+  /** The 3 Bloom bit positions of an n-gram string column/expr — SQL
+    * valid on Spark AND DuckDB (hexValSql), m = 2^18. */
+  private def bloomPosSql(j: Int, ng: String): String =
+    s"(${graft.ext.Dedup.hexValSql(s"substr(md5(concat('bloom${j}_', $ng)),1,8)", 8)} % ${1 << 18})"
 
   def oracles: Map[String, String] = Map(
     "x_curation_pipeline" -> {
@@ -829,6 +979,53 @@ object AnalysisQueries extends QueryGroup {
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
          |FROM tr JOIN ev USING (ng)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "x_bloom_decontaminate" -> {
+      val b = graft.ext.Dedup.hexValSql("substr(md5(CAST(doc_id AS VARCHAR)),1,8)", 8)
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${DedupQueries.shSql} AS sh, $b % 100 AS b FROM documents
+         |), ev AS (
+         |  SELECT DISTINCT unnest(sh) AS ng FROM sh WHERE b < 5
+         |), pos AS (
+         |  SELECT DISTINCT p FROM (
+         |    SELECT unnest([${bloomPosSql(0, "ng")},
+         |      ${bloomPosSql(1, "ng")}, ${bloomPosSql(2, "ng")}]) AS p FROM ev)
+         |), tr AS (
+         |  SELECT doc_id, unnest(sh) AS ng FROM sh WHERE b >= 5
+         |), trh AS (
+         |  SELECT doc_id, ${bloomPosSql(0, "ng")} AS h0,
+         |    ${bloomPosSql(1, "ng")} AS h1, ${bloomPosSql(2, "ng")} AS h2
+         |  FROM tr
+         |)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged
+         |FROM trh
+         |WHERE h0 IN (SELECT p FROM pos) AND h1 IN (SELECT p FROM pos)
+         |  AND h2 IN (SELECT p FROM pos)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "x_corpus_report" -> {
+      val quality =
+        s"""(least(CAST(len($toksSql) AS DOUBLE), 100.0) / 100.0)
+           |    * (1.0 - CAST(len(list_filter($toksSql, t -> t IN (${sqlIn(graft.ops.TextOps.stopWords)}))) AS DOUBLE)
+           |        / greatest(CAST(len($toksSql) AS DOUBLE), 1.0))
+           |    * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+           |        / greatest(CAST(length(text) AS DOUBLE), 1.0))""".stripMargin
+      s"""WITH t AS (
+         |  SELECT lang, source,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+         |    CAST(len($toksSql) AS BIGINT) AS nt,
+         |    CASE WHEN $quality >= 0.5 THEN 1 ELSE 0 END AS q
+         |  FROM documents
+         |)
+         |SELECT CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+         |  CAST(GROUPING(source) AS BIGINT) AS g_source,
+         |  lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(nb) AS BIGINT) AS n_bytes,
+         |  CAST(SUM(q) AS BIGINT) AS n_quality,
+         |  CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS quality_rate
+         |FROM t GROUP BY CUBE (lang, source)
+         |ORDER BY g_lang, g_source, lang, source""".stripMargin
     },
     "x_stratified_sample" -> {
       val b = graft.ext.Dedup.hexValSql("substr(md5(CAST(doc_id AS VARCHAR)),1,8)", 8)

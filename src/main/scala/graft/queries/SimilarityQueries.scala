@@ -410,6 +410,48 @@ object SimilarityQueries extends QueryGroup {
       .join(dups, Seq("vec_id"), "left_anti")
   }
 
+  /** Product-quantization encode — the compression step that turns the
+    * y4 IVF index into IVF-PQ: the 64-dim snapped vector is split into
+    * `nSub` subvectors and each is replaced by the id of its nearest
+    * codebook entry (codebooks here: the first k vectors' subvectors,
+    * the y4 seed rule), so a vector stores nSub small codes instead of
+    * 64 floats — at k=16 that is 4 nibbles (2 bytes) per vector, a 128×
+    * compression of the candidate-scan payload. Output carries the
+    * exact int64 quantization distance per subspace so callers can
+    * monitor codebook quality (Σ qdist is the PQ training objective).
+    *
+    * Scale shape: the codebook is k·nSub tiny rows broadcast once; the
+    * encode is ONE broadcast equi-join on the subspace id (k candidates
+    * per (vector, subspace), collapsed by a min_by hash aggregate with
+    * map-side partials — the same argmin shape as assignToCells, never
+    * a window over the fan-out) and everything is exact int64, so codes
+    * are engine- and partitioning-deterministic. Real pipelines re-train
+    * codebooks with Lloyd rounds exactly like y4's lloydRefine — the
+    * assignment machinery is shared, so that extension is more of the
+    * identical rounds, per subspace. */
+  def pqCodes(spark: SparkSession, dir: String,
+              nSub: Int = 4, k: Int = 16): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val dim = 64
+    val subDim = dim / nSub
+    val sv = emb.select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
+    val subs = sv
+      .select(col("vec_id"), col("sv"),
+        explode(sequence(lit(0L), lit(nSub - 1L))).as("sub"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("sv"), (col("sub") * subDim + 1).cast("int"), lit(subDim)).as("ssv"))
+    val codebook = subs.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").as("code"), col("ssv").as("cv"))
+    val l2 = aggregate(zip_with(col("ssv"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    subs.join(broadcast(codebook), "sub")
+      .withColumn("dist", l2)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("code"))).as("m"))
+      .select(col("vec_id"), col("sub").as("subspace"),
+        col("m.code").as("code"), col("m.dist").as("qdist"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "y1_cosine_topk"   -> (cosineTopK _),
     "y2_embed_neardup" -> (embedNearDup _),
@@ -420,7 +462,8 @@ object SimilarityQueries extends QueryGroup {
     "y4_ann_ivf"       -> ((s: SparkSession, d: String) => annIvf(s, d)),
     "y5_label_centroids" -> (labelCentroids _),
     "y7_incremental_ann" -> (incrementalAnn _),
-    "y8_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d))
+    "y8_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
+    "y9_pq_codes"      -> ((s: SparkSession, d: String) => pqCodes(s, d))
   )
 
   // ---- DuckDB oracles ----
@@ -535,6 +578,27 @@ object SimilarityQueries extends QueryGroup {
          |)
          |SELECT probe_id, neighbor_id, cell, rank, cos FROM ranked
          |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+    "y9_pq_codes" ->
+      s"""WITH sv AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS s
+         |  FROM embeddings
+         |), subs AS (
+         |  SELECT vec_id, sub, list_slice(s, sub * 16 + 1, sub * 16 + 16) AS ssv
+         |  FROM (SELECT vec_id, s, unnest(range(0, 4)) AS sub FROM sv)
+         |), cb AS (
+         |  SELECT sub, vec_id AS code, ssv AS cv FROM subs WHERE vec_id < 16
+         |), d AS (
+         |  SELECT v.vec_id, v.sub, c.code,
+         |    CAST(list_aggregate(list_transform(list_zip(v.ssv, c.cv),
+         |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS BIGINT) AS dist
+         |  FROM subs v JOIN cb c ON v.sub = c.sub
+         |)
+         |SELECT vec_id, sub AS subspace, code, dist AS qdist FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |    ORDER BY dist, code) AS rn FROM d
+         |) WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
     "y8_semantic_dedup" ->
       s"""$kmeansAssignedCte, dups AS (
          |  SELECT DISTINCT b.vec_id

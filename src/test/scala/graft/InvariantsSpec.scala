@@ -542,6 +542,73 @@ class InvariantsSpec extends SparkTestBase {
         s"dropped vec ${v._1} has no lower-id near neighbor")
   }
 
+  test("pqCodes: 4 codes per vector, argmin verified brute-force, codebook seeds encode to themselves at qdist 0") {
+    val codes = graft.queries.SimilarityQueries.pqCodes(spark, sf())
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val sv = Tables(spark, sf()).embeddings
+      .select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(codes.size === sv.size * 4)
+    val cb = (0L until 16L).map(c => c -> sv(c)).toMap
+    for (((vid, sub), (code, qdist)) <- codes) {
+      assert(code >= 0L && code < 16L)
+      val ssv = sv(vid).slice((sub * 16).toInt, (sub * 16).toInt + 16)
+      val dists = cb.map { case (c, v) =>
+        val cs = v.slice((sub * 16).toInt, (sub * 16).toInt + 16)
+        c -> ssv.zip(cs).map { case (x, y) => (x - y) * (x - y) }.sum
+      }
+      val best = dists.minBy { case (c, d) => (d, c) }
+      assert((best._2, best._1) === (qdist, code),
+        s"vec $vid sub $sub: expected code ${best._1} at ${best._2}")
+      if (vid < 16L) assert(code === vid && qdist === 0L,
+        "codebook seeds must quantize to themselves exactly")
+    }
+  }
+
+  test("bloom screen flags a superset of the exact decontamination, per doc and in count") {
+    val exact = graft.queries.AnalysisQueries.decontaminate(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.CacheScope.releaseAll()
+    val bloom = graft.queries.AnalysisQueries.bloomDecontaminate(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.CacheScope.releaseAll()
+    assert(exact.nonEmpty, "exact decontamination must be non-vacuous here")
+    for ((doc, n) <- exact) {
+      assert(bloom.contains(doc), s"bloom missed contaminated doc $doc")
+      assert(bloom(doc) >= n,
+        s"doc $doc: bloom flagged ${bloom(doc)} < exact $n — false NEGATIVE")
+    }
+    // the xxh64 production mode keeps the same no-false-negative
+    // contract (different hash family, so flag counts may differ)
+    val xx = graft.queries.AnalysisQueries
+      .bloomDecontaminate(spark, sf(), "xxh64")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.CacheScope.releaseAll()
+    for ((doc, n) <- exact) {
+      assert(xx.contains(doc) && xx(doc) >= n,
+        s"doc $doc: xxh64 bloom false negative")
+    }
+  }
+
+  test("corpusReport cells are internally consistent with marginals and the grand total") {
+    val rows = graft.queries.AnalysisQueries.corpusReport(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)), Option(r.getString(3)), r.getLong(4), r.getLong(5)))
+    val cells = rows.filter(r => r._1 == 0 && r._2 == 0)
+    val byLang = rows.filter(r => r._1 == 0 && r._2 == 1)
+    val total = rows.filter(r => r._1 == 1 && r._2 == 1)
+    assert(total.length === 1)
+    assert(total.head._5 === cells.map(_._5).sum)
+    assert(total.head._6 === cells.map(_._6).sum)
+    for (l <- byLang) {
+      val mine = cells.filter(_._3 == l._3)
+      assert(l._5 === mine.map(_._5).sum, s"lang ${l._3} doc marginal")
+      assert(l._6 === mine.map(_._6).sum, s"lang ${l._3} token marginal")
+    }
+    assert(total.head._5 === Tables(spark, sf()).documents.count())
+  }
+
   test("testdata schemas match FIXTURES.md (drift guard)") {
     val t = Tables(spark, sf())
     def names(df: org.apache.spark.sql.DataFrame) = df.schema.fieldNames.toSeq
