@@ -429,27 +429,81 @@ object SimilarityQueries extends QueryGroup {
     * codebooks with Lloyd rounds exactly like y4's lloydRefine — the
     * assignment machinery is shared, so that extension is more of the
     * identical rounds, per subspace. */
-  def pqCodes(spark: SparkSession, dir: String,
-              nSub: Int = 4, k: Int = 16): DataFrame = {
-    val emb = Tables(spark, dir).embeddings
-    val dim = 64
-    val subDim = dim / nSub
-    val sv = emb.select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
-    val subs = sv
+  /** (vec_id, sub, ssv): every vector's `nSub` snapped subvectors. */
+  private def pqSubs(emb: DataFrame, nSub: Int, subDim: Int): DataFrame =
+    emb.select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
       .select(col("vec_id"), col("sv"),
         explode(sequence(lit(0L), lit(nSub - 1L))).as("sub"))
       .select(col("vec_id"), col("sub"),
         slice(col("sv"), (col("sub") * subDim + 1).cast("int"), lit(subDim)).as("ssv"))
-    val codebook = subs.filter(col("vec_id") < k)
-      .select(col("sub"), col("vec_id").as("code"), col("ssv").as("cv"))
-    val l2 = aggregate(zip_with(col("ssv"), col("cv"), (x, y) => (x - y) * (x - y)),
+
+  /** Exact int64 subvector L2, shared by the encode and the ADC table. */
+  private def pqL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
-    subs.join(broadcast(codebook), "sub")
-      .withColumn("dist", l2)
+
+  /** First k vectors' subvectors as the per-subspace codebook. */
+  private def pqCodebook(subs: DataFrame, k: Int): DataFrame =
+    subs.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").as("code"), col("ssv").as("cv"))
+
+  /** The argmin encode over a (vec_id, sub, ssv) frame: broadcast
+    * codebook equi-join on the subspace id, min_by collapse with
+    * map-side partials. */
+  private def pqEncode(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), "sub")
+      .withColumn("dist", pqL2(col("ssv"), col("cv")))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(struct(col("dist"), col("code"))).as("m"))
-      .select(col("vec_id"), col("sub").as("subspace"),
+      .select(col("vec_id"), col("sub"),
         col("m.code").as("code"), col("m.dist").as("qdist"))
+
+  def pqCodes(spark: SparkSession, dir: String,
+              nSub: Int = 4, k: Int = 16): DataFrame = {
+    val subs = pqSubs(Tables(spark, dir).embeddings, nSub, 64 / nSub)
+    pqEncode(subs, pqCodebook(subs, k))
+      .select(col("vec_id"), col("sub").as("subspace"),
+        col("code"), col("qdist"))
+  }
+
+  /** PQ-ADC ANN — the query path PQ compression exists for: probes are
+    * answered against the corpus's CODES, never its vectors. Each probe
+    * precomputes its asymmetric distance table (exact subvector L2 to
+    * every codebook entry — k·nSub ints per probe), and a corpus
+    * vector's approximate distance is the SUM of `nSub` table lookups
+    * on its codes. Here the lookup is a broadcast equi-join on
+    * (sub, code) — the table side is |probes|·k·nSub rows, independent
+    * of corpus size — followed by one (probe, vec) hash aggregate with
+    * map-side partials and the bounded-heap top-k. The corpus-side scan
+    * touches only the 4-code frame: this is the 128x payload reduction
+    * the encode bought. The probe set is FIXED (the y1 convention —
+    * a corpus-proportional probe set makes any per-probe scan
+    * quadratic; measured 8.4x time at 10x data with vec_id % 50
+    * probes, ~2x with the fixed set), and at 100 TB a large probe
+    * batch composes with y4's IVF cells (probe only your cell's
+    * codes) exactly like a real IVF-PQ index; everything is exact
+    * int64, so ranks never flap. */
+  def pqAdc(spark: SparkSession, dir: String,
+            nSub: Int = 4, k: Int = 16): DataFrame = {
+    val subs = graft.core.CacheScope.track(
+      pqSubs(Tables(spark, dir).embeddings, nSub, 64 / nSub).persist())
+    val cb = pqCodebook(subs, k)
+    val codes = pqEncode(subs, cb).filter(col("vec_id") >= 16)
+      .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
+    val dt = subs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("probe_id"), col("sub"), col("ssv").as("pv"))
+      .join(broadcast(cb), "sub")
+      .select(col("probe_id"), col("sub"), col("code"),
+        pqL2(col("pv"), col("cv")).as("d"))
+    val scored = codes.join(broadcast(dt), Seq("sub", "code"))
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(sum(col("d")).as("adc"))
+    graft.ops.TopK.perKey(scored, Seq("probe_id"),
+        Seq("adc" -> false, "neighbor_id" -> false), 3)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("adc"), col("neighbor_id"))).cast("long"))
+      .select(col("probe_id"), col("neighbor_id"), col("rank"), col("adc"))
+      .orderBy(col("probe_id"), col("rank"))
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -463,7 +517,8 @@ object SimilarityQueries extends QueryGroup {
     "y5_label_centroids" -> (labelCentroids _),
     "y7_incremental_ann" -> (incrementalAnn _),
     "y8_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
-    "y9_pq_codes"      -> ((s: SparkSession, d: String) => pqCodes(s, d))
+    "y9_pq_codes"      -> ((s: SparkSession, d: String) => pqCodes(s, d)),
+    "y10_pq_adc"       -> ((s: SparkSession, d: String) => pqAdc(s, d))
   )
 
   // ---- DuckDB oracles ----
@@ -493,6 +548,33 @@ object SimilarityQueries extends QueryGroup {
   }
   private def bucketSqlFor(nPlanes: Int): String = bucketSqlForBand(0, nPlanes)
   private val bucketSql: String = bucketSqlFor(8)
+
+  /** The y9 PQ encoder as SQL (snap → 4 subvectors → seed codebook →
+    * per-subspace argmin), shared by y9_pq_codes and y10_pq_adc. Ends
+    * with `codes(vec_id, sub, code, dist)` plus the reusable `subs` and
+    * `cb` CTEs. */
+  private val pqCodesCte: String =
+    """WITH sv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS s
+      |  FROM embeddings
+      |), subs AS (
+      |  SELECT vec_id, sub, list_slice(s, sub * 16 + 1, sub * 16 + 16) AS ssv
+      |  FROM (SELECT vec_id, s, unnest(range(0, 4)) AS sub FROM sv)
+      |), cb AS (
+      |  SELECT sub, vec_id AS code, ssv AS cv FROM subs WHERE vec_id < 16
+      |), d AS (
+      |  SELECT v.vec_id, v.sub, c.code,
+      |    CAST(list_aggregate(list_transform(list_zip(v.ssv, c.cv),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS BIGINT) AS dist
+      |  FROM subs v JOIN cb c ON v.sub = c.sub
+      |), codes AS (
+      |  SELECT vec_id, sub, code, dist FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+      |      ORDER BY dist, code) AS rn FROM d
+      |  ) WHERE rn = 1
+      |)""".stripMargin
 
   /** The y4 k-means quantizer as SQL (snap → seed pick → assign → one
     * Lloyd step → re-assign), shared by y4_ann_ivf and
@@ -579,26 +661,29 @@ object SimilarityQueries extends QueryGroup {
          |SELECT probe_id, neighbor_id, cell, rank, cos FROM ranked
          |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
     "y9_pq_codes" ->
-      s"""WITH sv AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding,
-         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS s
-         |  FROM embeddings
-         |), subs AS (
-         |  SELECT vec_id, sub, list_slice(s, sub * 16 + 1, sub * 16 + 16) AS ssv
-         |  FROM (SELECT vec_id, s, unnest(range(0, 4)) AS sub FROM sv)
-         |), cb AS (
-         |  SELECT sub, vec_id AS code, ssv AS cv FROM subs WHERE vec_id < 16
-         |), d AS (
-         |  SELECT v.vec_id, v.sub, c.code,
-         |    CAST(list_aggregate(list_transform(list_zip(v.ssv, c.cv),
-         |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS BIGINT) AS dist
-         |  FROM subs v JOIN cb c ON v.sub = c.sub
+      s"""$pqCodesCte
+         |SELECT vec_id, sub AS subspace, code, dist AS qdist
+         |FROM codes ORDER BY vec_id, subspace""".stripMargin,
+    "y10_pq_adc" ->
+      s"""$pqCodesCte, probes AS (
+         |  SELECT vec_id AS probe_id, sub, ssv FROM subs WHERE vec_id < 16
+         |), dt AS (
+         |  SELECT p.probe_id, p.sub, c.code,
+         |    CAST(list_aggregate(list_transform(list_zip(p.ssv, c.cv),
+         |      q -> (q[1] - q[2]) * (q[1] - q[2])), 'sum') AS BIGINT) AS d
+         |  FROM probes p JOIN cb c ON p.sub = c.sub
+         |), scored AS (
+         |  SELECT dt.probe_id, k.vec_id AS neighbor_id,
+         |    CAST(SUM(dt.d) AS BIGINT) AS adc
+         |  FROM codes k JOIN dt ON k.sub = dt.sub AND k.code = dt.code
+         |  WHERE k.vec_id >= 16
+         |  GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |    ORDER BY adc, neighbor_id) AS BIGINT) AS rank FROM scored
          |)
-         |SELECT vec_id, sub AS subspace, code, dist AS qdist FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-         |    ORDER BY dist, code) AS rn FROM d
-         |) WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
+         |SELECT probe_id, neighbor_id, rank, adc FROM ranked
+         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
     "y8_semantic_dedup" ->
       s"""$kmeansAssignedCte, dups AS (
          |  SELECT DISTINCT b.vec_id

@@ -566,6 +566,32 @@ class InvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("pqAdc equals the brute-force asymmetric-distance ranking over the codes") {
+    val got = graft.queries.SimilarityQueries.pqAdc(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    graft.core.CacheScope.releaseAll()
+    val sv = Tables(spark, sf()).embeddings
+      .select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val codes = graft.queries.SimilarityQueries.pqCodes(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def subv(v: Seq[Long], s: Long) = v.slice((s * 16).toInt, (s * 16).toInt + 16)
+    def l2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val probes = sv.keys.filter(_ < 16).toSeq.sorted
+    val corpus = sv.keys.filter(_ >= 16).toSeq.sorted
+    val expect = probes.flatMap { p =>
+      corpus.map { v =>
+        val adc = (0L until 4L).map(s =>
+          l2(subv(sv(p), s), subv(sv(codes((v, s))), s))).sum
+        (p, v, adc)
+      }.sortBy(t => (t._3, t._2)).take(3).zipWithIndex
+        .map { case ((pp, vv, a), i) => (pp, vv, (i + 1).toLong, a) }
+    }
+    assert(got.sortBy(t => (t._1, t._3)).toSeq === expect,
+      "ADC top-3 must match the exact table-lookup recomputation")
+  }
+
   test("bloom screen flags a superset of the exact decontamination, per doc and in count") {
     val exact = graft.queries.AnalysisQueries.decontaminate(spark, sf())
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
