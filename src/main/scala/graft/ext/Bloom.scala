@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter primitives for the decontamination screen —
+  * `AnalysisQueries.bloomDecontaminate` (batch) and
+  * `StreamDedup.bloomScreen` (the same screen in the ingest path).
+  *
+  * m bits, 3 hash functions; both hash families are engine-portable:
+  * "md5" (DuckDB-exact — the first 8 md5 hex chars folded to int64,
+  * mirroring Dedup.hexValSql) and "xxh64" (production — one codegen'd
+  * xxhash64 per probe).
+  *
+  * Everything here is built from `Column` HANDLES, not SQL names, so
+  * the probe composes inside higher-order-function lambdas — which is
+  * what lets the streaming screen test each shingle inside
+  * `aggregate(sh, ...)` as a pure per-row projection: stateless in
+  * append mode, no explode, no groupBy, no watermark. The bit array
+  * itself travels as a 32 KB literal (bounded by m, never by the
+  * corpus — see bloomDecontaminate's design notes). */
+object Bloom {
+
+  /** 2^18 bits = 32 KB; size m at ~14 bits per expected eval n-gram. */
+  val DefaultM: Int = 1 << 18
+
+  /** Column form of [[Dedup.hexValSql]]: fold `nHex` hex chars of `h`
+    * into an int64 (identical values — the oracle keeps the SQL
+    * form). */
+  def hexValCol(h: Column, nHex: Int): Column =
+    (0 until nHex).map { k =>
+      val mult = 1L << (4 * (nHex - 1 - k))
+      (call_function("instr", lit("0123456789abcdef"), substring(h, k + 1, 1))
+        - 1).cast("long") * lit(mult)
+    }.reduce(_ + _)
+
+  /** The 8-hex md5 prefix for hash `j` of n-gram `ng` — staged
+    * SEPARATELY from the hex fold by callers on hot paths (hexValCol
+    * references its input 8 times; inlined, the md5 would run 8x). */
+  def md5Stage(j: Int, ng: Column): Column =
+    substring(md5(concat(lit(s"bloom${j}_"), ng)), 1, 8)
+
+  /** Bit position of hash `j` for a pre-staged md5 prefix. */
+  def posFromMd5Stage(hx: Column, m: Int): Column = hexValCol(hx, 8) % m
+
+  /** The 3 bit positions of `ng`, self-contained (used where staging
+    * doesn't matter: the eval-sized build, per-shingle HOF lambdas). */
+  def positions(ng: Column, hashMode: String, m: Int): Seq[Column] =
+    hashMode match {
+      case "md5"   => (0 until 3).map(j => posFromMd5Stage(md5Stage(j, ng), m))
+      case "xxh64" => (0 until 3).map(j =>
+        pmod(xxhash64(lit(s"bloom$j"), ng), lit(m.toLong)))
+      case other => throw new IllegalArgumentException(
+        s"hashMode must be md5 or xxh64, got: $other")
+    }
+
+  /** Null-safe single-bit probe of the embedded bit array at position
+    * `p` (<=> so no isnotnull filter is inferred and pushed into the
+    * position computation — see bloomDecontaminate). */
+  def bitTest(bits: Seq[Long], p: Column): Column =
+    !(element_at(typedlit(bits), (shiftright(p, 6) + 1).cast("int"))
+      .bitwiseAND(call_function("shiftleft", lit(1L),
+        p.bitwiseAND(lit(63L)).cast("int"))) <=> lit(0L))
+
+  /** All-3-positions-set test for one n-gram value — lambda-safe. */
+  def hit(bits: Seq[Long], ng: Column, hashMode: String, m: Int): Column =
+    positions(ng, hashMode, m).map(bitTest(bits, _)).reduce(_ && _)
+
+  /** Build the dense bit array from a frame with a distinct `ng`
+    * column: 3 positions per n-gram -> distinct -> word-indexed bit_or
+    * (at most m/64 rows however large the input) -> ONE densified row,
+    * collected. The result is bounded by m (m/8 bytes), never by the
+    * data. */
+  def buildBits(ngrams: DataFrame, hashMode: String = "md5",
+                m: Int = DefaultM): Seq[Long] = {
+    val pos = hashMode match {
+      case "md5" => ngrams
+        .select((0 until 3).map(j => md5Stage(j, col("ng")).as(s"hx$j")): _*)
+        .select(explode(array((0 until 3).map(j =>
+          posFromMd5Stage(col(s"hx$j"), m)): _*)).as("p"))
+      case _ => ngrams
+        .select(explode(array(positions(col("ng"), hashMode, m): _*)).as("p"))
+    }
+    pos.distinct()
+      .groupBy(shiftright(col("p"), 6).as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(p % 64 as int)))").as("bits"))
+      .groupBy()
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("bm"))
+      // densify ONCE at build: Spark map lookups are linear MapData
+      // scans, a dense array makes every later probe O(1)
+      .select(transform(sequence(lit(0L), lit((m / 64 - 1).toLong)),
+        i => coalesce(element_at(col("bm"), i), lit(0L))).as("bloom"))
+      .head().getSeq[Long](0)
+  }
+}

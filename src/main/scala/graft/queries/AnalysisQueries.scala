@@ -198,85 +198,58 @@ object AnalysisQueries extends QueryGroup {
     * both modes). */
   def bloomDecontaminate(spark: SparkSession, dir: String,
                          hashMode: String): DataFrame = {
-    import graft.ext.Dedup
-    val m = 1 << 18
+    import graft.ext.{Bloom, Dedup}
+    val m = Bloom.DefaultM
     val bucket =
       expr(Dedup.hexValSql("substr(md5(cast(doc_id as string)),1,8)", 8)) % 100
     val sh = graft.core.CacheScope.track(
       Dedup.shingleFrame(Tables(spark, dir).documents)
         .withColumn("__b", bucket.cast("long"))
         .persist())
-    // Per-mode position pipeline over a frame with an `ng` column. In
-    // md5 mode the md5 prefix is STAGED into its own column before the
-    // hex-digit fold: hexValSql references its input 8 times (once per
-    // digit), so inlining would evaluate the md5 8x per hash — and the
-    // optimizer's inferred not-null filter would push below the
-    // projection and re-inline it all again. CollapseProject refuses to
-    // merge a non-cheap expr used many times, so the staged form keeps
-    // exactly one md5 per (shingle, hash). (The DuckDB oracle can
-    // inline freely — it is correctness-only.) xxh64 mode is a single
-    // codegen'd hash per probe — no staging to protect.
-    def staged(base: DataFrame, keep: Seq[Column]): DataFrame = hashMode match {
+    // build: the eval split's distinct n-grams folded into the bit
+    // array (word-indexed bit_or, at most m/64 rows however large the
+    // eval set) and COLLECTED — 32 KB, bounded by m regardless of
+    // corpus size; the w5-style documented bounded collect. Embedding
+    // it as a literal makes the screen one whole-stage-codegen'd
+    // projection with O(1) array probes — no join node at all. (The
+    // 1-row cross-join alternative pushed the probe into a
+    // BroadcastNestedLoopJoin condition, evaluated interpreted per
+    // shingle: 3.2 s warm at sf0.1 in md5 mode.)
+    val bits = Bloom.buildBits(sh.filter(col("__b") < 5)
+      .select(explode(col("sh")).as("ng")).distinct(), hashMode, m)
+    // Screen-side plan discipline, every step measured (ProfileBloom):
+    // - md5 mode STAGES the md5 prefix before the hex fold (hexValCol
+    //   references its input 8 times; inlined, md5 runs 8x per hash;
+    //   CollapseProject's non-cheap-used-twice rule preserves the
+    //   staging). Unstaged: 29 s at sf0.1.
+    // - The probe is a PROJECTED 0/1 column summed through the
+    //   aggregate, NOT a row filter: a Filter is pushed below the
+    //   staging projections by substitution (PushDownPredicates),
+    //   re-inlining the hash chain into the filter while the
+    //   projection above recomputes it — 7.5 s warm.
+    // - Probes are null-safe <=> (Bloom.bitTest): ordinary =!= lets
+    //   InferFiltersFromConstraints grow a vacuous isnotnull filter
+    //   with the same re-inlining problem — 8.9 s warm.
+    // - The bit array is a dense long ARRAY, not a map: Spark map
+    //   lookups scan MapData linearly — 30 s warm.
+    // Final: 3.4 s warm md5 (the floor is 3 md5/shingle — DigestUtils
+    // per call; the oracle price), 1.9 s in xxh64 mode.
+    val staged = hashMode match {
       case "md5" =>
-        base.select(keep ++ (0 until 3).map(j =>
-            substring(md5(concat(lit(s"bloom${j}_"), col("ng"))), 1, 8)
-              .as(s"hx$j")): _*)
-          .select(keep ++ (0 until 3).map(j =>
-            expr(s"(${Dedup.hexValSql(s"hx$j", 8)}) % $m").as(s"h$j")): _*)
-      case "xxh64" =>
-        base.select(keep ++ (0 until 3).map(j =>
-          pmod(xxhash64(lit(s"bloom$j"), col("ng")), lit(m.toLong)).as(s"h$j")): _*)
-      case other =>
-        throw new IllegalArgumentException(
-          s"hashMode must be md5 or xxh64, got: $other")
+        sh.filter(col("__b") >= 5)
+          .select(col("doc_id"), explode(col("sh")).as("ng"))
+          .select(col("doc_id") +: (0 until 3).map(j =>
+            Bloom.md5Stage(j, col("ng")).as(s"hx$j")): _*)
+          .select(col("doc_id") +: (0 until 3).map(j =>
+            Bloom.posFromMd5Stage(col(s"hx$j"), m).as(s"h$j")): _*)
+      case _ =>
+        sh.filter(col("__b") >= 5)
+          .select(col("doc_id"), explode(col("sh")).as("ng"))
+          .select(col("doc_id") +: Bloom.positions(col("ng"), hashMode, m)
+            .zipWithIndex.map { case (p, j) => p.as(s"h$j") }: _*)
     }
-    // build: distinct bit positions of the eval split -> word-indexed
-    // bit_or -> ONE map row (bounded by the eval set's size, not the
-    // corpus; 2^18 bits = at most 4096 entries)
-    val bloom = staged(sh.filter(col("__b") < 5)
-        .select(explode(col("sh")).as("ng")).distinct(), Nil)
-      .select(explode(array(col("h0"), col("h1"), col("h2"))).as("p"))
-      .distinct()
-      .groupBy(expr("p div 64").as("w"))
-      .agg(expr("bit_or(shiftleft(1L, cast(p % 64 as int)))").as("bits"))
-      .groupBy()
-      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("bm"))
-      // densify ONCE at build: Spark map lookups are linear scans over
-      // MapData (no hash index), so probing the sparse map per shingle
-      // was O(words) per probe — ~30 s at sf0.1. A dense long array
-      // makes each probe a true O(1) element_at; 4096 longs = 32 KB.
-      .select(transform(sequence(lit(0L), lit((m / 64 - 1).toLong)),
-        i => coalesce(element_at(col("bm"), i), lit(0L))).as("bloom"))
-    // The 32 KB bit array is COLLECTED and embedded as a literal, so
-    // the screen is one whole-stage-codegen'd projection with O(1)
-    // array probes — no join node at all. This is the w5-style
-    // documented bounded collect: the size is fixed by m (m/8 bytes,
-    // 32 KB here) regardless of corpus size, exactly the payload a
-    // real cluster ships to every executor anyway. The 1-row
-    // cross-join alternative pushed the probe into a
-    // BroadcastNestedLoopJoin condition — evaluated interpreted per
-    // shingle (3.2 s warm at sf0.1, md5 mode).
-    val bits = bloom.head().getSeq[Long](0)
-    // The probe is a PROJECTED 0/1 column summed through the aggregate,
-    // not a row filter: a Filter here is pushed below the staging
-    // projections by substitution (PushDownPredicates), re-inlining the
-    // md5+hex chain into the filter AND leaving the projection above to
-    // compute it again — measured 7.5 s warm. As a projection,
-    // CollapseProject's non-cheap-used-twice rule keeps the staging
-    // intact and the whole screen is one codegen span: 3.4 s warm in
-    // md5 mode (the floor is the 3 md5/shingle — DigestUtils per call;
-    // the oracle price) and 1.9 s in xxh64 mode (ProfileBloom; the
-    // earlier map-probe and unstaged drafts measured 30 s / 8.9 s —
-    // MapData lookups are linear scans, see git history).
-    // (Null-safe <=>: h is never null, and an ordinary =!= would let
-    // InferFiltersFromConstraints grow a vacuous isnotnull filter with
-    // the same re-inlining problem.)
-    val hit = (0 until 3).map { j =>
-      !(element_at(typedlit(bits), (expr(s"h$j div 64") + 1).cast("int"))
-        .bitwiseAND(expr(s"shiftleft(1L, cast(h$j % 64 as int))")) <=> lit(0L))
-    }.reduce(_ && _)
-    staged(sh.filter(col("__b") >= 5)
-        .select(col("doc_id"), explode(col("sh")).as("ng")), Seq(col("doc_id")))
+    val hit = (0 until 3).map(j => Bloom.bitTest(bits, col(s"h$j"))).reduce(_ && _)
+    staged
       .select(col("doc_id"), when(hit, 1L).otherwise(0L).as("__f"))
       .groupBy(col("doc_id"))
       .agg(sum(col("__f")).as("n_flagged"))

@@ -83,4 +83,27 @@ object StreamDedup {
           .otherwise(0.0).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** The Bloom decontamination screen in the ingest path: flag
+    * streamed documents (doc_id, text) whose shingles hit the
+    * pre-built benchmark bit array (Bloom.buildBits — batch-built
+    * once, 32 KB however large the benchmark suite).
+    *
+    * This is the MOST stateless form a streaming operator can take: a
+    * pure per-row projection (shingle, then probe each shingle inside
+    * an `aggregate` lambda against the embedded literal), so it runs
+    * in append mode with no watermark, no state store, no
+    * stream-static join — nothing to checkpoint beyond the source
+    * offsets, and a re-built bit array is just a new query. Output
+    * matches the batch screen row for row (spec-asserted
+    * differentially). */
+  def bloomScreen(stream: DataFrame, bits: Seq[Long],
+                  hashMode: String = "md5",
+                  m: Int = graft.ext.Bloom.DefaultM): DataFrame =
+    graft.ext.Dedup.shingleFrame(stream)
+      .select(col("doc_id"),
+        aggregate(col("sh"), lit(0L), (acc, ng) =>
+          acc + when(graft.ext.Bloom.hit(bits, ng, hashMode, m), 1L)
+            .otherwise(0L)).as("n_flagged"))
+      .filter(col("n_flagged") > 0)
 }

@@ -40,6 +40,39 @@ class StreamNeardupSpec extends SparkTestBase {
     graft.core.CacheScope.releaseAll()
   }
 
+  test("streamed bloom screen equals the batch screen on the same split, both hash modes") {
+    val docs = Tables(spark, sf()).documents
+    val bucket = expr(
+      Dedup.hexValSql("substr(md5(cast(doc_id as string)),1,8)", 8)) % 100
+    val shingled = Dedup.shingleFrame(docs)
+      .withColumn("__b", bucket.cast("long"))
+    val trainRows = docs
+      .join(shingled.filter(col("__b") >= 5).select("doc_id"), "doc_id")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().sortBy(_._1)
+    for (mode <- Seq("md5", "xxh64")) {
+      val bits = graft.ext.Bloom.buildBits(
+        shingled.filter(col("__b") < 5)
+          .select(explode(col("sh")).as("ng")).distinct(), mode)
+      val in = MemoryStream[(Long, String)]
+      val q = StreamDedup
+        .bloomScreen(in.toDF().toDF("doc_id", "text"), bits, mode)
+        .writeStream.format("memory").queryName(s"bloom_out_$mode")
+        .outputMode("append").start()
+      trainRows.grouped(math.max(1, trainRows.length / 3 + 1)).foreach { b =>
+        in.addData(b.toSeq); q.processAllAvailable()
+      }
+      q.stop()
+      val streamed = spark.table(s"bloom_out_$mode")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      val batch = graft.queries.AnalysisQueries
+        .bloomDecontaminate(spark, sf(), mode)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      graft.core.CacheScope.releaseAll()
+      assert(streamed === batch, s"mode $mode diverged from the batch screen")
+      assert(streamed.nonEmpty)
+    }
+  }
+
   test("appendToNeardupIndex: later batches dedup against earlier appends") {
     val idx = java.nio.file.Files.createTempDirectory("graft-snd-app").toString
     val t = "the quick brown fox jumps over the lazy dog again today"
