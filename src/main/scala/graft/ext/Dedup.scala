@@ -174,9 +174,45 @@ object Dedup {
                           pairs: DataFrame, minJaccard: Double,
                           leftCol: String, rightCol: String,
                           idCol: String = "doc_id"): DataFrame = {
+    val union = col("n_a") + col("n_b") - col("n_common")
+    verifyAcross(shLeft, shRight, pairs, leftCol, rightCol, idCol,
+      scoreName = "jaccard", minScore = minJaccard,
+      score = when(union > 0,
+        col("n_common").cast("double") / union.cast("double")).otherwise(0.0))
+  }
+
+  /** Exact CONTAINMENT verify over the same LSH candidates: score =
+    * |A∩B| / min(|A|, |B|) — the share of the SMALLER document's
+    * shingles present in the other. Catches doc-inside-doc duplication
+    * (quoted articles, concatenated dumps, boilerplate-wrapped copies)
+    * that symmetric Jaccard misses: a 100-shingle doc fully embedded in
+    * a 1000-shingle doc has containment 1.0 but Jaccard ~0.1. Recall
+    * caveat, documented deliberately: candidates still come from
+    * MinHash banding, whose collision probability tracks JACCARD — a
+    * short doc buried in a much larger one may never band-collide, so
+    * this is the "containment over LSH candidates" operator; full
+    * asymmetric recall needs a prefix-filtered or suffix-array path. */
+  def verifyContainmentOnShingles(sh: DataFrame, pairs: DataFrame,
+                                  minContainment: Double,
+                                  idCol: String = "doc_id"): DataFrame = {
+    val denom = least(col("n_a"), col("n_b"))
+    verifyAcross(sh, sh, pairs, "a_id", "b_id", idCol,
+      scoreName = "containment", minScore = minContainment,
+      score = when(denom > 0,
+        col("n_common").cast("double") / denom.cast("double")).otherwise(0.0))
+  }
+
+  /** Shared verify shape: join the per-side shingle arrays onto the
+    * candidate pairs, sorted-merge-count the intersection in place, and
+    * keep pairs whose `score` (an expression over n_common/n_a/n_b)
+    * clears `minScore`. Cost O(|candidates| × shingle count) — never a
+    * corpus-sized shuffle; both join build sides are the candidate set. */
+  private def verifyAcross(shLeft: DataFrame, shRight: DataFrame,
+                           pairs: DataFrame, leftCol: String, rightCol: String,
+                           idCol: String, scoreName: String, minScore: Double,
+                           score: => Column): DataFrame = {
     val sa = shLeft.select(col(idCol).as("said"), col("sh").as("sha"))
     val sb = shRight.select(col(idCol).as("sbid"), col("sh").as("shb"))
-    val union = col("n_a") + col("n_b") - col("n_common")
     pairs
       .join(sa, col("said") === col(leftCol))
       .join(sb, col("sbid") === col(rightCol))
@@ -185,9 +221,8 @@ object Dedup {
       .withColumn("n_a", size(col("sha")).cast("long"))
       .withColumn("n_b", size(col("shb")).cast("long"))
       .select(col(leftCol), col(rightCol), col("n_common"), col("n_a"), col("n_b"),
-        when(union > 0, col("n_common").cast("double") / union.cast("double"))
-          .otherwise(0.0).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+        score.as(scoreName))
+      .filter(col(scoreName) >= minScore)
   }
 
   // ---- incremental near-dup (batch vs persisted index) ----

@@ -670,6 +670,37 @@ object AnalysisQueries extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  /** Hashed-feature linear quality classifier — the deployment shape of
+    * a trained fastText-style filter at 100 TB: each token maps to a
+    * weight via the hashing trick (no vocabulary table, no join — the
+    * "model" lives inside the expression), the per-doc score is the
+    * squashed mean weight. Here the weights are md5-derived placeholders
+    * (weight(t) = hex16(md5 t) − 32768 ∈ [−32768, 32767]) so the oracle
+    * reproduces them; swapping in real learned weights changes only the
+    * hash→weight map, not the plan. Scale shape: a pure per-row
+    * projection — zero shuffles, zero joins, whole-stage codegen; the
+    * sum is exact int64 via `aggregate` over the staged token array
+    * (no explode, so no row blow-up), and the only float ops are one
+    * division, one multiply, one abs and two adds per DOC (the
+    * rational squash x/(1+|x|) replaces exp-sigmoid because exp is not
+    * correctly-rounded across engines — same monotone S-shape, exact
+    * IEEE agreement). */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val hv = graft.ext.Dedup.hex4ValSql("substr(md5(t), 1, 4)")
+    Tables(spark, dir).documents
+      .select(col("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        expr(s"aggregate(transform(__toks, t -> $hv - CAST(32768 AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("raw"))
+      // n_tokens >= 1 always (split of "" is [""]) — no 0-denominator
+      .withColumn("__m", col("raw").cast("double") /
+        (col("n_tokens").cast("double") * lit(32768.0)))
+      .select(col("doc_id"), col("n_tokens"), col("raw"),
+        (lit(0.5) + lit(0.5) * col("__m") / (lit(1.0) + abs(col("__m"))))
+          .as("score"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_curation_pipeline" -> (curationPipeline _),
     "x_text_stats"      -> (textStats _),
@@ -695,7 +726,8 @@ object AnalysisQueries extends QueryGroup {
     "x_chunk_docs"      -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "x_lm_score"        -> (lmScore _),
     "x_bloom_decontaminate" -> (bloomDecontaminate _),
-    "x_corpus_report"   -> (corpusReport _)
+    "x_corpus_report"   -> (corpusReport _),
+    "x_quality_classifier" -> (qualityClassifier _)
   )
 
   /** The 3 Bloom bit positions of an n-gram string column/expr — SQL
@@ -1091,6 +1123,23 @@ object AnalysisQueries extends QueryGroup {
         |  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
         |  CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
         |  CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // hashed-feature linear classifier: weight(t) = hex16(md5 t) - 32768,
+    // int64 sum, rational squash (exp-sigmoid isn't cross-engine exact)
+    "x_quality_classifier" -> {
+      val hv = graft.ext.Dedup.hex4ValSql("substr(md5(t), 1, 4)")
+      s"""WITH feat AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    CAST(list_sum(list_transform($toksSql, t -> $hv - 32768)) AS BIGINT) AS raw
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id, n_tokens, raw,
+         |    CAST(raw AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 32768.0) AS mm
+         |  FROM feat
+         |)
+         |SELECT doc_id, n_tokens, raw,
+         |  0.5 + 0.5 * mm / (1.0 + abs(mm)) AS score
+         |FROM m ORDER BY doc_id""".stripMargin
+    }
   )
 }

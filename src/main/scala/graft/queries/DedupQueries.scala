@@ -185,6 +185,59 @@ object DedupQueries extends QueryGroup {
     Dedup.incrementalNeardup(spark, docs.filter(col("doc_id") % 5 === 0), idx, 0.8)
   }
 
+  /** Quality-aware canonical selection: for each d7 cluster, the member
+    * a curation pipeline should KEEP — the highest-quality doc, not the
+    * arbitrary min-id. d8's min-id convention is the right cluster
+    * LABEL (stable, computable inside CC), but real pipelines pick the
+    * representative by content quality (longest/cleanest member — the
+    * near-dup cluster often mixes a full article with truncated or
+    * boilerplate-wrapped copies). Scale shape: quality is projected
+    * ONLY for cluster members — the corpus-sized documents scan is
+    * probe side of a join whose build side is the pair-graph-sized
+    * label frame (AQE broadcasts it), and the per-cluster argmax is a
+    * single hash agg via max_by, no sort window. Ties (identical texts
+    * have identical quality) break to the smaller doc_id, so the
+    * output is deterministic at any partitioning. */
+  def clusterBest(spark: SparkSession, dir: String): DataFrame =
+    clusterBestOn(Tables(spark, dir).documents, dupClusters(spark, dir))
+
+  /** Library composition form of d10: pick representatives from a
+    * PRE-COMPUTED (doc_id, cluster_id) frame (see dedupApplyOn). */
+  def clusterBestOn(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    import graft.ext.{TextAnalysis => TA}
+    val toks = split(col("text"), "\\s+")
+    val members = docs.join(clusters, Seq("doc_id"))
+      // token array staged once — same rationale as textStats
+      .select(col("doc_id"), col("cluster_id"), col("text"), toks.as("__toks"))
+      .select(col("doc_id"), col("cluster_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        TA.stopwordRatio(col("__toks")).as("stopword_ratio"),
+        TA.punctRatio(col("text")).as("punct_ratio"))
+      .select(col("doc_id"), col("cluster_id"),
+        ((least(col("n_tokens").cast("double"), lit(100.0)) / lit(100.0)) *
+          (lit(1.0) - col("stopword_ratio")) *
+          (lit(1.0) - col("punct_ratio"))).as("quality"))
+    members.groupBy(col("cluster_id"))
+      .agg(
+        max_by(col("doc_id"),
+          struct(col("quality").as("q"), (-col("doc_id")).as("nid"))).as("best_id"),
+        max(col("quality")).as("best_quality"),
+        count(lit(1)).as("n_members"))
+  }
+
+  /** Containment near-dup: pairs where the SMALLER doc's shingle set is
+    * >= 90% contained in the other — doc-inside-doc duplication that
+    * symmetric Jaccard (d3) misses. Same LSH candidate machinery as d3
+    * (shingle once, band-join, verify only candidates); only the verify
+    * formula differs. Recall caveat on the banding documented at
+    * [[graft.ext.Dedup.verifyContainmentOnShingles]]. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val sh = graft.core.CacheScope.track(Dedup.shingleFrame(docs).persist())
+    val cand = Dedup.candidatePairs(Dedup.signaturesFromShingles(sh))
+    Dedup.verifyContainmentOnShingles(sh, cand, 0.9)
+  }
+
   /** Per-sf-dir index location: stable across calls (reuse is the point)
     * yet collision-free across scale factors. */
   private[queries] def indexPathFor(dir: String): String = {
@@ -203,7 +256,9 @@ object DedupQueries extends QueryGroup {
     "d6_ngram_jaccard" -> (ngramJaccard _),
     "d7_dup_clusters"  -> (dupClusters _),
     "d8_dedup_apply"   -> (dedupApply _),
-    "d9_incremental_neardup" -> (incrementalNeardup _)
+    "d9_incremental_neardup" -> (incrementalNeardup _),
+    "d10_cluster_best" -> (clusterBest _),
+    "d11_containment"  -> (containmentPairs _)
   )
 
   // ---- DuckDB oracles ----
@@ -351,7 +406,58 @@ object DedupQueries extends QueryGroup {
          |  CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
          |FROM verified
          |WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.8
-         |ORDER BY batch_id, corpus_id""".stripMargin
+         |ORDER BY batch_id, corpus_id""".stripMargin,
+    // per-cluster argmax by the x_text_stats quality formula; ties
+    // (identical dup texts) break to the smaller doc_id on both engines
+    "d10_cluster_best" -> {
+      val sw = graft.ops.TextOps.stopWords.map(w => s"'$w'").mkString(", ")
+      s"""$ccCte, labels AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src
+         |), qual AS (
+         |  SELECT l.cluster_id, d.doc_id,
+         |    (least(CAST(len($toksSql) AS DOUBLE), 100.0) / 100.0)
+         |      * (1.0 - CAST(len(list_filter($toksSql, t -> t IN ($sw))) AS DOUBLE)
+         |          / greatest(CAST(len($toksSql) AS DOUBLE), 1.0))
+         |      * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |          / greatest(CAST(length(text) AS DOUBLE), 1.0)) AS quality
+         |  FROM documents d JOIN labels l ON l.doc_id = d.doc_id
+         |)
+         |SELECT cluster_id, best_id, best_quality, n_members FROM (
+         |  SELECT cluster_id, doc_id AS best_id, quality AS best_quality,
+         |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |                       ORDER BY quality DESC, doc_id ASC) AS rn
+         |  FROM qual
+         |) WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+    },
+    // d3's candidate machinery, containment verify: |A∩B| / min(|A|,|B|)
+    "d11_containment" ->
+      s"""$sigsCte, bands AS (
+         |  SELECT doc_id, 0 AS band_idx, band0 AS band_hash FROM banded
+         |  UNION ALL
+         |  SELECT doc_id, 1, band1 FROM banded
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id
+         |), verified AS (
+         |  SELECT a_id, b_id,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
+         |    CAST(len(sa.sh) AS BIGINT) AS n_a,
+         |    CAST(len(sb.sh) AS BIGINT) AS n_b
+         |  FROM cand
+         |  JOIN shingled sa ON sa.doc_id = a_id
+         |  JOIN shingled sb ON sb.doc_id = b_id
+         |)
+         |SELECT * FROM (
+         |  SELECT a_id, b_id, n_common, n_a, n_b,
+         |    CASE WHEN least(n_a, n_b) > 0 THEN
+         |      CAST(n_common AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE)
+         |    ELSE 0.0 END AS containment
+         |  FROM verified
+         |) WHERE containment >= 0.9 ORDER BY a_id, b_id""".stripMargin
   )
 
   /** Near-dup SURVIVORS as a CTE — the d8 semantics (one canonical doc

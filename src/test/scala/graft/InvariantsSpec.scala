@@ -635,6 +635,95 @@ class InvariantsSpec extends SparkTestBase {
     assert(total.head._5 === Tables(spark, sf()).documents.count())
   }
 
+  test("clusterBest picks the max-quality member (min id on ties) and counts every member") {
+    val docs = Tables(spark, sf()).documents
+    val clusters = graft.queries.DedupQueries.dupClusters(spark, sf())
+    val got = graft.queries.DedupQueries.clusterBestOn(docs, clusters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    // reference: member quality via the SAME library scoring (textStats'
+    // formula), argmax resolved driver-side with the documented
+    // (quality desc, doc_id asc) order
+    val qual = docs
+      .select(col("doc_id"), col("text"), split(col("text"), "\\s+").as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n"),
+        graft.ext.TextAnalysis.stopwordRatio(col("__toks")).as("sr"),
+        graft.ext.TextAnalysis.punctRatio(col("text")).as("pr"))
+      .select(col("doc_id"),
+        ((least(col("n").cast("double"), lit(100.0)) / lit(100.0)) *
+          (lit(1.0) - col("sr")) * (lit(1.0) - col("pr"))).as("q"))
+      .as[(Long, Double)].collect().toMap
+    val members = clusters.select(col("doc_id"), col("cluster_id"))
+      .as[(Long, Long)].collect().groupBy(_._2)
+    assert(got.keySet === members.keySet)
+    for ((cid, ms) <- members) {
+      val ids = ms.map(_._1)
+      val best = ids.map(id => (id, qual(id))).minBy { case (id, q) => (-q, id) }
+      assert(got(cid) === ((best._1, best._2, ids.length.toLong)), s"cluster $cid")
+      assert(ids.contains(got(cid)._1), s"cluster $cid best not a member")
+    }
+    // the registered self-contained query agrees with the overload
+    val registered = graft.queries.DedupQueries.clusterBest(spark, sf())
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(registered === got)
+    graft.core.CacheScope.releaseAll()
+  }
+
+  test("containment dominates jaccard on every candidate pair and d11 is its >=0.9 slice") {
+    val docs = Tables(spark, sf()).documents
+    val sh = Dedup.shingleFrame(docs).persist()
+    try {
+      val cand = Dedup.candidatePairs(Dedup.signaturesFromShingles(sh))
+      val c = Dedup.verifyContainmentOnShingles(sh, cand, 0.0)
+        .select(col("a_id"), col("b_id"), col("containment"), col("n_common"),
+          col("n_a"), col("n_b"))
+        .as[(Long, Long, Double, Long, Long, Long)].collect()
+      val j = Dedup.verifyJaccardOnShingles(sh, cand, 0.0)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+        .as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(c.nonEmpty)
+      c.foreach { case (a, b, cont, nc, na, nb) =>
+        assert(cont >= 0.0 && cont <= 1.0, s"($a,$b) containment $cont")
+        assert(cont >= j((a, b)), s"($a,$b): containment $cont < jaccard")
+        if (math.min(na, nb) > 0)
+          assert(cont === nc.toDouble / math.min(na, nb).toDouble)
+      }
+      val d11 = graft.queries.DedupQueries.containmentPairs(spark, sf())
+        .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+      assert(d11 === c.filter(_._3 >= 0.9).map(r => (r._1, r._2)).toSet)
+    } finally { sh.unpersist(); graft.core.CacheScope.releaseAll() }
+  }
+
+  test("qualityClassifier: raw matches a driver-side md5 recompute, score is a monotone squash into (0,1)") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val got = graft.queries.AnalysisQueries.qualityClassifier(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val texts = Tables(spark, sf()).documents
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    assert(got.length === texts.size)
+    got.foreach { case (id, n, raw, score) =>
+      // -1 keeps trailing empty tokens, matching Spark SQL's split
+      val toks = texts(id).split("\\s+", -1).toSeq
+      assert(n === toks.length.toLong)
+      val expectRaw = toks.map(t =>
+        java.lang.Long.parseLong(md5hex(t).take(4), 16) - 32768L).sum
+      assert(raw === expectRaw, s"doc $id raw")
+      val m = raw.toDouble / (n.toDouble * 32768.0)
+      assert(score === 0.5 + 0.5 * m / (1.0 + math.abs(m)), s"doc $id score")
+      assert(score > 0.0 && score < 1.0)
+    }
+    // monotone: a higher mean weight can only raise the score
+    val sorted = got.sortBy(r => r._3.toDouble / r._2)
+    sorted.sliding(2).foreach {
+      case Array(lo, hi) => assert(lo._4 <= hi._4)
+      case _ => ()
+    }
+  }
+
   test("testdata schemas match FIXTURES.md (drift guard)") {
     val t = Tables(spark, sf())
     def names(df: org.apache.spark.sql.DataFrame) = df.schema.fieldNames.toSeq
