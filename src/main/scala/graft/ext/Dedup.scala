@@ -202,6 +202,59 @@ object Dedup {
         col("n_common").cast("double") / denom.cast("double")).otherwise(0.0))
   }
 
+  /** COMPLETE-recall containment join via prefix filtering (the
+    * AllPairs/PPJoin family) — the exact-asymmetric path that closes
+    * [[verifyContainmentOnShingles]]'s documented LSH recall gap.
+    *
+    * Theorem (pigeonhole, under any fixed global shingle order): if
+    * |A∩B| ≥ α, then any (|A| − α + 1)-subset of A contains an element
+    * of A∩B. For containment |A∩B| / min(|A|,|B|) ≥ num/den, the
+    * smaller side S of a qualifying pair satisfies |S∩L| ≥
+    * ⌈num·|S|/den⌉, so S's prefix of length |S| − ⌈num·|S|/den⌉ + 1 in
+    * the global order must contain a shingle of L. Joining every doc's
+    * prefix against the FULL inverted index therefore generates every
+    * qualifying pair (each is found from its smaller side's prefix) —
+    * no false negatives, unlike MinHash banding.
+    *
+    * The global order is ascending corpus document-frequency (ties by
+    * shingle string): prefixes are each doc's RAREST shingles, so the
+    * candidate join touches only short posting lists — cost
+    * Σ_{s ∈ prefixes} df(s), not Σ df². The prefix length is computed
+    * in pure int64 (⌈num·n/den⌉ = (num·n + den − 1) div den) so both
+    * engines agree exactly (0.9·n in doubles rounds unpredictably).
+    *
+    * Plan: explode once (persisted), one df aggregation, one join-back
+    * + per-doc row_number window (shuffles on shingle then doc), the
+    * inverted-index equi-join on shingle, exact verify on candidates.
+    * Heavier than LSH banding — the price of completeness; at 100 TB
+    * run it on the suspect slice (e.g. near-threshold d11 output or a
+    * partition of interest), not the raw corpus. */
+  def containmentJoin(sh: DataFrame, num: Int, den: Int,
+                      idCol: String = "doc_id"): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"bad threshold $num/$den")
+    val shP = graft.core.CacheScope.track(sh.persist())
+    // exploded (doc, shingle) rows feed the df agg, the prefix ranking
+    // AND the inverted-index probe side — persist once
+    val ex = graft.core.CacheScope.track(
+      shP.select(col(idCol), explode(col("sh")).as("s")).persist())
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("df"), col("s"))
+    val prefix = ex.join(dfreq, "s")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(shP.select(col(idCol), size(col("sh")).cast("long").as("n")), idCol)
+      .filter(col("rn") <=
+        col("n") - expr(s"(n * $num + ${den - 1}) div $den") + 1L)
+      .select(col(idCol).as("p_id"), col("s"))
+    val cand = prefix
+      .join(ex.select(col(idCol).as("e_id"), col("s")), "s")
+      .filter(col("p_id") =!= col("e_id"))
+      .select(least(col("p_id"), col("e_id")).as("a_id"),
+        greatest(col("p_id"), col("e_id")).as("b_id"))
+      .distinct()
+    verifyContainmentOnShingles(shP, cand, num.toDouble / den, idCol)
+  }
+
   /** Shared verify shape: join the per-side shingle arrays onto the
     * candidate pairs, sorted-merge-count the intersection in place, and
     * keep pairs whose `score` (an expression over n_common/n_a/n_b)

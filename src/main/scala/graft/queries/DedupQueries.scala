@@ -238,6 +238,16 @@ object DedupQueries extends QueryGroup {
     Dedup.verifyContainmentOnShingles(sh, cand, 0.9)
   }
 
+  /** Complete-recall containment join at 9/10 — the prefix-filtered
+    * exact path (see [[graft.ext.Dedup.containmentJoin]]) that finds
+    * EVERY doc-inside-doc pair, including the extreme-asymmetry ones
+    * MinHash banding (d11) can miss. Spec-asserted equal to the
+    * brute-force all-pairs containment at test scale and a superset of
+    * d11's output. */
+  def containmentJoin(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentJoin(
+      Dedup.shingleFrame(Tables(spark, dir).documents), 9, 10)
+
   /** Per-sf-dir index location: stable across calls (reuse is the point)
     * yet collision-free across scale factors. */
   private[queries] def indexPathFor(dir: String): String = {
@@ -258,7 +268,8 @@ object DedupQueries extends QueryGroup {
     "d8_dedup_apply"   -> (dedupApply _),
     "d9_incremental_neardup" -> (incrementalNeardup _),
     "d10_cluster_best" -> (clusterBest _),
-    "d11_containment"  -> (containmentPairs _)
+    "d11_containment"  -> (containmentPairs _),
+    "d12_containment_join" -> (containmentJoin _)
   )
 
   // ---- DuckDB oracles ----
@@ -442,6 +453,47 @@ object DedupQueries extends QueryGroup {
          |  FROM bands a JOIN bands b
          |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          |   AND a.doc_id < b.doc_id
+         |), verified AS (
+         |  SELECT a_id, b_id,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
+         |    CAST(len(sa.sh) AS BIGINT) AS n_a,
+         |    CAST(len(sb.sh) AS BIGINT) AS n_b
+         |  FROM cand
+         |  JOIN shingled sa ON sa.doc_id = a_id
+         |  JOIN shingled sb ON sb.doc_id = b_id
+         |)
+         |SELECT * FROM (
+         |  SELECT a_id, b_id, n_common, n_a, n_b,
+         |    CASE WHEN least(n_a, n_b) > 0 THEN
+         |      CAST(n_common AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE)
+         |    ELSE 0.0 END AS containment
+         |  FROM verified
+         |) WHERE containment >= 0.9 ORDER BY a_id, b_id""".stripMargin,
+    // prefix-filtered complete-recall containment: rarity-ordered
+    // prefixes (int64 ceil) probed against the full inverted index,
+    // then the same exact verify as d11
+    "d12_containment_join" ->
+      s"""WITH shingled AS (
+         |  SELECT doc_id, $shSql AS sh FROM documents
+         |), ex AS (
+         |  SELECT doc_id, unnest(sh) AS s FROM shingled
+         |), dfreq AS (
+         |  SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY s
+         |), ranked AS (
+         |  SELECT e.doc_id, e.s,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY e.doc_id
+         |                            ORDER BY d.df, e.s) AS BIGINT) AS rn
+         |  FROM ex e JOIN dfreq d ON d.s = e.s
+         |), sizes AS (
+         |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM shingled
+         |), prefix AS (
+         |  SELECT r.doc_id AS p_id, r.s
+         |  FROM ranked r JOIN sizes z ON z.doc_id = r.doc_id
+         |  WHERE r.rn <= z.n - (z.n * 9 + 9) // 10 + 1
+         |), cand AS (
+         |  SELECT DISTINCT least(p.p_id, e.doc_id) AS a_id,
+         |                  greatest(p.p_id, e.doc_id) AS b_id
+         |  FROM prefix p JOIN ex e ON e.s = p.s AND e.doc_id <> p.p_id
          |), verified AS (
          |  SELECT a_id, b_id,
          |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,

@@ -697,6 +697,31 @@ class InvariantsSpec extends SparkTestBase {
     } finally { sh.unpersist(); graft.core.CacheScope.releaseAll() }
   }
 
+  test("containmentJoin has COMPLETE recall: equals brute-force all-pairs, contains d11's LSH-bounded output") {
+    val docs = Tables(spark, sf()).documents
+    val sh = Dedup.shingleFrame(docs).persist()
+    try {
+      // brute force: every a<b pair, exact containment, no filter trick
+      val a = sh.select(col("doc_id").as("a_id"), col("sh").as("sha"))
+      val b = sh.select(col("doc_id").as("b_id"), col("sh").as("shb"))
+      val brute = a.join(b, col("a_id") < col("b_id"))
+        .withColumn("nc", graft.functions.SortedIntersectCount
+          .sorted_intersect_count(col("sha"), col("shb")))
+        .withColumn("mn", least(size(col("sha")), size(col("shb"))).cast("long"))
+        .filter(col("mn") > 0 &&
+          col("nc").cast("double") / col("mn").cast("double") >= 0.9)
+        .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+      val got = graft.queries.DedupQueries.containmentJoin(spark, sf())
+        .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+      assert(got === brute, "prefix filtering must lose NO qualifying pair")
+      assert(got.nonEmpty)
+      // the LSH-candidate variant can only ever find a subset
+      val d11 = graft.queries.DedupQueries.containmentPairs(spark, sf())
+        .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+      assert(d11.subsetOf(got))
+    } finally { sh.unpersist(); graft.core.CacheScope.releaseAll() }
+  }
+
   test("qualityClassifier: raw matches a driver-side md5 recompute, score is a monotone squash into (0,1)") {
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
