@@ -506,6 +506,62 @@ object SimilarityQueries extends QueryGroup {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** IVF-PQ — the two quantizers composed the way a production ANN
+    * index (FAISS IVFPQ) deploys them at 100 TB: the COARSE quantizer
+    * (y4's k-means cells) prunes the search to the probe's cell, the
+    * FINE quantizer (y9's product codes) compresses what remains to
+    * nSub small codes, and the query answers over ADC table lookups
+    * (y10) restricted to that cell. Per-probe work drops from
+    * O(corpus · nSub lookups) to O(corpus/K · nSub) — the cell
+    * restriction is the IVF recall/latency dial (nprobe=1 here; more
+    * probes = union more cells), the code width the PQ precision dial.
+    * Scale shape: the corpus-side scan touches only (codes ⨝ cell)
+    * rows — 4 codes + a cell id per vector, never the vectors; the
+    * distance table (probes × codebook, corpus-independent) and the
+    * probe cell map broadcast together; everything downstream of the
+    * quantizers is exact int64, so ranks are engine-deterministic. */
+  def ivfPqAdc(spark: SparkSession, dir: String,
+               nSub: Int = 4, k: Int = 16): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    // coarse cells: the y4 quantizer verbatim (seed + one Lloyd round)
+    val vecs = snapped(emb, "vec_id", "sv", "nrm")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = graft.core.CacheScope.track(
+      assignToCells(vecs, lloydRefine(
+        assignToCells(vecs, seedCentroids(vecs, 16), 16)), 16).persist())
+    assigned.count() // materialize cells, then drop the snap projection
+    vecs.unpersist()
+    val cells = assigned.select(col("vec_id"), col("cell").cast("long").as("cell"))
+    // fine codes: the y9 encoder verbatim
+    val subs = graft.core.CacheScope.track(
+      pqSubs(emb, nSub, 64 / nSub).persist())
+    val cb = pqCodebook(subs, k)
+    val codes = pqEncode(subs, cb).filter(col("vec_id") >= 16)
+      .join(cells, "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"),
+        col("cell"))
+    // per-probe ADC table + the probe's own cell, broadcast together
+    val pcell = cells.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("probe_id"), col("cell").as("p_cell"))
+    val dt = subs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("probe_id"), col("sub"), col("ssv").as("pv"))
+      .join(broadcast(cb), "sub")
+      .select(col("probe_id"), col("sub"), col("code"),
+        pqL2(col("pv"), col("cv")).as("d"))
+      .join(pcell, "probe_id")
+    val scored = codes.join(broadcast(dt), Seq("sub", "code"))
+      .filter(col("cell") === col("p_cell")) // nprobe = 1: your cell only
+      .groupBy(col("probe_id"), col("neighbor_id"), col("cell"))
+      .agg(sum(col("d")).as("adc"))
+    graft.ops.TopK.perKey(scored, Seq("probe_id"),
+        Seq("adc" -> false, "neighbor_id" -> false), 3)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("adc"), col("neighbor_id"))).cast("long"))
+      .select(col("probe_id"), col("neighbor_id"), col("cell"),
+        col("rank"), col("adc"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "y1_cosine_topk"   -> (cosineTopK _),
     "y2_embed_neardup" -> (embedNearDup _),
@@ -518,7 +574,8 @@ object SimilarityQueries extends QueryGroup {
     "y7_incremental_ann" -> (incrementalAnn _),
     "y8_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
     "y9_pq_codes"      -> ((s: SparkSession, d: String) => pqCodes(s, d)),
-    "y10_pq_adc"       -> ((s: SparkSession, d: String) => pqAdc(s, d))
+    "y10_pq_adc"       -> ((s: SparkSession, d: String) => pqAdc(s, d)),
+    "y11_ivf_pq"       -> ((s: SparkSession, d: String) => ivfPqAdc(s, d))
   )
 
   // ---- DuckDB oracles ----
@@ -683,6 +740,49 @@ object SimilarityQueries extends QueryGroup {
          |    ORDER BY adc, neighbor_id) AS BIGINT) AS rank FROM scored
          |)
          |SELECT probe_id, neighbor_id, rank, adc FROM ranked
+         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+    // IVF cells (kmeansAssignedCte) + PQ codes, ADC restricted to the
+    // probe's cell — the pq CTEs re-derive subs/cb/codes from kmeans'
+    // sv (same snapped `s` list, so codes match y9 exactly)
+    "y11_ivf_pq" ->
+      s"""$kmeansAssignedCte, subs AS (
+         |  SELECT vec_id, sub, list_slice(s, sub * 16 + 1, sub * 16 + 16) AS ssv
+         |  FROM (SELECT vec_id, s, unnest(range(0, 4)) AS sub FROM sv)
+         |), cb AS (
+         |  SELECT sub, vec_id AS code, ssv AS cv FROM subs WHERE vec_id < 16
+         |), dsub AS (
+         |  SELECT v.vec_id, v.sub, c.code,
+         |    CAST(list_aggregate(list_transform(list_zip(v.ssv, c.cv),
+         |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS BIGINT) AS dist
+         |  FROM subs v JOIN cb c ON v.sub = c.sub
+         |), codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY dist, code) AS rn FROM dsub
+         |  ) WHERE rn = 1
+         |), pcell AS (
+         |  SELECT vec_id AS probe_id, cell AS p_cell
+         |  FROM assigned WHERE vec_id < 16
+         |), dt AS (
+         |  SELECT p.vec_id AS probe_id, p.sub, c.code,
+         |    CAST(list_aggregate(list_transform(list_zip(p.ssv, c.cv),
+         |      q -> (q[1] - q[2]) * (q[1] - q[2])), 'sum') AS BIGINT) AS d
+         |  FROM subs p JOIN cb c ON p.sub = c.sub
+         |  WHERE p.vec_id < 16
+         |), scored AS (
+         |  SELECT dt.probe_id, k.vec_id AS neighbor_id,
+         |    CAST(a.cell AS BIGINT) AS cell, CAST(SUM(dt.d) AS BIGINT) AS adc
+         |  FROM codes k
+         |  JOIN assigned a ON a.vec_id = k.vec_id
+         |  JOIN dt ON k.sub = dt.sub AND k.code = dt.code
+         |  JOIN pcell pc ON pc.probe_id = dt.probe_id AND pc.p_cell = a.cell
+         |  WHERE k.vec_id >= 16
+         |  GROUP BY 1, 2, 3
+         |), ranked AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |    ORDER BY adc, neighbor_id) AS BIGINT) AS rank FROM scored
+         |)
+         |SELECT probe_id, neighbor_id, cell, rank, adc FROM ranked
          |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
     "y8_semantic_dedup" ->
       s"""$kmeansAssignedCte, dups AS (

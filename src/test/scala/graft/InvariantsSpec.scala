@@ -592,6 +592,53 @@ class InvariantsSpec extends SparkTestBase {
       "ADC top-3 must match the exact table-lookup recomputation")
   }
 
+  test("ivfPqAdc equals the driver-side IVF-PQ recomputation (cells, codes, cell-restricted ADC)") {
+    val got = graft.queries.SimilarityQueries.ivfPqAdc(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    graft.core.CacheScope.releaseAll()
+    val sv = Tables(spark, sf()).embeddings
+      .select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // coarse quantizer, replicated exactly: seed = first 16 vectors,
+    // L2 argmin with (dist, id) tie-break, one Lloyd round of floored
+    // int means, re-assign
+    def l2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assign(cents: Map[Long, Seq[Long]]): Map[Long, Long] =
+      sv.map { case (id, v) =>
+        id -> cents.map { case (c, cv) => (l2(v, cv), c) }.min._2
+      }
+    val seed = (0L until 16L).map(c => c -> sv(c)).toMap
+    val a0 = assign(seed)
+    val refined = a0.groupBy(_._2).map { case (c, ms) =>
+      val vs = ms.keys.toSeq.map(sv)
+      c -> vs.head.indices.map { d =>
+        val s = vs.map(_(d)).sum
+        math.floor(s.toDouble / vs.length.toDouble).toLong
+      }
+    }
+    val cells = assign(refined)
+    // fine quantizer from the library's own y9 (already brute-verified)
+    val codes = graft.queries.SimilarityQueries.pqCodes(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def subv(v: Seq[Long], s: Long) = v.slice((s * 16).toInt, (s * 16).toInt + 16)
+    val probes = sv.keys.filter(_ < 16).toSeq.sorted
+    val corpus = sv.keys.filter(_ >= 16).toSeq.sorted
+    val expect = probes.flatMap { p =>
+      corpus.filter(v => cells(v) == cells(p)).map { v =>
+        val adc = (0L until 4L).map(s =>
+          l2(subv(sv(p), s), subv(sv(codes((v, s))), s))).sum
+        (v, adc)
+      }.sortBy { case (v, adc) => (adc, v) }.take(3).zipWithIndex
+        .map { case ((v, adc), i) =>
+          (p, v, cells(p), (i + 1).toLong, adc) }
+    }.toSet
+    assert(got.toSet === expect,
+      "IVF-PQ must be exactly y10's ADC ranking restricted to the probe's cell")
+    assert(got.nonEmpty)
+  }
+
   test("bloom screen flags a superset of the exact decontamination, per doc and in count") {
     val exact = graft.queries.AnalysisQueries.decontaminate(spark, sf())
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
