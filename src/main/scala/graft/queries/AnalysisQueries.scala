@@ -685,8 +685,25 @@ object AnalysisQueries extends QueryGroup {
     * rational squash x/(1+|x|) replaces exp-sigmoid because exp is not
     * correctly-rounded across engines — same monotone S-shape, exact
     * IEEE agreement). */
-  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
-    val hv = graft.ext.Dedup.hex4ValSql("substr(md5(t), 1, 4)")
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    qualityClassifier(spark, dir, "md5")
+
+  /** `hashMode` picks the hash→weight family, same contract as the
+    * minhash/simhash/bloom modes: `"md5"` (default) is the
+    * DuckDB-reproducible oracle mode (4 substr+instr ops per token);
+    * `"xxh64"` derives the weight from one salted codegen-native
+    * xxhash64 per token — the production setting. Scores differ across
+    * modes (different placeholder weights — a REAL deployment ships
+    * learned weights anyway); the plan shape and every determinism
+    * property are identical. */
+  def qualityClassifier(spark: SparkSession, dir: String,
+                        hashMode: String): DataFrame = {
+    val hv = hashMode match {
+      case "md5"   => graft.ext.Dedup.hex4ValSql("substr(md5(t), 1, 4)")
+      case "xxh64" => "pmod(xxhash64('qc', t), CAST(65536 AS BIGINT))"
+      case other => throw new IllegalArgumentException(
+        s"hashMode must be md5 or xxh64, got $other")
+    }
     Tables(spark, dir).documents
       .select(col("doc_id"), toks.as("__toks"))
       .select(col("doc_id"),
@@ -727,7 +744,8 @@ object AnalysisQueries extends QueryGroup {
     "x_lm_score"        -> (lmScore _),
     "x_bloom_decontaminate" -> (bloomDecontaminate _),
     "x_corpus_report"   -> (corpusReport _),
-    "x_quality_classifier" -> (qualityClassifier _)
+    "x_quality_classifier" ->
+      ((s: SparkSession, d: String) => qualityClassifier(s, d))
   )
 
   /** The 3 Bloom bit positions of an n-gram string column/expr — SQL

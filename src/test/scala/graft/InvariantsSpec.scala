@@ -794,6 +794,23 @@ class InvariantsSpec extends SparkTestBase {
       case Array(lo, hi) => assert(lo._4 <= hi._4)
       case _ => ()
     }
+    // xxh64 production mode: same plan contract — per-doc coverage,
+    // (0,1) range, identical texts score identically, run-to-run
+    // deterministic (weights differ from md5 mode by design)
+    val xx = graft.queries.AnalysisQueries
+      .qualityClassifier(spark, sf(), "xxh64")
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(xx.length === texts.size)
+    xx.foreach { case (id, s) => assert(s > 0.0 && s < 1.0, s"doc $id") }
+    val xxById = xx.toMap
+    for ((a, ta) <- texts; (b, tb) <- texts if a < b && ta == tb)
+      assert(xxById(a) === xxById(b), s"identical docs $a,$b diverge")
+    val again = graft.queries.AnalysisQueries
+      .qualityClassifier(spark, sf(), "xxh64")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(xxById === again)
+    intercept[IllegalArgumentException](
+      graft.queries.AnalysisQueries.qualityClassifier(spark, sf(), "sha1"))
   }
 
   test("testdata schemas match FIXTURES.md (drift guard)") {
