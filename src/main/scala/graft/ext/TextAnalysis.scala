@@ -63,9 +63,18 @@ object TextAnalysis {
     * arithmetic only — no transcendentals — so Spark and any oracle
     * compute bit-identical doubles. */
   def qualityScore(tokens: Column, text: Column): Column =
-    (least(size(tokens).cast("double"), lit(100.0)) / lit(100.0)) *
-      (lit(1.0) - stopwordRatio(tokens)) *
-      (lit(1.0) - punctRatio(text))
+    qualityFromStaged(size(tokens).cast("long"),
+      stopwordRatio(tokens), punctRatio(text))
+
+  /** The SAME quality product over already-staged inputs — THE canonical
+    * definition (qualityScore delegates here). Callers that have staged
+    * the token count and both ratios (textStats, d10's member scoring)
+    * use this form so the ratio exprs aren't re-evaluated per factor and
+    * the formula exists in exactly one Spark-side place. */
+  def qualityFromStaged(nTokens: Column, stopwordRatio: Column,
+                        punctRatio: Column): Column =
+    (least(nTokens.cast("double"), lit(100.0)) / lit(100.0)) *
+      (lit(1.0) - stopwordRatio) * (lit(1.0) - punctRatio)
 
   /** Key-collision fingerprint (OpenRefine method): md5 of the sorted,
     * de-duplicated token set — robust to token order and repetition. */

@@ -13,7 +13,19 @@ object AnalysisQueries extends QueryGroup {
 
   private def toks = split(col("text"), "\\s+")
   private val toksSql = "string_split_regex(text, '\\s+')"
-  private def sqlIn(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
+  private[queries] def sqlIn(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString(", ")
+
+  /** The quality product as dialect-shared SQL over a `documents` row —
+    * the ONE SQL-side counterpart of TA.qualityFromStaged, spliced into
+    * every oracle that scores quality (x_text_stats, x_curation_pipeline,
+    * x_corpus_report, d10_cluster_best). */
+  private[queries] lazy val qualitySql: String =
+    s"""(least(CAST(len($toksSql) AS DOUBLE), 100.0) / 100.0)
+       |    * (1.0 - CAST(len(list_filter($toksSql, t -> t IN (${sqlIn(graft.ops.TextOps.stopWords)}))) AS DOUBLE)
+       |        / greatest(CAST(len($toksSql) AS DOUBLE), 1.0))
+       |    * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+       |        / greatest(CAST(length(text) AS DOUBLE), 1.0))""".stripMargin
 
   /** Per-document stats + deterministic quality score. The token array
     * is STAGED into a materialized column first: inlining `split` into
@@ -29,12 +41,11 @@ object AnalysisQueries extends QueryGroup {
         size(col("__toks")).cast("long").as("n_tokens"),
         TA.stopwordRatio(col("__toks")).as("stopword_ratio"),
         TA.punctRatio(col("text")).as("punct_ratio"))
-      // quality rebuilt from the staged ratios — the same product
-      // TA.qualityScore computes, without re-running the punct regex
-      // and the stopword filter a second time per row
-      .withColumn("quality",
-        (least(col("n_tokens").cast("double"), lit(100.0)) / lit(100.0)) *
-          (lit(1.0) - col("stopword_ratio")) * (lit(1.0) - col("punct_ratio")))
+      // quality rebuilt from the staged ratios — the canonical product
+      // (TA.qualityFromStaged), without re-running the punct scan and
+      // the stopword filter a second time per row
+      .withColumn("quality", TA.qualityFromStaged(col("n_tokens"),
+        col("stopword_ratio"), col("punct_ratio")))
     // full-output queries: no presentation sort (order-insensitive gate)
 
   /** Heuristic language ID via stopword-profile overlap (token array
@@ -698,9 +709,18 @@ object AnalysisQueries extends QueryGroup {
     * property are identical. */
   def qualityClassifier(spark: SparkSession, dir: String,
                         hashMode: String): DataFrame = {
-    val hv = hashMode match {
-      case "md5"   => graft.ext.Dedup.hex4ValSql("substr(md5(t), 1, 4)")
-      case "xxh64" => "pmod(xxhash64('qc', t), CAST(65536 AS BIGINT))"
+    // weights as a staged array: the md5 mode computes ONE digest per
+    // token in an inner transform, then extracts the 16-bit value from
+    // the staged hex in the outer lambda — hex4ValSql references its
+    // input 4 times and lambda bodies get no CSE, so inlining the hash
+    // would evaluate md5 4x per token
+    val weights = hashMode match {
+      case "md5" =>
+        s"transform(transform(__toks, t -> substr(md5(t), 1, 4)), " +
+          s"h -> ${graft.ext.Dedup.hex4ValSql("h")} - CAST(32768 AS BIGINT))"
+      case "xxh64" =>
+        "transform(__toks, t -> pmod(xxhash64('qc', t), " +
+          "CAST(65536 AS BIGINT)) - CAST(32768 AS BIGINT))"
       case other => throw new IllegalArgumentException(
         s"hashMode must be md5 or xxh64, got $other")
     }
@@ -708,8 +728,8 @@ object AnalysisQueries extends QueryGroup {
       .select(col("doc_id"), toks.as("__toks"))
       .select(col("doc_id"),
         size(col("__toks")).cast("long").as("n_tokens"),
-        expr(s"aggregate(transform(__toks, t -> $hv - CAST(32768 AS BIGINT)), " +
-          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("raw"))
+        expr(s"aggregate($weights, CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+          .as("raw"))
       // n_tokens >= 1 always (split of "" is [""]) — no 0-denominator
       .withColumn("__m", col("raw").cast("double") /
         (col("n_tokens").cast("double") * lit(32768.0)))
@@ -758,12 +778,7 @@ object AnalysisQueries extends QueryGroup {
       val p = TA.langProfiles
       def score(ws: Seq[String]) =
         s"CAST(len(list_filter($toksSql, t -> t IN (${sqlIn(ws)}))) AS BIGINT)"
-      val quality =
-        s"""(least(CAST(len($toksSql) AS DOUBLE), 100.0) / 100.0)
-           |    * (1.0 - CAST(len(list_filter($toksSql, t -> t IN (${sqlIn(graft.ops.TextOps.stopWords)}))) AS DOUBLE)
-           |        / greatest(CAST(len($toksSql) AS DOUBLE), 1.0))
-           |    * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
-           |        / greatest(CAST(length(text) AS DOUBLE), 1.0))""".stripMargin
+      val quality = qualitySql
       s"""WITH canonical AS (
          |  SELECT doc_id, text FROM (
          |    SELECT doc_id, text,
@@ -792,11 +807,7 @@ object AnalysisQueries extends QueryGroup {
          |    / greatest(CAST(len($toksSql) AS DOUBLE), 1.0) AS stopword_ratio,
          |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
          |    / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
-         |  (least(CAST(len($toksSql) AS DOUBLE), 100.0) / 100.0)
-         |    * (1.0 - CAST(len(list_filter($toksSql, t -> t IN (${sqlIn(graft.ops.TextOps.stopWords)}))) AS DOUBLE)
-         |        / greatest(CAST(len($toksSql) AS DOUBLE), 1.0))
-         |    * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
-         |        / greatest(CAST(length(text) AS DOUBLE), 1.0)) AS quality
+         |  $qualitySql AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
     "x_lang_id" -> {
       val p = TA.langProfiles
@@ -1027,12 +1038,7 @@ object AnalysisQueries extends QueryGroup {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "x_corpus_report" -> {
-      val quality =
-        s"""(least(CAST(len($toksSql) AS DOUBLE), 100.0) / 100.0)
-           |    * (1.0 - CAST(len(list_filter($toksSql, t -> t IN (${sqlIn(graft.ops.TextOps.stopWords)}))) AS DOUBLE)
-           |        / greatest(CAST(len($toksSql) AS DOUBLE), 1.0))
-           |    * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
-           |        / greatest(CAST(length(text) AS DOUBLE), 1.0))""".stripMargin
+      val quality = qualitySql
       s"""WITH t AS (
          |  SELECT lang, source,
          |    CAST(octet_length(encode(text)) AS BIGINT) AS nb,
@@ -1145,10 +1151,12 @@ object AnalysisQueries extends QueryGroup {
     // hashed-feature linear classifier: weight(t) = hex16(md5 t) - 32768,
     // int64 sum, rational squash (exp-sigmoid isn't cross-engine exact)
     "x_quality_classifier" -> {
-      val hv = graft.ext.Dedup.hex4ValSql("substr(md5(t), 1, 4)")
+      val hv = graft.ext.Dedup.hex4ValSql("h")
       s"""WITH feat AS (
          |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
-         |    CAST(list_sum(list_transform($toksSql, t -> $hv - 32768)) AS BIGINT) AS raw
+         |    CAST(list_sum(list_transform(
+         |      list_transform($toksSql, t -> substr(md5(t), 1, 4)),
+         |      h -> $hv - 32768)) AS BIGINT) AS raw
          |  FROM documents
          |), m AS (
          |  SELECT doc_id, n_tokens, raw,

@@ -214,9 +214,8 @@ object DedupQueries extends QueryGroup {
         TA.stopwordRatio(col("__toks")).as("stopword_ratio"),
         TA.punctRatio(col("text")).as("punct_ratio"))
       .select(col("doc_id"), col("cluster_id"),
-        ((least(col("n_tokens").cast("double"), lit(100.0)) / lit(100.0)) *
-          (lit(1.0) - col("stopword_ratio")) *
-          (lit(1.0) - col("punct_ratio"))).as("quality"))
+        TA.qualityFromStaged(col("n_tokens"), col("stopword_ratio"),
+          col("punct_ratio")).as("quality"))
     members.groupBy(col("cluster_id"))
       .agg(
         max_by(col("doc_id"),
@@ -418,20 +417,16 @@ object DedupQueries extends QueryGroup {
          |FROM verified
          |WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.8
          |ORDER BY batch_id, corpus_id""".stripMargin,
-    // per-cluster argmax by the x_text_stats quality formula; ties
-    // (identical dup texts) break to the smaller doc_id on both engines
+    // per-cluster argmax by the shared quality SQL (one copy —
+    // AnalysisQueries.qualitySql); ties (identical dup texts) break to
+    // the smaller doc_id on both engines
     "d10_cluster_best" -> {
-      val sw = graft.ops.TextOps.stopWords.map(w => s"'$w'").mkString(", ")
       s"""$ccCte, labels AS (
          |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
          |  FROM reach GROUP BY src
          |), qual AS (
          |  SELECT l.cluster_id, d.doc_id,
-         |    (least(CAST(len($toksSql) AS DOUBLE), 100.0) / 100.0)
-         |      * (1.0 - CAST(len(list_filter($toksSql, t -> t IN ($sw))) AS DOUBLE)
-         |          / greatest(CAST(len($toksSql) AS DOUBLE), 1.0))
-         |      * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
-         |          / greatest(CAST(length(text) AS DOUBLE), 1.0)) AS quality
+         |    ${AnalysisQueries.qualitySql} AS quality
          |  FROM documents d JOIN labels l ON l.doc_id = d.doc_id
          |)
          |SELECT cluster_id, best_id, best_quality, n_members FROM (

@@ -389,8 +389,14 @@ object SimilarityQueries extends QueryGroup {
     * distinct on the loser id, survivors one anti-join (dup side is
     * dup-proportional, so the optimizer picks broadcast vs shuffle —
     * same reasoning as d8). */
-  def semanticDedup(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
-    val emb = Tables(spark, dir).embeddings
+  /** The y4 coarse quantizer as a reusable build: snap projection
+    * persisted for the seed pick + both assignment rounds, one Lloyd
+    * refinement, result persisted (CacheScope-tracked) and MATERIALIZED
+    * before the projection is eagerly released — shared by y4's
+    * consumers, y8 and y11, so the delicate persist/materialize/release
+    * discipline lives in exactly one place. Returns
+    * (vec_id, sv, nrm, cell). */
+  private def coarseAssigned(emb: DataFrame): DataFrame = {
     val vecs = snapped(emb, "vec_id", "sv", "nrm")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assigned = graft.core.CacheScope.track(
@@ -398,6 +404,11 @@ object SimilarityQueries extends QueryGroup {
         assignToCells(vecs, seedCentroids(vecs, 16), 16)), 16).persist())
     assigned.count() // materialize, then release the projection eagerly
     vecs.unpersist()
+    assigned
+  }
+
+  def semanticDedup(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+    val assigned = coarseAssigned(Tables(spark, dir).embeddings)
     val a = assigned.select(col("vec_id").as("a_id"), col("sv").as("av"),
       col("nrm").as("an"), col("cell"))
     val b = assigned.select(col("vec_id").as("b_id"), col("sv").as("bv"),
@@ -523,15 +534,9 @@ object SimilarityQueries extends QueryGroup {
   def ivfPqAdc(spark: SparkSession, dir: String,
                nSub: Int = 4, k: Int = 16): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    // coarse cells: the y4 quantizer verbatim (seed + one Lloyd round)
-    val vecs = snapped(emb, "vec_id", "sv", "nrm")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val assigned = graft.core.CacheScope.track(
-      assignToCells(vecs, lloydRefine(
-        assignToCells(vecs, seedCentroids(vecs, 16), 16)), 16).persist())
-    assigned.count() // materialize cells, then drop the snap projection
-    vecs.unpersist()
-    val cells = assigned.select(col("vec_id"), col("cell").cast("long").as("cell"))
+    // coarse cells: the y4 quantizer (seed + one Lloyd round)
+    val cells = coarseAssigned(emb)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
     // fine codes: the y9 encoder verbatim
     val subs = graft.core.CacheScope.track(
       pqSubs(emb, nSub, 64 / nSub).persist())
