@@ -237,6 +237,33 @@ object DedupQueries extends QueryGroup {
     Dedup.verifyContainmentOnShingles(sh, cand, 0.9)
   }
 
+  /** d8 with d10's representative rule: the surviving corpus where each
+    * near-dup cluster keeps its HIGHEST-QUALITY member (not the min-id
+    * label) — the decision a production curation pipeline actually
+    * ships. Same survivor/accounting contract as d8 (unclustered docs
+    * pass through with n_merged = 1, survivors sum to the corpus), same
+    * adaptive join shape (label/best frames are pair-graph-sized; no
+    * forced broadcast); only the representative changes. */
+  def dedupApplyBest(spark: SparkSession, dir: String): DataFrame =
+    dedupApplyBestOn(Tables(spark, dir).documents, dupClusters(spark, dir))
+
+  /** Library composition form of d13 over a pre-computed cluster frame:
+    * derives the per-cluster best via [[clusterBestOn]], drops every
+    * other member, and tags each kept representative with its cluster
+    * size. */
+  def dedupApplyBestOn(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val best = clusterBestOn(docs, clusters)
+      .select(col("cluster_id"), col("best_id"), col("n_members"))
+    val losers = clusters.join(best, Seq("cluster_id"))
+      .filter(col("doc_id") =!= col("best_id"))
+      .select(col("doc_id"))
+    docs.select(col("doc_id"))
+      .join(losers, Seq("doc_id"), "left_anti")
+      .join(best.select(col("best_id").as("doc_id"),
+        col("n_members").as("n_merged")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_merged"), lit(1L)).as("n_merged"))
+  }
+
   /** Complete-recall containment join at 9/10 — the prefix-filtered
     * exact path (see [[graft.ext.Dedup.containmentJoin]]) that finds
     * EVERY doc-inside-doc pair, including the extreme-asymmetry ones
@@ -268,7 +295,8 @@ object DedupQueries extends QueryGroup {
     "d9_incremental_neardup" -> (incrementalNeardup _),
     "d10_cluster_best" -> (clusterBest _),
     "d11_containment"  -> (containmentPairs _),
-    "d12_containment_join" -> (containmentJoin _)
+    "d12_containment_join" -> (containmentJoin _),
+    "d13_dedup_apply_best" -> (dedupApplyBest _)
   )
 
   // ---- DuckDB oracles ----
@@ -417,6 +445,32 @@ object DedupQueries extends QueryGroup {
          |FROM verified
          |WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.8
          |ORDER BY batch_id, corpus_id""".stripMargin,
+    // d8's survivor frame with d10's argmax representative: keep the
+    // highest-quality member per cluster, pass unclustered docs through
+    "d13_dedup_apply_best" -> {
+      s"""$ccCte, labels AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src
+         |), qual AS (
+         |  SELECT l.cluster_id, d.doc_id,
+         |    ${AnalysisQueries.qualitySql} AS quality
+         |  FROM documents d JOIN labels l ON l.doc_id = d.doc_id
+         |), best AS (
+         |  SELECT cluster_id, best_id, n_members FROM (
+         |    SELECT cluster_id, doc_id AS best_id,
+         |      COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+         |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |                         ORDER BY quality DESC, doc_id ASC) AS rn
+         |    FROM qual
+         |  ) WHERE rn = 1
+         |)
+         |SELECT d.doc_id, CAST(COALESCE(b.n_members, 1) AS BIGINT) AS n_merged
+         |FROM documents d
+         |LEFT JOIN labels l ON l.doc_id = d.doc_id
+         |LEFT JOIN best b ON b.best_id = d.doc_id
+         |WHERE l.doc_id IS NULL OR b.best_id IS NOT NULL
+         |ORDER BY d.doc_id""".stripMargin
+    },
     // per-cluster argmax by the shared quality SQL (one copy —
     // AnalysisQueries.qualitySql); ties (identical dup texts) break to
     // the smaller doc_id on both engines

@@ -718,6 +718,37 @@ class InvariantsSpec extends SparkTestBase {
     graft.core.CacheScope.releaseAll()
   }
 
+  test("dedupApplyBest keeps exactly d10's representative per cluster and accounts for every doc") {
+    val docs = Tables(spark, sf()).documents
+    val clusters = graft.queries.DedupQueries.dupClusters(spark, sf())
+    val best = graft.queries.DedupQueries.clusterBestOn(docs, clusters)
+      .select(col("cluster_id"), col("best_id"), col("n_members"))
+      .as[(Long, Long, Long)].collect()
+    val surv = graft.queries.DedupQueries.dedupApplyBestOn(docs, clusters)
+      .as[(Long, Long)].collect().toMap
+    val memberIds = clusters.select(col("doc_id")).as[Long].collect().toSet
+    // each cluster's ONLY survivor is its d10 best, with the cluster size
+    for ((cid, bid, n) <- best) {
+      assert(surv.get(bid) === Some(n), s"cluster $cid best $bid")
+    }
+    val bestIds = best.map(_._2).toSet
+    for (m <- memberIds if !bestIds.contains(m))
+      assert(!surv.contains(m), s"non-best member $m survived")
+    // unclustered docs pass through at n_merged = 1; totals partition
+    val nDocs = docs.count()
+    assert(surv.values.sum === nDocs)
+    assert(surv.count(_._2 == 1L) === (nDocs - memberIds.size) +
+      best.count(_._3 == 1L))
+    // same survivor COUNT as d8 (one per cluster either way), and the
+    // registered query matches the overload
+    val d8 = graft.queries.DedupQueries.dedupApply(spark, sf())
+    assert(d8.count() === surv.size.toLong)
+    val registered = graft.queries.DedupQueries.dedupApplyBest(spark, sf())
+      .as[(Long, Long)].collect().toMap
+    assert(registered === surv)
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("containment dominates jaccard on every candidate pair and d11 is its >=0.9 slice") {
     val docs = Tables(spark, sf()).documents
     val sh = Dedup.shingleFrame(docs).persist()
