@@ -396,15 +396,25 @@ object SimilarityQueries extends QueryGroup {
     * consumers, y8 and y11, so the delicate persist/materialize/release
     * discipline lives in exactly one place. Returns
     * (vec_id, sv, nrm, cell). */
-  private def coarseAssigned(emb: DataFrame): DataFrame = {
+  private def coarseAssigned(emb: DataFrame): DataFrame = coarseModel(emb)._1
+
+  /** [[coarseAssigned]] plus the REFINED centroid frame (c_id, cv, cn) —
+    * consumers that rank cells per probe (y11's nprobe dial) need the
+    * centroids themselves, not just the argmin assignment. Both frames
+    * are persisted and materialized before the snap projection is
+    * released (the centroid frame is ≤ K tiny rows, but its lineage
+    * runs through the projection — an unpersisted read would replay the
+    * whole seed assignment). */
+  private def coarseModel(emb: DataFrame): (DataFrame, DataFrame) = {
     val vecs = snapped(emb, "vec_id", "sv", "nrm")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = graft.core.CacheScope.track(
+      lloydRefine(assignToCells(vecs, seedCentroids(vecs, 16), 16)).persist())
     val assigned = graft.core.CacheScope.track(
-      assignToCells(vecs, lloydRefine(
-        assignToCells(vecs, seedCentroids(vecs, 16), 16)), 16).persist())
-    assigned.count() // materialize, then release the projection eagerly
+      assignToCells(vecs, cents, 16).persist())
+    assigned.count(); cents.count() // materialize both, then release
     vecs.unpersist()
-    assigned
+    (assigned, cents)
   }
 
   def semanticDedup(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
@@ -532,10 +542,12 @@ object SimilarityQueries extends QueryGroup {
     * probe cell map broadcast together; everything downstream of the
     * quantizers is exact int64, so ranks are engine-deterministic. */
   def ivfPqAdc(spark: SparkSession, dir: String,
-               nSub: Int = 4, k: Int = 16): DataFrame = {
+               nSub: Int = 4, k: Int = 16,
+               nProbeCells: Int = 1): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     // coarse cells: the y4 quantizer (seed + one Lloyd round)
-    val cells = coarseAssigned(emb)
+    val (assigned, cents) = coarseModel(emb)
+    val cells = assigned
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
     // fine codes: the y9 encoder verbatim
     val subs = graft.core.CacheScope.track(
@@ -545,9 +557,28 @@ object SimilarityQueries extends QueryGroup {
       .join(cells, "vec_id")
       .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"),
         col("cell"))
-    // per-probe ADC table + the probe's own cell, broadcast together
-    val pcell = cells.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("probe_id"), col("cell").as("p_cell"))
+    // per-probe ADC table + the probe's PROBED cells, broadcast together.
+    // nprobe is the recall dial: nProbeCells = 1 searches only the
+    // probe's own (argmin) cell — identical to the assignment by the
+    // same (dist, c_id) order — while higher settings rank ALL refined
+    // centroids per probe and union the nearest n cells' candidates.
+    // The ranking frame is |probes| × K rows (tiny, corpus-independent);
+    // a neighbor lives in exactly one cell, so the union introduces no
+    // double counting and the downstream aggregate is unchanged.
+    val pcell =
+      if (nProbeCells == 1)
+        cells.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("probe_id"), col("cell").as("p_cell"))
+      else
+        assigned.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("probe_id"), col("sv"))
+          .withColumn("c_id", explode(sequence(lit(0L), lit(15L))))
+          .join(broadcast(cents), "c_id")
+          .withColumn("cdist", pqL2(col("sv"), col("cv")))
+          .withColumn("rk", row_number().over(Window.partitionBy(col("probe_id"))
+            .orderBy(col("cdist"), col("c_id"))))
+          .filter(col("rk") <= nProbeCells)
+          .select(col("probe_id"), col("c_id").cast("long").as("p_cell"))
     val dt = subs.filter(col("vec_id") < 16)
       .select(col("vec_id").as("probe_id"), col("sub"), col("ssv").as("pv"))
       .join(broadcast(cb), "sub")
@@ -580,7 +611,9 @@ object SimilarityQueries extends QueryGroup {
     "y8_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
     "y9_pq_codes"      -> ((s: SparkSession, d: String) => pqCodes(s, d)),
     "y10_pq_adc"       -> ((s: SparkSession, d: String) => pqAdc(s, d)),
-    "y11_ivf_pq"       -> ((s: SparkSession, d: String) => ivfPqAdc(s, d))
+    "y11_ivf_pq"       -> ((s: SparkSession, d: String) => ivfPqAdc(s, d)),
+    "y11_ivf_pq_np2"   -> ((s: SparkSession, d: String) =>
+      ivfPqAdc(s, d, nProbeCells = 2))
   )
 
   // ---- DuckDB oracles ----
@@ -679,6 +712,49 @@ object SimilarityQueries extends QueryGroup {
       |    FROM dists) WHERE rn = 1
       |)""".stripMargin
 
+  /** The y11 IVF-PQ oracle skeleton, parameterized by the probed-cell
+    * CTE (nprobe=1 reads the argmin assignment; higher settings rank
+    * the refined `cents` per probe). The pq CTEs re-derive subs/cb/
+    * codes from kmeans' `sv` — same snapped `s` list, so codes match
+    * y9 exactly. */
+  private def ivfPqSql(pcellCte: String): String =
+    s"""$kmeansAssignedCte, subs AS (
+       |  SELECT vec_id, sub, list_slice(s, sub * 16 + 1, sub * 16 + 16) AS ssv
+       |  FROM (SELECT vec_id, s, unnest(range(0, 4)) AS sub FROM sv)
+       |), cb AS (
+       |  SELECT sub, vec_id AS code, ssv AS cv FROM subs WHERE vec_id < 16
+       |), dsub AS (
+       |  SELECT v.vec_id, v.sub, c.code,
+       |    CAST(list_aggregate(list_transform(list_zip(v.ssv, c.cv),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS BIGINT) AS dist
+       |  FROM subs v JOIN cb c ON v.sub = c.sub
+       |), codes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+       |      ORDER BY dist, code) AS rn FROM dsub
+       |  ) WHERE rn = 1
+       |), $pcellCte, dt AS (
+       |  SELECT p.vec_id AS probe_id, p.sub, c.code,
+       |    CAST(list_aggregate(list_transform(list_zip(p.ssv, c.cv),
+       |      q -> (q[1] - q[2]) * (q[1] - q[2])), 'sum') AS BIGINT) AS d
+       |  FROM subs p JOIN cb c ON p.sub = c.sub
+       |  WHERE p.vec_id < 16
+       |), scored AS (
+       |  SELECT dt.probe_id, k.vec_id AS neighbor_id,
+       |    CAST(a.cell AS BIGINT) AS cell, CAST(SUM(dt.d) AS BIGINT) AS adc
+       |  FROM codes k
+       |  JOIN assigned a ON a.vec_id = k.vec_id
+       |  JOIN dt ON k.sub = dt.sub AND k.code = dt.code
+       |  JOIN pcell pc ON pc.probe_id = dt.probe_id AND pc.p_cell = a.cell
+       |  WHERE k.vec_id >= 16
+       |  GROUP BY 1, 2, 3
+       |), ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+       |    ORDER BY adc, neighbor_id) AS BIGINT) AS rank FROM scored
+       |)
+       |SELECT probe_id, neighbor_id, cell, rank, adc FROM ranked
+       |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "y1_cosine_topk" ->
       s"""WITH probes AS (
@@ -747,48 +823,25 @@ object SimilarityQueries extends QueryGroup {
          |SELECT probe_id, neighbor_id, rank, adc FROM ranked
          |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
     // IVF cells (kmeansAssignedCte) + PQ codes, ADC restricted to the
-    // probe's cell — the pq CTEs re-derive subs/cb/codes from kmeans'
-    // sv (same snapped `s` list, so codes match y9 exactly)
-    "y11_ivf_pq" ->
-      s"""$kmeansAssignedCte, subs AS (
-         |  SELECT vec_id, sub, list_slice(s, sub * 16 + 1, sub * 16 + 16) AS ssv
-         |  FROM (SELECT vec_id, s, unnest(range(0, 4)) AS sub FROM sv)
-         |), cb AS (
-         |  SELECT sub, vec_id AS code, ssv AS cv FROM subs WHERE vec_id < 16
-         |), dsub AS (
-         |  SELECT v.vec_id, v.sub, c.code,
-         |    CAST(list_aggregate(list_transform(list_zip(v.ssv, c.cv),
-         |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS BIGINT) AS dist
-         |  FROM subs v JOIN cb c ON v.sub = c.sub
-         |), codes AS (
-         |  SELECT vec_id, sub, code FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-         |      ORDER BY dist, code) AS rn FROM dsub
-         |  ) WHERE rn = 1
-         |), pcell AS (
-         |  SELECT vec_id AS probe_id, cell AS p_cell
-         |  FROM assigned WHERE vec_id < 16
-         |), dt AS (
-         |  SELECT p.vec_id AS probe_id, p.sub, c.code,
-         |    CAST(list_aggregate(list_transform(list_zip(p.ssv, c.cv),
-         |      q -> (q[1] - q[2]) * (q[1] - q[2])), 'sum') AS BIGINT) AS d
-         |  FROM subs p JOIN cb c ON p.sub = c.sub
-         |  WHERE p.vec_id < 16
-         |), scored AS (
-         |  SELECT dt.probe_id, k.vec_id AS neighbor_id,
-         |    CAST(a.cell AS BIGINT) AS cell, CAST(SUM(dt.d) AS BIGINT) AS adc
-         |  FROM codes k
-         |  JOIN assigned a ON a.vec_id = k.vec_id
-         |  JOIN dt ON k.sub = dt.sub AND k.code = dt.code
-         |  JOIN pcell pc ON pc.probe_id = dt.probe_id AND pc.p_cell = a.cell
-         |  WHERE k.vec_id >= 16
-         |  GROUP BY 1, 2, 3
-         |), ranked AS (
-         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
-         |    ORDER BY adc, neighbor_id) AS BIGINT) AS rank FROM scored
-         |)
-         |SELECT probe_id, neighbor_id, cell, rank, adc FROM ranked
-         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+    // probed cells — the pq CTEs re-derive subs/cb/codes from kmeans'
+    // sv (same snapped `s` list, so codes match y9 exactly). nprobe=1
+    // reads the probe's argmin assignment; np2 ranks all refined
+    // centroids per probe and keeps the nearest two.
+    "y11_ivf_pq" -> ivfPqSql(
+      """pcell AS (
+        |  SELECT vec_id AS probe_id, cell AS p_cell
+        |  FROM assigned WHERE vec_id < 16
+        |)""".stripMargin),
+    "y11_ivf_pq_np2" -> ivfPqSql(
+      """pcell AS (
+        |  SELECT probe_id, p_cell FROM (
+        |    SELECT v.vec_id AS probe_id, c.c_id AS p_cell,
+        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_aggregate(list_transform(list_zip(v.s, c.cs),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), c.c_id) AS rk
+        |    FROM sv v CROSS JOIN cents c WHERE v.vec_id < 16
+        |  ) WHERE rk <= 2
+        |)""".stripMargin),
     "y8_semantic_dedup" ->
       s"""$kmeansAssignedCte, dups AS (
          |  SELECT DISTINCT b.vec_id

@@ -639,6 +639,32 @@ class InvariantsSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("ivfPq nprobe dial: probing 2 cells dominates 1 cell order-statistic-wise and spans <=2 cells") {
+    def run(np: Int) = {
+      val r = graft.queries.SimilarityQueries.ivfPqAdc(spark, sf(), nProbeCells = np)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      graft.core.CacheScope.releaseAll(); r
+    }
+    val np1 = run(1)
+    val np2 = run(2)
+    assert(np1.nonEmpty && np2.nonEmpty)
+    val by1 = np1.groupBy(_._1); val by2 = np2.groupBy(_._1)
+    // candidates only grow: every probe answered at np1 is answered at np2
+    assert(by1.keySet.subsetOf(by2.keySet))
+    for ((p, rows1) <- by1) {
+      val a1 = rows1.sortBy(_._4).map(_._5) // adc by rank
+      val a2 = by2(p).sortBy(_._4).map(_._5)
+      // superset of candidates ⇒ each order statistic can only improve
+      for (i <- a1.indices if i < a2.length)
+        assert(a2(i) <= a1(i), s"probe $p rank ${i + 1} regressed")
+      assert(a2.length >= a1.length, s"probe $p lost answers")
+      // np1 searches exactly one cell; np2 at most two
+      assert(rows1.map(_._3).distinct.length === 1)
+      assert(by2(p).map(_._3).distinct.length <= 2)
+    }
+  }
+
   test("bloom screen flags a superset of the exact decontamination, per doc and in count") {
     val exact = graft.queries.AnalysisQueries.decontaminate(spark, sf())
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
