@@ -252,8 +252,15 @@ object DedupQueries extends QueryGroup {
     * other member, and tags each kept representative with its cluster
     * size. */
   def dedupApplyBestOn(docs: DataFrame, clusters: DataFrame): DataFrame = {
-    val best = clusterBestOn(docs, clusters)
-      .select(col("cluster_id"), col("best_id"), col("n_members"))
+    // `best` feeds TWO join branches (losers anti-join, n_merged
+    // lookup); persist it so the members/quality projection inside
+    // clusterBestOn can't execute twice if AQE replans the branches
+    // differently — it's pair-graph-sized, same discipline as
+    // neardupPairs' shared sh/sigs frames
+    val best = graft.core.CacheScope.track(
+      clusterBestOn(docs, clusters)
+        .select(col("cluster_id"), col("best_id"), col("n_members"))
+        .persist())
     val losers = clusters.join(best, Seq("cluster_id"))
       .filter(col("doc_id") =!= col("best_id"))
       .select(col("doc_id"))
@@ -447,50 +454,21 @@ object DedupQueries extends QueryGroup {
          |ORDER BY batch_id, corpus_id""".stripMargin,
     // d8's survivor frame with d10's argmax representative: keep the
     // highest-quality member per cluster, pass unclustered docs through
-    "d13_dedup_apply_best" -> {
-      s"""$ccCte, labels AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |  FROM reach GROUP BY src
-         |), qual AS (
-         |  SELECT l.cluster_id, d.doc_id,
-         |    ${AnalysisQueries.qualitySql} AS quality
-         |  FROM documents d JOIN labels l ON l.doc_id = d.doc_id
-         |), best AS (
-         |  SELECT cluster_id, best_id, n_members FROM (
-         |    SELECT cluster_id, doc_id AS best_id,
-         |      COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
-         |      ROW_NUMBER() OVER (PARTITION BY cluster_id
-         |                         ORDER BY quality DESC, doc_id ASC) AS rn
-         |    FROM qual
-         |  ) WHERE rn = 1
-         |)
+    "d13_dedup_apply_best" ->
+      s"""$bestCte
          |SELECT d.doc_id, CAST(COALESCE(b.n_members, 1) AS BIGINT) AS n_merged
          |FROM documents d
          |LEFT JOIN labels l ON l.doc_id = d.doc_id
          |LEFT JOIN best b ON b.best_id = d.doc_id
          |WHERE l.doc_id IS NULL OR b.best_id IS NOT NULL
-         |ORDER BY d.doc_id""".stripMargin
-    },
+         |ORDER BY d.doc_id""".stripMargin,
     // per-cluster argmax by the shared quality SQL (one copy —
     // AnalysisQueries.qualitySql); ties (identical dup texts) break to
     // the smaller doc_id on both engines
-    "d10_cluster_best" -> {
-      s"""$ccCte, labels AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |  FROM reach GROUP BY src
-         |), qual AS (
-         |  SELECT l.cluster_id, d.doc_id,
-         |    ${AnalysisQueries.qualitySql} AS quality
-         |  FROM documents d JOIN labels l ON l.doc_id = d.doc_id
-         |)
-         |SELECT cluster_id, best_id, best_quality, n_members FROM (
-         |  SELECT cluster_id, doc_id AS best_id, quality AS best_quality,
-         |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
-         |    ROW_NUMBER() OVER (PARTITION BY cluster_id
-         |                       ORDER BY quality DESC, doc_id ASC) AS rn
-         |  FROM qual
-         |) WHERE rn = 1 ORDER BY cluster_id""".stripMargin
-    },
+    "d10_cluster_best" ->
+      s"""$bestCte
+         |SELECT cluster_id, best_id, best_quality, n_members FROM best
+         |ORDER BY cluster_id""".stripMargin,
     // d3's candidate machinery, containment verify: |A∩B| / min(|A|,|B|)
     "d11_containment" ->
       s"""$sigsCte, bands AS (
@@ -580,6 +558,29 @@ object DedupQueries extends QueryGroup {
        |  LEFT JOIN labels l ON l.doc_id = d.doc_id AND l.doc_id <> l.cluster_id
        |  LEFT JOIN sizes s ON s.cluster_id = d.doc_id
        |  WHERE l.doc_id IS NULL
+       |)""".stripMargin
+
+  /** Cluster labels + member quality + per-cluster argmax as a CTE
+    * chain ending in `best(cluster_id, best_id, best_quality,
+    * n_members)` (with `labels` still in scope) — the ONE SQL-side
+    * definition of "the representative to keep", shared by the d10 and
+    * d13 oracles; quality itself is AnalysisQueries.qualitySql. */
+  private def bestCte: String =
+    s"""$ccCte, labels AS (
+       |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+       |  FROM reach GROUP BY src
+       |), qual AS (
+       |  SELECT l.cluster_id, d.doc_id,
+       |    ${AnalysisQueries.qualitySql} AS quality
+       |  FROM documents d JOIN labels l ON l.doc_id = d.doc_id
+       |), best AS (
+       |  SELECT cluster_id, best_id, best_quality, n_members FROM (
+       |    SELECT cluster_id, doc_id AS best_id, quality AS best_quality,
+       |      COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+       |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |                         ORDER BY quality DESC, doc_id ASC) AS rn
+       |    FROM qual
+       |  ) WHERE rn = 1
        |)""".stripMargin
 
   /** Shared prefix of d7/d8 (and AnalysisQueries' end-to-end curation

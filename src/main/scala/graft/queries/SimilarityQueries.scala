@@ -586,7 +586,7 @@ object SimilarityQueries extends QueryGroup {
         pqL2(col("pv"), col("cv")).as("d"))
       .join(pcell, "probe_id")
     val scored = codes.join(broadcast(dt), Seq("sub", "code"))
-      .filter(col("cell") === col("p_cell")) // nprobe = 1: your cell only
+      .filter(col("cell") === col("p_cell")) // only the probed cells' candidates
       .groupBy(col("probe_id"), col("neighbor_id"), col("cell"))
       .agg(sum(col("d")).as("adc"))
     graft.ops.TopK.perKey(scored, Seq("probe_id"),
