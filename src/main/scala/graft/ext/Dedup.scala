@@ -240,11 +240,16 @@ object Dedup {
     val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("df"), col("s"))
+    // the doc-size column gets a reserved alias (__pfx_n) so the string-
+    // SQL `div` below can never capture a caller column that happens to
+    // be named `n` — expr() resolves by bare name, unlike the Column API
+    // around it (integer `div` has no Column operator, and a double
+    // divide-then-floor is not exact for all int64 inputs)
     val prefix = ex.join(dfreq, "s")
       .withColumn("rn", row_number().over(w).cast("long"))
-      .join(shP.select(col(idCol), size(col("sh")).cast("long").as("n")), idCol)
+      .join(shP.select(col(idCol), size(col("sh")).cast("long").as("__pfx_n")), idCol)
       .filter(col("rn") <=
-        col("n") - expr(s"(n * $num + ${den - 1}) div $den") + 1L)
+        col("__pfx_n") - expr(s"(__pfx_n * $num + ${den - 1}) div $den") + 1L)
       .select(col(idCol).as("p_id"), col("s"))
     val cand = prefix
       .join(ex.select(col(idCol).as("e_id"), col("s")), "s")

@@ -14,7 +14,10 @@ object AnalysisQueries extends QueryGroup {
   private def toks = split(col("text"), "\\s+")
   private val toksSql = "string_split_regex(text, '\\s+')"
   private[queries] def sqlIn(words: Seq[String]) =
-    words.map(w => s"'$w'").mkString(", ")
+    // '' -escape embedded quotes: safe for the static stopword list, and
+    // keeps any future corpus-derived caller from generating broken (or
+    // injectable) oracle SQL
+    words.map(w => s"'${w.replace("'", "''")}'").mkString(", ")
 
   /** The quality product as dialect-shared SQL over a `documents` row —
     * the ONE SQL-side counterpart of TA.qualityFromStaged, spliced into

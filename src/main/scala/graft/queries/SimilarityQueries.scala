@@ -544,6 +544,10 @@ object SimilarityQueries extends QueryGroup {
   def ivfPqAdc(spark: SparkSession, dir: String,
                nSub: Int = 4, k: Int = 16,
                nProbeCells: Int = 1): DataFrame = {
+    // 0 or negative would silently produce an empty probed-cell frame
+    // (and an empty result) through the else branch — fail loudly like
+    // containmentJoin does for a bad threshold
+    require(nProbeCells >= 1, s"nProbeCells must be >= 1, got $nProbeCells")
     val emb = Tables(spark, dir).embeddings
     // coarse cells: the y4 quantizer (seed + one Lloyd round)
     val (assigned, cents) = coarseModel(emb)

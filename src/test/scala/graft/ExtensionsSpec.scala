@@ -114,6 +114,25 @@ class ExtensionsSpec extends SparkTestBase {
     assert(got.toSeq === Seq(2L, 1L, 0L))
   }
 
+  test("sorted_intersect_count on unsorted input undercounts deterministically, never throws") {
+    // the documented contract for precondition-violating callers: an
+    // UNDERCOUNT (merge skips past out-of-order elements), never an
+    // exception and never an overcount — same behavior interpreted and
+    // codegen'd. ("b","a","c") x ("a","b","c"): merge finds b then c.
+    val df = Seq(
+      (Seq("b", "a", "c"), Seq("a", "b", "c")),
+      (Seq("c", "b", "a"), Seq("a", "b", "c")),
+      (Seq("z", "a"), Seq("a", "z"))
+    ).toDF("a", "b")
+    val expr = graft.functions.SortedIntersectCount
+      .sorted_intersect_count(col("a"), col("b")).as("n")
+    val got = df.select(expr).as[Long].collect().toSeq
+    assert(got === Seq(2L, 1L, 1L)) // each <= the true intersection size (3, 3, 2)
+    val trueSizes = df.select(size(array_intersect(col("a"), col("b"))).cast("long"))
+      .as[Long].collect().toSeq
+    got.lazyZip(trueSizes).foreach { case (n, t) => assert(n <= t) }
+  }
+
   test("sorted_intersect_count generated code compiles (no interpreted fallback)") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
