@@ -314,6 +314,18 @@ object Dedup {
         keep = Seq("sh"))
       .write.mode("append").parquet(path)
 
+  /** Read a committed near-dup index written by [[writeNeardupIndex]] /
+    * [[appendToNeardupIndex]] — the explicit read half of the index API.
+    * The path is Hadoop-`FileSystem`-addressed (file:, hdfs://, s3a://);
+    * an uncommitted or missing index fails loudly instead of returning
+    * an empty scan. */
+  def readNeardupIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame = {
+    require(graft.core.IndexStore.isCommitted(spark, path),
+      s"no committed near-dup index at $path — build one with writeNeardupIndex")
+    spark.read.parquet(path)
+  }
+
   /** Near-dup pairs between a NEW batch and the indexed corpus — the
     * operational 100 TB dedup shape: "dedup today's ingest against
     * everything already indexed". Only the batch is shingled; the
@@ -329,7 +341,7 @@ object Dedup {
                          minJaccard: Double,
                          textCol: String = "text",
                          idCol: String = "doc_id"): DataFrame = {
-    val index = spark.read.parquet(indexPath)
+    val index = readNeardupIndex(spark, indexPath)
     // the batch shingle frame feeds its signature stage AND the verify
     // join — persist it once (batch-sized, not corpus-sized)
     val bsh = graft.core.CacheScope.track(

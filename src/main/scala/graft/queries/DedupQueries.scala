@@ -179,9 +179,9 @@ object DedupQueries extends QueryGroup {
     * documents.parquet scan, batch side only). */
   def incrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val idx = indexPathFor(dir)
-    if (!new java.io.File(idx, "_SUCCESS").exists())
-      Dedup.writeNeardupIndex(docs.filter(col("doc_id") % 5 =!= 0), idx)
+    val idx = graft.core.IndexStore.ensure(spark, indexPathFor(spark, dir)) {
+      scratch => Dedup.writeNeardupIndex(docs.filter(col("doc_id") % 5 =!= 0), scratch)
+    }
     Dedup.incrementalNeardup(spark, docs.filter(col("doc_id") % 5 === 0), idx, 0.8)
   }
 
@@ -282,12 +282,16 @@ object DedupQueries extends QueryGroup {
       Dedup.shingleFrame(Tables(spark, dir).documents), 9, 10)
 
   /** Per-sf-dir index location: stable across calls (reuse is the point)
-    * yet collision-free across scale factors. */
-  private[queries] def indexPathFor(dir: String): String = {
+    * yet collision-free across scale factors. The BASE directory is
+    * caller-supplied via `spark.graft.index.dir` (any Hadoop-FS URI —
+    * hdfs://, s3a://, file:); driver-local java.io.tmpdir is only the
+    * standalone-query fallback for this sandbox. */
+  private[queries] def indexPathFor(spark: SparkSession, dir: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-neardup-index-$digest").getAbsolutePath
+    val base = spark.conf.get("spark.graft.index.dir",
+      sys.props("java.io.tmpdir"))
+    s"${base.stripSuffix("/")}/graft-neardup-index-$digest"
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(

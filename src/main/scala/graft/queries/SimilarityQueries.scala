@@ -322,17 +322,15 @@ object SimilarityQueries extends QueryGroup {
     * like d9); timed reps measure the incremental path. */
   def incrementalAnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    val idx = annIndexPathFor(dir)
-    if (!new java.io.File(idx, "_SUCCESS").exists())
-      snapped(emb.filter(col("vec_id") % 5 =!= 0), "neighbor_id", "nv", "nn")
-        .withColumn("bucket_b", Similarity.lshBucket(col("nv"), 8, 64))
-        .write.mode("overwrite").parquet(idx)
+    val idx = graft.core.IndexStore.ensure(spark, annIndexPathFor(spark, dir)) {
+      scratch => writeAnnIndex(emb.filter(col("vec_id") % 5 =!= 0), scratch)
+    }
     val probes = snapped(emb.filter(col("vec_id") % 5 === 0),
         "probe_id", "pv", "pn")
       .withColumn("bucket", Similarity.lshBucket(col("pv"), 8, 64))
     // probe side is corpus-proportional: no broadcast hint (same
     // reasoning as y2) — the bucket equi-key lets the optimizer choose
-    val scored = spark.read.parquet(idx)
+    val scored = readAnnIndex(spark, idx)
       .join(probes, col("bucket") === col("bucket_b"))
       .withColumn("cos", Similarity.cosineFromSnapped(
         col("pv"), col("nv"), col("pn"), col("nn")))
@@ -344,11 +342,32 @@ object SimilarityQueries extends QueryGroup {
       .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
-  private def annIndexPathFor(dir: String): String = {
+  /** Explicit build half of the ANN index API: each corpus vector
+    * pre-snapped with its norm and LSH bucket, parquet at `path` (any
+    * Hadoop-FS URI). Race-safe build-if-absent callers should go
+    * through [[graft.core.IndexStore.ensure]]. */
+  def writeAnnIndex(emb: DataFrame, path: String): Unit =
+    snapped(emb, "neighbor_id", "nv", "nn")
+      .withColumn("bucket_b", Similarity.lshBucket(col("nv"), 8, 64))
+      .write.mode("overwrite").parquet(path)
+
+  /** Explicit read half: fails loudly on a missing/uncommitted index
+    * instead of returning an empty scan. */
+  def readAnnIndex(spark: SparkSession, path: String): DataFrame = {
+    require(graft.core.IndexStore.isCommitted(spark, path),
+      s"no committed ANN index at $path — build one with writeAnnIndex")
+    spark.read.parquet(path)
+  }
+
+  /** Per-sf-dir ANN index location; base directory caller-supplied via
+    * `spark.graft.index.dir` (tmpdir fallback), like
+    * DedupQueries.indexPathFor. */
+  private def annIndexPathFor(spark: SparkSession, dir: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-ann-index-$digest").getAbsolutePath
+    val base = spark.conf.get("spark.graft.index.dir",
+      sys.props("java.io.tmpdir"))
+    s"${base.stripSuffix("/")}/graft-ann-index-$digest"
   }
 
   /** Per-label embedding centroids — the aggregate every retrieval /

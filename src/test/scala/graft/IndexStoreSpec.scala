@@ -1,0 +1,105 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.core.IndexStore
+import graft.ext.Dedup
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Hadoop-FS commit protocol for the persisted d9/y7 indexes: committed
+  * = _SUCCESS visible through the PATH'S OWN FileSystem (so hdfs:// and
+  * s3a:// work, not just driver-local disk), builds publish atomically
+  * via scratch-dir + rename, and two concurrent first callers race
+  * benignly. */
+class IndexStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-idxstore").toString
+
+  test("ensure builds once, commits via the Hadoop FileSystem, and reuses thereafter") {
+    val path = freshDir() + "/idx"
+    assert(!IndexStore.isCommitted(spark, path))
+    val builds = new AtomicInteger(0)
+    IndexStore.ensure(spark, path) { scratch =>
+      builds.incrementAndGet()
+      spark.range(10).toDF("id").write.parquet(scratch)
+    }
+    assert(IndexStore.isCommitted(spark, path))
+    assert(builds.get() === 1)
+    IndexStore.ensure(spark, path) { _ => builds.incrementAndGet() }
+    assert(builds.get() === 1, "a committed index must not rebuild")
+    assert(spark.read.parquet(path).count() === 10)
+  }
+
+  test("ensure is addressed through the path's FileSystem: an explicit file: URI works") {
+    // java.io.File checks would also pass here, but the call path under
+    // test is Path.getFileSystem -> fs.exists, i.e. the one that works
+    // unchanged when the URI scheme is hdfs:// or s3a://
+    val path = "file://" + freshDir() + "/idx"
+    IndexStore.ensure(spark, path) { scratch =>
+      spark.range(5).toDF("id").write.parquet(scratch)
+    }
+    assert(IndexStore.isCommitted(spark, path))
+    assert(spark.read.parquet(path).count() === 5)
+  }
+
+  test("two concurrent first callers race benignly: one committed copy, no scratch left") {
+    val base = freshDir()
+    val path = base + "/idx"
+    val builds = new AtomicInteger(0)
+    val threads = (0 until 2).map { i =>
+      new Thread(() => {
+        IndexStore.ensure(spark, path) { scratch =>
+          builds.incrementAndGet()
+          // stagger slightly so both builders are in flight together
+          Thread.sleep(50L * i)
+          spark.range(100).toDF("id").write.parquet(scratch)
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(IndexStore.isCommitted(spark, path))
+    assert(spark.read.parquet(path).count() === 100)
+    // no half-built leftovers: the target dir's parent holds exactly the
+    // committed index (losers delete their scratch dirs)
+    val leftovers = new java.io.File(base).listFiles().map(_.getName).toSeq
+    assert(leftovers === Seq("idx"), s"stray build dirs: $leftovers")
+    // and no stray child inside the committed index from a rename-into-dir
+    val children = new java.io.File(path).listFiles().map(_.getName).toSeq
+    assert(!children.exists(_.startsWith("idx.build-")), s"stray child in $children")
+  }
+
+  test("ensure fails loudly when the build produces no committed artifact") {
+    val path = freshDir() + "/idx"
+    intercept[IllegalArgumentException] {
+      IndexStore.ensure(spark, path) { _ => () /* writes nothing */ }
+    }
+    assert(!IndexStore.isCommitted(spark, path))
+  }
+
+  test("d9 incremental path runs against an index addressed via a file: URI") {
+    val docs = Tables(spark, sf()).documents
+    val batchPred = col("doc_id") % 5 === 0
+    val idx = "file://" + freshDir() + "/neardup"
+    IndexStore.ensure(spark, idx) { scratch =>
+      Dedup.writeNeardupIndex(docs.filter(!batchPred), scratch)
+    }
+    val viaUri = Dedup.incrementalNeardup(spark, docs.filter(batchPred), idx, 0.8)
+      .select(col("batch_id"), col("corpus_id")).as[(Long, Long)].collect().toSet
+    // same result as a plain local-path index (the existing d9 contract)
+    val local = java.nio.file.Files.createTempDirectory("graft-d9-local").toString
+    Dedup.writeNeardupIndex(docs.filter(!batchPred), local)
+    val viaLocal = Dedup.incrementalNeardup(spark, docs.filter(batchPred), local, 0.8)
+      .select(col("batch_id"), col("corpus_id")).as[(Long, Long)].collect().toSet
+    assert(viaUri === viaLocal)
+    assert(viaUri.nonEmpty)
+  }
+
+  test("readNeardupIndex rejects a missing or uncommitted path") {
+    intercept[IllegalArgumentException] {
+      Dedup.readNeardupIndex(spark, freshDir() + "/nope")
+    }
+  }
+}
