@@ -128,10 +128,20 @@ object Dedup {
   }
 
   /** Candidate pairs from band collisions: unpivot bands to rows, then
-    * a single equi-join on (band_idx, band_hash). */
-  def candidatePairs(sigs: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val bands = sigs.select(col(idCol),
-      posexplode(array(col("band0"), col("band1"))).as(Seq("band_idx", "band_hash")))
+    * a single equi-join on (band_idx, band_hash).
+    *
+    * `maxBucket` > 0 arms the [[SkewGuard]]: band buckets above that
+    * occupancy are dropped before the self-join (a natural corpus's
+    * boilerplate can make one bucket corpus-sized, putting the whole
+    * O(bucket²) join on one reducer). Recall contract and cap-sizing
+    * guidance in [[SkewGuard.capBuckets]]; 0 (the default, used by
+    * every oracle-checked query) is the unguarded exact-LSH behavior. */
+  def candidatePairs(sigs: DataFrame, idCol: String = "doc_id",
+                     maxBucket: Int = 0): DataFrame = {
+    val bands = SkewGuard.capBuckets(
+      sigs.select(col(idCol),
+        posexplode(array(col("band0"), col("band1"))).as(Seq("band_idx", "band_hash"))),
+      Seq("band_idx", "band_hash"), maxBucket)
     val a = bands.select(col(idCol).as("a_id"), col("band_idx"), col("band_hash"))
     val b = bands.select(col(idCol).as("b_id"), col("band_idx").as("band_idx_b"),
       col("band_hash").as("band_hash_b"))
@@ -400,16 +410,22 @@ object Dedup {
     * `sim` must have columns (idCol, simhash); callers should persist it
     * since both join sides read it. */
   def simhashBandPairs(sim: DataFrame, maxHamming: Int = 2,
-                       idCol: String = "doc_id"): DataFrame = {
+                       idCol: String = "doc_id",
+                       maxBucket: Int = 0): DataFrame = {
     val nBands = maxHamming + 1
     require(simhashBits % nBands == 0,
       s"simhashBits=$simhashBits not divisible into ${nBands} bands")
     val bandBits = simhashBits / nBands
     val mask = (1L << bandBits) - 1
-    val bands = sim.select(col(idCol), col("simhash"),
-      posexplode(array((0 until nBands).map(j =>
-        shiftright(col("simhash"), j * bandBits).bitwiseAND(lit(mask))): _*))
-        .as(Seq("band_idx", "band_bits")))
+    // maxBucket > 0 df-caps the bit-band buckets (see SkewGuard) — the
+    // pigeonhole completeness claim then holds only for pairs with a
+    // collision in a sub-cap bucket; default 0 = exact
+    val bands = SkewGuard.capBuckets(
+      sim.select(col(idCol), col("simhash"),
+        posexplode(array((0 until nBands).map(j =>
+          shiftright(col("simhash"), j * bandBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band_idx", "band_bits"))),
+      Seq("band_idx", "band_bits"), maxBucket)
     // Carry each side's full simhash through the join so verification
     // needs no extra join back to `sim`.
     val a = bands.select(col(idCol).as("a_id"), col("simhash").as("ha"),

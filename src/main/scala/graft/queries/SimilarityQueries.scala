@@ -172,11 +172,18 @@ object SimilarityQueries extends QueryGroup {
     * corpus; a 100 TB corpus raises it logarithmically. Registered at
     * both 8 and 6 planes (y3_ann_lsh / y3_ann_lsh_p6), each with its
     * own oracle; bucket nesting across settings is spec-asserted. */
-  def annLsh(spark: SparkSession, dir: String, nPlanes: Int): DataFrame = {
+  def annLsh(spark: SparkSession, dir: String, nPlanes: Int,
+             maxBucket: Int = 0): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    val sv = emb.select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
-      .withColumn("nrm", Similarity.normSnapped(col("sv")))
-      .withColumn("bucket", Similarity.lshBucket(col("sv"), nPlanes, 64))
+    // maxBucket > 0 df-caps hot LSH buckets before the self-join (a
+    // degenerate plane projection — e.g. zero-vector embeddings from a
+    // broken encoder — can make one bucket corpus-sized); contract in
+    // SkewGuard.capBuckets, default 0 = exact, what the oracle checks
+    val sv = graft.ext.SkewGuard.capBuckets(
+      emb.select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
+        .withColumn("nrm", Similarity.normSnapped(col("sv")))
+        .withColumn("bucket", Similarity.lshBucket(col("sv"), nPlanes, 64)),
+      Seq("bucket"), maxBucket)
     val a = sv.select(col("vec_id").as("a_id"), col("sv").as("av"),
       col("nrm").as("an"), col("bucket"))
     val b = sv.select(col("vec_id").as("b_id"), col("sv").as("bv"),
@@ -211,15 +218,18 @@ object SimilarityQueries extends QueryGroup {
     * shuffled joins back to the (persisted) snap projection for the
     * exact-cosine verify — never all-pairs, no per-band scans. */
   def annLshMultiband(spark: SparkSession, dir: String,
-                      nPlanes: Int = 8, nBands: Int = 2): DataFrame = {
+                      nPlanes: Int = 8, nBands: Int = 2,
+                      maxBucket: Int = 0): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     // the snap projection feeds the band explode AND both verify sides
     val sv = graft.core.CacheScope.track(
       snapped(emb, "vec_id", "sv", "nrm").persist())
-    val bands = sv.select(col("vec_id"),
-      posexplode(array((0 until nBands).map(b =>
-        Similarity.lshBucketBand(col("sv"), b, nPlanes, 64)): _*))
-        .as(Seq("band_idx", "bucket")))
+    val bands = graft.ext.SkewGuard.capBuckets(
+      sv.select(col("vec_id"),
+        posexplode(array((0 until nBands).map(b =>
+          Similarity.lshBucketBand(col("sv"), b, nPlanes, 64)): _*))
+          .as(Seq("band_idx", "bucket"))),
+      Seq("band_idx", "bucket"), maxBucket)
     val cand = bands.select(col("vec_id").as("a_id"), col("band_idx"), col("bucket"))
       .join(bands.select(col("vec_id").as("b_id"),
           col("band_idx").as("band_idx_b"), col("bucket").as("bucket_b")),
@@ -243,11 +253,14 @@ object SimilarityQueries extends QueryGroup {
   /** `nPlanes` surfaces the bucket-count knob exactly as in [[annLsh]]:
     * candidate cost is O(Σ bucket²), so the plane count must grow
     * logarithmically with the corpus for the join to stay linear. */
-  def knnGraph(spark: SparkSession, dir: String, nPlanes: Int): DataFrame = {
+  def knnGraph(spark: SparkSession, dir: String, nPlanes: Int,
+               maxBucket: Int = 0): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    val sv = emb.select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
-      .withColumn("nrm", Similarity.normSnapped(col("sv")))
-      .withColumn("bucket", Similarity.lshBucket(col("sv"), nPlanes, 64))
+    val sv = graft.ext.SkewGuard.capBuckets(
+      emb.select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
+        .withColumn("nrm", Similarity.normSnapped(col("sv")))
+        .withColumn("bucket", Similarity.lshBucket(col("sv"), nPlanes, 64)),
+      Seq("bucket"), maxBucket)
     val a = sv.select(col("vec_id").as("a_id"), col("sv").as("av"),
       col("nrm").as("an"), col("bucket"))
     val b = sv.select(col("vec_id").as("b_id"), col("sv").as("bv"),
@@ -436,11 +449,19 @@ object SimilarityQueries extends QueryGroup {
     (assigned, cents)
   }
 
-  def semanticDedup(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+  def semanticDedup(spark: SparkSession, dir: String, tau: Double = 0.4,
+                    maxCell: Int = 0): DataFrame = {
     val assigned = coarseAssigned(Tables(spark, dir).embeddings)
-    val a = assigned.select(col("vec_id").as("a_id"), col("sv").as("av"),
+    // maxCell > 0 df-caps pathologically hot IVF cells before the
+    // within-cell pair join (one cell absorbing a dense region is the
+    // k-means analogue of the boilerplate LSH bucket). Only the PAIR
+    // side is guarded: vectors in dropped cells stay in the survivor
+    // output (no dup evidence was examined for them — the conservative
+    // direction for a dedup screen). Default 0 = exact.
+    val paired = graft.ext.SkewGuard.capBuckets(assigned, Seq("cell"), maxCell)
+    val a = paired.select(col("vec_id").as("a_id"), col("sv").as("av"),
       col("nrm").as("an"), col("cell"))
-    val b = assigned.select(col("vec_id").as("b_id"), col("sv").as("bv"),
+    val b = paired.select(col("vec_id").as("b_id"), col("sv").as("bv"),
       col("nrm").as("bn"), col("cell").as("cell_b"))
     val dups = a.join(b, col("cell") === col("cell_b") && col("a_id") < col("b_id"))
       .filter(Similarity.cosineFromSnapped(col("av"), col("bv"),

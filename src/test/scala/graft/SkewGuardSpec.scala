@@ -1,0 +1,133 @@
+package graft
+
+import graft.ext.{Dedup, SkewGuard}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** The 100 TB boilerplate scenario the synthetic fixtures never
+  * manufacture: one corpus-sized LSH bucket. Asserts the df-cap guard
+  * bounds per-task join input, preserves sub-cap pairs, reports what it
+  * dropped, and is EXACTLY the unguarded join when the cap is off or
+  * above the corpus's largest bucket (the oracle-parity guarantee for
+  * d3/d5, which run with the cap off). */
+class SkewGuardSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** 200 docs of IDENTICAL boilerplate (one 200-doc bucket in EVERY
+    * band — the adversarial hot bucket) + 3 true near-dup pairs with
+    * pair-unique text + 50 unique-text docs. */
+  private lazy val fixture: DataFrame = {
+    val boiler = (0L until 200L).map(i =>
+      (i, "breaking news subscribe to our newsletter terms of service apply " +
+        "all rights reserved copyright notice cookie policy accepted here"))
+    val pairs = (0 until 3).flatMap { p =>
+      val base = s"pair$p document about topic$p with many shared words " +
+        s"alpha$p beta$p gamma$p delta$p epsilon$p zeta$p eta$p theta$p"
+      Seq((1000L + 2 * p, base), (1000L + 2 * p + 1, base))
+    }
+    val unique = (0 until 50).map(i =>
+      (2000L + i, s"unique$i totally distinct content id$i " +
+        (0 until 10).map(j => s"w${i}_$j").mkString(" ")))
+    (boiler ++ pairs ++ unique).toDF("doc_id", "text")
+  }
+
+  private def bands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      posexplode(array(col("band0"), col("band1"))).as(Seq("band_idx", "band_hash")))
+
+  test("capBuckets bounds bucket occupancy and hotBuckets reports exactly the dropped tail") {
+    val sigs = Dedup.minhashSignatures(fixture).persist()
+    val b = bands(sigs)
+    val capped = SkewGuard.capBuckets(b, Seq("band_idx", "band_hash"), 10)
+    val maxOcc = capped.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).as[Long].head()
+    assert(maxOcc <= 10, s"guarded frame still has a bucket of $maxOcc")
+    // the boilerplate collides in both bands: exactly 2 hot buckets of 200
+    val hot = SkewGuard.hotBuckets(b, Seq("band_idx", "band_hash"), 10)
+      .select(col("bucket_n")).as[Long].collect().toSeq
+    assert(hot === Seq(200L, 200L))
+    sigs.unpersist()
+  }
+
+  test("guarded candidate join keeps every sub-cap pair, drops only hot-bucket-internal ones") {
+    val sigs = Dedup.minhashSignatures(fixture).persist()
+    val unguarded = Dedup.candidatePairs(sigs)
+      .as[(Long, Long)].collect().toSet
+    val guarded = Dedup.candidatePairs(sigs, maxBucket = 10)
+      .as[(Long, Long)].collect().toSet
+    // the hot bucket contributed its full quadratic candidate set
+    assert(unguarded.size >= 200 * 199 / 2)
+    // guard: the 3 true pairs survive (their buckets have occupancy 2)
+    val truePairs = (0 until 3).map(p => (1000L + 2 * p, 1000L + 2 * p + 1)).toSet
+    assert(truePairs.subsetOf(guarded))
+    // every guarded pair was also an unguarded candidate, and nothing
+    // outside the boilerplate block was lost
+    assert(guarded.subsetOf(unguarded))
+    val boilerIds = (0L until 200L).toSet
+    val lost = unguarded -- guarded
+    assert(lost.forall { case (a, b) => boilerIds(a) && boilerIds(b) },
+      "guard must only drop pairs whose every collision is hot")
+    // end-to-end: the verify stage over guarded candidates completes and
+    // confirms exactly the true near-dup pairs
+    val verified = Dedup.verifyJaccard(fixture,
+        Dedup.candidatePairs(sigs, maxBucket = 10), 0.8)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    assert(verified === truePairs)
+    sigs.unpersist()
+  }
+
+  test("cap off or above the largest bucket is EXACTLY the unguarded join (d3/d5 parity)") {
+    val sigs = Dedup.minhashSignatures(fixture).persist()
+    val unguarded = Dedup.candidatePairs(sigs).as[(Long, Long)].collect().toSet
+    val wideCap = Dedup.candidatePairs(sigs, maxBucket = 1000)
+      .as[(Long, Long)].collect().toSet
+    assert(wideCap === unguarded)
+    sigs.unpersist()
+  }
+
+  test("simhash band pairs honor the cap with the same contract") {
+    val toks = fixture.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), "\\s+"))).as("t"))
+    val sim = Dedup.simhash(toks).persist()
+    val unguarded = Dedup.simhashBandPairs(sim)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    val guarded = Dedup.simhashBandPairs(sim, maxBucket = 10)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    assert(guarded.subsetOf(unguarded))
+    val boilerIds = (0L until 200L).toSet
+    assert((unguarded -- guarded).forall { case (a, b) => boilerIds(a) && boilerIds(b) })
+    // identical texts pairwise collide in every band; the guard removes
+    // that block, the pair-level duplicates survive
+    val truePairs = (0 until 3).map(p => (1000L + 2 * p, 1000L + 2 * p + 1)).toSet
+    assert(truePairs.subsetOf(guarded))
+    sim.unpersist()
+  }
+
+  test("the guard's observe metric reports dropped buckets and rows") {
+    val sigs = Dedup.minhashSignatures(fixture)
+    val metrics = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft_skew_guard"))
+            metrics.add((row.getLong(0), row.getLong(1)))
+        }
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      SkewGuard.capBuckets(bands(sigs), Seq("band_idx", "band_hash"), 10).count()
+      val deadline = System.currentTimeMillis() + 30000
+      while (metrics.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(!metrics.isEmpty, "observe metric never arrived")
+      val (bucketsDropped, rowsDropped) = metrics.peek()
+      assert(bucketsDropped === 2L) // the boilerplate bucket, in both bands
+      assert(rowsDropped === 400L)  // 200 docs x 2 bands
+    } finally spark.listenerManager.unregister(listener)
+  }
+}
