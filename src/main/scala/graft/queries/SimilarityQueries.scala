@@ -62,15 +62,29 @@ object SimilarityQueries extends QueryGroup {
         col("m.c_id").as("cell"))
   }
 
-  /** Seed centroids: the first k vectors, id recast as a dense long
-    * cell id. y4 refines these with a Lloyd step (lloydRefine) before
-    * its final assignment; y2 uses them raw (its triangle-inequality
-    * pruning is exact for ANY centroids, so refinement only affects
-    * pruning efficiency there, not results). */
-  private def seedCentroids(vecs: DataFrame, k: Int): DataFrame =
-    vecs.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("long").as("c_id"),
+  /** Seed centroids: a deterministic hash-ordered sample — the k
+    * vectors with the lowest (md5(vec_id), vec_id), given dense cell
+    * ids 0..k-1 in that order. First-k seeding was a BIASED sample on
+    * any sorted or clustered real corpus (a corpus ordered by source
+    * or date would seed every centroid from one slice); hashing the id
+    * decorrelates the pick from storage order while staying
+    * deterministic and oracle-reproducible (DuckDB computes the
+    * identical md5 order — the kmeansAssignedCte cents0 mirror). The
+    * global pick is a TakeOrderedAndProject over k rows, never a full
+    * sort, so the rule costs the same at any corpus size. y4 refines
+    * these with a Lloyd step (lloydRefine) before its final
+    * assignment; y2 uses them raw (its triangle-inequality pruning is
+    * exact for ANY centroids, so seeding only affects pruning
+    * efficiency there, not results). */
+  private def seedCentroids(vecs: DataFrame, k: Int): DataFrame = {
+    val order = Seq(col("__h"), col("vec_id"))
+    vecs.select(col("vec_id"), col("sv"), col("nrm"))
+      .withColumn("__h", md5(col("vec_id").cast("string")))
+      .orderBy(order: _*).limit(k)
+      .select(
+        (row_number().over(Window.orderBy(order: _*)) - 1).cast("long").as("c_id"),
         col("sv").as("cv"), col("nrm").as("cn"))
+  }
 
   /** One Lloyd (k-means) refinement step: each cell's new centroid is
     * the component-wise mean of its members. posexplode to (cell, dim,
@@ -274,7 +288,8 @@ object SimilarityQueries extends QueryGroup {
   }
 
   /** IVF-style ANN: coarse quantization to K=16 centroids — seed pick
-    * (first 16 vectors) refined by one Lloyd k-means step over the same
+    * (hash-ordered sample of 16, seedCentroids) refined by one Lloyd
+    * k-means step over the same
     * assignment machinery — then probes search only their own cell
     * (nprobe=1). Assignment is an exact int64 L2 argmin and the Lloyd
     * means are exact int64 sums, so there is no float boundary anywhere
@@ -725,7 +740,9 @@ object SimilarityQueries extends QueryGroup {
       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS s
       |  FROM embeddings
       |), cents0 AS (
-      |  SELECT vec_id AS c_id, s AS cs FROM sv WHERE vec_id < 16
+      |  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS c_id, cs FROM (
+      |    SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, s AS cs
+      |    FROM sv ORDER BY h, vec_id LIMIT 16)
       |), dists0 AS (
       |  SELECT v.vec_id, v.s, c.c_id,
       |    list_aggregate(list_transform(list_zip(v.s, c.cs),

@@ -600,16 +600,22 @@ class InvariantsSpec extends SparkTestBase {
     val sv = Tables(spark, sf()).embeddings
       .select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
       .as[(Long, Seq[Long])].collect().toMap
-    // coarse quantizer, replicated exactly: seed = first 16 vectors,
-    // L2 argmin with (dist, id) tie-break, one Lloyd round of floored
-    // int means, re-assign
+    // coarse quantizer, replicated exactly: seed = the 16 vectors with
+    // the lowest (md5(vec_id), vec_id) given dense ids in hash order
+    // (the seedCentroids rule), L2 argmin with (dist, id) tie-break,
+    // one Lloyd round of floored int means, re-assign
     def l2(a: Seq[Long], b: Seq[Long]) =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
     def assign(cents: Map[Long, Seq[Long]]): Map[Long, Long] =
       sv.map { case (id, v) =>
         id -> cents.map { case (c, cv) => (l2(v, cv), c) }.min._2
       }
-    val seed = (0L until 16L).map(c => c -> sv(c)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val seed = sv.keys.toSeq.map(id => (md5hex(id.toString), id)).sorted
+      .take(16).zipWithIndex
+      .map { case ((_, id), c) => c.toLong -> sv(id) }.toMap
     val a0 = assign(seed)
     val refined = a0.groupBy(_._2).map { case (c, ms) =>
       val vs = ms.keys.toSeq.map(sv)
