@@ -26,12 +26,17 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
     // optional args = query names to time (iterating locally on one
-    // query); the driver passes none and gets the full suite
-    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    // query); the driver passes none and gets the full suite. The
+    // xxh64 production twins (SparkEntry.prodVariants — same pipeline,
+    // codegen-native hashes, no DuckDB oracle) are timed alongside so
+    // the gate artifact carries md5/xxh64 paired rows for the
+    // hash-priced queries.
+    val timeable = SparkEntry.queries ++ SparkEntry.prodVariants
+    val unknown = args.filterNot(timeable.keySet)
     require(unknown.isEmpty,
       s"unknown queries: ${unknown.mkString(", ")} — a typo here would " +
         "otherwise print a normal-looking zero-total JSON line")
-    val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val wanted = timeable.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
     // single-shot timings on the heavy iterative queries (d7 and its
     // consumers) have shown up to 3.5x run-to-run GC/JIT variance, which
@@ -63,14 +68,20 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // headline total covers the ORACLE-CHECKED registry only, so it
+    // stays comparable round over round; the xxh64 twins get their own
+    // side total
+    val total = results.collect {
+      case (k, v) if v >= 0 && SparkEntry.queries.contains(k) => v }.sum
+    val prodTotal = results.collect {
+      case (k, v) if v >= 0 && SparkEntry.prodVariants.contains(k) => v }.sum
     // headline throughput: lineitem rows scanned per second on the
     // pricing-summary scan (pure scan+agg, the IO-bound shape)
     val liRows = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val q1Sec = results.toMap.getOrElse("q1_pricing_summary", -1.0)
     val rps = if (q1Sec > 0) liRows / q1Sec else 0.0
     val trend = prevDelta(results)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","lineitem_rows":$liRows,"q1_rows_per_sec":$rps%.0f$trend}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","lineitem_rows":$liRows,"q1_rows_per_sec":$rps%.0f,"prod_variants_total":$prodTotal%.3f$trend}""")
     spark.stop()
   }
 

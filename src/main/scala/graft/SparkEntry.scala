@@ -35,4 +35,25 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     groups.map(_.oracles).reduce(_ ++ _)
+
+  /** Production-hash twins of the md5-priced queries: identical pipeline
+    * topology with `hashMode = "xxh64"` (codegen-native 64-bit hashes —
+    * no hex strings in projections or shuffles). Deliberately NOT in
+    * [[queries]]: xxhash64 has no DuckDB counterpart, so correctness
+    * rides on each md5 twin's oracle plus the cross-mode agreement
+    * specs; Bench times these alongside the registry so the gate
+    * artifact records the production numbers next to the oracle-priced
+    * ones. */
+  def prodVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d2_minhash_sigs_xxh64" ->
+      ((s, d) => DedupQueries.minhashSigs(s, d, "xxh64")),
+    "d4_simhash_xxh64" ->
+      ((s, d) => DedupQueries.simhashes(s, d, "xxh64")),
+    "d5_simhash_pairs_xxh64" ->
+      ((s, d) => DedupQueries.simhashPairs(s, d, "xxh64")),
+    "x_bloom_decontaminate_xxh64" ->
+      ((s, d) => AnalysisQueries.bloomDecontaminate(s, d, "xxh64")),
+    "x_quality_classifier_xxh64" ->
+      ((s, d) => AnalysisQueries.qualityClassifier(s, d, "xxh64"))
+  )
 }

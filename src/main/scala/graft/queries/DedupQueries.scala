@@ -22,9 +22,14 @@ object DedupQueries extends QueryGroup {
     // full-output queries: no presentation sort (order-insensitive gate)
   }
 
-  /** MinHash signatures + LSH band hashes — pure projection, no shuffle. */
+  /** MinHash signatures + LSH band hashes — pure projection, no shuffle.
+    * `hashMode` "xxh64" is the production twin (codegen-native 64-bit
+    * sigs/bands, no hex strings in the shuffle; no DuckDB counterpart —
+    * benched, not oracle-checked). */
   def minhashSigs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashSignatures(Tables(spark, dir).documents)
+    minhashSigs(spark, dir, "md5")
+  def minhashSigs(spark: SparkSession, dir: String, hashMode: String): DataFrame =
+    Dedup.minhashSignatures(Tables(spark, dir).documents, hashMode = hashMode)
 
   /** Full near-dup pipeline: LSH candidates -> exact n-gram Jaccard
     * verify at 0.8. */
@@ -41,8 +46,11 @@ object DedupQueries extends QueryGroup {
     Dedup.verifyJaccardOnShingles(sh, cand, 0.8)
   }
 
-  /** 48-bit SimHash per document (Dedup.simhashBits). */
-  def simhashes(spark: SparkSession, dir: String): DataFrame = {
+  /** 48-bit SimHash per document (Dedup.simhashBits). `hashMode` as in
+    * [[minhashSigs]]. */
+  def simhashes(spark: SparkSession, dir: String): DataFrame =
+    simhashes(spark, dir, "md5")
+  def simhashes(spark: SparkSession, dir: String, hashMode: String): DataFrame = {
     // bare explode is safe here: the generator input is a complex
     // expression, and InferFiltersFromGenerate only plants its implicit
     // size>0 filter for Attribute inputs (probe-verified on 4.1.2) —
@@ -50,7 +58,7 @@ object DedupQueries extends QueryGroup {
     val toks = Tables(spark, dir).documents
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), "\\s+"))).as("t"))
-    Dedup.simhash(toks)
+    Dedup.simhash(toks, hashMode = hashMode)
   }
 
   /** SimHash near-dup candidates: pairs at Hamming distance <= maxHamming,
@@ -59,12 +67,14 @@ object DedupQueries extends QueryGroup {
     * collides on at least one band (pigeonhole). Candidates come from an
     * equi-join on (band_idx, band_bits), never an all-pairs scan, so the
     * plan scales like the LSH path (d3). */
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(spark, dir, "md5")
+  def simhashPairs(spark: SparkSession, dir: String, hashMode: String): DataFrame = {
     val toks = Tables(spark, dir).documents
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), "\\s+"))).as("t")) // see simhashes
     val s = graft.core.CacheScope.track( // both band-join sides read it
-      Dedup.simhash(toks).persist())
+      Dedup.simhash(toks, hashMode = hashMode).persist())
     Dedup.simhashBandPairs(s, maxHamming = 2)
   }
 
