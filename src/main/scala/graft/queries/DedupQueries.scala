@@ -46,6 +46,23 @@ object DedupQueries extends QueryGroup {
     Dedup.verifyJaccardOnShingles(sh, cand, 0.8)
   }
 
+  /** d3's pipeline with the [[graft.ext.SkewGuard]] ARMED (maxBucket =
+    * 2): band buckets above the cap are dropped before the candidate
+    * join, and the DuckDB oracle mirrors the cap in SQL — so the
+    * guard's output contract (a pair survives iff it collides in a
+    * sub-cap bucket) is hash-checked cross-engine, not just
+    * spec-asserted. The cap is deliberately LOW so the clean synthetic
+    * corpus actually exercises the drop path (at sf0.01 it drops a
+    * 3-doc cluster's bucket: 25 → 22 pairs); a production cap sits
+    * orders of magnitude above expected duplicate-cluster size and
+    * drops only degenerate boilerplate buckets. */
+  def neardupPairsCapped(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val sh = graft.core.CacheScope.track(Dedup.shingleFrame(docs).persist())
+    val sigs = graft.core.CacheScope.track(Dedup.signaturesFromShingles(sh).persist())
+    Dedup.verifyJaccardOnShingles(sh, Dedup.candidatePairs(sigs, maxBucket = 2), 0.8)
+  }
+
   /** 48-bit SimHash per document (Dedup.simhashBits). `hashMode` as in
     * [[minhashSigs]]. */
   def simhashes(spark: SparkSession, dir: String): DataFrame =
@@ -308,6 +325,7 @@ object DedupQueries extends QueryGroup {
     "d1_exact_dedup"   -> (exactDedup _),
     "d2_minhash_sigs"  -> (minhashSigs _),
     "d3_neardup_pairs" -> (neardupPairs _),
+    "d3_neardup_capped" -> (neardupPairsCapped _),
     "d4_simhash"       -> (simhashes _),
     "d5_simhash_pairs" -> (simhashPairs _),
     "d6_ngram_jaccard" -> (ngramJaccard _),
@@ -381,6 +399,39 @@ object DedupQueries extends QueryGroup {
          |), cand AS (
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id
+         |), verified AS (
+         |  SELECT a_id, b_id,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
+         |    CAST(len(sa.sh) AS BIGINT) AS n_a,
+         |    CAST(len(sb.sh) AS BIGINT) AS n_b
+         |  FROM cand
+         |  JOIN shingled sa ON sa.doc_id = a_id
+         |  JOIN shingled sb ON sb.doc_id = b_id
+         |)
+         |SELECT a_id, b_id, n_common, n_a, n_b,
+         |  CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+         |FROM verified
+         |WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.8
+         |ORDER BY a_id, b_id""".stripMargin,
+    // d3 with the skew guard armed at maxBucket=2: the cool CTE IS the
+    // guard (occupancy filter on the band buckets before the join)
+    "d3_neardup_capped" ->
+      s"""$sigsCte, bands AS (
+         |  SELECT doc_id, 0 AS band_idx, band0 AS band_hash FROM banded
+         |  UNION ALL
+         |  SELECT doc_id, 1, band1 FROM banded
+         |), cool AS (
+         |  SELECT band_idx, band_hash FROM bands
+         |  GROUP BY band_idx, band_hash HAVING COUNT(*) <= 2
+         |), gbands AS (
+         |  SELECT b.doc_id, b.band_idx, b.band_hash
+         |  FROM bands b JOIN cool c
+         |    ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM gbands a JOIN gbands b
          |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          |   AND a.doc_id < b.doc_id
          |), verified AS (
