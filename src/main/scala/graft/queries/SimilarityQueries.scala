@@ -137,8 +137,17 @@ object SimilarityQueries extends QueryGroup {
     * on cell, broadcast probe side, no BNLJ) is what scales. Cosines go
     * through the exact int64 machinery so the 0.4 boundary never flaps
     * between engines. */
-  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val k = 16
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    embedNearDup(spark, dir, k = 16)
+
+  /** `k` is THE scale dial (same sizing rule as the LSH plane count:
+    * K ≫ n / target cell size — candidates cost ~n²/K at fixed K, so K
+    * must track corpus size). Because the triangle-inequality pruning
+    * is exact for ANY centroids, every k produces the IDENTICAL pair
+    * set — the k64 registration shares y2's oracle verbatim, which is
+    * the cross-engine proof of that claim; only the candidate count
+    * (and therefore cost at scale) changes. */
+  def embedNearDup(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     val vecs = snapped(emb, "vec_id", "sv", "nrm")
     val cents = seedCentroids(vecs, k)
@@ -660,6 +669,7 @@ object SimilarityQueries extends QueryGroup {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "y1_cosine_topk"   -> (cosineTopK _),
     "y2_embed_neardup" -> (embedNearDup _),
+    "y2_embed_neardup_k64" -> ((s: SparkSession, d: String) => embedNearDup(s, d, 64)),
     "y3_ann_lsh"       -> ((s: SparkSession, d: String) => annLsh(s, d)),
     "y3_ann_lsh_p6"    -> ((s: SparkSession, d: String) => annLsh(s, d, nPlanes = 6)),
     "y3_ann_lsh_mb2"   -> ((s: SparkSession, d: String) => annLshMultiband(s, d)),
@@ -816,6 +826,20 @@ object SimilarityQueries extends QueryGroup {
        |SELECT probe_id, neighbor_id, cell, rank, adc FROM ranked
        |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
 
+  /** Brute-force all-pairs cosine at the 0.4 threshold — deliberately
+    * centroid-free, shared verbatim by y2 and its k64 dial variant. */
+  private lazy val y2OracleSql: String =
+    s"""WITH probes AS (
+       |  SELECT vec_id AS a_id, embedding AS va
+       |  FROM embeddings WHERE vec_id % 5 = 0
+       |)
+       |SELECT p.a_id, e.vec_id AS b_id,
+       |  ${cosSql("p.va", "e.embedding")} AS cos
+       |FROM probes p, embeddings e
+       |WHERE p.a_id < e.vec_id
+       |  AND ${cosSql("p.va", "e.embedding")} >= 0.4
+       |ORDER BY a_id, b_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "y1_cosine_topk" ->
       s"""WITH probes AS (
@@ -833,17 +857,12 @@ object SimilarityQueries extends QueryGroup {
          |)
          |SELECT probe_id, neighbor_id, rank, cos FROM ranked
          |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
-    "y2_embed_neardup" ->
-      s"""WITH probes AS (
-         |  SELECT vec_id AS a_id, embedding AS va
-         |  FROM embeddings WHERE vec_id % 5 = 0
-         |)
-         |SELECT p.a_id, e.vec_id AS b_id,
-         |  ${cosSql("p.va", "e.embedding")} AS cos
-         |FROM probes p, embeddings e
-         |WHERE p.a_id < e.vec_id
-         |  AND ${cosSql("p.va", "e.embedding")} >= 0.4
-         |ORDER BY a_id, b_id""".stripMargin,
+    "y2_embed_neardup" -> y2OracleSql,
+    // IDENTICAL oracle by design: the triangle-inequality pruning is
+    // exact for any centroid count, so the K dial changes candidate
+    // cost only — the shared brute-force oracle is the cross-engine
+    // proof of that 100%-recall claim at both settings
+    "y2_embed_neardup_k64" -> y2OracleSql,
     "y4_ann_ivf" ->
       s"""$kmeansAssignedCte, probes AS (
          |  SELECT vec_id AS probe_id, embedding AS pe, cell AS p_cell
