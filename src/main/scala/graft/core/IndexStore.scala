@@ -40,6 +40,10 @@ object IndexStore {
       val scratch = new Path(
         path + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       build(scratch.toString)
+      // a target directory WITHOUT the marker is a stale partial write
+      // (e.g. a crashed pre-IndexStore builder): replace it, don't fail
+      // behind it — isCommitted was false, so nobody can be reading it
+      if (fs.exists(target) && !isCommitted(spark, path)) fs.delete(target, true)
       // guard on scratch existing: a build closure that wrote nothing
       // must reach the loud require below, not a rename FNF
       val published = fs.exists(scratch) &&

@@ -308,6 +308,21 @@ object DedupQueries extends QueryGroup {
     Dedup.containmentJoin(
       Dedup.shingleFrame(Tables(spark, dir).documents), 9, 10)
 
+  /** d12 in its documented 100 TB OPERATING MODE: the complete-recall
+    * containment join over a suspect SLICE (here doc_id % 2 = 0) rather
+    * than the raw corpus. Complete recall makes the raw-corpus
+    * candidate set grow with df × cluster size — measured at the sf10
+    * replica it exceeds the sandbox's disk (BASELINE.md round-6) —
+    * which is exactly why `Dedup.containmentJoin`'s scaladoc scopes it
+    * to slices; registering the sliced form makes that operating mode
+    * itself oracle-checked (recall is complete WITHIN the slice: the
+    * prefix theorem holds under the slice's own df order). */
+  def containmentJoinSlice(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentJoin(
+      Dedup.shingleFrame(
+        Tables(spark, dir).documents.filter(col("doc_id") % 2 === 0)),
+      9, 10)
+
   /** Per-sf-dir index location: stable across calls (reuse is the point)
     * yet collision-free across scale factors. The BASE directory is
     * caller-supplied via `spark.graft.index.dir` (any Hadoop-FS URI —
@@ -335,6 +350,7 @@ object DedupQueries extends QueryGroup {
     "d10_cluster_best" -> (clusterBest _),
     "d11_containment"  -> (containmentPairs _),
     "d12_containment_join" -> (containmentJoin _),
+    "d12_containment_slice" -> (containmentJoinSlice _),
     "d13_dedup_apply_best" -> (dedupApplyBest _)
   )
 
@@ -564,9 +580,17 @@ object DedupQueries extends QueryGroup {
     // prefix-filtered complete-recall containment: rarity-ordered
     // prefixes (int64 ceil) probed against the full inverted index,
     // then the same exact verify as d11
-    "d12_containment_join" ->
+    "d12_containment_join" -> containmentOracleSql("documents"),
+    "d12_containment_slice" -> containmentOracleSql(
+      "(SELECT * FROM documents WHERE doc_id % 2 = 0) d")
+  )
+
+  /** The d12 oracle parameterized by the source relation, so the raw
+    * and sliced registrations share one SQL body (the slice relation
+    * re-derives df/prefixes from its own corpus, mirroring Spark). */
+  private def containmentOracleSql(docsRel: String): String =
       s"""WITH shingled AS (
-         |  SELECT doc_id, $shSql AS sh FROM documents
+         |  SELECT doc_id, $shSql AS sh FROM $docsRel
          |), ex AS (
          |  SELECT doc_id, unnest(sh) AS s FROM shingled
          |), dfreq AS (
@@ -602,7 +626,6 @@ object DedupQueries extends QueryGroup {
          |    ELSE 0.0 END AS containment
          |  FROM verified
          |) WHERE containment >= 0.9 ORDER BY a_id, b_id""".stripMargin
-  )
 
   /** Near-dup SURVIVORS as a CTE — the d8 semantics (one canonical doc
     * per cluster, n_merged = docs it represents) in exactly one place,

@@ -71,6 +71,19 @@ class IndexStoreSpec extends SparkTestBase {
     assert(!children.exists(_.startsWith("idx.build-")), s"stray child in $children")
   }
 
+  test("ensure replaces a stale partial target (directory without _SUCCESS)") {
+    val path = freshDir() + "/idx"
+    // simulate a crashed pre-commit write: files on disk, no marker
+    new java.io.File(path).mkdirs()
+    new java.io.File(path, "part-00000.parquet").createNewFile()
+    assert(!IndexStore.isCommitted(spark, path))
+    IndexStore.ensure(spark, path) { scratch =>
+      spark.range(7).toDF("id").write.parquet(scratch)
+    }
+    assert(IndexStore.isCommitted(spark, path))
+    assert(spark.read.parquet(path).count() === 7)
+  }
+
   test("ensure fails loudly when the build produces no committed artifact") {
     val path = freshDir() + "/idx"
     intercept[IllegalArgumentException] {
