@@ -350,7 +350,8 @@ object Dedup {
                          batch: DataFrame, indexPath: String,
                          minJaccard: Double,
                          textCol: String = "text",
-                         idCol: String = "doc_id"): DataFrame = {
+                         idCol: String = "doc_id",
+                         maxBucket: Int = 0): DataFrame = {
     val index = readNeardupIndex(spark, indexPath)
     // the batch shingle frame feeds its signature stage AND the verify
     // join — persist it once (batch-sized, not corpus-sized)
@@ -360,9 +361,15 @@ object Dedup {
       .select(col(idCol).as("batch_id"),
         posexplode(array(col("band0"), col("band1")))
           .as(Seq("band_idx", "band_hash")))
-    val iBands = index
-      .select(col(idCol).as("corpus_id"), posexplode(array(col("band0"), col("band1")))
-        .as(Seq("band_idx_b", "band_hash_b")))
+    // maxBucket > 0 df-caps the INDEX's posting lists (the corpus side
+    // is where a boilerplate bucket lives; the batch side is
+    // batch-sized by construction) — see SkewGuard.capBuckets for the
+    // contract. Default 0 = exact, what the d9 registration uses.
+    val iBands = SkewGuard.capBuckets(
+      index.select(col(idCol).as("corpus_id"),
+        posexplode(array(col("band0"), col("band1")))
+          .as(Seq("band_idx_b", "band_hash_b"))),
+      Seq("band_idx_b", "band_hash_b"), maxBucket)
     val cand = bBands.join(iBands,
         col("band_idx") === col("band_idx_b") &&
         col("band_hash") === col("band_hash_b"))

@@ -46,7 +46,18 @@ object StreamDedup {
     * unbounded state. Output matches Dedup.incrementalNeardup row for
     * row (spec-asserted differentially). */
   def againstIndex(stream: DataFrame, indexPath: String,
-                   minJaccard: Double): DataFrame = {
+                   minJaccard: Double): DataFrame =
+    againstIndex(stream, indexPath, minJaccard, maxBucket = 0)
+
+  /** `maxBucket` > 0 arms the [[graft.ext.SkewGuard]] on the INDEX's
+    * posting lists, mirroring `Dedup.incrementalNeardup` — in the
+    * ingest path a boilerplate bucket would otherwise stall every
+    * micro-batch, not one nightly job. The guard's occupancy aggregate
+    * runs on the STATIC side (re-evaluated per micro-batch by
+    * stream-static join semantics; pre-filter the index once with
+    * `SkewGuard.capBuckets` at write time if that matters). */
+  def againstIndex(stream: DataFrame, indexPath: String,
+                   minJaccard: Double, maxBucket: Int): DataFrame = {
     val spark = stream.sparkSession
     val index = spark.read.parquet(indexPath)
     // batch side: carry the shingle array and BOTH band hashes through
@@ -58,10 +69,12 @@ object StreamDedup {
       col("band0").as("b_band0"),
       posexplode(array(col("band0"), col("band1")))
         .as(Seq("band_idx", "band_hash")))
-    val iBands = index.select(col("doc_id").as("corpus_id"),
-      col("band0").as("i_band0"),
-      posexplode(array(col("band0"), col("band1")))
-        .as(Seq("band_idx_b", "band_hash_b")))
+    val iBands = graft.ext.SkewGuard.capBuckets(
+      index.select(col("doc_id").as("corpus_id"),
+        col("band0").as("i_band0"),
+        posexplode(array(col("band0"), col("band1")))
+          .as(Seq("band_idx_b", "band_hash_b"))),
+      Seq("band_idx_b", "band_hash_b"), maxBucket)
     val collides0 = col("b_band0").isNotNull && col("i_band0").isNotNull &&
       col("b_band0") === col("i_band0")
     val cand = bBands.join(iBands,

@@ -105,6 +105,47 @@ class SkewGuardSpec extends SparkTestBase {
     sim.unpersist()
   }
 
+  test("incremental near-dup caps the INDEX's posting lists with the same contract") {
+    // index = boilerplate block + one true partner + unique docs;
+    // batch = one boilerplate doc + the other true partner
+    val indexDocs = fixture.filter(col("doc_id") =!= 0L && col("doc_id") =!= 1000L)
+    val batchDocs = fixture.filter(col("doc_id") === 0L || col("doc_id") === 1000L)
+    val idx = java.nio.file.Files.createTempDirectory("graft-skew-idx").toString
+    Dedup.writeNeardupIndex(indexDocs, idx)
+    def screen(cap: Int) =
+      Dedup.incrementalNeardup(spark, batchDocs, idx, 0.8, maxBucket = cap)
+        .select(col("batch_id"), col("corpus_id"))
+        .as[(Long, Long)].collect().toSet
+    val unguarded = screen(0)
+    // doc 0 matches all 199 indexed boilerplate copies; doc 1000 its pair
+    assert(unguarded.size === 200)
+    val guarded = screen(10)
+    graft.core.CacheScope.releaseAll()
+    // the boilerplate posting list (199 entries) is dropped; the true
+    // pair's bucket (1 index entry) survives
+    assert(guarded === Set((1000L, 1001L)))
+  }
+
+  test("the streaming ingest screen honors the cap and matches the guarded batch form") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val indexDocs = fixture.filter(col("doc_id") =!= 0L && col("doc_id") =!= 1000L)
+    val batchRows = Seq(
+      0L -> fixture.filter(col("doc_id") === 0L).select(col("text")).as[String].head(),
+      1000L -> fixture.filter(col("doc_id") === 1000L).select(col("text")).as[String].head())
+    val idx = java.nio.file.Files.createTempDirectory("graft-skew-sidx").toString
+    Dedup.writeNeardupIndex(indexDocs, idx)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamDedup
+      .againstIndex(in.toDF().toDF("doc_id", "text"), idx, 0.8, maxBucket = 10)
+      .writeStream.format("memory").queryName("skew_snd_out")
+      .outputMode("append").start()
+    in.addData(batchRows); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("skew_snd_out")
+      .select(col("batch_id"), col("corpus_id")).as[(Long, Long)].collect().toSet
+    assert(streamed === Set((1000L, 1001L)))
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("the guard's observe metric reports dropped buckets and rows") {
     val sigs = Dedup.minhashSignatures(fixture)
     val metrics = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
