@@ -330,11 +330,9 @@ object Dedup {
     * an uncommitted or missing index fails loudly instead of returning
     * an empty scan. */
   def readNeardupIndex(spark: org.apache.spark.sql.SparkSession,
-                       path: String): DataFrame = {
-    require(graft.core.IndexStore.isCommitted(spark, path),
-      s"no committed near-dup index at $path — build one with writeNeardupIndex")
-    spark.read.parquet(path)
-  }
+                       path: String): DataFrame =
+    graft.core.IndexStore.read(spark, path,
+      "near-dup index", "writeNeardupIndex")
 
   /** Near-dup pairs between a NEW batch and the indexed corpus — the
     * operational 100 TB dedup shape: "dedup today's ingest against

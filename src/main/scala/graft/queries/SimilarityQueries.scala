@@ -18,7 +18,7 @@ object SimilarityQueries extends QueryGroup {
     * per-probe top-k. */
   /** Project (id, snapped vector, norm) once per vector — the pairwise
     * stage then does exactly one int64 dot per pair. */
-  private def snapped(emb: DataFrame, id: String, sv: String, nrm: String): DataFrame =
+  private[graft] def snapped(emb: DataFrame, id: String, sv: String, nrm: String): DataFrame =
     emb.select(col("vec_id").as(id), Similarity.snapVec(col("embedding")).as(sv))
       .withColumn(nrm, Similarity.normSnapped(col(sv)))
 
@@ -44,7 +44,7 @@ object SimilarityQueries extends QueryGroup {
     * broadcast centroids. The K-way fan-out is explode + equi-join on
     * c_id (a BroadcastHashJoin), never a nested-loop join; `cents` must
     * have (c_id: long in [0, k), cv, cn). */
-  private def assignToCells(vecs: DataFrame, cents: DataFrame, k: Int): DataFrame = {
+  private[graft] def assignToCells(vecs: DataFrame, cents: DataFrame, k: Int): DataFrame = {
     val l2 = aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
     // argmin as a min_by hash aggregate, not a row_number window: the
@@ -76,7 +76,7 @@ object SimilarityQueries extends QueryGroup {
     * assignment; y2 uses them raw (its triangle-inequality pruning is
     * exact for ANY centroids, so seeding only affects pruning
     * efficiency there, not results). */
-  private def seedCentroids(vecs: DataFrame, k: Int): DataFrame = {
+  private[graft] def seedCentroids(vecs: DataFrame, k: Int): DataFrame = {
     val order = Seq(col("__h"), col("vec_id"))
     vecs.select(col("vec_id"), col("sv"), col("nrm"))
       .withColumn("__h", md5(col("vec_id").cast("string")))
@@ -99,7 +99,7 @@ object SimilarityQueries extends QueryGroup {
     * assignment join simply runs with fewer cells — the oracle mirrors
     * the drop, and correctness is unaffected (fewer cells only means
     * coarser quantization). */
-  private def lloydRefine(assigned: DataFrame): DataFrame =
+  private[graft] def lloydRefine(assigned: DataFrame): DataFrame =
     assigned.select(col("cell"), posexplode(col("sv")).as(Seq("d", "v")))
       .groupBy(col("cell"), col("d"))
       .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
@@ -390,11 +390,8 @@ object SimilarityQueries extends QueryGroup {
 
   /** Explicit read half: fails loudly on a missing/uncommitted index
     * instead of returning an empty scan. */
-  def readAnnIndex(spark: SparkSession, path: String): DataFrame = {
-    require(graft.core.IndexStore.isCommitted(spark, path),
-      s"no committed ANN index at $path — build one with writeAnnIndex")
-    spark.read.parquet(path)
-  }
+  def readAnnIndex(spark: SparkSession, path: String): DataFrame =
+    graft.core.IndexStore.read(spark, path, "ANN index", "writeAnnIndex")
 
   /** Per-sf-dir ANN index location; base directory caller-supplied via
     * `spark.graft.index.dir` (tmpdir fallback), like

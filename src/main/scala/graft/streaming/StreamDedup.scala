@@ -59,7 +59,9 @@ object StreamDedup {
   def againstIndex(stream: DataFrame, indexPath: String,
                    minJaccard: Double, maxBucket: Int): DataFrame = {
     val spark = stream.sparkSession
-    val index = spark.read.parquet(indexPath)
+    // loud-fail read, like the batch twin: an uncommitted partial index
+    // must not silently screen against a fraction of the corpus
+    val index = Dedup.readNeardupIndex(spark, indexPath)
     // batch side: carry the shingle array and BOTH band hashes through
     // the explode, so the per-row collision filter and the verify need
     // no stream-side re-computation
@@ -69,18 +71,35 @@ object StreamDedup {
       col("band0").as("b_band0"),
       posexplode(array(col("band0"), col("band1")))
         .as(Seq("band_idx", "band_hash")))
-    val iBands = graft.ext.SkewGuard.capBuckets(
-      index.select(col("doc_id").as("corpus_id"),
-        col("band0").as("i_band0"),
-        posexplode(array(col("band0"), col("band1")))
-          .as(Seq("band_idx_b", "band_hash_b"))),
-      Seq("band_idx_b", "band_hash_b"), maxBucket)
+    val iBase = index.select(col("doc_id").as("corpus_id"),
+      col("band0").as("i_band0"),
+      posexplode(array(col("band0"), col("band1")))
+        .as(Seq("band_idx_b", "band_hash_b")))
+    val iBands0 = graft.ext.SkewGuard.capBuckets(
+      iBase, Seq("band_idx_b", "band_hash_b"), maxBucket)
+    // With the guard armed, a pair's band-0 collision row may have been
+    // DROPPED (hot band-0 bucket) while its band-1 bucket is cool — the
+    // carried-band suppression below must then let the band-1 row
+    // through, or the pair is lost entirely (the batch twin keeps it:
+    // SkewGuard's contract is "survives iff ANY sub-cap bucket
+    // collides"). Mark each index row with whether its band-0 bucket is
+    // hot; the hot-bucket key set is tiny and static.
+    val iBands =
+      if (maxBucket <= 0) iBands0.withColumn("i_b0_hot", lit(false))
+      else iBands0.join(
+          graft.ext.SkewGuard.hotBuckets(
+              index.filter(col("band0").isNotNull).select(col("band0")),
+              Seq("band0"), maxBucket)
+            .select(col("band0").as("h_band0")),
+          col("i_band0") === col("h_band0"), "left")
+        .withColumn("i_b0_hot", col("h_band0").isNotNull)
+        .drop("h_band0")
     val collides0 = col("b_band0").isNotNull && col("i_band0").isNotNull &&
       col("b_band0") === col("i_band0")
     val cand = bBands.join(iBands,
         col("band_idx") === col("band_idx_b") &&
         col("band_hash") === col("band_hash_b"))
-      .filter(col("band_idx") === 0 || !collides0)
+      .filter(col("band_idx") === 0 || !collides0 || col("i_b0_hot"))
       .select(col("batch_id"), col("corpus_id"), col("sha"))
     val union = col("n_a") + col("n_b") - col("n_common")
     cand

@@ -11,10 +11,15 @@ import graft.core.GraftSession
 object CountRows {
   def main(args: Array[String]): Unit = {
     val dir = args.head
+    // same loud rejection as Bench: a typo'd name must not die with a
+    // bare key-not-found; the xxh64 twins are countable too
+    val countable = graft.SparkEntry.queries ++ graft.SparkEntry.prodVariants
+    val unknown = args.tail.filterNot(countable.keySet)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     args.tail.foreach { name =>
-      val n = graft.SparkEntry.queries(name)(spark, dir).count()
+      val n = countable(name)(spark, dir).count()
       graft.core.CacheScope.releaseAll()
       spark.catalog.clearCache()
       println(s"""{"query":"$name","sf":"$dir","rows":$n}""")

@@ -1,18 +1,21 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.Similarity
+import graft.queries.SimilarityQueries
 
 /** Assignment-quality probe for the coarse-quantizer seed rule: mean
   * exact-int64 L2 quantization distance (after one Lloyd refinement,
   * the y4 recipe) under FIRST-K seeding vs the shipped HASH-ORDERED
-  * sample (k lowest (md5(vec_id), vec_id)). First-k is a biased sample
-  * on any sorted/clustered corpus; this tool measures what the switch
-  * does to the training objective on a given table — the BASELINE.md
-  * "assignment-quality delta" evidence.
+  * sample. The shipped rule, the assignment argmin, and the Lloyd
+  * refine are the PRODUCTION implementations
+  * (SimilarityQueries.seedCentroids / assignToCells / lloydRefine), so
+  * this measurement cannot drift from the code it describes; only the
+  * retired first-k rule is reproduced inline (it no longer exists in
+  * production). Output is the BASELINE.md "assignment-quality delta"
+  * evidence.
   *
   * Usage: runMain graft.tools.SeedQuality <sfDir> [k]
   */
@@ -28,49 +31,31 @@ object SeedQuality {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
+    val vecs = SimilarityQueries.snapped(
+        spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "sv", "nrm")
       .persist()
 
-    def l2(a: String, b: String) =
-      aggregate(zip_with(col(a), col(b), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x)
-
-    def assign(cents: DataFrame): DataFrame =
-      vecs.withColumn("c_id", explode(sequence(lit(0L), lit(k - 1L))))
-        .join(broadcast(cents), "c_id")
-        .withColumn("dist", l2("sv", "cv"))
-        .groupBy(col("vec_id"))
-        .agg(min_by(struct(col("sv"), col("c_id"), col("dist")),
-          struct(col("dist"), col("c_id"))).as("m"))
-        .select(col("vec_id"), col("m.sv").as("sv"),
-          col("m.c_id").as("cell"), col("m.dist").as("dist"))
-
-    def refine(assigned: DataFrame): DataFrame =
-      assigned.select(col("cell"), posexplode(col("sv")).as(Seq("d", "v")))
-        .groupBy(col("cell"), col("d"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .withColumn("cm",
-          floor(col("s").cast("double") / col("n").cast("double")).cast("long"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("d"), col("cm")))).as("pairs"))
-        .select(col("cell").as("c_id"),
-          transform(col("pairs"), p => p.getField("cm")).as("cv"))
-
+    // final-assignment mean L2 after the production recipe: seed ->
+    // assign -> one Lloyd refine -> re-assign. assignToCells drops the
+    // distance column, so it is recomputed with the same exact-int64
+    // expression against the refined centroids.
     def cost(cents: DataFrame): (Double, Long) = {
-      val a = assign(refine(assign(cents)))
-      val r = a.agg(avg(col("dist")), count(lit(1))).collect()(0)
+      val refined = SimilarityQueries.lloydRefine(
+        SimilarityQueries.assignToCells(vecs, cents, k))
+      val r = SimilarityQueries.assignToCells(vecs, refined, k)
+        .join(refined.select(col("c_id").as("cell"), col("cv")), "cell")
+        .withColumn("dist",
+          aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, x) => acc + x))
+        .agg(avg(col("dist")), count(lit(1))).collect()(0)
       (r.getDouble(0), r.getLong(1))
     }
 
+    // the RETIRED rule, kept only here as the comparison point
     val firstK = vecs.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("long").as("c_id"), col("sv").as("cv"))
-    val order = Seq(col("__h"), col("vec_id"))
-    val hashK = vecs
-      .withColumn("__h", md5(col("vec_id").cast("string")))
-      .orderBy(order: _*).limit(k)
-      .select((row_number().over(Window.orderBy(order: _*)) - 1)
-        .cast("long").as("c_id"), col("sv").as("cv"))
+      .select(col("vec_id").cast("long").as("c_id"),
+        col("sv").as("cv"), col("nrm").as("cn"))
+    val hashK = SimilarityQueries.seedCentroids(vecs, k)
 
     val (cF, n) = cost(firstK)
     val (cH, _) = cost(hashK)

@@ -146,6 +146,47 @@ class SkewGuardSpec extends SparkTestBase {
     graft.core.CacheScope.releaseAll()
   }
 
+  test("guarded screens keep a pair whose band-0 bucket is hot but band-1 bucket is cool") {
+    // the adversarial mix the text fixture can't manufacture: the TRUE
+    // pair collides on BOTH bands, band 0's bucket is boilerplate-hot,
+    // band 1's is cool. The guard drops the band-0 posting rows, so the
+    // pair's only surviving collision is band 1 — the streaming screen's
+    // carried-band-0 suppression must not kill that row (SkewGuard
+    // contract: survives iff ANY sub-cap bucket collides; the batch twin
+    // keeps it via distinct()). Index rows are crafted directly in the
+    // index schema to pin the band values.
+    val pairText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val real = Dedup.signaturesFromShingles(
+      Dedup.shingleFrame(Seq((1001L, pairText)).toDF("doc_id", "text")),
+      keep = Seq("sh"))
+    val hotBand0 = real.select(col("band0")).as[String].head()
+    val crafted = (0 until 150).map { i =>
+      (2000L + i, Seq(s"crafted$i shingle only"),
+        f"$i%08x", f"$i%08x", f"$i%08x", f"$i%08x",
+        hotBand0, f"band1-unique-$i%03d")
+    }.toDF("doc_id", "sh", "sig0", "sig1", "sig2", "sig3", "band0", "band1")
+    val idx = java.nio.file.Files.createTempDirectory("graft-skew-b0").toString
+    real.unionByName(crafted).write.mode("overwrite").parquet(idx)
+
+    val batchDocs = Seq((1000L, pairText)).toDF("doc_id", "text")
+    val batch = Dedup.incrementalNeardup(spark, batchDocs, idx, 0.8, maxBucket = 10)
+      .select(col("batch_id"), col("corpus_id")).as[(Long, Long)].collect().toSet
+    assert(batch === Set((1000L, 1001L)), "batch twin must keep the band-1 pair")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamDedup
+      .againstIndex(in.toDF().toDF("doc_id", "text"), idx, 0.8, maxBucket = 10)
+      .writeStream.format("memory").queryName("skew_b0_out")
+      .outputMode("append").start()
+    in.addData(Seq((1000L, pairText))); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("skew_b0_out")
+      .select(col("batch_id"), col("corpus_id")).as[(Long, Long)].collect().toSet
+    assert(streamed === Set((1000L, 1001L)),
+      "streaming screen lost the pair whose band-0 bucket was guard-dropped")
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("the guard's observe metric reports dropped buckets and rows") {
     val sigs = Dedup.minhashSignatures(fixture)
     val metrics = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
