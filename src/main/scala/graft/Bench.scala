@@ -81,21 +81,51 @@ object Bench {
     val q1Sec = results.toMap.getOrElse("q1_pricing_summary", -1.0)
     val rps = if (q1Sec > 0) liRows / q1Sec else 0.0
     val trend = prevDelta(results)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","lineitem_rows":$liRows,"q1_rows_per_sec":$rps%.0f,"prod_variants_total":$prodTotal%.3f$trend}""")
+    val summary = f""""unit":"sec","sf":"$sfDir","lineitem_rows":$liRows,"q1_rows_per_sec":$rps%.0f,"prod_variants_total":$prodTotal%.3f"""
+    val fullLine =
+      f"""{"metric":"total","value":$total%.3f,$summary,"queries":$qs$trend}"""
+    // The gate harness stores only the LAST ~2000 chars of stdout, and
+    // the full per-query map alone exceeds that — so the complete record
+    // goes to a FILE (committed into the repo each round) and the final
+    // printed line is a budget-aware compact twin: heaviest queries
+    // first, rows added until the line is guaranteed to survive the tail
+    // capture intact, with an explicit count of what was elided.
+    writeFile("BENCH_FULL.json", fullLine + "\n")
+    println(fullLine) // head may be clipped by the tail capture; the file has it all
+    val byCost = results.sortBy { case (_, v) => -v }
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val budget = 1500 // chars available for rows in the compact line
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    byCost.foreach { row =>
+      if (used + row.length + 1 <= budget) { kept += row; used += row.length + 1 }
+    }
+    val omitted = byCost.length - kept.length
+    println(f"""{"metric":"total","value":$total%.3f,$summary,"n_queries":${byCost.length},"queries_omitted_here":$omitted,"full_map":"BENCH_FULL.json","queries":${kept.mkString("{", ",", "}")}}""")
     spark.stop()
   }
 
-  /** Per-query regression signal: seconds vs the latest BENCH_r{N}.json
-    * in the working directory (driver-written each round). Emits
+  private def writeFile(path: String, text: String): Unit = {
+    val w = new java.io.PrintWriter(new java.io.File(path), "UTF-8")
+    try w.write(text) finally w.close()
+  }
+
+  /** Per-query regression signal: seconds vs the previous run's full map
+    * (BENCH_FULL.json, written by every Bench run and committed each
+    * round) or, when that file doesn't exist yet, the latest
+    * driver-written BENCH_r{N}.json tail. Emits
     * `"prev_round":N,"prev_delta":{q:cur-prev,...}` or nothing when no
-    * prior round exists. Deltas only cover queries present in both. */
+    * prior record exists. Deltas only cover queries present in both. */
   private def prevDelta(results: Seq[(String, Double)]): String = {
     val benchRe = """BENCH_r(\d+)\.json""".r
-    val prior = Option(new java.io.File(".").listFiles()).toSeq.flatten
-      .flatMap(f => f.getName match {
-        case benchRe(n) => Some(n.toInt -> f)
-        case _ => None
-      }).sortBy(_._1).lastOption
+    val full = new java.io.File("BENCH_FULL.json")
+    val prior =
+      if (full.isFile) Some(0 -> full)
+      else Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => f.getName match {
+          case benchRe(n) => Some(n.toInt -> f)
+          case _ => None
+        }).sortBy(_._1).lastOption
     prior.fold("") { case (round, file) =>
       // the driver may embed the bench line inside a log-tail string
       // with escaped quotes — unescape so the queries map matches either
@@ -118,8 +148,9 @@ object Bench {
         case (name, cur) if cur >= 0 && prev.get(name).exists(_ >= 0) =>
           "\"" + name + "\":" + f"${cur - prev(name)}%.3f"
       }
+      val src = if (round == 0) "\"BENCH_FULL.json\"" else round.toString
       if (deltas.isEmpty) ""
-      else s""","prev_round":$round,"prev_delta":${deltas.mkString("{", ",", "}")}"""
+      else s""","prev_round":$src,"prev_delta":${deltas.mkString("{", ",", "}")}"""
     }
   }
 }
