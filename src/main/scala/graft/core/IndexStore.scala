@@ -9,24 +9,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `s3a://` — not just the driver-local disk a `java.io.File` check
   * could see.
   *
-  * Committed = the directory carries the `_SUCCESS` marker Spark's
-  * parquet committer writes. [[ensure]] adds race safety for the
-  * build-if-absent shape: the build runs against a scratch directory
-  * next to the target and is PUBLISHED with one rename, so a reader can
-  * never observe a half-written index, and two concurrent first callers
-  * race benignly — one rename wins, the loser deletes its scratch and
-  * reads the winner's copy. (On filesystems whose rename moves the
-  * source INTO an existing destination directory instead of failing,
-  * the loser's stray child directory is cleaned up after the fact; the
-  * committed index itself is never touched.)
+  * Committed = the directory carries the `_SUCCESS` marker. [[ensure]]
+  * adds race safety for the build-if-absent shape with a MARKER-LAST
+  * publish: the build runs against a scratch directory next to the
+  * target, the scratch's own `_SUCCESS` is removed, the DATA is moved
+  * to the target with one rename, and only then is the marker created
+  * at the target — so `isCommitted` implies the data files are fully
+  * visible even on stores whose rename is a non-atomic per-file copy
+  * (s3a://; on rename-atomic filesystems like file: and hdfs:// the
+  * whole publish is atomic anyway). Two concurrent first callers race
+  * benignly — one rename wins, the loser deletes its scratch and reads
+  * the winner's copy. (On filesystems whose rename moves the source
+  * INTO an existing destination directory instead of failing, the
+  * stray child is detected, removed, and no marker is written by the
+  * loser; the committed index itself is never touched.)
   *
-  * A plain filesystem offers no compare-and-swap, so the protocol is
-  * best-effort against ARBITRARY interleavings: the one residual window
-  * is two builders both observing the same STALE uncommitted target
-  * (a crashed pre-commit write) and one deleting it microseconds after
-  * the other replaced it — a production deployment that must exclude
-  * even that uses per-version index directories or a coordination
-  * service, both out of scope for a library primitive. */
+  * Stale-target recovery (a crashed pre-commit write left a markerless
+  * target) renames the target ASIDE to `<path>.stale-<uuid>` and
+  * deletes the renamed copy, so a concurrent builder's commit can
+  * never be the victim of the delete itself. A plain filesystem offers
+  * no compare-and-swap, so one residual window remains on CAS-free
+  * stores: a racer publishing in the instant between the stale
+  * re-check and the aside-rename — a production deployment that must
+  * exclude even that uses per-version index directories or a
+  * coordination service, both out of scope for a library primitive. */
 object IndexStore {
 
   /** True iff a committed index exists at `path` (its `_SUCCESS` marker
@@ -48,12 +54,12 @@ object IndexStore {
     spark.read.parquet(path)
   }
 
-  /** Build-if-absent with atomic publish. `build` receives a scratch
-    * path and must leave a complete artifact there (e.g. a parquet
-    * write); returns `path`, which is committed when this returns —
-    * either by this call's rename or by a concurrent winner's. A build
-    * that throws or writes nothing never leaves a scratch directory
-    * behind. */
+  /** Build-if-absent with marker-last publish. `build` receives a
+    * scratch path and must leave a complete `_SUCCESS`-marked artifact
+    * there (e.g. a parquet write); returns `path`, which is committed
+    * when this returns — either by this call's publish or by a
+    * concurrent winner's. A build that throws or writes nothing never
+    * leaves a scratch directory behind. */
   def ensure(spark: SparkSession, path: String)(build: String => Unit): String = {
     if (!isCommitted(spark, path)) {
       val target = new Path(path)
@@ -61,28 +67,52 @@ object IndexStore {
       // a target directory WITHOUT the marker is a stale partial write
       // (e.g. a crashed pre-commit builder): clear it UP FRONT — before
       // the build, where a concurrent committer has had no time to
-      // appear — rather than after, where the check-to-delete window
-      // would span the whole build (see the class doc's residual-window
-      // note). Re-checked immediately before the delete.
-      if (fs.exists(target) && !isCommitted(spark, path)) fs.delete(target, true)
+      // appear. Recovery is rename-ASIDE-then-delete (never a direct
+      // delete of the live target path), so the only operation a racer's
+      // freshly-committed index could lose to is the aside-rename in the
+      // instant after the re-check — the delete itself always eats our
+      // private .stale copy (see the class doc's residual-window note).
+      if (fs.exists(target) && !isCommitted(spark, path)) {
+        val aside = new Path(
+          path + ".stale-" + java.util.UUID.randomUUID().toString.take(8))
+        if (fs.rename(target, aside)) fs.delete(aside, true)
+      }
       val scratch = new Path(
         path + ".build-" + java.util.UUID.randomUUID().toString.take(8))
+      val scratchMarker = new Path(scratch, "_SUCCESS")
       try {
         build(scratch.toString)
-        // guard on scratch existing: a build closure that wrote nothing
-        // must reach the loud require below, not a rename FNF. A
-        // committed target appearing during the build means a
-        // concurrent builder won — lose gracefully, never touch it.
-        if (fs.exists(scratch) && !fs.exists(target))
-          fs.rename(scratch, target)
+        // Marker-last publish. The scratch must itself be committed (a
+        // build that wrote nothing or half-crashed reaches the loud
+        // require below instead of publishing garbage). Drop the
+        // scratch's own marker BEFORE moving the data, then mark the
+        // target only after the data rename — on a store whose rename
+        // copies per file (s3a://), a reader polling isCommitted can
+        // never pass while data files are still in flight. A committed
+        // target appearing during the build means a concurrent builder
+        // won — lose gracefully, never touch it.
+        if (fs.exists(scratchMarker) && !fs.exists(target)) {
+          fs.delete(scratchMarker, false)
+          if (fs.rename(scratch, target)) {
+            // posix-like renames move the source INTO a directory that
+            // appeared between the exists check and the rename; detect
+            // via the stray child and leave marking to the real winner
+            val stray = new Path(target, scratch.getName)
+            if (fs.exists(stray)) fs.delete(stray, true)
+            else fs.create(new Path(target, "_SUCCESS"), false).close()
+          }
+        }
       } finally {
-        // loser/failed-build cleanup (after a successful rename the
-        // scratch no longer exists); also drop the stray child a
-        // posix-like rename may have left INSIDE a target that appeared
-        // between the exists check and the rename
+        // loser/failed-build cleanup (after a successful publish the
+        // scratch no longer exists)
         if (fs.exists(scratch)) fs.delete(scratch, true)
-        val stray = new Path(target, scratch.getName)
-        if (fs.exists(stray)) fs.delete(stray, true)
+      }
+      // a concurrent winner may still be between its data rename and its
+      // marker write — give that tiny window a bounded grace before the
+      // loud fail
+      var waited = 0
+      while (!isCommitted(spark, path) && waited < 20) {
+        Thread.sleep(100); waited += 1
       }
       require(isCommitted(spark, path),
         s"index build at $path produced no committed artifact " +

@@ -152,6 +152,23 @@ object Dedup {
       .select(col("a_id"), col("b_id")).distinct()
   }
 
+  /** [[candidatePairs]] with the recall-PRESERVING skew treatment:
+    * hot band buckets are salt-split into bounded sub-buckets and
+    * joined by sub-bucket cross-product
+    * ([[SkewGuard.saltedSelfJoinPairs]]) instead of being dropped.
+    * Output is EXACTLY the unguarded candidate set (the
+    * d3_neardup_salted registration shares the unguarded d3 oracle
+    * verbatim — cross-engine proof), with per-task join input bounded
+    * by ~2·maxBucket rows; use when a hot bucket is a genuinely large
+    * duplicate cluster rather than degenerate boilerplate (cost and
+    * mode-choice contract at [[SkewGuard.saltedSelfJoinPairs]]). */
+  def candidatePairsSalted(sigs: DataFrame, idCol: String = "doc_id",
+                           maxBucket: Int = 1000): DataFrame =
+    SkewGuard.saltedSelfJoinPairs(
+      sigs.select(col(idCol),
+        posexplode(array(col("band0"), col("band1"))).as(Seq("band_idx", "band_hash"))),
+      Seq("band_idx", "band_hash"), idCol, maxBucket)
+
   /** Exact Jaccard (over distinct shingle sets) for given candidate
     * pairs; returns pairs with jaccard >= minJaccard.
     *
@@ -310,6 +327,47 @@ object Dedup {
     signaturesFromShingles(shingleFrame(docs, textCol, idCol), idCol,
         keep = Seq("sh"))
       .write.mode("overwrite").parquet(path)
+
+  /** [[writeNeardupIndex]] with WRITE-TIME skew filtering: band values
+    * whose posting list exceeds `maxBucket` are NULLed in the stored
+    * index (the doc row and its `sh` stay — only the hot band entry is
+    * suppressed, so the doc still screens via its other band and still
+    * verifies exactly). A null band drops out of every consumer's
+    * candidate equi-join, so screening a batch or stream against this
+    * index with the guard OFF behaves exactly like screening the
+    * uncapped index with `maxBucket` armed (differentially
+    * spec-asserted) — WITHOUT the per-screen occupancy aggregation,
+    * which for the streaming ingest path would otherwise re-run on the
+    * full static index every micro-batch. This is the documented
+    * production default for armed streaming use.
+    *
+    * Append caveat: occupancy is measured over THIS write's rows;
+    * [[appendToNeardupIndex]] batches shift true occupancy, so a
+    * pipeline appending heavily should re-cap during its periodic
+    * index rewrite (the same cadence at which it folds survivors in). */
+  def writeNeardupIndex(docs: DataFrame, path: String, textCol: String,
+                        idCol: String, maxBucket: Int): Unit =
+    if (maxBucket <= 0) writeNeardupIndex(docs, path, textCol, idCol)
+    else {
+      // the signature frame feeds two occupancy aggs and the final
+      // projection — persist for the duration of the write
+      val sigs = signaturesFromShingles(shingleFrame(docs, textCol, idCol),
+        idCol, keep = Seq("sh")).persist()
+      try {
+        def hot(band: String) = sigs.filter(col(band).isNotNull)
+          .groupBy(col(band)).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucket)
+          .select(col(band).as(s"__hot_$band"))
+        sigs
+          .join(hot("band0"), col("band0") === col("__hot_band0"), "left")
+          .join(hot("band1"), col("band1") === col("__hot_band1"), "left")
+          // when without otherwise: hot bands become NULL
+          .withColumn("band0", when(col("__hot_band0").isNull, col("band0")))
+          .withColumn("band1", when(col("__hot_band1").isNull, col("band1")))
+          .drop("__hot_band0", "__hot_band1")
+          .write.mode("overwrite").parquet(path)
+      } finally sigs.unpersist()
+    }
 
   /** Index maintenance: append a new batch's rows to an existing
     * near-dup index — the post-ingest step after [[incrementalNeardup]]
@@ -671,6 +729,43 @@ object Dedup {
     graft.core.CacheScope.trackRdd(resRdd, spark)
     res
   }
+
+  /** Incremental cluster maintenance — fold a NEW batch of verified
+    * near-dup pairs into a STANDING (doc_id, cluster_id) labeling
+    * without re-running connected components over the full corpus pair
+    * graph. This closes the operational gap between the incremental
+    * pair screens ([[incrementalNeardup]],
+    * [[graft.streaming.StreamDedup.againstIndex]]) and the cluster
+    * consumers (d8/d10/d13 need LABELS, not pairs): every ingest can
+    * now update the labels instead of re-clustering the corpus.
+    *
+    * Correctness: the standing labeling IS a star forest — each row
+    * (doc_id, cluster_id) is an edge from a member to its component
+    * minimum (roots are self-loops). A star forest has exactly the
+    * same connectivity as the pair graph it came from, so CC over
+    * (star edges ∪ new pairs) yields the same components as CC over
+    * (old pairs ∪ new pairs) — and the component minimum is preserved
+    * because old cluster ids ARE member doc ids. The output therefore
+    * hash-matches a from-scratch [[connectedComponents]] over the
+    * combined pair graph (the d14 registration checks this against the
+    * d7 oracle verbatim).
+    *
+    * Cost: the input to CC is |labels| + |newPairs| edges — corpus
+    * pair counts never appear (a dense standing cluster of c members
+    * contributed O(c²) pairs to the original run but exactly c star
+    * edges here). Components untouched by new pairs are already
+    * star-shaped and contract in one round; the iteration count is
+    * driven by how many components the new pairs CHAIN together, which
+    * [[connectedComponentsStar]]'s O(log² n) contraction bounds
+    * regardless of that chain length (its fixed point — every vertex
+    * pointing at its component minimum — is exactly the star-forest
+    * invariant this function maintains round over round). */
+  def mergeIntoClusters(labels: DataFrame, newPairs: DataFrame,
+                        aCol: String = "a_id", bCol: String = "b_id"): DataFrame =
+    connectedComponentsStar(
+      labels.select(col("doc_id").as("a_id"), col("cluster_id").as("b_id"))
+        .union(newPairs.select(col(aCol).cast("long").as("a_id"),
+          col(bCol).cast("long").as("b_id"))))
 
   /** SimHash over a doc's distinct tokens: bit j of the result is set
     * iff the sum over tokens of (+1 if token-bit j else -1) is positive.

@@ -45,22 +45,104 @@ object SkewGuard {
   /** `rows` filtered to buckets (grouped by `keys`) with occupancy <=
     * `maxBucket`; `maxBucket <= 0` returns `rows` unchanged. One extra
     * aggregation + equi-join on the same keys the downstream candidate
-    * join shuffles on — only paid when the guard is active. */
+    * join shuffles on — only paid when the guard is active.
+    *
+    * Armed/unarmed behavioral difference, part of the contract: the
+    * filter is an equi-join, so rows with a NULL in any key column are
+    * dropped when the guard is armed but passed through when it is off.
+    * Every in-repo caller feeds the capped frame to a downstream
+    * candidate EQUI-join on the same keys — which drops null-keyed rows
+    * itself — so pair output is unaffected; a caller using the capped
+    * frame for anything else must treat null-keyed rows as filtered.
+    * The `null_key_rows` observe metric counts them so the difference
+    * is auditable, not silent. */
   def capBuckets(rows: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
     if (maxBucket <= 0) rows
     else {
       val keyCols = keys.map(col)
+      val anyKeyNull = keyCols.map(_.isNull).reduce(_ || _)
       val name = s"graft_skew_guard_${guardSeq.incrementAndGet()}"
       val cool = rows.groupBy(keyCols: _*).agg(count(lit(1)).as("__bucket_n"))
         .observe(name,
           sum(when(col("__bucket_n") > maxBucket, 1L).otherwise(0L))
             .as("buckets_dropped"),
           sum(when(col("__bucket_n") > maxBucket, col("__bucket_n"))
-            .otherwise(0L)).as("rows_dropped"))
+            .otherwise(0L)).as("rows_dropped"),
+          sum(when(anyKeyNull, col("__bucket_n")).otherwise(0L))
+            .as("null_key_rows"))
         .filter(col("__bucket_n") <= maxBucket)
         .select(keyCols: _*)
       rows.join(cool, keys)
     }
+
+  /** Recall-PRESERVING hot-bucket handling for bucket-keyed candidate
+    * SELF-joins — the production alternative to [[capBuckets]] when a
+    * hot bucket is meaningful (a genuinely large duplicate cluster)
+    * rather than degenerate boilerplate: instead of dropping the
+    * bucket, salt-split its posting list into g = ceil(n / maxBucket)
+    * bounded sub-buckets by a deterministic hash of the id, and join
+    * the sub-bucket CROSS-PRODUCT keys, so every pair of the unguarded
+    * self-join is still emitted while no join task reads more than
+    * ~2·maxBucket build/probe rows for any one key.
+    *
+    * Coverage argument: ids a, b in the same bucket carry salts
+    * p = salt(a), q = salt(b). The left emission tags each row with
+    * sub-bucket keys (own salt, j) for j in own..g-1; the right with
+    * (i, own salt) for i in 0..own. The pair therefore meets at key
+    * (min(p,q), max(p,q)) in one orientation, and the
+    * least/greatest + distinct normalization below makes orientation
+    * irrelevant — output is EXACTLY the unguarded join's pair set
+    * (spec-asserted, and the d3_neardup_salted registration shares the
+    * unguarded d3 oracle verbatim). Cool buckets (n <= maxBucket) get
+    * g = 1 and degenerate to the plain join with zero replication.
+    *
+    * Cost contract, the deliberate difference from [[capBuckets]]:
+    * total pair OUTPUT is unchanged (a hot bucket still contributes
+    * O(n²) candidate pairs — spread over g² bounded tasks instead of
+    * one quadratic straggler), and rows in a hot bucket are replicated
+    * ~(g+1)/2 times into the shuffle. Use this mode for hot-but-real
+    * buckets; keep the df-cap for buckets so hot their feature carries
+    * no similarity signal. Per-task bound is in expectation (hash
+    * unevenness adds slack ~sqrt of the sub-bucket size); rows with a
+    * NULL key never self-match in the unguarded join and are dropped
+    * here by the occupancy equi-join — same null contract as
+    * [[capBuckets]].
+    *
+    * Returns distinct (a_id, b_id) with a_id < b_id, ready for a
+    * verify stage. */
+  def saltedSelfJoinPairs(rows: DataFrame, keys: Seq[String], idCol: String,
+                          maxBucket: Int): DataFrame = {
+    require(maxBucket > 0, "saltedSelfJoinPairs needs maxBucket > 0 " +
+      "(use the plain self-join when no guard is wanted)")
+    val keyCols = keys.map(col)
+    val name = s"graft_skew_salt_${guardSeq.incrementAndGet()}"
+    val occ = rows.groupBy(keyCols: _*).agg(count(lit(1)).as("__bucket_n"))
+      .observe(name,
+        sum(when(col("__bucket_n") > maxBucket, 1L).otherwise(0L))
+          .as("buckets_split"),
+        max(col("__bucket_n")).as("max_bucket_n"))
+    // g = ceil(n / maxBucket); floor-of-double-division is exact far past
+    // any real bucket size (n < 2^52)
+    val withG = rows.join(occ, keys)
+      .withColumn("__g",
+        floor((col("__bucket_n") + lit(maxBucket - 1)) / lit(maxBucket))
+          .cast("long"))
+      .withColumn("__salt", pmod(hash(col(idCol)), col("__g")))
+    val left = withG.select(
+      keyCols :+ col(idCol).as("__l_id") :+ col("__salt").as("__i") :+
+        explode(sequence(col("__salt"), col("__g") - 1)).as("__j"): _*)
+    val right = withG.select(
+      keys.map(k => col(k).as(s"r_$k")) :+ col(idCol).as("__r_id") :+
+        col("__salt").as("__rj") :+
+        explode(sequence(lit(0L), col("__salt"))).as("__ri"): _*)
+    val joinCond = keys.map(k => col(k) === col(s"r_$k"))
+      .reduce(_ && _) && col("__i") === col("__ri") && col("__j") === col("__rj") &&
+      col("__l_id") =!= col("__r_id")
+    left.join(right, joinCond)
+      .select(least(col("__l_id"), col("__r_id")).as("a_id"),
+        greatest(col("__l_id"), col("__r_id")).as("b_id"))
+      .distinct()
+  }
 
   /** Diagnostic: the buckets a cap of `maxBucket` would drop, with
     * their occupancy — the audit a corpus team runs before picking the

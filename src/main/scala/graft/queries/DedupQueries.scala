@@ -63,6 +63,23 @@ object DedupQueries extends QueryGroup {
     Dedup.verifyJaccardOnShingles(sh, Dedup.candidatePairs(sigs, maxBucket = 2), 0.8)
   }
 
+  /** d3's pipeline with the recall-PRESERVING skew treatment
+    * ([[graft.ext.Dedup.candidatePairsSalted]]): hot band buckets are
+    * salt-split into bounded sub-buckets (cross-product joined) instead
+    * of dropped, so the output is EXACTLY unguarded d3 — this
+    * registration shares d3's oracle VERBATIM, making the
+    * recall-preservation claim hash-checked cross-engine rather than
+    * only spec-asserted. maxBucket = 2 forces real splitting on the
+    * synthetic corpus (3-doc cluster buckets get g = 2 sub-buckets);
+    * production sizes the cap to executor-task comfort (thousands). */
+  def neardupPairsSalted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val sh = graft.core.CacheScope.track(Dedup.shingleFrame(docs).persist())
+    val sigs = graft.core.CacheScope.track(Dedup.signaturesFromShingles(sh).persist())
+    Dedup.verifyJaccardOnShingles(sh,
+      Dedup.candidatePairsSalted(sigs, maxBucket = 2), 0.8)
+  }
+
   /** 48-bit SimHash per document (Dedup.simhashBits). `hashMode` as in
     * [[minhashSigs]]. */
   def simhashes(spark: SparkSession, dir: String): DataFrame =
@@ -212,6 +229,60 @@ object DedupQueries extends QueryGroup {
     Dedup.incrementalNeardup(spark, docs.filter(col("doc_id") % 5 === 0), idx, 0.8)
   }
 
+  /** Incremental cluster MAINTENANCE: today's ingest (doc_id % 5 = 0)
+    * folded into the standing cluster labels of the already-indexed
+    * corpus (the rest) via [[graft.ext.Dedup.mergeIntoClusters]] — the
+    * operational closure of d9: the screens find new PAIRS
+    * incrementally; this turns them into updated LABELS without
+    * re-clustering the corpus. Output hash-matches a from-scratch d7
+    * over the COMBINED corpus (the oracle is d7's verbatim): the
+    * standing labeling is a star forest with the same connectivity as
+    * the corpus pair graph, so CC over (star edges ∪ new pairs) yields
+    * identical components and identical min-id labels.
+    *
+    * Standalone-query price (the d8/d10/d13 precedent): the standing
+    * labels are recomputed here from the index because every gate query
+    * must be self-contained; a production pipeline stores them and pays
+    * only the merge — whose CC input is |labels| + |new pairs| edges,
+    * never the corpus (spec-asserted in MergeClustersSpec). Plan shape:
+    * the corpus side comes entirely from the index parquet (bands for
+    * candidates, stored `sh` for verify — no re-tokenization); the
+    * batch is shingled ONCE (persisted) and feeds its own signature,
+    * batch-internal-pair, and cross-pair stages. */
+  def incrementalClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val idx = graft.core.IndexStore.ensure(spark, indexPathFor(spark, dir)) {
+      scratch => Dedup.writeNeardupIndex(docs.filter(col("doc_id") % 5 =!= 0), scratch)
+    }
+    val index = Dedup.readNeardupIndex(spark, idx)
+    val iSh = index.select(col("doc_id"), col("sh"))
+    val corpusPairs = Dedup.verifyJaccardOnShingles(iSh,
+        Dedup.candidatePairs(index), 0.8)
+      .select(col("a_id"), col("b_id"))
+    val labels = Dedup.connectedComponents(corpusPairs)
+    val bsh = graft.core.CacheScope.track(
+      Dedup.shingleFrame(docs.filter(col("doc_id") % 5 === 0)).persist())
+    val bSigs = graft.core.CacheScope.track(
+      Dedup.signaturesFromShingles(bsh).persist())
+    val batchPairs = Dedup.verifyJaccardOnShingles(bsh,
+        Dedup.candidatePairs(bSigs), 0.8)
+      .select(col("a_id"), col("b_id"))
+    val bBands = bSigs.select(col("doc_id").as("batch_id"),
+      posexplode(array(col("band0"), col("band1")))
+        .as(Seq("band_idx", "band_hash")))
+    val iBands = index.select(col("doc_id").as("corpus_id"),
+      posexplode(array(col("band0"), col("band1")))
+        .as(Seq("band_idx_b", "band_hash_b")))
+    val cand = bBands.join(iBands,
+        col("band_idx") === col("band_idx_b") &&
+        col("band_hash") === col("band_hash_b"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    val crossPairs = Dedup.verifyJaccardAcross(bsh, iSh, cand, 0.8,
+        "batch_id", "corpus_id")
+      .select(col("batch_id").as("a_id"), col("corpus_id").as("b_id"))
+    Dedup.mergeIntoClusters(labels, batchPairs.union(crossPairs))
+  }
+
   /** Quality-aware canonical selection: for each d7 cluster, the member
     * a curation pipeline should KEEP — the highest-quality doc, not the
     * arbitrary min-id. d8's min-id convention is the right cluster
@@ -341,6 +412,7 @@ object DedupQueries extends QueryGroup {
     "d2_minhash_sigs"  -> (minhashSigs _),
     "d3_neardup_pairs" -> (neardupPairs _),
     "d3_neardup_capped" -> (neardupPairsCapped _),
+    "d3_neardup_salted" -> (neardupPairsSalted _),
     "d4_simhash"       -> (simhashes _),
     "d5_simhash_pairs" -> (simhashPairs _),
     "d6_ngram_jaccard" -> (ngramJaccard _),
@@ -351,7 +423,8 @@ object DedupQueries extends QueryGroup {
     "d11_containment"  -> (containmentPairs _),
     "d12_containment_join" -> (containmentJoin _),
     "d12_containment_slice" -> (containmentJoinSlice _),
-    "d13_dedup_apply_best" -> (dedupApplyBest _)
+    "d13_dedup_apply_best" -> (dedupApplyBest _),
+    "d14_incremental_clusters" -> (incrementalClusters _)
   )
 
   // ---- DuckDB oracles ----
@@ -397,6 +470,42 @@ object DedupQueries extends QueryGroup {
        |)""".stripMargin
   }
 
+  /** The from-scratch d7 oracle — shared verbatim by d7_dup_clusters
+    * and d14_incremental_clusters (the star-forest merge is
+    * connectivity-preserving, so incremental labels equal from-scratch
+    * labels on the combined corpus). */
+  private val d7OracleSql =
+    s"""$ccCte
+       |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
+  /** The unguarded d3 oracle — shared verbatim by d3_neardup_pairs and
+    * d3_neardup_salted (the salt-split guard is output-invariant). */
+  private val d3OracleSql =
+    s"""$sigsCte, bands AS (
+       |  SELECT doc_id, 0 AS band_idx, band0 AS band_hash FROM banded
+       |  UNION ALL
+       |  SELECT doc_id, 1, band1 FROM banded
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id
+       |), verified AS (
+       |  SELECT a_id, b_id,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
+       |    CAST(len(sa.sh) AS BIGINT) AS n_a,
+       |    CAST(len(sb.sh) AS BIGINT) AS n_b
+       |  FROM cand
+       |  JOIN shingled sa ON sa.doc_id = a_id
+       |  JOIN shingled sb ON sb.doc_id = b_id
+       |)
+       |SELECT a_id, b_id, n_common, n_a, n_b,
+       |  CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+       |FROM verified
+       |WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT doc_id, md5(text) AS text_md5,
@@ -407,30 +516,11 @@ object DedupQueries extends QueryGroup {
       s"""$sigsCte
          |SELECT doc_id, sig0, sig1, sig2, sig3, band0, band1
          |FROM banded ORDER BY doc_id""".stripMargin,
-    "d3_neardup_pairs" ->
-      s"""$sigsCte, bands AS (
-         |  SELECT doc_id, 0 AS band_idx, band0 AS band_hash FROM banded
-         |  UNION ALL
-         |  SELECT doc_id, 1, band1 FROM banded
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         |   AND a.doc_id < b.doc_id
-         |), verified AS (
-         |  SELECT a_id, b_id,
-         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
-         |    CAST(len(sa.sh) AS BIGINT) AS n_a,
-         |    CAST(len(sb.sh) AS BIGINT) AS n_b
-         |  FROM cand
-         |  JOIN shingled sa ON sa.doc_id = a_id
-         |  JOIN shingled sb ON sb.doc_id = b_id
-         |)
-         |SELECT a_id, b_id, n_common, n_a, n_b,
-         |  CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
-         |FROM verified
-         |WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.8
-         |ORDER BY a_id, b_id""".stripMargin,
+    "d3_neardup_pairs" -> d3OracleSql,
+    // salt-split skew treatment is output-INVARIANT by design, so the
+    // salted registration is checked against the unguarded d3 oracle
+    // VERBATIM — the cross-engine recall-preservation proof
+    "d3_neardup_salted" -> d3OracleSql,
     // d3 with the skew guard armed at maxBucket=2: the cool CTE IS the
     // guard (occupancy filter on the band buckets before the join)
     "d3_neardup_capped" ->
@@ -496,10 +586,12 @@ object DedupQueries extends QueryGroup {
          |ORDER BY a_id, b_id""".stripMargin,
     // transitive closure of the d3 pair graph via a recursive CTE;
     // cluster id = min reachable doc id (including self)
-    "d7_dup_clusters" ->
-      s"""$ccCte
-         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "d7_dup_clusters" -> d7OracleSql,
+    // the incremental merge is connectivity-preserving by construction
+    // (star forest ∪ new pairs ≡ old pairs ∪ new pairs), so the
+    // incremental registration is checked against the from-scratch d7
+    // oracle VERBATIM on the combined corpus
+    "d14_incremental_clusters" -> d7OracleSql,
     // survivors = docs that are not a non-canonical cluster member;
     // canonical members carry their cluster size as n_merged
     "d8_dedup_apply" ->

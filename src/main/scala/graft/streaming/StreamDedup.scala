@@ -53,9 +53,15 @@ object StreamDedup {
     * posting lists, mirroring `Dedup.incrementalNeardup` — in the
     * ingest path a boilerplate bucket would otherwise stall every
     * micro-batch, not one nightly job. The guard's occupancy aggregate
-    * runs on the STATIC side (re-evaluated per micro-batch by
-    * stream-static join semantics; pre-filter the index once with
-    * `SkewGuard.capBuckets` at write time if that matters). */
+    * and the hot-bucket band-0 set are STATIC for the query's lifetime,
+    * so both frames are persisted at stream construction — each
+    * micro-batch's stream-static join reads the cached result instead
+    * of re-aggregating the full index. The documented PRODUCTION
+    * default for armed streaming is stronger still: write the index
+    * with `Dedup.writeNeardupIndex(..., maxBucket)` (hot bands nulled
+    * at build time) and run this screen unarmed — same output,
+    * differentially spec-asserted, and the screen's plan carries no
+    * aggregation at all. */
   def againstIndex(stream: DataFrame, indexPath: String,
                    minJaccard: Double, maxBucket: Int): DataFrame = {
     val spark = stream.sparkSession
@@ -83,17 +89,23 @@ object StreamDedup {
     // through, or the pair is lost entirely (the batch twin keeps it:
     // SkewGuard's contract is "survives iff ANY sub-cap bucket
     // collides"). Mark each index row with whether its band-0 bucket is
-    // hot; the hot-bucket key set is tiny and static.
+    // hot; the hot-bucket key set is tiny and static. The guarded frame
+    // is persisted: it is STATIC under stream-static join semantics, so
+    // without the persist every micro-batch would re-run both
+    // full-index aggregations — the exact latency the guard exists to
+    // protect.
     val iBands =
       if (maxBucket <= 0) iBands0.withColumn("i_b0_hot", lit(false))
-      else iBands0.join(
-          graft.ext.SkewGuard.hotBuckets(
-              index.filter(col("band0").isNotNull).select(col("band0")),
-              Seq("band0"), maxBucket)
-            .select(col("band0").as("h_band0")),
-          col("i_band0") === col("h_band0"), "left")
-        .withColumn("i_b0_hot", col("h_band0").isNotNull)
-        .drop("h_band0")
+      else graft.core.CacheScope.track(
+        iBands0.join(
+            graft.ext.SkewGuard.hotBuckets(
+                index.filter(col("band0").isNotNull).select(col("band0")),
+                Seq("band0"), maxBucket)
+              .select(col("band0").as("h_band0")),
+            col("i_band0") === col("h_band0"), "left")
+          .withColumn("i_b0_hot", col("h_band0").isNotNull)
+          .drop("h_band0")
+          .persist())
     val collides0 = col("b_band0").isNotNull && col("i_band0").isNotNull &&
       col("b_band0") === col("i_band0")
     val cand = bBands.join(iBands,

@@ -84,6 +84,38 @@ class IndexStoreSpec extends SparkTestBase {
     assert(spark.read.parquet(path).count() === 7)
   }
 
+  test("stale recovery goes through an aside-rename and leaves no .stale leftovers") {
+    val base = freshDir()
+    val path = base + "/idx"
+    new java.io.File(path).mkdirs()
+    new java.io.File(path, "part-00000.parquet").createNewFile()
+    IndexStore.ensure(spark, path) { scratch =>
+      spark.range(3).toDF("id").write.parquet(scratch)
+    }
+    assert(IndexStore.isCommitted(spark, path))
+    // the aside copy (idx.stale-*) must have been deleted after the
+    // rename, and no build scratch remains either
+    val leftovers = new java.io.File(base).listFiles().map(_.getName).toSeq
+    assert(leftovers === Seq("idx"), s"recovery leftovers: $leftovers")
+  }
+
+  test("the published marker is written last, after the data rename") {
+    // marker-last contract: the target's _SUCCESS is IndexStore's own
+    // zero-length file, not the scratch's parquet-committer marker moved
+    // along with the data (which on a per-file-copy store could become
+    // visible mid-copy)
+    val path = freshDir() + "/idx"
+    IndexStore.ensure(spark, path) { scratch =>
+      spark.range(4).toDF("id").write.parquet(scratch)
+      // the build's own scratch marker exists before publish...
+      assert(new java.io.File(scratch, "_SUCCESS").isFile)
+    }
+    // ...and the published marker is the freshly-created empty file
+    val marker = new java.io.File(path, "_SUCCESS")
+    assert(marker.isFile && marker.length() === 0)
+    assert(spark.read.parquet(path).count() === 4)
+  }
+
   test("ensure fails loudly when the build produces no committed artifact") {
     val path = freshDir() + "/idx"
     intercept[IllegalArgumentException] {

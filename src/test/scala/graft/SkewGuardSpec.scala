@@ -187,6 +187,96 @@ class SkewGuardSpec extends SparkTestBase {
     graft.core.CacheScope.releaseAll()
   }
 
+  test("salt-split pairs are EXACTLY the unguarded join, with bounded sub-buckets") {
+    val sigs = Dedup.minhashSignatures(fixture).persist()
+    val unguarded = Dedup.candidatePairs(sigs).as[(Long, Long)].collect().toSet
+    // the adversarial 200-doc bucket is present and quadratic
+    assert(unguarded.size >= 200 * 199 / 2)
+    val salted = Dedup.candidatePairsSalted(sigs, maxBucket = 10)
+      .as[(Long, Long)].collect().toSet
+    // complete recall: every unguarded pair survives, including every
+    // hot-bucket-internal one the df-cap mode would drop — and nothing
+    // extra appears (both orientations of the sub-bucket cross-product
+    // normalize to one row)
+    assert(salted === unguarded)
+    // bounded per-task input: replicate the salt assignment and check no
+    // (bucket, sub-bucket) group exceeds the cap by more than the hash-
+    // unevenness slack (deterministic here — murmur3 over fixed ids)
+    val b = bands(sigs)
+    val occ = b.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("n"))
+    val maxSub = b.join(occ, Seq("band_idx", "band_hash"))
+      .withColumn("g", floor((col("n") + lit(9)) / lit(10)).cast("long"))
+      .withColumn("salt", pmod(hash(col("doc_id")), col("g")))
+      .groupBy(col("band_idx"), col("band_hash"), col("salt"))
+      .agg(count(lit(1)).as("sub_n"))
+      .agg(max(col("sub_n"))).as[Long].head()
+    assert(maxSub < 200L, "hot bucket was not split")
+    assert(maxSub <= 30L, s"sub-bucket of $maxSub exceeds cap 10 + slack")
+    sigs.unpersist()
+  }
+
+  test("salted verify pipeline equals the unguarded d3 pipeline end to end") {
+    val sh = Dedup.shingleFrame(fixture).persist()
+    val sigs = Dedup.signaturesFromShingles(sh).persist()
+    val plain = Dedup.verifyJaccardOnShingles(sh, Dedup.candidatePairs(sigs), 0.8)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    val salted = Dedup.verifyJaccardOnShingles(sh,
+        Dedup.candidatePairsSalted(sigs, maxBucket = 10), 0.8)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(salted === plain)
+    sigs.unpersist(); sh.unpersist()
+  }
+
+  test("write-time-capped index screened UNARMED equals the armed guard, batch and stream") {
+    val indexDocs = fixture.filter(col("doc_id") =!= 0L && col("doc_id") =!= 1000L)
+    val batchDocs = fixture.filter(col("doc_id") === 0L || col("doc_id") === 1000L)
+    val plainIdx = java.nio.file.Files.createTempDirectory("graft-wt-plain").toString
+    val cappedIdx = java.nio.file.Files.createTempDirectory("graft-wt-capped").toString
+    Dedup.writeNeardupIndex(indexDocs, plainIdx)
+    Dedup.writeNeardupIndex(indexDocs, cappedIdx, "text", "doc_id", 10)
+    // the capped index nulls exactly the boilerplate posting lists: the
+    // doc rows (and their sh) all remain
+    val idxDf = spark.read.parquet(cappedIdx)
+    assert(idxDf.count() === indexDocs.count())
+    assert(idxDf.filter(col("band0").isNull && length(col("sig0")) > 0).count() >= 199)
+    // batch twin: unarmed screen of the capped index == armed screen of
+    // the plain index
+    val armed = Dedup.incrementalNeardup(spark, batchDocs, plainIdx, 0.8,
+        maxBucket = 10)
+      .select(col("batch_id"), col("corpus_id")).as[(Long, Long)].collect().toSet
+    graft.core.CacheScope.releaseAll()
+    val precapped = Dedup.incrementalNeardup(spark, batchDocs, cappedIdx, 0.8)
+      .select(col("batch_id"), col("corpus_id")).as[(Long, Long)].collect().toSet
+    graft.core.CacheScope.releaseAll()
+    assert(precapped === armed)
+    assert(precapped === Set((1000L, 1001L)))
+    // streaming twin, unarmed against the capped index
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val screen = graft.streaming.StreamDedup
+      .againstIndex(in.toDF().toDF("doc_id", "text"), cappedIdx, 0.8)
+    // the production point: the unarmed screen over a write-time-capped
+    // index carries NO aggregation — nothing corpus-wide re-runs per
+    // micro-batch
+    val aggs = screen.queryExecution.analyzed.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.isEmpty, s"unarmed screen should be aggregation-free: $aggs")
+    val batchRows = Seq(
+      0L -> fixture.filter(col("doc_id") === 0L).select(col("text")).as[String].head(),
+      1000L -> fixture.filter(col("doc_id") === 1000L).select(col("text")).as[String].head())
+    val q = screen.writeStream.format("memory").queryName("wt_capped_out")
+      .outputMode("append").start()
+    in.addData(batchRows); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("wt_capped_out")
+      .select(col("batch_id"), col("corpus_id")).as[(Long, Long)].collect().toSet
+    assert(streamed === armed)
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("the guard's observe metric reports dropped buckets and rows") {
     val sigs = Dedup.minhashSignatures(fixture)
     val metrics = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
