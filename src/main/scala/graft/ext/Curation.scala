@@ -1,0 +1,225 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Knobs for the end-to-end batch curation pipeline ([[Curation]]).
+  *
+  * Defaults reproduce the oracle-checked `x_curate_pack` registration
+  * exactly (spec-asserted in `CurationSpec`): unguarded LSH, Jaccard
+  * 0.8, min-id canonical survivors, token gate [20, 2000], 8 shards at
+  * a 4096-token packing budget.
+  *
+  * @param minJaccard     near-dup verify threshold (exact Jaccard over
+  *                       distinct 3-shingle sets)
+  * @param maxBucket      LSH band-bucket occupancy bound; 0 = unguarded
+  *                       (every oracle default). With `skewMode="drop"`
+  *                       this arms [[SkewGuard.capBuckets]] (df-cap:
+  *                       drops degenerate boilerplate buckets, recall
+  *                       contract documented there); with `"salt"` it
+  *                       arms [[SkewGuard.saltedSelfJoinPairs]]
+  *                       (recall-preserving salt-split — output equals
+  *                       the unguarded pipeline, per-task input bounded)
+  * @param skewMode       "drop" | "salt" — see `maxBucket`
+  * @param representative "canonical" keeps each cluster's min-id member
+  *                       (d8 semantics); "best" keeps the quality-argmax
+  *                       member (d13 semantics — what production ships)
+  * @param minTokens      inclusive whitespace-token quality gate bounds
+  * @param maxTokens      (docs outside the band are dropped post-dedup)
+  * @param nShards        packing shards (`doc_id mod nShards`)
+  * @param packBudget     tokens per packed training sequence
+  * @param hashMode       "md5" (oracle-priced) | "xxh64" (production
+  *                       twin — codegen-native 64-bit sigs/bands; see
+  *                       [[Dedup.signaturesFromShingles]])
+  */
+final case class CurationConfig(
+    minJaccard: Double = 0.8,
+    maxBucket: Int = 0,
+    skewMode: String = "drop",
+    representative: String = "canonical",
+    minTokens: Long = 20L,
+    maxTokens: Long = 2000L,
+    nShards: Int = 8,
+    packBudget: Long = 4096L,
+    hashMode: String = "md5") {
+  require(minJaccard >= 0.0 && minJaccard <= 1.0,
+    s"minJaccard must be in [0,1], got $minJaccard")
+  require(skewMode == "drop" || skewMode == "salt",
+    s"skewMode must be drop or salt, got $skewMode")
+  require(skewMode == "drop" || maxBucket > 0,
+    "skewMode=salt needs maxBucket > 0 (the sub-bucket size bound)")
+  require(representative == "canonical" || representative == "best",
+    s"representative must be canonical or best, got $representative")
+  require(minTokens <= maxTokens,
+    s"minTokens ($minTokens) must be <= maxTokens ($maxTokens)")
+  require(nShards > 0, s"nShards must be positive, got $nShards")
+  require(packBudget > 0, s"packBudget must be positive, got $packBudget")
+}
+
+/** The batch curation pipeline as ONE composable entry point — what a
+  * corpus team calls instead of hand-chaining the d2→d3→d7→d8/d13→gate→
+  * pack query functions (whose primary shape is the per-stage gate
+  * registration): shingle once, LSH candidates (optionally skew-guarded),
+  * exact-Jaccard verify, connected-components clustering, survivor
+  * selection, token-band quality gate, fixed-budget sequence packing.
+  *
+  * Stage helpers live here as the single owner ([[applyCanonical]],
+  * [[clusterBest]], [[applyBest]], [[packIntoSequences]]); the query
+  * registry's `*On` forms delegate to them, so the oracle-checked
+  * registrations and this API are definitionally the same code. The
+  * streaming twin is [[graft.streaming.StreamCuration]]; the
+  * incremental path (screen a new batch against a committed index, fold
+  * its pairs into standing labels) is [[Dedup.incrementalNeardup]] +
+  * [[Dedup.mergeIntoClusters]] over a [[graft.core.IndexStore]].
+  *
+  * 100 TB shape: every stage is the same plan the per-stage
+  * registrations ship (shingle frame persisted and shared by signature
+  * and verify sides, posting-list-bounded candidates, pair-graph-sized
+  * CC with per-round lineage truncation, AQE-adaptive survivor joins,
+  * one window for the per-shard pack). A production run persists or
+  * checkpoints [[clusters]]' output and feeds it to [[curateWith]] so
+  * CC is paid once per corpus, not once per consumer.
+  */
+object Curation {
+
+  private def candidateStage(sigs: DataFrame, cfg: CurationConfig): DataFrame =
+    cfg.skewMode match {
+      case "salt" => Dedup.candidatePairsSalted(sigs, maxBucket = cfg.maxBucket)
+      case _      => Dedup.candidatePairs(sigs, maxBucket = cfg.maxBucket)
+    }
+
+  /** Verified near-dup pairs (a_id, b_id, n_common, n_a, n_b, jaccard) —
+    * d3's pipeline under `cfg`'s candidate-stage knobs. */
+  def neardupPairs(docs: DataFrame, cfg: CurationConfig = CurationConfig()): DataFrame = {
+    val sh = graft.core.CacheScope.track(Dedup.shingleFrame(docs).persist())
+    val sigs = graft.core.CacheScope.track(
+      Dedup.signaturesFromShingles(sh, hashMode = cfg.hashMode).persist())
+    Dedup.verifyJaccardOnShingles(sh, candidateStage(sigs, cfg), cfg.minJaccard)
+  }
+
+  /** (doc_id, cluster_id) labels for every doc in a near-dup cluster —
+    * d7's pipeline under `cfg`. Persist (or checkpoint) the result when
+    * more than one consumer reads it; it is backed by a persisted RDD
+    * either way (see [[Dedup.connectedComponents]]). */
+  def clusters(docs: DataFrame, cfg: CurationConfig = CurationConfig()): DataFrame = {
+    val sh = Dedup.shingleFrame(docs).persist()
+    try {
+      val sigs = Dedup.signaturesFromShingles(sh, hashMode = cfg.hashMode)
+      val pairs = Dedup.verifyJaccardOnShingles(sh, candidateStage(sigs, cfg),
+          cfg.minJaccard)
+        .select(col("a_id"), col("b_id"))
+      Dedup.connectedComponents(pairs)
+    } finally {
+      // CC materialized every read of the pair graph before returning,
+      // so the shingle frame is released eagerly — including on throw
+      sh.unpersist()
+    }
+  }
+
+  /** Survivors under the min-id CANONICAL rule (d8 semantics): each
+    * cluster keeps its cluster_id member, unclustered docs pass through,
+    * every survivor tagged with the member count it now represents.
+    * Scale shape: the label frame is pair-graph-sized — AQE converts
+    * the anti-join and size lookup to broadcasts at runtime; when dups
+    * are corpus-proportional the same plan degrades to shuffled
+    * equi-joins (the broadcast is deliberately not hinted). */
+  def applyCanonical(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_merged"))
+    val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    docs.select(col("doc_id"))
+      .join(losers, Seq("doc_id"), "left_anti")
+      .join(sizes, col("doc_id") === col("cluster_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_merged"), lit(1L)).as("n_merged"))
+  }
+
+  /** Per-cluster quality-argmax representative (d10 semantics): quality
+    * is projected ONLY for cluster members (corpus scan is probe side of
+    * a pair-graph-sized build), argmax is a single `max_by` hash agg —
+    * no sort window; ties break to the smaller doc_id, deterministic at
+    * any partitioning. */
+  def clusterBest(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    import graft.ext.{TextAnalysis => TA}
+    val toks = split(col("text"), "\\s+")
+    val members = docs.join(clusters, Seq("doc_id"))
+      // token array staged once — same rationale as textStats
+      .select(col("doc_id"), col("cluster_id"), col("text"), toks.as("__toks"))
+      .select(col("doc_id"), col("cluster_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        TA.stopwordRatio(col("__toks")).as("stopword_ratio"),
+        TA.punctRatio(col("text")).as("punct_ratio"))
+      .select(col("doc_id"), col("cluster_id"),
+        TA.qualityFromStaged(col("n_tokens"), col("stopword_ratio"),
+          col("punct_ratio")).as("quality"))
+    members.groupBy(col("cluster_id"))
+      .agg(
+        max_by(col("doc_id"),
+          struct(col("quality").as("q"), (-col("doc_id")).as("nid"))).as("best_id"),
+        max(col("quality")).as("best_quality"),
+        count(lit(1)).as("n_members"))
+  }
+
+  /** Survivors under the quality-argmax BEST rule (d13 semantics): same
+    * survivor/accounting contract as [[applyCanonical]] (unclustered
+    * docs pass through with n_merged = 1; n_merged sums to the corpus),
+    * only the kept representative changes. */
+  def applyBest(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    // `best` feeds TWO join branches (losers anti-join, n_merged
+    // lookup); persist it so the members/quality projection inside
+    // clusterBest can't execute twice if AQE replans the branches
+    // differently — it's pair-graph-sized
+    val best = graft.core.CacheScope.track(
+      clusterBest(docs, clusters)
+        .select(col("cluster_id"), col("best_id"), col("n_members"))
+        .persist())
+    val losers = clusters.join(best, Seq("cluster_id"))
+      .filter(col("doc_id") =!= col("best_id"))
+      .select(col("doc_id"))
+    docs.select(col("doc_id"))
+      .join(losers, Seq("doc_id"), "left_anti")
+      .join(best.select(col("best_id").as("doc_id"),
+        col("n_members").as("n_merged")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_merged"), lit(1L)).as("n_merged"))
+  }
+
+  /** Fixed-budget sequence packing: shard by doc_id, per-shard running
+    * token sum, window id = start offset div budget. Requires an
+    * `n_tok` column. Scale note: the window sort is per-shard; nShards
+    * sizes the parallelism — a 100 TB run sets it to O(cluster cores),
+    * keeping each shard's sort an executor-local spillable sort. */
+  def packIntoSequences(df: DataFrame, nShards: Int = 8,
+                        budget: Long = 4096L): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    df.withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id", expr(s"(cum - n_tok) div $budget"))
+      .drop("cum")
+  }
+
+  /** The full pipeline against a PRE-COMPUTED (doc_id, cluster_id)
+    * frame — the production form: run [[clusters]] (or the incremental
+    * merge) once, persist it, and feed every consumer. Output:
+    * (doc_id, shard, n_tok, n_merged, seq_id). */
+  def curateWith(docs: DataFrame, clusters: DataFrame,
+                 cfg: CurationConfig = CurationConfig()): DataFrame = {
+    import graft.ext.{TextAnalysis => TA}
+    val survivors = cfg.representative match {
+      case "best" => applyBest(docs, clusters)
+      case _      => applyCanonical(docs, clusters)
+    }
+    val toks = docs.select(col("doc_id"), TA.tokenCount(col("text")).as("n_tok"))
+    val kept = survivors.join(toks, "doc_id")
+      .filter(col("n_tok").between(cfg.minTokens, cfg.maxTokens))
+    packIntoSequences(kept, cfg.nShards, cfg.packBudget)
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("n_merged"),
+        col("seq_id"))
+  }
+
+  /** One-call curation: cluster + survive + gate + pack under `cfg`.
+    * Equal to the `x_curate_pack` registration at the default config
+    * (spec-asserted and oracle-checked). */
+  def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig()): DataFrame =
+    curateWith(docs, clusters(docs, cfg), cfg)
+}

@@ -362,31 +362,15 @@ object AnalysisQueries extends QueryGroup {
     * anyway) never pays connected components twice. The registered
     * query is this overload fed a fresh d7; spec-asserted identical. */
   def curatePack(spark: SparkSession, dir: String,
-                 clusters: org.apache.spark.sql.DataFrame): DataFrame = {
-    val survivors = DedupQueries.dedupApplyOn(
-      Tables(spark, dir).documents, clusters) // (doc_id, n_merged)
-    val toks = Tables(spark, dir).documents
-      .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tok"))
-    val kept = survivors.join(toks, "doc_id")
-      .filter(col("n_tok").between(20, 2000))
-    packIntoSequences(kept)
-      .select(col("doc_id"), col("shard"), col("n_tok"), col("n_merged"),
-        col("seq_id"))
-  }
+                 clusters: org.apache.spark.sql.DataFrame): DataFrame =
+    graft.ext.Curation.curateWith(Tables(spark, dir).documents, clusters)
 
-  /** The packing stage shared by x_pack_sequences and x_curate_pack:
-    * shard by doc_id, per-shard running token sum, window id = start
-    * offset div budget. One place owns the scheme (and its scale note —
-    * see packSequences). */
+  /** The packing stage shared by x_pack_sequences and x_curate_pack —
+    * owned by [[graft.ext.Curation.packIntoSequences]] (the composable
+    * API); scale note there (see also packSequences). */
   private def packIntoSequences(df: DataFrame, nShards: Int = 8,
-                                budget: Long = 4096L): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("doc_id"))
-    df.withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
-      .withColumn("cum", sum(col("n_tok")).over(w))
-      .withColumn("seq_id", expr(s"(cum - n_tok) div $budget"))
-      .drop("cum")
-  }
+                                budget: Long = 4096L): DataFrame =
+    graft.ext.Curation.packIntoSequences(df, nShards, budget)
 
   /** Cross-source overlap audit: for every source pair, how many
     * distinct shingles they share — the contamination matrix that says
@@ -760,6 +744,15 @@ object AnalysisQueries extends QueryGroup {
     "x_mixture_weights" -> (mixtureWeights _),
     "x_source_overlap"  -> (sourceOverlap _),
     "x_curate_pack"     -> ((s: SparkSession, d: String) => curatePack(s, d)),
+    // the composable Curation API with its dials turned: quality-argmax
+    // representatives (d13's rule) AND the recall-preserving salt-split
+    // skew treatment in the candidate stage — the salt guard is
+    // output-invariant, so the oracle needs no skew mirror, and the
+    // best-representative survivor CTE is d13's verbatim
+    "x_curate_best"     -> ((s: SparkSession, d: String) =>
+      graft.ext.Curation.curate(Tables(s, d).documents,
+        graft.ext.CurationConfig(representative = "best",
+          skewMode = "salt", maxBucket = 2))),
     "x_rare_tokens"     -> (rareTokenScore _),
     "x_balanced_sample" -> (balancedSample _),
     "x_pack_shuffled"   -> ((s: SparkSession, d: String) => packShuffled(s, d)),
@@ -836,6 +829,30 @@ object AnalysisQueries extends QueryGroup {
     // -> per-shard packing, composed exactly like the Spark DAG
     "x_curate_pack" ->
       s"""${DedupQueries.survCte(s",\n    CAST(len($toksSql) AS BIGINT) AS n_tok")}, kept AS (
+         |  SELECT doc_id, n_merged, n_tok, doc_id % 8 AS shard FROM surv
+         |  WHERE n_tok BETWEEN 20 AND 2000
+         |), c AS (
+         |  SELECT doc_id, shard, n_tok, n_merged,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+         |  FROM kept
+         |)
+         |SELECT doc_id, shard, n_tok, n_merged, (cum - n_tok) // 4096 AS seq_id
+         |FROM c ORDER BY doc_id""".stripMargin,
+    // the Curation API at (representative=best, skewMode=salt): d13's
+    // best-survivor CTE -> the same token gate and per-shard packing as
+    // x_curate_pack. The salt-split candidate stage is output-INVARIANT
+    // (see d3_neardup_salted), so the SQL carries no skew mirror — the
+    // armed Spark pipeline hash-matching this unguarded oracle IS the
+    // cross-engine recall-preservation proof for the composed pipeline.
+    "x_curate_best" ->
+      s"""${DedupQueries.bestCte}, surv AS (
+         |  SELECT d.doc_id, CAST(COALESCE(b.n_members, 1) AS BIGINT) AS n_merged,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tok
+         |  FROM documents d
+         |  LEFT JOIN labels l ON l.doc_id = d.doc_id
+         |  LEFT JOIN best b ON b.best_id = d.doc_id
+         |  WHERE l.doc_id IS NULL OR b.best_id IS NOT NULL
+         |), kept AS (
          |  SELECT doc_id, n_merged, n_tok, doc_id % 8 AS shard FROM surv
          |  WHERE n_tok BETWEEN 20 AND 2000
          |), c AS (

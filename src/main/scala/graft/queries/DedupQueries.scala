@@ -199,16 +199,8 @@ object DedupQueries extends QueryGroup {
     * size accounting, curatePack); the registered standalone query
     * recomputes it only because each gate query must be self-contained.
     * Spec-asserted equal to the registered query's output. */
-  def dedupApplyOn(docs: DataFrame, clusters: DataFrame): DataFrame = {
-    val sizes = clusters.groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("n_merged"))
-    val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
-      .select(col("doc_id"))
-    docs.select(col("doc_id"))
-      .join(losers, Seq("doc_id"), "left_anti")
-      .join(sizes, col("doc_id") === col("cluster_id"), "left")
-      .select(col("doc_id"), coalesce(col("n_merged"), lit(1L)).as("n_merged"))
-  }
+  def dedupApplyOn(docs: DataFrame, clusters: DataFrame): DataFrame =
+    graft.ext.Curation.applyCanonical(docs, clusters)
 
   /** Incremental near-dup: dedup a NEW batch (doc_id % 5 = 0 — "today's
     * ingest") against the already-indexed rest of the corpus. The first
@@ -301,26 +293,8 @@ object DedupQueries extends QueryGroup {
 
   /** Library composition form of d10: pick representatives from a
     * PRE-COMPUTED (doc_id, cluster_id) frame (see dedupApplyOn). */
-  def clusterBestOn(docs: DataFrame, clusters: DataFrame): DataFrame = {
-    import graft.ext.{TextAnalysis => TA}
-    val toks = split(col("text"), "\\s+")
-    val members = docs.join(clusters, Seq("doc_id"))
-      // token array staged once — same rationale as textStats
-      .select(col("doc_id"), col("cluster_id"), col("text"), toks.as("__toks"))
-      .select(col("doc_id"), col("cluster_id"),
-        size(col("__toks")).cast("long").as("n_tokens"),
-        TA.stopwordRatio(col("__toks")).as("stopword_ratio"),
-        TA.punctRatio(col("text")).as("punct_ratio"))
-      .select(col("doc_id"), col("cluster_id"),
-        TA.qualityFromStaged(col("n_tokens"), col("stopword_ratio"),
-          col("punct_ratio")).as("quality"))
-    members.groupBy(col("cluster_id"))
-      .agg(
-        max_by(col("doc_id"),
-          struct(col("quality").as("q"), (-col("doc_id")).as("nid"))).as("best_id"),
-        max(col("quality")).as("best_quality"),
-        count(lit(1)).as("n_members"))
-  }
+  def clusterBestOn(docs: DataFrame, clusters: DataFrame): DataFrame =
+    graft.ext.Curation.clusterBest(docs, clusters)
 
   /** Containment near-dup: pairs where the SMALLER doc's shingle set is
     * >= 90% contained in the other — doc-inside-doc duplication that
@@ -349,25 +323,8 @@ object DedupQueries extends QueryGroup {
     * derives the per-cluster best via [[clusterBestOn]], drops every
     * other member, and tags each kept representative with its cluster
     * size. */
-  def dedupApplyBestOn(docs: DataFrame, clusters: DataFrame): DataFrame = {
-    // `best` feeds TWO join branches (losers anti-join, n_merged
-    // lookup); persist it so the members/quality projection inside
-    // clusterBestOn can't execute twice if AQE replans the branches
-    // differently — it's pair-graph-sized, same discipline as
-    // neardupPairs' shared sh/sigs frames
-    val best = graft.core.CacheScope.track(
-      clusterBestOn(docs, clusters)
-        .select(col("cluster_id"), col("best_id"), col("n_members"))
-        .persist())
-    val losers = clusters.join(best, Seq("cluster_id"))
-      .filter(col("doc_id") =!= col("best_id"))
-      .select(col("doc_id"))
-    docs.select(col("doc_id"))
-      .join(losers, Seq("doc_id"), "left_anti")
-      .join(best.select(col("best_id").as("doc_id"),
-        col("n_members").as("n_merged")), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("n_merged"), lit(1L)).as("n_merged"))
-  }
+  def dedupApplyBestOn(docs: DataFrame, clusters: DataFrame): DataFrame =
+    graft.ext.Curation.applyBest(docs, clusters)
 
   /** Complete-recall containment join at 9/10 — the prefix-filtered
     * exact path (see [[graft.ext.Dedup.containmentJoin]]) that finds
@@ -745,7 +702,7 @@ object DedupQueries extends QueryGroup {
     * n_members)` (with `labels` still in scope) — the ONE SQL-side
     * definition of "the representative to keep", shared by the d10 and
     * d13 oracles; quality itself is AnalysisQueries.qualitySql. */
-  private def bestCte: String =
+  private[queries] def bestCte: String =
     s"""$ccCte, labels AS (
        |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
        |  FROM reach GROUP BY src

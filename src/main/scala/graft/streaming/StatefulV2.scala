@@ -50,13 +50,23 @@ object StatefulV2 {
 
   /** T2 — event-list accumulation with a named ListState[String]:
     * appendValue is an O(1) state append, no full-list rewrite
-    * (ref UserEventListState.java:40-64). */
-  class EventListProcessor extends StatefulProcessor[String, UserEvent, EventListSnapshot] {
+    * (ref UserEventListState.java:40-64).
+    *
+    * `ttl`: the production bound for T2's otherwise-unbounded per-key
+    * list (SURVEY §7 known-hard #5) — a non-NONE TTLConfig makes the
+    * state store expire each appended entry `ttlDuration` after its
+    * write, so an idle key's list drains to empty instead of growing
+    * for the life of the query. Expiry is enforced by the store itself
+    * (RocksDB TTL column tracking), not a user-code sweep; it requires
+    * TimeMode.ProcessingTime, which [[eventLists]] selects
+    * automatically. Golden-tested in `StatefulV2Spec`. */
+  class EventListProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[String, UserEvent, EventListSnapshot] {
+    def this() = this(TTLConfig.NONE)
     @transient private var events: ListState[String] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      events = getHandle.getListState[String]("events", Encoders.STRING,
-        TTLConfig.NONE)
+      events = getHandle.getListState[String]("events", Encoders.STRING, ttl)
 
     override def handleInputRows(userId: String, rows: Iterator[UserEvent],
                                  timers: TimerValues): Iterator[EventListSnapshot] = {
@@ -68,11 +78,14 @@ object StatefulV2 {
     }
   }
 
-  def eventLists(events: Dataset[UserEvent]): Dataset[EventListSnapshot] = {
+  def eventLists(events: Dataset[UserEvent],
+                 ttl: TTLConfig = TTLConfig.NONE): Dataset[EventListSnapshot] = {
     import events.sparkSession.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     events.groupByKey(_.userId)
-      .transformWithState(new EventListProcessor,
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new EventListProcessor(ttl), timeMode,
+        OutputMode.Append())
   }
 
   /** T3 — fraud detector with the reference's EXACT dual-state shape:

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.ext.{Curation, CurationConfig}
+import graft.queries.{AnalysisQueries, DedupQueries}
+import graft.sources.Tables
+
+/** The composable curation entry point (graft.ext.Curation): the
+  * one-call API must equal the oracle-checked registrations it
+  * composes, its skew and representative dials must behave per their
+  * contracts, and the config must reject nonsense early. */
+class CurationSpec extends SparkTestBase {
+
+  private def docs = Tables(spark, sf()).documents
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Row] = {
+    val cols = df.columns.sorted.map(org.apache.spark.sql.functions.col)
+    df.select(cols.toSeq: _*).collect().toSet
+  }
+
+  test("curate() at the default config equals the x_curate_pack registration") {
+    val api = Curation.curate(docs)
+    val registered = AnalysisQueries.curatePack(spark, sf())
+    assert(rows(api) === rows(registered))
+    assert(api.count() > 0)
+  }
+
+  test("curateWith a pre-computed cluster frame equals the one-call form") {
+    val cl = Curation.clusters(docs).persist()
+    try {
+      assert(rows(Curation.curateWith(docs, cl)) === rows(Curation.curate(docs)))
+    } finally cl.unpersist()
+  }
+
+  test("salt-split skew mode is output-invariant through the WHOLE pipeline") {
+    // maxBucket=2 forces real splitting at this sf (3-doc cluster
+    // buckets get g=2 sub-buckets) — output must still equal unguarded
+    val salted = Curation.curate(docs,
+      CurationConfig(skewMode = "salt", maxBucket = 2))
+    assert(rows(salted) === rows(Curation.curate(docs)))
+  }
+
+  test("best-representative survivors preserve count and mass, differ in ids") {
+    val cl = Curation.clusters(docs).persist()
+    try {
+      val canonical = Curation.applyCanonical(docs, cl)
+      val best = Curation.applyBest(docs, cl)
+      val nDocs = docs.count()
+      // same survivor count and the same n_merged conservation: each
+      // cluster keeps exactly one member carrying the full member count
+      assert(canonical.count() === best.count())
+      def mass(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(org.apache.spark.sql.functions.sum("n_merged")).head.getLong(0)
+      assert(mass(canonical) === nDocs)
+      assert(mass(best) === nDocs)
+      // the registered d13 form is the same code path
+      assert(rows(best) === rows(DedupQueries.dedupApplyBestOn(docs, cl)))
+    } finally cl.unpersist()
+  }
+
+  test("curate(best, salted) matches the x_curate_best registration") {
+    val cfg = CurationConfig(representative = "best", skewMode = "salt",
+      maxBucket = 2)
+    assert(rows(Curation.curate(docs, cfg)) ===
+      rows(SparkEntry.queries("x_curate_best")(spark, sf())))
+  }
+
+  test("config rejects invalid dials eagerly") {
+    intercept[IllegalArgumentException](CurationConfig(skewMode = "shrug"))
+    intercept[IllegalArgumentException](CurationConfig(representative = "worst"))
+    intercept[IllegalArgumentException](CurationConfig(skewMode = "salt")) // needs maxBucket
+    intercept[IllegalArgumentException](CurationConfig(minTokens = 10, maxTokens = 5))
+    intercept[IllegalArgumentException](CurationConfig(minJaccard = 1.5))
+    intercept[IllegalArgumentException](CurationConfig(nShards = 0))
+  }
+}

@@ -59,6 +59,46 @@ class StatefulV2Spec extends SparkTestBase {
     }
   }
 
+  test("T2 ListState with TTL: idle state expires, fresh appends survive") {
+    withRocksDB {
+      // TTL puts the operator in processing-time mode, where the armed
+      // query CONTINUOUSLY schedules micro-batches to service expiry —
+      // so neither processAllAvailable nor Trigger.AvailableNow ever
+      // sees a terminal quiet point. Drive by polling the sink for the
+      // expected row count instead, then stop the query.
+      val in = MemoryStream[UserEvent]
+      val q = StatefulV2.eventLists(in.toDS(),
+          org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofMillis(500)))
+        .writeStream.format("memory").queryName("v2_t2_ttl").outputMode("append")
+        .start()
+      def awaitRows(n: Long): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (spark.table("v2_t2_ttl").count() < n) {
+          assert(System.nanoTime() < deadline, s"sink never reached $n rows")
+          Thread.sleep(100)
+        }
+      }
+      try {
+        in.addData(UserEvent("user1", 1, "login"), UserEvent("user1", 2, "view"))
+        awaitRows(2)
+        // batch 1 accumulated normally
+        assert(spark.table("v2_t2_ttl").as[EventListSnapshot].collect()
+          .map(_.events.toList).toSet === Set(List("login"), List("login", "view")))
+        // let the TTL lapse well past the 500 ms bound, then touch the key
+        Thread.sleep(2500)
+        in.addData(UserEvent("user1", 3, "click"))
+        awaitRows(3)
+        // the post-TTL snapshot sees ONLY the fresh append: the idle
+        // key's earlier entries were expired by the store itself
+        // (RocksDB TTL tracking), no user-code sweep. Were TTL inert
+        // this would be List("login","view","click").
+        assert(spark.table("v2_t2_ttl").as[EventListSnapshot].collect()
+          .map(_.events.toList).toSet ===
+          Set(List("login"), List("login", "view"), List("click")))
+      } finally q.stop()
+    }
+  }
+
   test("T3 via transformWithState ListState+ValueState: reference fraud golden") {
     withRocksDB {
       val in = MemoryStream[Transaction]
