@@ -30,6 +30,14 @@ import org.apache.spark.sql.functions._
   * collapses toward the clean corpus's, and the capped time beats
   * unguarded by roughly the hot bucket's share of Σ bucket².
   *
+  * Measured (BASELINE.md round-7 table): at sf1/cap=200 the wrapper
+  * builds 9.9k/8.4k-doc hot buckets; unguarded candidates are 66.2M in
+  * 59.3 s (single-straggler-bound — one bucket is 49M pairs on one
+  * reducer), the df-cap keeps 317k in 2.9 s, and the salt split emits
+  * the identical 66.2M in 51.7 s with every task bounded at ~2·cap
+  * rows. Unguarded count grew 100× for 10× docs (quadratic in the hot
+  * bucket); capped grew 2× (tracks cool buckets only).
+  *
   * Usage: runMain graft.tools.SkewRealism [sfDir] [cap]
   */
 object SkewRealism {
