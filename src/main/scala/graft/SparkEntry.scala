@@ -54,6 +54,15 @@ object SparkEntry {
     "x_bloom_decontaminate_xxh64" ->
       ((s, d) => AnalysisQueries.bloomDecontaminate(s, d, "xxh64")),
     "x_quality_classifier_xxh64" ->
-      ((s, d) => AnalysisQueries.qualityClassifier(s, d, "xxh64"))
+      ((s, d) => AnalysisQueries.qualityClassifier(s, d, "xxh64")),
+    // the composable curation pipeline end-to-end in production hash
+    // mode: 64-bit sigs/bands through candidate generation (not
+    // output-invariant — candidate recall differs per hash — so a
+    // timing twin only; the md5 form is the oracle-checked
+    // x_curate_pack)
+    "x_curate_pack_xxh64" ->
+      ((s, d) => graft.ext.Curation.curate(
+        graft.sources.Tables(s, d).documents,
+        graft.ext.CurationConfig(hashMode = "xxh64")))
   )
 }

@@ -222,4 +222,69 @@ object Curation {
     * (spec-asserted and oracle-checked). */
   def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig()): DataFrame =
     curateWith(docs, clusters(docs, cfg), cfg)
+
+  /** The INCREMENTAL operational loop in one call — what an ingest
+    * pipeline runs per batch instead of re-curating the corpus:
+    * screen the new batch against the committed near-dup index
+    * (batch-internal pairs + batch-vs-corpus pairs; the corpus text is
+    * never re-tokenized — bands and stored shingle arrays come from the
+    * index parquet), fold the verified pairs into the STANDING labels
+    * via [[Dedup.mergeIntoClusters]] (CC input is |labels| + |pairs|
+    * edges, never corpus pair counts), then curate the combined corpus
+    * against the updated labels.
+    *
+    * Output equals from-scratch [[curate]] over
+    * `corpusDocs union batch` (spec-asserted; the label equality is the
+    * d14 registration's oracle-checked star-forest argument) — the
+    * difference is COST: per-ingest work tracks the batch and the
+    * affected components. After the batch ships, fold its survivors
+    * into the index with [[Dedup.appendToNeardupIndex]] and persist the
+    * returned labels as tomorrow's `corpusLabels`.
+    *
+    * Skew dials: `cfg.skewMode = "drop"` df-caps both the batch's
+    * self-join and the index side of the cross screen; `"salt"` applies
+    * to the batch-internal SELF-join only (the salt-split emission
+    * scheme is a self-join construction — for a hot INDEX bucket use
+    * [[Dedup.writeNeardupIndex]]'s write-time `maxBucket`, the
+    * documented production default for armed screening). `hashMode`
+    * must be md5: the index stores md5-mode bands. */
+  def curateIncremental(corpusDocs: DataFrame, corpusLabels: DataFrame,
+                        batch: DataFrame, indexPath: String,
+                        cfg: CurationConfig = CurationConfig()): DataFrame = {
+    require(cfg.hashMode == "md5",
+      "curateIncremental screens against a writeNeardupIndex artifact, " +
+        "which stores md5-mode bands")
+    val spark = batch.sparkSession
+    val index = Dedup.readNeardupIndex(spark, indexPath)
+    // the batch shingle/signature frames feed the self-join, the cross
+    // screen, and both verify stages — persist once (batch-sized)
+    val bsh = graft.core.CacheScope.track(Dedup.shingleFrame(batch).persist())
+    val bSigs = graft.core.CacheScope.track(
+      Dedup.signaturesFromShingles(bsh).persist())
+    val batchPairs = Dedup.verifyJaccardOnShingles(bsh,
+        candidateStage(bSigs, cfg), cfg.minJaccard)
+      .select(col("a_id"), col("b_id"))
+    val bBands = bSigs.select(col("doc_id").as("batch_id"),
+      posexplode(array(col("band0"), col("band1")))
+        .as(Seq("band_idx", "band_hash")))
+    val iBands0 = index.select(col("doc_id").as("corpus_id"),
+      posexplode(array(col("band0"), col("band1")))
+        .as(Seq("band_idx_b", "band_hash_b")))
+    val iBands =
+      if (cfg.skewMode == "drop")
+        SkewGuard.capBuckets(iBands0, Seq("band_idx_b", "band_hash_b"),
+          cfg.maxBucket)
+      else iBands0
+    val cand = bBands.join(iBands,
+        col("band_idx") === col("band_idx_b") &&
+        col("band_hash") === col("band_hash_b"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    val crossPairs = Dedup.verifyJaccardAcross(bsh,
+        index.select(col("doc_id"), col("sh")), cand, cfg.minJaccard,
+        "batch_id", "corpus_id")
+      .select(col("batch_id").as("a_id"), col("corpus_id").as("b_id"))
+    val labels = Dedup.mergeIntoClusters(corpusLabels,
+      batchPairs.union(crossPairs))
+    curateWith(corpusDocs.unionByName(batch), labels, cfg)
+  }
 }

@@ -65,6 +65,27 @@ class CurationSpec extends SparkTestBase {
       rows(SparkEntry.queries("x_curate_best")(spark, sf())))
   }
 
+  test("curateIncremental equals from-scratch curate on the combined corpus") {
+    import org.apache.spark.sql.functions.col
+    // the d14 fixture: corpus = 4/5 of docs (indexed), batch = the rest
+    val corpusDocs = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("curinc").toString + "/idx"
+    graft.ext.Dedup.writeNeardupIndex(corpusDocs, idx)
+    val standing = Curation.clusters(corpusDocs).persist()
+    try {
+      val incremental = Curation.curateIncremental(corpusDocs, standing,
+        batch, idx)
+      assert(rows(incremental) === rows(Curation.curate(docs)))
+    } finally standing.unpersist()
+  }
+
+  test("curateIncremental rejects a non-md5 hash mode") {
+    intercept[IllegalArgumentException](
+      Curation.curateIncremental(docs, docs, docs, "/nonexistent",
+        CurationConfig(hashMode = "xxh64")))
+  }
+
   test("config rejects invalid dials eagerly") {
     intercept[IllegalArgumentException](CurationConfig(skewMode = "shrug"))
     intercept[IllegalArgumentException](CurationConfig(representative = "worst"))
