@@ -250,6 +250,20 @@ object Curation {
     * must be md5: the index stores md5-mode bands. */
   def curateIncremental(corpusDocs: DataFrame, corpusLabels: DataFrame,
                         batch: DataFrame, indexPath: String,
+                        cfg: CurationConfig = CurationConfig()): DataFrame =
+    curateWith(corpusDocs.unionByName(batch),
+      incrementalLabels(corpusLabels, batch, indexPath, cfg), cfg)
+
+  /** The LABEL-MAINTENANCE step of [[curateIncremental]] on its own —
+    * screen `batch` against the committed index and fold the verified
+    * pairs into `corpusLabels`. This is the part whose cost tracks the
+    * BATCH (the from-scratch alternative, [[clusters]] over the
+    * combined corpus, re-pays shingling + candidates + verify + CC for
+    * every doc ever ingested); `tools/ProfileIncremental` measures the
+    * two side by side. Returned labels cover every doc in a cluster —
+    * persist them as the next ingest's `corpusLabels`. */
+  def incrementalLabels(corpusLabels: DataFrame, batch: DataFrame,
+                        indexPath: String,
                         cfg: CurationConfig = CurationConfig()): DataFrame = {
     require(cfg.hashMode == "md5",
       "curateIncremental screens against a writeNeardupIndex artifact, " +
@@ -283,8 +297,6 @@ object Curation {
         index.select(col("doc_id"), col("sh")), cand, cfg.minJaccard,
         "batch_id", "corpus_id")
       .select(col("batch_id").as("a_id"), col("corpus_id").as("b_id"))
-    val labels = Dedup.mergeIntoClusters(corpusLabels,
-      batchPairs.union(crossPairs))
-    curateWith(corpusDocs.unionByName(batch), labels, cfg)
+    Dedup.mergeIntoClusters(corpusLabels, batchPairs.union(crossPairs))
   }
 }

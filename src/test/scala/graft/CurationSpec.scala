@@ -80,6 +80,29 @@ class CurationSpec extends SparkTestBase {
     } finally standing.unpersist()
   }
 
+  test("multi-batch operational loop: labels carried forward, index appended") {
+    import org.apache.spark.sql.functions.col
+    // day 0: first third is the standing corpus; days 1 and 2 each
+    // ingest another third through the documented loop — screen, merge
+    // labels, curate, then append the batch to the index and persist
+    // the returned labels as tomorrow's standing labels
+    val c0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+    val idx = java.nio.file.Files.createTempDirectory("curloop").toString + "/idx"
+    graft.ext.Dedup.writeNeardupIndex(c0, idx)
+    val labels0 = Curation.clusters(c0).persist()
+    try {
+      val labels1 = Curation.incrementalLabels(labels0, b1, idx).persist()
+      graft.ext.Dedup.appendToNeardupIndex(b1, idx)
+      try {
+        val day2 = Curation.curateIncremental(c0.unionByName(b1), labels1,
+          b2, idx)
+        assert(rows(day2) === rows(Curation.curate(docs)))
+      } finally labels1.unpersist()
+    } finally labels0.unpersist()
+  }
+
   test("curateIncremental rejects a non-md5 hash mode") {
     intercept[IllegalArgumentException](
       Curation.curateIncremental(docs, docs, docs, "/nonexistent",
