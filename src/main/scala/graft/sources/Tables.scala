@@ -23,14 +23,30 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * unless read as a raw long (`nanosAsLong`). Normalize to epoch
-    * microseconds (`ts_us` BIGINT, truncating like DuckDB's ns->us read)
-    * so downstream time arithmetic is exact integer math. */
+  /** Normalize `events.ts` to epoch microseconds (`ts_us` BIGINT) so
+    * downstream time arithmetic is exact integer math regardless of the
+    * physical type the generator wrote. The generator has shipped two
+    * shapes so far: parquet TIMESTAMP(NANOS) (rejected by Spark 4 unless
+    * read as a raw long via `nanosAsLong`, hence the conf + `div 1000`,
+    * truncating like DuckDB's ns->us read) and TIMESTAMP(MICROS)
+    * (surfacing as TIMESTAMP_NTZ; `unix_micros` after an NTZ->instant
+    * cast is exact because every graft session pins the UTC timezone —
+    * the same wall-clock-is-UTC reading DuckDB's `epoch_us(ts)` oracle
+    * half uses). Branching on the observed type keeps both generations
+    * of testdata readable. */
   def events: DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
-      .drop("ts")
+    val raw = t("events")
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType         => expr("ts div 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case TimestampType    => unix_micros(col("ts"))
+      case other => throw new IllegalStateException(
+        s"unexpected events.ts type $other — extend Tables.events")
+    }
+    raw.withColumn("ts_us", tsUs).drop("ts")
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
