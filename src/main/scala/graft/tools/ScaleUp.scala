@@ -11,14 +11,20 @@ import org.apache.spark.sql.functions._
   * Document text is perturbed per replica so dedup clusters stay
   * bounded (cluster size = factor, not corpus-sized).
   *
-  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <factor>
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <factor> [tables]
+  * `tables` is an optional comma-separated subset to synthesize (e.g.
+  * "documents,embeddings" for the sf100-equivalent index-query probe,
+  * where the full fact schema would waste tens of GB the probe never
+  * reads); omitted = all tables + the media fixture.
   * Used for the BASELINE.md scaling probe (sf0.1 -> sf1-equivalent);
   * correctness gates keep using the driver-provided parquet unmodified.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, outDir, factorStr) = args
+    val (Array(srcDir, outDir, factorStr), rest) = args.splitAt(3)
     val factor = factorStr.toInt
+    val only: Option[Set[String]] = rest.headOption.map(_.split(",").toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,13 +43,14 @@ object ScaleUp {
     def maxOf(name: String, key: String): Long =
       tbl(name).agg(max(col(key))).collect()(0).getLong(0) + 1
 
-    val cMax = maxOf("customer", "c_custkey")
-    val sMax = maxOf("supplier", "s_suppkey")
-    val pMax = maxOf("part", "p_partkey")
-    val oMax = maxOf("orders", "o_orderkey")
-    val eMax = maxOf("events", "event_id")
-    val dMax = maxOf("documents", "doc_id")
-    val vMax = maxOf("embeddings", "vec_id")
+    // lazy so a table-filtered run never scans tables it won't write
+    lazy val cMax = maxOf("customer", "c_custkey")
+    lazy val sMax = maxOf("supplier", "s_suppkey")
+    lazy val pMax = maxOf("part", "p_partkey")
+    lazy val oMax = maxOf("orders", "o_orderkey")
+    lazy val eMax = maxOf("events", "event_id")
+    lazy val dMax = maxOf("documents", "doc_id")
+    lazy val vMax = maxOf("embeddings", "vec_id")
 
     /** Union of factor replicas, with the given per-replica column
       * rewrites applied ( column -> base offset ). */
@@ -60,27 +67,33 @@ object ScaleUp {
     }
 
     // dims copy as-is
-    Seq("region", "nation").foreach { n =>
+    Seq("region", "nation").filter(wanted).foreach { n =>
       tbl(n).write.mode("overwrite").parquet(s"$outDir/$n.parquet")
     }
-    replicate("customer", Map("c_custkey" -> cMax))
-    replicate("supplier", Map("s_suppkey" -> sMax))
-    replicate("part", Map("p_partkey" -> pMax))
-    replicate("orders", Map("o_orderkey" -> oMax, "o_custkey" -> cMax))
-    replicate("lineitem", Map("l_orderkey" -> oMax, "l_partkey" -> pMax,
-      "l_suppkey" -> sMax))
-    replicate("events", Map("event_id" -> eMax, "user_id" -> cMax))
-    replicate("documents", Map("doc_id" -> dMax), (df, i) =>
-      if (i == 0) df
-      else df.withColumn("text", concat(col("text"), lit(s" r$i"))))
-    replicate("embeddings", Map("vec_id" -> vMax))
+    if (wanted("customer")) replicate("customer", Map("c_custkey" -> cMax))
+    if (wanted("supplier")) replicate("supplier", Map("s_suppkey" -> sMax))
+    if (wanted("part")) replicate("part", Map("p_partkey" -> pMax))
+    if (wanted("orders"))
+      replicate("orders", Map("o_orderkey" -> oMax, "o_custkey" -> cMax))
+    if (wanted("lineitem"))
+      replicate("lineitem", Map("l_orderkey" -> oMax, "l_partkey" -> pMax,
+        "l_suppkey" -> sMax))
+    if (wanted("events"))
+      replicate("events", Map("event_id" -> eMax, "user_id" -> cMax))
+    if (wanted("documents"))
+      replicate("documents", Map("doc_id" -> dMax), (df, i) =>
+        if (i == 0) df
+        else df.withColumn("text", concat(col("text"), lit(s" r$i"))))
+    if (wanted("embeddings")) replicate("embeddings", Map("vec_id" -> vMax))
 
     // true-binary media fixture over the scaled corpus, so
     // x_multimodal_meta at probe scale decodes real parquet BINARY
-    // instead of a string cast (the driver dirs carry no media table)
-    graft.ext.Multimodal
-      .mediaFixtureFrame(spark.read.parquet(s"$outDir/documents.parquet"))
-      .write.mode("overwrite").parquet(s"$outDir/media.parquet")
+    // instead of a string cast (the driver dirs carry no media table);
+    // a table-filtered run must name "media" (and "documents") to get it
+    if (wanted("media") && wanted("documents"))
+      graft.ext.Multimodal
+        .mediaFixtureFrame(spark.read.parquet(s"$outDir/documents.parquet"))
+        .write.mode("overwrite").parquet(s"$outDir/media.parquet")
 
     println(s"scaled $srcDir x$factor -> $outDir")
     spark.stop()
