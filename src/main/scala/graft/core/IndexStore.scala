@@ -120,4 +120,62 @@ object IndexStore {
     }
     path
   }
+
+  /** Rebuild-and-swap: always runs `build` against a scratch path and
+    * atomically replaces whatever sits at `path` — the maintenance half
+    * of the protocol ([[ensure]] is build-if-absent; this is the
+    * periodic-rewrite primitive index compaction needs). The old
+    * artifact stays fully readable for the entire build; the swap
+    * window itself (old renamed aside → new renamed in → marker
+    * created) is the one interval where `isCommitted` is false, and
+    * every reader is loud-fail by contract, so a concurrent reader sees
+    * "no committed index" with the builder to run — never a torn mix of
+    * old and new files. Marker-last still holds on per-file-copy stores
+    * (s3a://): the new data finishes moving before the marker appears.
+    *
+    * Single-maintainer contract, deliberately weaker than [[ensure]]'s
+    * benign race: two concurrent `replace` calls (or a replace racing an
+    * ensure-build) are last-swap-wins and may delete each other's
+    * output — run maintenance rewrites from one scheduled job, the same
+    * discipline any table-format compaction demands. A failed build
+    * leaves the old artifact committed and untouched. */
+  def replace(spark: SparkSession, path: String)(build: String => Unit): String = {
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val scratch = new Path(
+      path + ".build-" + java.util.UUID.randomUUID().toString.take(8))
+    val scratchMarker = new Path(scratch, "_SUCCESS")
+    val aside = new Path(
+      path + ".old-" + java.util.UUID.randomUUID().toString.take(8))
+    try {
+      build(scratch.toString)
+      require(fs.exists(scratchMarker),
+        s"index rebuild at $path produced no committed artifact " +
+          "(the build closure must write a _SUCCESS-marked directory)")
+      fs.delete(scratchMarker, false)
+      if (fs.exists(target) && !fs.rename(target, aside))
+        throw new IllegalStateException(
+          s"could not move the old index at $path aside — old artifact untouched")
+      if (fs.rename(scratch, target)) {
+        // same posix rename-INTO guard as ensure: if something recreated
+        // the target between the aside-rename and ours, our scratch moved
+        // inside it — remove the stray and leave the racer's artifact be
+        val stray = new Path(target, scratch.getName)
+        if (fs.exists(stray)) fs.delete(stray, true)
+        else fs.create(new Path(target, "_SUCCESS"), false).close()
+      } else {
+        // failed swap: put the old artifact back before failing, so a
+        // rebuild error can never leave the path empty
+        if (fs.exists(aside)) fs.rename(aside, target)
+        throw new IllegalStateException(
+          s"could not publish the rebuilt index at $path — old artifact restored")
+      }
+    } finally {
+      if (fs.exists(scratch)) fs.delete(scratch, true)
+      if (fs.exists(aside)) fs.delete(aside, true)
+    }
+    require(isCommitted(spark, path),
+      s"index rebuild at $path did not leave a committed artifact")
+    path
+  }
 }

@@ -382,6 +382,47 @@ object Dedup {
         keep = Seq("sh"))
       .write.mode("append").parquet(path)
 
+  /** Index maintenance: the periodic REWRITE the write-time-cap caveat
+    * calls for (see [[writeNeardupIndex]]'s append note — occupancy is
+    * measured per write, so appended batches can push a band bucket past
+    * the cap without any stored row saying so). Re-measures band
+    * occupancy over the index's CURRENT rows — original write plus every
+    * append, no re-tokenization, the index's own (band0, band1) columns
+    * are the whole input — NULLs bands whose posting list now exceeds
+    * `maxBucket`, and publishes atomically via [[graft.core.IndexStore.replace]]
+    * (old index readable throughout the build; loud-fail gap only for
+    * the swap instant; failed rebuild leaves the old index committed).
+    *
+    * Cap monotonicity, part of the contract: a band NULLed by an earlier
+    * capped write stays NULL — its value is gone from the stored rows,
+    * and un-suppressing it would need the corpus text. Compacting at a
+    * LARGER cap therefore only restores nothing; to genuinely undo a
+    * too-aggressive cap, rebuild from the corpus with
+    * [[writeNeardupIndex]]. Run from one maintenance job at a time
+    * (replace's single-maintainer contract), on the same cadence that
+    * folds survivors in. */
+  def compactNeardupIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, maxBucket: Int,
+                          idCol: String = "doc_id"): Unit = {
+    require(maxBucket > 0, "compactNeardupIndex needs maxBucket > 0 — " +
+      "an uncapped compaction would be a no-op rewrite")
+    val index = readNeardupIndex(spark, path)
+    graft.core.IndexStore.replace(spark, path) { scratch =>
+      def hot(band: String) = index.filter(col(band).isNotNull)
+        .groupBy(col(band)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucket)
+        .select(col(band).as(s"__hot_$band"))
+      index
+        .join(hot("band0"), col("band0") === col("__hot_band0"), "left")
+        .join(hot("band1"), col("band1") === col("__hot_band1"), "left")
+        // when without otherwise: hot bands become NULL
+        .withColumn("band0", when(col("__hot_band0").isNull, col("band0")))
+        .withColumn("band1", when(col("__hot_band1").isNull, col("band1")))
+        .drop("__hot_band0", "__hot_band1")
+        .write.mode("overwrite").parquet(scratch)
+    }
+  }
+
   /** Read a committed near-dup index written by [[writeNeardupIndex]] /
     * [[appendToNeardupIndex]] — the explicit read half of the index API.
     * The path is Hadoop-`FileSystem`-addressed (file:, hdfs://, s3a://);

@@ -124,6 +124,50 @@ class IndexStoreSpec extends SparkTestBase {
     assert(!IndexStore.isCommitted(spark, path))
   }
 
+  test("replace swaps a committed artifact for the rebuilt one and leaves no leftovers") {
+    val base = freshDir()
+    val path = base + "/idx"
+    IndexStore.ensure(spark, path) { scratch =>
+      spark.range(10).toDF("id").write.parquet(scratch)
+    }
+    IndexStore.replace(spark, path) { scratch =>
+      spark.range(20).toDF("id").write.parquet(scratch)
+    }
+    assert(IndexStore.isCommitted(spark, path))
+    assert(spark.read.parquet(path).count() === 20)
+    // neither the build scratch nor the aside copy of the old artifact
+    // survives the swap
+    val leftovers = new java.io.File(base).listFiles().map(_.getName).toSeq
+    assert(leftovers === Seq("idx"), s"replace leftovers: $leftovers")
+    // marker-last: the published marker is IndexStore's own empty file
+    val marker = new java.io.File(path, "_SUCCESS")
+    assert(marker.isFile && marker.length() === 0)
+  }
+
+  test("a failed rebuild leaves the old artifact committed and untouched") {
+    val base = freshDir()
+    val path = base + "/idx"
+    IndexStore.ensure(spark, path) { scratch =>
+      spark.range(10).toDF("id").write.parquet(scratch)
+    }
+    // build writes nothing -> replace must refuse to swap
+    intercept[IllegalArgumentException] {
+      IndexStore.replace(spark, path) { _ => () }
+    }
+    assert(IndexStore.isCommitted(spark, path))
+    assert(spark.read.parquet(path).count() === 10)
+    // build throws -> same guarantee, and the scratch is cleaned up
+    intercept[RuntimeException] {
+      IndexStore.replace(spark, path) { _ =>
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(IndexStore.isCommitted(spark, path))
+    assert(spark.read.parquet(path).count() === 10)
+    val leftovers = new java.io.File(base).listFiles().map(_.getName).toSeq
+    assert(leftovers === Seq("idx"), s"failed-rebuild leftovers: $leftovers")
+  }
+
   test("d9 incremental path runs against an index addressed via a file: URI") {
     val docs = Tables(spark, sf()).documents
     val batchPred = col("doc_id") % 5 === 0

@@ -277,6 +277,40 @@ class SkewGuardSpec extends SparkTestBase {
     graft.core.CacheScope.releaseAll()
   }
 
+  test("compaction re-caps an appended index: unarmed screen equals the armed guard") {
+    // the write-time-cap caveat made operational: occupancy is measured
+    // per WRITE, so an index written cool and grown hot by appends
+    // carries no stored evidence of the hot bucket — compaction
+    // re-measures over the index's current rows and nulls what the
+    // appends made hot, with no corpus re-tokenization
+    val indexDocs = fixture.filter(col("doc_id") =!= 0L && col("doc_id") =!= 1000L)
+    val coolDocs = indexDocs.filter(col("doc_id") >= 1000L)   // pairs + uniques
+    val boilDocs = indexDocs.filter(col("doc_id") < 1000L)    // 199 boilerplate
+    val plainIdx = java.nio.file.Files.createTempDirectory("graft-cmp-plain").toString
+    val grownIdx = java.nio.file.Files.createTempDirectory("graft-cmp-grown").toString
+    Dedup.writeNeardupIndex(indexDocs, plainIdx)
+    // grown index: written cool (every bucket <= cap), THEN the
+    // boilerplate lands as appends — a write-time cap of 10 at write
+    // time would have nulled nothing
+    Dedup.writeNeardupIndex(coolDocs, grownIdx)
+    Dedup.appendToNeardupIndex(boilDocs, grownIdx)
+    Dedup.compactNeardupIndex(spark, grownIdx, maxBucket = 10)
+    // every doc row (and its sh) survives; only hot band entries are nulled
+    val idxDf = spark.read.parquet(grownIdx)
+    assert(idxDf.count() === indexDocs.count())
+    assert(idxDf.filter(col("band0").isNull && length(col("sig0")) > 0).count() >= 199)
+    val batchDocs = fixture.filter(col("doc_id") === 0L || col("doc_id") === 1000L)
+    val armed = Dedup.incrementalNeardup(spark, batchDocs, plainIdx, 0.8,
+        maxBucket = 10)
+      .select(col("batch_id"), col("corpus_id")).as[(Long, Long)].collect().toSet
+    graft.core.CacheScope.releaseAll()
+    val compacted = Dedup.incrementalNeardup(spark, batchDocs, grownIdx, 0.8)
+      .select(col("batch_id"), col("corpus_id")).as[(Long, Long)].collect().toSet
+    graft.core.CacheScope.releaseAll()
+    assert(compacted === armed)
+    assert(compacted === Set((1000L, 1001L)))
+  }
+
   test("the guard's observe metric reports dropped buckets and rows") {
     val sigs = Dedup.minhashSignatures(fixture)
     val metrics = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
