@@ -66,7 +66,7 @@ object Bench {
       // failed queries report -1 so they're distinguishable in the JSON
       name -> (if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
       .mkString("{", ",", "}")
     // headline total covers the ORACLE-CHECKED registry only, so it
     // stays comparable round over round; the xxh64 twins get their own
@@ -81,9 +81,9 @@ object Bench {
     val q1Sec = results.toMap.getOrElse("q1_pricing_summary", -1.0)
     val rps = if (q1Sec > 0) liRows / q1Sec else 0.0
     val trend = prevDelta(results)
-    val summary = f""""unit":"sec","sf":"$sfDir","lineitem_rows":$liRows,"q1_rows_per_sec":$rps%.0f,"prod_variants_total":$prodTotal%.3f"""
+    val summary = s""""unit":"sec","sf":"$sfDir","lineitem_rows":$liRows,"q1_rows_per_sec":${fmt(rps, "%.0f")},"prod_variants_total":${fmt3(prodTotal)}"""
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,$summary,"queries":$qs$trend}"""
+      s"""{"metric":"total","value":${fmt3(total)},$summary,"queries":$qs$trend}"""
     // The gate harness stores only the LAST ~2000 chars of stdout, and
     // the full per-query map alone exceeds that — so the complete record
     // goes to a FILE (committed into the repo each round) and the final
@@ -93,7 +93,7 @@ object Bench {
     writeFile("BENCH_FULL.json", fullLine + "\n")
     println(fullLine) // head may be clipped by the tail capture; the file has it all
     val byCost = results.sortBy { case (_, v) => -v }
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
     val budget = 1500 // chars available for rows in the compact line
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
@@ -101,9 +101,16 @@ object Bench {
       if (used + row.length + 1 <= budget) { kept += row; used += row.length + 1 }
     }
     val omitted = byCost.length - kept.length
-    println(f"""{"metric":"total","value":$total%.3f,$summary,"n_queries":${byCost.length},"queries_omitted_here":$omitted,"full_map":"BENCH_FULL.json","queries":${kept.mkString("{", ",", "}")}}""")
+    println(s"""{"metric":"total","value":${fmt3(total)},$summary,"n_queries":${byCost.length},"queries_omitted_here":$omitted,"full_map":"BENCH_FULL.json","queries":${kept.mkString("{", ",", "}")}}""")
     spark.stop()
   }
+
+  /** Locale-pinned number formatting for every JSON-bound value: the
+    * `f` interpolator formats with the JVM default locale, and a
+    * comma-decimal locale would make the emitted line invalid JSON. */
+  private[graft] def fmt(v: Double, pattern: String): String =
+    String.format(java.util.Locale.ROOT, pattern, Double.box(v))
+  private[graft] def fmt3(v: Double): String = fmt(v, "%.3f")
 
   private def writeFile(path: String, text: String): Unit = {
     val w = new java.io.PrintWriter(new java.io.File(path), "UTF-8")
@@ -146,7 +153,7 @@ object Bench {
         }
       val deltas = results.collect {
         case (name, cur) if cur >= 0 && prev.get(name).exists(_ >= 0) =>
-          "\"" + name + "\":" + f"${cur - prev(name)}%.3f"
+          "\"" + name + "\":" + fmt3(cur - prev(name))
       }
       val src = if (round == 0) "\"BENCH_FULL.json\"" else round.toString
       if (deltas.isEmpty) ""

@@ -109,10 +109,16 @@ object IndexStore {
       }
       // a concurrent winner may still be between its data rename and its
       // marker write — give that tiny window a bounded grace before the
-      // loud fail
-      var waited = 0
-      while (!isCommitted(spark, path) && waited < 20) {
-        Thread.sleep(100); waited += 1
+      // loud fail. The default 2 s covers local/HDFS stores; on a slow
+      // object store a winner's marker create can lag longer, so the
+      // grace is a session conf rather than a constant (a spuriously
+      // loud-failing loser is the alternative).
+      val graceMs = spark.conf
+        .get("spark.graft.index.publishGraceMs", "2000").toLong
+      val deadline = System.currentTimeMillis() + graceMs
+      while (!isCommitted(spark, path) &&
+             System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
       }
       require(isCommitted(spark, path),
         s"index build at $path produced no committed artifact " +
@@ -138,7 +144,20 @@ object IndexStore {
     * ensure-build) are last-swap-wins and may delete each other's
     * output — run maintenance rewrites from one scheduled job, the same
     * discipline any table-format compaction demands. A failed build
-    * leaves the old artifact committed and untouched. */
+    * leaves the old artifact committed and untouched.
+    *
+    * Crash recovery (operator procedure): a maintainer process killed
+    * between the aside-rename and the publish leaves nothing committed
+    * at `path` and the old artifact intact in a `<path>.old-<uuid>`
+    * sibling — neither this method nor [[ensure]]'s stale recovery
+    * will find it, deliberately (guessing which sibling is canonical
+    * is not a library decision). To recover: confirm `path` has no
+    * `_SUCCESS`, remove any `<path>.build-*` leftovers, rename the
+    * single `<path>.old-*` directory back to `path` — it still carries
+    * its original `_SUCCESS`. A failed SWAP inside a live call needs no
+    * procedure: the restore is automatic, and if the restore rename
+    * itself fails the aside directory is PRESERVED (never cleaned up)
+    * and named in the thrown exception. */
   def replace(spark: SparkSession, path: String)(build: String => Unit): String = {
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
@@ -147,6 +166,9 @@ object IndexStore {
     val scratchMarker = new Path(scratch, "_SUCCESS")
     val aside = new Path(
       path + ".old-" + java.util.UUID.randomUUID().toString.take(8))
+    // set when the aside directory is the only surviving copy of the old
+    // index — the finally block must then NOT delete it
+    var preserveAside = false
     try {
       build(scratch.toString)
       require(fs.exists(scratchMarker),
@@ -165,14 +187,32 @@ object IndexStore {
         else fs.create(new Path(target, "_SUCCESS"), false).close()
       } else {
         // failed swap: put the old artifact back before failing, so a
-        // rebuild error can never leave the path empty
-        if (fs.exists(aside)) fs.rename(aside, target)
+        // rebuild error can never leave the path empty. The restore
+        // rename's RESULT matters: if it fails (store error) — or lands
+        // INSIDE a racer-recreated target as a stray child (posix
+        // rename-INTO) — the aside copy is the only surviving old index,
+        // and deleting it in the finally block would destroy the data
+        // the "old artifact restored" guarantee promises. Preserve it
+        // and name it in the error instead.
+        val restoredCleanly =
+          if (!fs.exists(aside)) true // nothing was moved aside (fresh path)
+          else if (!fs.rename(aside, target)) false
+          else !fs.exists(new Path(target, aside.getName))
+        if (restoredCleanly)
+          throw new IllegalStateException(
+            s"could not publish the rebuilt index at $path — old artifact restored")
+        preserveAside = true
+        val where =
+          if (fs.exists(aside)) aside.toString
+          else new Path(target, aside.getName).toString
         throw new IllegalStateException(
-          s"could not publish the rebuilt index at $path — old artifact restored")
+          s"could not publish the rebuilt index at $path and the automatic " +
+            s"restore failed — the old artifact is preserved at $where; " +
+            "restore it manually (see IndexStore.replace's crash-recovery note)")
       }
     } finally {
       if (fs.exists(scratch)) fs.delete(scratch, true)
-      if (fs.exists(aside)) fs.delete(aside, true)
+      if (!preserveAside && fs.exists(aside)) fs.delete(aside, true)
     }
     require(isCommitted(spark, path),
       s"index rebuild at $path did not leave a committed artifact")

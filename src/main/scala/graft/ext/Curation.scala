@@ -242,17 +242,30 @@ object Curation {
     * returned labels as tomorrow's `corpusLabels`.
     *
     * Skew dials: `cfg.skewMode = "drop"` df-caps both the batch's
-    * self-join and the index side of the cross screen; `"salt"` applies
-    * to the batch-internal SELF-join only (the salt-split emission
-    * scheme is a self-join construction — for a hot INDEX bucket use
-    * [[Dedup.writeNeardupIndex]]'s write-time `maxBucket`, the
-    * documented production default for armed screening). `hashMode`
+    * self-join and the index side of the cross screen; `"salt"` is
+    * recall-preserving on BOTH joins — the triangular salt-split for
+    * the batch-internal self-join ([[SkewGuard.saltedSelfJoinPairs]])
+    * and the 2-D grid split for the batch×index cross screen
+    * ([[SkewGuard.saltedCrossJoinPairs]]), so the armed loop's pair set
+    * equals the unguarded loop's exactly. A write-time-capped index
+    * ([[Dedup.writeNeardupIndex]]'s `maxBucket`) remains the zero-cost
+    * production alternative when hot index buckets are degenerate
+    * boilerplate rather than real standing clusters. `hashMode`
     * must be md5: the index stores md5-mode bands. */
   def curateIncremental(corpusDocs: DataFrame, corpusLabels: DataFrame,
                         batch: DataFrame, indexPath: String,
-                        cfg: CurationConfig = CurationConfig()): DataFrame =
+                        cfg: CurationConfig = CurationConfig()): DataFrame = {
+    // loud fail at the API edge: the unionByName below would otherwise
+    // surface a mismatched batch (extra/missing columns) as an analysis
+    // error deep inside the composed plan
+    val (c, b) = (corpusDocs.columns.sorted.toSeq, batch.columns.sorted.toSeq)
+    require(c == b,
+      s"curateIncremental needs batch and corpus schemas to match — " +
+        s"corpus has ${c.mkString("(", ", ", ")")}, " +
+        s"batch has ${b.mkString("(", ", ", ")")}")
     curateWith(corpusDocs.unionByName(batch),
       incrementalLabels(corpusLabels, batch, indexPath, cfg), cfg)
+  }
 
   /** The LABEL-MAINTENANCE step of [[curateIncremental]] on its own —
     * screen `batch` against the committed index and fold the verified
@@ -281,18 +294,26 @@ object Curation {
     val bBands = bSigs.select(col("doc_id").as("batch_id"),
       posexplode(array(col("band0"), col("band1")))
         .as(Seq("band_idx", "band_hash")))
-    val iBands0 = index.select(col("doc_id").as("corpus_id"),
-      posexplode(array(col("band0"), col("band1")))
-        .as(Seq("band_idx_b", "band_hash_b")))
-    val iBands =
-      if (cfg.skewMode == "drop")
-        SkewGuard.capBuckets(iBands0, Seq("band_idx_b", "band_hash_b"),
+    val cand =
+      if (cfg.skewMode == "salt" && cfg.maxBucket > 0)
+        SkewGuard.saltedCrossJoinPairs(
+          bBands,
+          index.select(col("doc_id").as("corpus_id"),
+            posexplode(array(col("band0"), col("band1")))
+              .as(Seq("band_idx", "band_hash"))),
+          Seq("band_idx", "band_hash"), "batch_id", "corpus_id",
           cfg.maxBucket)
-      else iBands0
-    val cand = bBands.join(iBands,
-        col("band_idx") === col("band_idx_b") &&
-        col("band_hash") === col("band_hash_b"))
-      .select(col("batch_id"), col("corpus_id")).distinct()
+      else {
+        val iBands = SkewGuard.capBuckets(
+          index.select(col("doc_id").as("corpus_id"),
+            posexplode(array(col("band0"), col("band1")))
+              .as(Seq("band_idx_b", "band_hash_b"))),
+          Seq("band_idx_b", "band_hash_b"), cfg.maxBucket)
+        bBands.join(iBands,
+            col("band_idx") === col("band_idx_b") &&
+            col("band_hash") === col("band_hash_b"))
+          .select(col("batch_id"), col("corpus_id")).distinct()
+      }
     val crossPairs = Dedup.verifyJaccardAcross(bsh,
         index.select(col("doc_id"), col("sh")), cand, cfg.minJaccard,
         "batch_id", "corpus_id")

@@ -407,6 +407,12 @@ object Dedup {
     require(maxBucket > 0, "compactNeardupIndex needs maxBucket > 0 — " +
       "an uncapped compaction would be a no-op rewrite")
     val index = readNeardupIndex(spark, path)
+    // the compaction itself operates purely on the band columns; idCol
+    // is a schema check — compacting an artifact that is not a near-dup
+    // index for this id column should fail before the rewrite starts
+    require(Seq(idCol, "band0", "band1", "sh").forall(index.columns.contains),
+      s"no ($idCol, band0, band1, sh) columns at $path — " +
+        "not a writeNeardupIndex artifact for this id column")
     graft.core.IndexStore.replace(spark, path) { scratch =>
       def hot(band: String) = index.filter(col(band).isNotNull)
         .groupBy(col(band)).agg(count(lit(1)).as("__n"))
@@ -442,13 +448,25 @@ object Dedup {
     * (second pruned scan, touching only (idCol, sh)). Cost is
     * O(batch) + O(candidates) + two index scans, independent of the
     * corpus's tokenization cost. Output: (batch_id, corpus_id,
-    * n_common, n_a, n_b, jaccard) at jaccard >= minJaccard. */
+    * n_common, n_a, n_b, jaccard) at jaccard >= minJaccard.
+    *
+    * Skew dials, mirroring the self-join pipeline's two modes:
+    * `maxBucket > 0` with `skewMode = "drop"` df-caps the INDEX's
+    * posting lists (the corpus side is where a boilerplate bucket
+    * lives; recall contract at [[SkewGuard.capBuckets]]); with
+    * `skewMode = "salt"` it arms the recall-PRESERVING 2-D grid split
+    * ([[SkewGuard.saltedCrossJoinPairs]]) over BOTH sides' bucket
+    * occupancy — output equals the unguarded screen exactly, per-task
+    * input bounded. Default 0 = exact, what the d9 registration uses. */
   def incrementalNeardup(spark: org.apache.spark.sql.SparkSession,
                          batch: DataFrame, indexPath: String,
                          minJaccard: Double,
                          textCol: String = "text",
                          idCol: String = "doc_id",
-                         maxBucket: Int = 0): DataFrame = {
+                         maxBucket: Int = 0,
+                         skewMode: String = "drop"): DataFrame = {
+    require(skewMode == "drop" || skewMode == "salt",
+      s"skewMode must be drop or salt, got $skewMode")
     val index = readNeardupIndex(spark, indexPath)
     // the batch shingle frame feeds its signature stage AND the verify
     // join — persist it once (batch-sized, not corpus-sized)
@@ -458,19 +476,25 @@ object Dedup {
       .select(col(idCol).as("batch_id"),
         posexplode(array(col("band0"), col("band1")))
           .as(Seq("band_idx", "band_hash")))
-    // maxBucket > 0 df-caps the INDEX's posting lists (the corpus side
-    // is where a boilerplate bucket lives; the batch side is
-    // batch-sized by construction) — see SkewGuard.capBuckets for the
-    // contract. Default 0 = exact, what the d9 registration uses.
-    val iBands = SkewGuard.capBuckets(
-      index.select(col(idCol).as("corpus_id"),
-        posexplode(array(col("band0"), col("band1")))
-          .as(Seq("band_idx_b", "band_hash_b"))),
-      Seq("band_idx_b", "band_hash_b"), maxBucket)
-    val cand = bBands.join(iBands,
-        col("band_idx") === col("band_idx_b") &&
-        col("band_hash") === col("band_hash_b"))
-      .select(col("batch_id"), col("corpus_id")).distinct()
+    val cand =
+      if (skewMode == "salt" && maxBucket > 0)
+        SkewGuard.saltedCrossJoinPairs(
+          bBands,
+          index.select(col(idCol).as("corpus_id"),
+            posexplode(array(col("band0"), col("band1")))
+              .as(Seq("band_idx", "band_hash"))),
+          Seq("band_idx", "band_hash"), "batch_id", "corpus_id", maxBucket)
+      else {
+        val iBands = SkewGuard.capBuckets(
+          index.select(col(idCol).as("corpus_id"),
+            posexplode(array(col("band0"), col("band1")))
+              .as(Seq("band_idx_b", "band_hash_b"))),
+          Seq("band_idx_b", "band_hash_b"), maxBucket)
+        bBands.join(iBands,
+            col("band_idx") === col("band_idx_b") &&
+            col("band_hash") === col("band_hash_b"))
+          .select(col("batch_id"), col("corpus_id")).distinct()
+      }
     verifyJaccardAcross(bsh, index.select(col(idCol), col("sh")), cand,
       minJaccard, "batch_id", "corpus_id", idCol)
   }

@@ -2,7 +2,7 @@ package graft.ext
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Df-cap skew guard for bucket-keyed candidate self-joins (MinHash
@@ -141,6 +141,68 @@ object SkewGuard {
     left.join(right, joinCond)
       .select(least(col("__l_id"), col("__r_id")).as("a_id"),
         greatest(col("__l_id"), col("__r_id")).as("b_id"))
+      .distinct()
+  }
+
+  /** Recall-preserving hot-bucket handling for bucket-keyed candidate
+    * CROSS joins between two DISTINCT sides (a new batch's bands vs a
+    * committed index's posting lists — [[Dedup.incrementalNeardup]],
+    * [[Curation.incrementalLabels]]) — the cross-join analog of
+    * [[saltedSelfJoinPairs]]. Because the sides are distinct there is
+    * no orientation to normalize, and the construction is the plain 2-D
+    * grid: each bucket splits into gL × gR cells (gS = ceil(nS /
+    * maxBucket) from each side's own occupancy), a left row lands in
+    * row saltL = hash(id) mod gL and replicates across all gR columns,
+    * a right row lands in column saltR and replicates across all gL
+    * rows — so the pair (a, b) meets at exactly the one cell
+    * (saltL(a), saltR(b)), and the output is EXACTLY the unguarded
+    * cross join's pair set (spec-asserted; the d9_incremental_salted
+    * registration shares the unguarded d9 oracle verbatim).
+    *
+    * Cost contract: per-task input is bounded at ~2·maxBucket rows per
+    * cell key (in expectation; hash unevenness adds ~sqrt slack); total
+    * shuffle volume per hot bucket is nL·gR + nR·gL ≈ 2·nL·nR /
+    * maxBucket — proportional to the bucket's pair count over the cap,
+    * the price of keeping every pair. Buckets present on only one side
+    * are dropped by the occupancy inner join (they contribute no
+    * pairs); rows with a NULL key never match in the unguarded
+    * equi-join and are dropped here the same way — both identical to
+    * the unguarded screen's semantics. Use [[capBuckets]] (or a
+    * write-time cap) instead when a hot bucket is degenerate
+    * boilerplate rather than a genuinely large standing cluster.
+    *
+    * Returns distinct (leftIdCol, rightIdCol) — multi-band collisions
+    * already collapsed, ready for a verify stage. */
+  def saltedCrossJoinPairs(left: DataFrame, right: DataFrame,
+                           keys: Seq[String], leftIdCol: String,
+                           rightIdCol: String, maxBucket: Int): DataFrame = {
+    require(maxBucket > 0, "saltedCrossJoinPairs needs maxBucket > 0 " +
+      "(use the plain equi-join when no guard is wanted)")
+    val keyCols = keys.map(col)
+    def subBuckets(n: Column) =
+      floor((n + lit(maxBucket - 1)) / lit(maxBucket)).cast("long")
+    val name = s"graft_skew_xsalt_${guardSeq.incrementAndGet()}"
+    val occ = left.groupBy(keyCols: _*).agg(count(lit(1)).as("__ln"))
+      .join(right.groupBy(keyCols: _*).agg(count(lit(1)).as("__rn")), keys)
+      .observe(name,
+        sum(when(col("__ln") > maxBucket || col("__rn") > maxBucket, 1L)
+          .otherwise(0L)).as("buckets_split"),
+        max(greatest(col("__ln"), col("__rn"))).as("max_bucket_n"))
+      .select(keyCols :+ subBuckets(col("__ln")).as("__lg") :+
+        subBuckets(col("__rn")).as("__rg"): _*)
+    val l = left.join(occ, keys)
+      .select(keyCols :+ col(leftIdCol).as("__l_id") :+
+        pmod(hash(col(leftIdCol)), col("__lg")).as("__ls") :+
+        explode(sequence(lit(0L), col("__rg") - 1)).as("__rs"): _*)
+    val r = right.join(occ, keys)
+      .select(keys.map(k => col(k).as(s"__r_$k")) :+
+        col(rightIdCol).as("__r_id") :+
+        explode(sequence(lit(0L), col("__lg") - 1)).as("__r_ls") :+
+        pmod(hash(col(rightIdCol)), col("__rg")).as("__r_rs"): _*)
+    val cond = keys.map(k => col(k) === col(s"__r_$k")).reduce(_ && _) &&
+      col("__ls") === col("__r_ls") && col("__rs") === col("__r_rs")
+    l.join(r, cond)
+      .select(col("__l_id").as(leftIdCol), col("__r_id").as(rightIdCol))
       .distinct()
   }
 

@@ -221,6 +221,26 @@ object DedupQueries extends QueryGroup {
     Dedup.incrementalNeardup(spark, docs.filter(col("doc_id") % 5 === 0), idx, 0.8)
   }
 
+  /** d9 with the recall-PRESERVING salt-split armed on the batch×index
+    * cross screen ([[graft.ext.SkewGuard.saltedCrossJoinPairs]]'s 2-D
+    * grid: hot posting lists split into bounded sub-buckets on BOTH
+    * sides' occupancy, each side fanned across the other's sub-bucket
+    * axis so every pair meets at exactly one cell). maxBucket = 2 is
+    * the demo dial — at sf0.01 nearly every duplicate-cluster bucket
+    * exceeds it, so the split machinery is genuinely exercised; the
+    * oracle is d9's verbatim, making the recall claim ("armed output
+    * EQUALS the unguarded screen") hash-checked cross-engine rather
+    * than spec-asserted — the cross-screen analog of
+    * d3_neardup_salted. */
+  def incrementalNeardupSalted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val idx = graft.core.IndexStore.ensure(spark, indexPathFor(spark, dir)) {
+      scratch => Dedup.writeNeardupIndex(docs.filter(col("doc_id") % 5 =!= 0), scratch)
+    }
+    Dedup.incrementalNeardup(spark, docs.filter(col("doc_id") % 5 === 0), idx,
+      0.8, maxBucket = 2, skewMode = "salt")
+  }
+
   /** Incremental cluster MAINTENANCE: today's ingest (doc_id % 5 = 0)
     * folded into the standing cluster labels of the already-indexed
     * corpus (the rest) via [[graft.ext.Dedup.mergeIntoClusters]] — the
@@ -376,6 +396,7 @@ object DedupQueries extends QueryGroup {
     "d7_dup_clusters"  -> (dupClusters _),
     "d8_dedup_apply"   -> (dedupApply _),
     "d9_incremental_neardup" -> (incrementalNeardup _),
+    "d9_incremental_salted" -> (incrementalNeardupSalted _),
     "d10_cluster_best" -> (clusterBest _),
     "d11_containment"  -> (containmentPairs _),
     "d12_containment_join" -> (containmentJoin _),
@@ -462,6 +483,34 @@ object DedupQueries extends QueryGroup {
        |FROM verified
        |WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.8
        |ORDER BY a_id, b_id""".stripMargin
+
+  /** The unguarded d9 oracle — shared verbatim by d9_incremental_neardup
+    * and d9_incremental_salted (the cross-screen salt-split is
+    * output-invariant). */
+  private val d9OracleSql =
+    s"""$sigsCte, bands AS (
+       |  SELECT doc_id, 0 AS band_idx, band0 AS band_hash FROM banded
+       |  UNION ALL
+       |  SELECT doc_id, 1, band1 FROM banded
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+       |), verified AS (
+       |  SELECT batch_id, corpus_id,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
+       |    CAST(len(sa.sh) AS BIGINT) AS n_a,
+       |    CAST(len(sb.sh) AS BIGINT) AS n_b
+       |  FROM cand
+       |  JOIN shingled sa ON sa.doc_id = batch_id
+       |  JOIN shingled sb ON sb.doc_id = corpus_id
+       |)
+       |SELECT batch_id, corpus_id, n_common, n_a, n_b,
+       |  CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+       |FROM verified
+       |WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.8
+       |ORDER BY batch_id, corpus_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
@@ -558,30 +607,12 @@ object DedupQueries extends QueryGroup {
     // exact Jaccard — signatures are per-doc projections, so computing
     // them over all docs and filtering sides afterwards is equivalent
     // to the Spark side's separate batch/index pipelines
-    "d9_incremental_neardup" ->
-      s"""$sigsCte, bands AS (
-         |  SELECT doc_id, 0 AS band_idx, band0 AS band_hash FROM banded
-         |  UNION ALL
-         |  SELECT doc_id, 1, band1 FROM banded
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
-         |), verified AS (
-         |  SELECT batch_id, corpus_id,
-         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
-         |    CAST(len(sa.sh) AS BIGINT) AS n_a,
-         |    CAST(len(sb.sh) AS BIGINT) AS n_b
-         |  FROM cand
-         |  JOIN shingled sa ON sa.doc_id = batch_id
-         |  JOIN shingled sb ON sb.doc_id = corpus_id
-         |)
-         |SELECT batch_id, corpus_id, n_common, n_a, n_b,
-         |  CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
-         |FROM verified
-         |WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.8
-         |ORDER BY batch_id, corpus_id""".stripMargin,
+    "d9_incremental_neardup" -> d9OracleSql,
+    // the cross-screen salt-split is output-INVARIANT by design, so the
+    // salted registration is checked against the unguarded d9 oracle
+    // VERBATIM — the cross-engine recall-preservation proof for the
+    // batch-vs-index screen (the d3_neardup_salted precedent)
+    "d9_incremental_salted" -> d9OracleSql,
     // d8's survivor frame with d10's argmax representative: keep the
     // highest-quality member per cluster, pass unclustered docs through
     "d13_dedup_apply_best" ->

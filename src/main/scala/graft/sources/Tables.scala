@@ -40,7 +40,19 @@ final case class Tables(spark: SparkSession, dir: String) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t("events")
     val tsUs = raw.schema("ts").dataType match {
-      case LongType         => expr("ts div 1000")
+      case LongType         =>
+        // the raw-long branch exists ONLY for the TIMESTAMP(NANOS)
+        // generation read via nanosAsLong; if a future generator wrote
+        // plain-BIGINT epoch MICROS, div 1000 would silently shift every
+        // timestamp 1000x. Guard on magnitude: nanos-era epoch values
+        // are >= 1e17 (mid-1973 in nanos), while any sane micros value
+        // is < 1e17 (year ~5138) — one cheap min() over the column.
+        val minTs = raw.selectExpr("min(ts)").head().getLong(0)
+        require(minTs >= 100000000000000000L,
+          s"events.ts is a raw BIGINT but min(ts)=$minTs is not in the " +
+            "epoch-nanos range — generator schema drifted again; extend " +
+            "Tables.events instead of silently dividing by 1000")
+        expr("ts div 1000")
       case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
       case TimestampType    => unix_micros(col("ts"))
       case other => throw new IllegalStateException(

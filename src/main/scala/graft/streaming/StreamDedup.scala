@@ -63,7 +63,32 @@ object StreamDedup {
     * differentially spec-asserted, and the screen's plan carries no
     * aggregation at all. */
   def againstIndex(stream: DataFrame, indexPath: String,
-                   minJaccard: Double, maxBucket: Int): DataFrame = {
+                   minJaccard: Double, maxBucket: Int): DataFrame =
+    againstIndex(stream, indexPath, minJaccard, maxBucket, "drop")
+
+  /** `skewMode = "salt"` (with `maxBucket` > 0) replaces the df-cap
+    * with the recall-PRESERVING salt-split, mirroring the batch twin's
+    * `Dedup.incrementalNeardup(skewMode = "salt")`: every hot index
+    * posting list is split into g = ceil(n / maxBucket) bounded
+    * sub-buckets by a hash of the corpus id, and each STREAM band row
+    * fans out across its bucket's g sub-buckets, so the stream-static
+    * join's build side is bounded per key while the emitted pair set
+    * equals the unguarded screen's exactly (spec-asserted
+    * differentially). The split is ONE-sided by design — the stream
+    * side's occupancy cannot be aggregated without introducing state,
+    * and a micro-batch's bucket population is micro-batch-sized by
+    * construction; the index side is where a standing hot cluster
+    * lives. Both the occupancy frame and the salted index frame are
+    * STATIC for the query's lifetime and persisted at stream
+    * construction, so per-micro-batch work is the stream-side fan-out
+    * plus a bounded equi-join — no corpus-wide re-aggregation. Nothing
+    * is dropped, so the carried-band suppression needs no hot-bucket
+    * escape (contrast the `"drop"` branch below). */
+  def againstIndex(stream: DataFrame, indexPath: String,
+                   minJaccard: Double, maxBucket: Int,
+                   skewMode: String): DataFrame = {
+    require(skewMode == "drop" || skewMode == "salt",
+      s"skewMode must be drop or salt, got $skewMode")
     val spark = stream.sparkSession
     // loud-fail read, like the batch twin: an uncommitted partial index
     // must not silently screen against a fraction of the corpus
@@ -71,46 +96,77 @@ object StreamDedup {
     // batch side: carry the shingle array and BOTH band hashes through
     // the explode, so the per-row collision filter and the verify need
     // no stream-side re-computation
-    val b = Dedup.signaturesFromShingles(Dedup.shingleFrame(stream),
-      keep = Seq("sh"))
-    val bBands = b.select(col("doc_id").as("batch_id"), col("sh").as("sha"),
-      col("band0").as("b_band0"),
-      posexplode(array(col("band0"), col("band1")))
-        .as(Seq("band_idx", "band_hash")))
+    val bBands0 = Dedup.signaturesFromShingles(Dedup.shingleFrame(stream),
+        keep = Seq("sh"))
+      .select(col("doc_id").as("batch_id"), col("sh").as("sha"),
+        col("band0").as("b_band0"),
+        posexplode(array(col("band0"), col("band1")))
+          .as(Seq("band_idx", "band_hash")))
     val iBase = index.select(col("doc_id").as("corpus_id"),
       col("band0").as("i_band0"),
       posexplode(array(col("band0"), col("band1")))
         .as(Seq("band_idx_b", "band_hash_b")))
-    val iBands0 = graft.ext.SkewGuard.capBuckets(
-      iBase, Seq("band_idx_b", "band_hash_b"), maxBucket)
-    // With the guard armed, a pair's band-0 collision row may have been
-    // DROPPED (hot band-0 bucket) while its band-1 bucket is cool — the
-    // carried-band suppression below must then let the band-1 row
-    // through, or the pair is lost entirely (the batch twin keeps it:
-    // SkewGuard's contract is "survives iff ANY sub-cap bucket
-    // collides"). Mark each index row with whether its band-0 bucket is
-    // hot; the hot-bucket key set is tiny and static. The guarded frame
-    // is persisted: it is STATIC under stream-static join semantics, so
-    // without the persist every micro-batch would re-run both
-    // full-index aggregations — the exact latency the guard exists to
-    // protect.
-    val iBands =
-      if (maxBucket <= 0) iBands0.withColumn("i_b0_hot", lit(false))
-      else graft.core.CacheScope.track(
-        iBands0.join(
-            graft.ext.SkewGuard.hotBuckets(
-                index.filter(col("band0").isNotNull).select(col("band0")),
-                Seq("band0"), maxBucket)
-              .select(col("band0").as("h_band0")),
-            col("i_band0") === col("h_band0"), "left")
-          .withColumn("i_b0_hot", col("h_band0").isNotNull)
-          .drop("h_band0")
-          .persist())
+    val (bBands, iBands, saltCond) =
+      if (skewMode == "salt" && maxBucket > 0) {
+        val occ = graft.core.CacheScope.track(
+          iBase.groupBy(col("band_idx_b"), col("band_hash_b"))
+            .agg(count(lit(1)).as("__n"))
+            .select(col("band_idx_b").as("o_band_idx"),
+              col("band_hash_b").as("o_band_hash"),
+              floor((col("__n") + lit(maxBucket - 1)) / lit(maxBucket))
+                .cast("long").as("__g"))
+            .persist())
+        val iSalted = graft.core.CacheScope.track(
+          iBase.join(occ,
+              col("band_idx_b") === col("o_band_idx") &&
+              col("band_hash_b") === col("o_band_hash"))
+            .withColumn("__salt", pmod(hash(col("corpus_id")), col("__g")))
+            .drop("o_band_idx", "o_band_hash", "__g")
+            .withColumn("i_b0_hot", lit(false))
+            .persist())
+        // stream side: fan each band row out across its bucket's g
+        // sub-buckets (g = 1 for every cool bucket — zero replication);
+        // the occupancy join is stream-static INNER, which also drops
+        // band rows with no index-side bucket — they had no candidates
+        val bSalted = bBands0.join(occ,
+            col("band_idx") === col("o_band_idx") &&
+            col("band_hash") === col("o_band_hash"))
+          .withColumn("__bsalt",
+            explode(sequence(lit(0L), col("__g") - 1)))
+          .drop("o_band_idx", "o_band_hash", "__g")
+        (bSalted, iSalted, col("__bsalt") === col("__salt"))
+      } else if (maxBucket > 0) {
+        // With the df-cap armed, a pair's band-0 collision row may have
+        // been DROPPED (hot band-0 bucket) while its band-1 bucket is
+        // cool — the carried-band suppression below must then let the
+        // band-1 row through, or the pair is lost entirely (the batch
+        // twin keeps it: SkewGuard's contract is "survives iff ANY
+        // sub-cap bucket collides"). Mark each index row with whether
+        // its band-0 bucket is hot; the hot-bucket key set is tiny and
+        // static. The guarded frame is persisted: it is STATIC under
+        // stream-static join semantics, so without the persist every
+        // micro-batch would re-run both full-index aggregations — the
+        // exact latency the guard exists to protect.
+        val iGuarded = graft.core.CacheScope.track(
+          graft.ext.SkewGuard.capBuckets(
+              iBase, Seq("band_idx_b", "band_hash_b"), maxBucket)
+            .join(
+              graft.ext.SkewGuard.hotBuckets(
+                  index.filter(col("band0").isNotNull).select(col("band0")),
+                  Seq("band0"), maxBucket)
+                .select(col("band0").as("h_band0")),
+              col("i_band0") === col("h_band0"), "left")
+            .withColumn("i_b0_hot", col("h_band0").isNotNull)
+            .drop("h_band0")
+            .persist())
+        (bBands0, iGuarded, lit(true))
+      } else
+        (bBands0, iBase.withColumn("i_b0_hot", lit(false)), lit(true))
     val collides0 = col("b_band0").isNotNull && col("i_band0").isNotNull &&
       col("b_band0") === col("i_band0")
     val cand = bBands.join(iBands,
         col("band_idx") === col("band_idx_b") &&
-        col("band_hash") === col("band_hash_b"))
+        col("band_hash") === col("band_hash_b") && saltCond)
       .filter(col("band_idx") === 0 || !collides0 || col("i_b0_hot"))
       .select(col("batch_id"), col("corpus_id"), col("sha"))
     val union = col("n_a") + col("n_b") - col("n_common")

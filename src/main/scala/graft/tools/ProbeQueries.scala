@@ -53,7 +53,9 @@ object ProbeQueries {
       }
       name -> (if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // locale-pinned like Bench: a comma-decimal default locale would
+    // make the probe line invalid JSON
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + graft.Bench.fmt3(v) }
       .mkString("{", ",", "}")
     println(s"""{"probe":"$sfDir","reps":$reps,"queries":$qs}""")
     spark.stop()

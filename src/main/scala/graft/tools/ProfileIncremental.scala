@@ -38,7 +38,8 @@ object ProfileIncremental {
     println(s"[profile] corpus=${corpus.count()} batch=${batch.count()} docs")
     // yesterday's amortized state: the committed index and the standing
     // labels — built outside the measured windows
-    val idx = java.nio.file.Files.createTempDirectory("profinc").toString + "/idx"
+    val tmpRoot = java.nio.file.Files.createTempDirectory("profinc")
+    val idx = tmpRoot.toString + "/idx"
     Dedup.writeNeardupIndex(corpus, idx)
     val standing = Curation.clusters(corpus).persist()
     standing.count()
@@ -67,6 +68,8 @@ object ProfileIncremental {
       f"(incremental $incSec%.2f s vs from-scratch $fullSec%.2f s)")
     incLabels.unpersist(); fullLabels.unpersist()
     corpus.unpersist(); batch.unpersist()
+    // repeated sweeps must not litter the temp filesystem with indexes
+    org.apache.commons.io.FileUtils.deleteQuietly(tmpRoot.toFile)
     spark.stop()
   }
 }

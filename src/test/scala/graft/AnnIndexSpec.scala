@@ -1,0 +1,94 @@
+package graft
+
+import graft.ext.AnnIndex
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The maintained IVF ANN index lifecycle (ext/AnnIndex): build / query
+  * parity with the oracle-checked y4 quantizer, append against standing
+  * centroids, and the centroid-drift compaction's determinism guarantee
+  * (compacting an append-grown index == building from scratch over the
+  * combined corpus — the ANN analog of d14's label equality). */
+class AnnIndexSpec extends SparkTestBase {
+
+  private def emb = Tables(spark, sf()).embeddings
+
+  private def freshPath(): String =
+    java.nio.file.Files.createTempDirectory("graft-annidx").toString + "/ivf"
+
+  private def canon(index: DataFrame): DataFrame =
+    index.select(col("kind"), col("id"), col("sv"), col("nrm"), col("cell"))
+
+  private def assertSameIndex(a: DataFrame, b: DataFrame): Unit = {
+    assert(canon(a).exceptAll(canon(b)).isEmpty &&
+      canon(b).exceptAll(canon(a)).isEmpty,
+      "index artifacts differ")
+  }
+
+  test("write + query over the full corpus reproduces the oracle-checked y4 IVF query") {
+    val path = freshPath()
+    AnnIndex.write(emb, path) // k=16, 1 Lloyd round — y4's dials
+    val viaIndex = AnnIndex.query(emb.filter(col("vec_id") % 50 === 0), path)
+      .collect().toSet
+    graft.core.CacheScope.releaseAll()
+    val y4 = graft.queries.SimilarityQueries.annIvf(spark, sf())
+      .collect().toSet
+    graft.core.CacheScope.releaseAll()
+    // same quantizer (hash-ordered seed, one Lloyd round, exact int64),
+    // same probe set, same top-3 — the committed artifact changes the
+    // execution shape, never the answer
+    assert(viaIndex === y4)
+    assert(viaIndex.nonEmpty)
+  }
+
+  test("append assigns to the STANDING centroids and leaves the quantizer untouched") {
+    val path = freshPath()
+    val initial = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    AnnIndex.write(initial, path)
+    val centsBefore = AnnIndex.centroids(AnnIndex.read(spark, path))
+      .collect().toSet
+    AnnIndex.append(batch, path)
+    val after = AnnIndex.read(spark, path)
+    // every vector of both generations is present exactly once
+    assert(AnnIndex.vectors(after).count() === emb.count())
+    assert(AnnIndex.vectors(after).select("vec_id").distinct().count() === emb.count())
+    // the quantizer rows are byte-identical — append never touches them
+    assert(AnnIndex.centroids(after).collect().toSet === centsBefore)
+    graft.core.CacheScope.releaseAll()
+  }
+
+  test("compacting an append-grown index EQUALS a from-scratch build over the combined corpus") {
+    val grown = freshPath()
+    val fresh = freshPath()
+    AnnIndex.write(emb.filter(col("vec_id") % 5 =!= 0), grown)
+    AnnIndex.append(emb.filter(col("vec_id") % 5 === 0), grown)
+    AnnIndex.write(emb, fresh)
+    // before compaction the grown index's quantizer is the stale one —
+    // the artifacts genuinely differ (otherwise this test proves nothing)
+    val grownBefore = AnnIndex.centroids(AnnIndex.read(spark, grown)).collect().toSet
+    val freshCents = AnnIndex.centroids(AnnIndex.read(spark, fresh)).collect().toSet
+    assert(grownBefore !== freshCents, "fixture must actually drift the centroids")
+    AnnIndex.compact(spark, grown)
+    // determinism: hash-ordered seeding + exact-int64 Lloyd over the
+    // identical snapped vector set -> row-identical artifacts
+    assertSameIndex(AnnIndex.read(spark, grown), AnnIndex.read(spark, fresh))
+    // and the compacted index is committed + queryable
+    assert(AnnIndex.query(emb.filter(col("vec_id") % 50 === 0), grown)
+      .count() > 0)
+    graft.core.CacheScope.releaseAll()
+  }
+
+  test("compact refuses an artifact that is not an AnnIndex") {
+    val path = freshPath()
+    graft.core.IndexStore.ensure(spark, path) { scratch =>
+      spark.range(5).toDF("id").write.parquet(scratch)
+    }
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.compact(spark, path)
+    }
+    assert(e.getMessage.contains("AnnIndex"))
+    assert(spark.read.parquet(path).count() === 5)
+  }
+}

@@ -103,6 +103,16 @@ class CurationSpec extends SparkTestBase {
     } finally labels0.unpersist()
   }
 
+  test("curateIncremental fails loudly at the API edge on a batch schema mismatch") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val extra = docs.withColumn("source_url", lit("x"))
+    val e = intercept[IllegalArgumentException](
+      Curation.curateIncremental(docs, docs.select(col("doc_id"),
+        col("doc_id").as("cluster_id")), extra, "/nonexistent"))
+    assert(e.getMessage.contains("source_url"),
+      s"the error must name the offending column set: ${e.getMessage}")
+  }
+
   test("curateIncremental rejects a non-md5 hash mode") {
     intercept[IllegalArgumentException](
       Curation.curateIncremental(docs, docs, docs, "/nonexistent",

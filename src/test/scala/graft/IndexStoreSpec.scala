@@ -168,6 +168,53 @@ class IndexStoreSpec extends SparkTestBase {
     assert(leftovers === Seq("idx"), s"failed-rebuild leftovers: $leftovers")
   }
 
+  test("the publish grace is configurable: a slow winner inside the grace wins, outside fails") {
+    // loser shape: the target exists (data, no marker) when the build
+    // finishes, so ensure skips its own publish and polls isCommitted —
+    // the WINNER's marker arrives only after `lagMs`. With a grace
+    // shorter than the lag the loser must loud-fail (spuriously, which
+    // is why the grace is a conf); with a grace covering the lag it must
+    // return the winner's artifact.
+    def slowWinner(graceMs: Long, lagMs: Long): Either[Throwable, String] = {
+      val path = freshDir() + "/idx"
+      val marker = new Thread(() => {
+        Thread.sleep(lagMs)
+        new java.io.File(path, "_SUCCESS").createNewFile()
+      })
+      spark.conf.set("spark.graft.index.publishGraceMs", graceMs.toString)
+      try Right {
+        IndexStore.ensure(spark, path) { scratch =>
+          spark.range(5).toDF("id").write.parquet(scratch)
+          // the "winner" appears mid-build: data visible, marker lagging
+          new java.io.File(path).mkdirs()
+          new java.io.File(path, "part-00000.parquet").createNewFile()
+          marker.start()
+        }
+      } catch { case t: Throwable => Left(t) }
+      finally {
+        marker.join()
+        spark.conf.unset("spark.graft.index.publishGraceMs")
+      }
+    }
+    val tooShort = slowWinner(graceMs = 200, lagMs = 1500)
+    assert(tooShort.isLeft, "a 200 ms grace must not cover a 1.5 s marker lag")
+    val covered = slowWinner(graceMs = 10000, lagMs = 1500)
+    assert(covered.isRight, s"a 10 s grace must cover a 1.5 s marker lag: $covered")
+  }
+
+  test("compactNeardupIndex refuses an artifact without the index schema") {
+    val path = freshDir() + "/notanindex"
+    IndexStore.ensure(spark, path) { scratch =>
+      spark.range(5).toDF("id").write.parquet(scratch)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Dedup.compactNeardupIndex(spark, path, maxBucket = 10)
+    }
+    assert(e.getMessage.contains("writeNeardupIndex"))
+    // and the refused artifact is untouched
+    assert(spark.read.parquet(path).count() === 5)
+  }
+
   test("d9 incremental path runs against an index addressed via a file: URI") {
     val docs = Tables(spark, sf()).documents
     val batchPred = col("doc_id") % 5 === 0

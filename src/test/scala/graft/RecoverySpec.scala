@@ -45,6 +45,82 @@ class RecoverySpec extends SparkTestBase {
     assert(all.last.message === "u1 has clicked 3 times.")
   }
 
+  test("the streaming index screen resumes from checkpoint: exactly-once pairs across restart") {
+    // the operational ingest screen (StreamDedup.againstIndex) killed
+    // mid-stream and resumed from its checkpoint must neither re-emit
+    // the pre-restart pairs (offsets resume) nor lose the post-restart
+    // ones — the stateless stream-static join's exactly-once story is
+    // the source offsets + idempotent sink contract
+    val pairText1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val pairText2 = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val indexDocs = Seq(
+      (1001L, pairText1), (2001L, pairText2),
+      (3000L, (1 to 12).map(i => s"unique$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val idx = Files.createTempDirectory("graft-snd-ckpt-idx").toString
+    graft.ext.Dedup.writeNeardupIndex(indexDocs, idx)
+    val ckpt = Files.createTempDirectory("graft-snd-ckpt").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val in = MemoryStream[(Long, String)]
+    val screen = StreamDedup.againstIndex(
+      in.toDF().toDF("doc_id", "text"), idx, 0.8)
+    def start() = screen.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("batch_id", "corpus_id").as[(Long, Long)]
+          .collect().foreach(got.add)
+      }
+      .start()
+    val q1 = start()
+    in.addData((1000L, pairText1))
+    q1.processAllAvailable(); q1.stop()
+    assert(got.toArray(Array.empty[(Long, Long)]).toSeq === Seq((1000L, 1001L)))
+    val q2 = start()
+    in.addData((2000L, pairText2))
+    q2.processAllAvailable(); q2.stop()
+    val all = got.toArray(Array.empty[(Long, Long)]).toSeq
+    // no duplicate emission of the pre-restart pair, no lost post-restart pair
+    assert(all.sorted === Seq((1000L, 1001L), (2000L, 2001L)),
+      s"restart must be exactly-once over the emitted pairs: $all")
+    graft.core.CacheScope.releaseAll()
+  }
+
+  test("streaming curation resumes from checkpoint: dedup state survives restart") {
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val text = (1 to 120).map(i => s"word$i").mkString(" ")
+    val other = (1 to 120).map(i => s"fresh$i").mkString(" ")
+    val ckpt = Files.createTempDirectory("graft-scur-ckpt").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val curated = StreamCuration.curate(
+      in.toDF().toDF("doc_id", "text", "ts"), "ts", "1 hour")
+    def start() = curated.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("doc_id").as[Long].collect().foreach(got.add)
+      }
+      .start()
+    import scala.jdk.CollectionConverters._
+    val q1 = start()
+    in.addData((1L, text, new java.sql.Timestamp(base)))
+    q1.processAllAvailable(); q1.stop()
+    assert(got.asScala.toSeq === Seq(1L))
+    // restart from the SAME checkpoint: the dedup state store resumes,
+    // so a duplicate of the pre-restart text (well inside the watermark
+    // horizon) must STILL be suppressed, while a fresh doc passes and
+    // the pre-restart batch is not replayed
+    val q2 = start()
+    in.addData(
+      (2L, text, new java.sql.Timestamp(base + 1000)),
+      (3L, other, new java.sql.Timestamp(base + 2000)))
+    q2.processAllAvailable(); q2.stop()
+    val all = got.asScala.toSeq
+    assert(all.sorted === Seq(1L, 3L),
+      s"dedup state must survive the restart (doc 2 suppressed): $all")
+  }
+
   test("kafka source wrapper fails with the connector-missing error (jar not bundled here)") {
     // The spark-sql-kafka connector isn't in /opt/spark/jars (zero-egress
     // container); assert the wrapper reaches Kafka source resolution so

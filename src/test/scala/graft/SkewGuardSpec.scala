@@ -311,6 +311,89 @@ class SkewGuardSpec extends SparkTestBase {
     assert(compacted === Set((1000L, 1001L)))
   }
 
+  test("salted CROSS screen is EXACTLY the unguarded incremental screen, with bounded cells") {
+    // index = 199 boilerplate + pair partner + uniques; batch = 1
+    // boilerplate doc + the other partner. The unguarded screen emits
+    // all 200 batch-vs-corpus pairs; the df-cap mode (tested above)
+    // keeps only the cool pair — the salt mode must keep ALL 200.
+    val indexDocs = fixture.filter(col("doc_id") =!= 0L && col("doc_id") =!= 1000L)
+    val batchDocs = fixture.filter(col("doc_id") === 0L || col("doc_id") === 1000L)
+    val idx = java.nio.file.Files.createTempDirectory("graft-xsalt-idx").toString
+    Dedup.writeNeardupIndex(indexDocs, idx)
+    val unguarded = Dedup.incrementalNeardup(spark, batchDocs, idx, 0.8)
+      .select(col("batch_id"), col("corpus_id")).as[(Long, Long)].collect().toSet
+    graft.core.CacheScope.releaseAll()
+    assert(unguarded.size === 200)
+    val salted = Dedup.incrementalNeardup(spark, batchDocs, idx, 0.8,
+        maxBucket = 10, skewMode = "salt")
+      .select(col("batch_id"), col("corpus_id")).as[(Long, Long)].collect().toSet
+    graft.core.CacheScope.releaseAll()
+    assert(salted === unguarded, "cross salt-split must be recall-preserving")
+    // bounded per-cell input: replicate the grid assignment over the
+    // generic helper on a raw keyed frame and check no (bucket, lcell,
+    // rcell) group exceeds cap + hash-unevenness slack
+    val left = (0L until 7L).map(i => ("hot", i)).toDF("k", "lid")
+    val right = (0L until 500L).map(i => ("hot", 10000L + i)).toDF("k", "rid")
+    val pairs = graft.ext.SkewGuard.saltedCrossJoinPairs(
+        left, right, Seq("k"), "lid", "rid", 25)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.size === 7 * 500, "grid must emit the full cross product once")
+    val rCells = right
+      .withColumn("salt", pmod(hash(col("rid")), lit(500 / 25)))
+      .groupBy(col("salt")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).as[Long].head()
+    assert(rCells <= 50L, s"right sub-bucket of $rCells exceeds cap 25 + slack")
+  }
+
+  test("the streaming salted screen matches the unguarded batch screen exactly") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val indexDocs = fixture.filter(col("doc_id") =!= 0L && col("doc_id") =!= 1000L)
+    val batchDocs = fixture.filter(col("doc_id") === 0L || col("doc_id") === 1000L)
+    val idx = java.nio.file.Files.createTempDirectory("graft-xsalt-sidx").toString
+    Dedup.writeNeardupIndex(indexDocs, idx)
+    val unguarded = Dedup.incrementalNeardup(spark, batchDocs, idx, 0.8)
+      .select(col("batch_id"), col("corpus_id")).as[(Long, Long)].collect().toSet
+    graft.core.CacheScope.releaseAll()
+    val batchRows = batchDocs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamDedup
+      .againstIndex(in.toDF().toDF("doc_id", "text"), idx, 0.8,
+        maxBucket = 10, skewMode = "salt")
+      .writeStream.format("memory").queryName("xsalt_snd_out")
+      .outputMode("append").start()
+    in.addData(batchRows); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("xsalt_snd_out")
+      .select(col("batch_id"), col("corpus_id")).as[(Long, Long)].collect().toSet
+    assert(streamed === unguarded,
+      "streaming salt-split must emit exactly the unguarded pair set")
+    assert(streamed.size === 200)
+    graft.core.CacheScope.releaseAll()
+  }
+
+  test("the incremental-labels loop under salt equals the unguarded loop (self + cross)") {
+    val indexDocs = fixture.filter(col("doc_id") =!= 0L && col("doc_id") =!= 1000L)
+    // batch holds an INTERNAL boilerplate pair too, so both the
+    // triangular self-split and the grid cross-split arm
+    val batchDocs = fixture.filter(col("doc_id") === 0L || col("doc_id") === 1L ||
+      col("doc_id") === 1000L)
+    val idxDocs2 = indexDocs.filter(col("doc_id") =!= 1L)
+    val idx = java.nio.file.Files.createTempDirectory("graft-xsalt-lbl").toString
+    Dedup.writeNeardupIndex(idxDocs2, idx)
+    val labels = graft.ext.Dedup.connectedComponents(
+      graft.ext.Curation.neardupPairs(idxDocs2).select(col("a_id"), col("b_id")))
+    def run(cfg: graft.ext.CurationConfig) = {
+      val out = graft.ext.Curation.incrementalLabels(labels, batchDocs, idx, cfg)
+        .as[(Long, Long)].collect().toSet
+      graft.core.CacheScope.releaseAll()
+      out
+    }
+    val unguarded = run(graft.ext.CurationConfig())
+    val salted = run(graft.ext.CurationConfig(maxBucket = 10, skewMode = "salt"))
+    assert(salted === unguarded,
+      "salt-armed incremental labels must equal the unguarded loop")
+  }
+
   test("the guard's observe metric reports dropped buckets and rows") {
     val sigs = Dedup.minhashSignatures(fixture)
     val metrics = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
