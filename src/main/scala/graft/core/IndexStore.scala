@@ -216,6 +216,12 @@ object IndexStore {
     }
     require(isCommitted(spark, path),
       s"index rebuild at $path did not leave a committed artifact")
+    // the swap changed the path's contents OUTSIDE Spark's write path,
+    // so this session's caches still describe the old artifact: cached
+    // file listings AND any persisted DataFrame whose plan is rooted at
+    // this path (the CacheManager would keep substituting the stale
+    // rows into new reads). refreshByPath invalidates both.
+    spark.catalog.refreshByPath(path)
     path
   }
 }

@@ -72,17 +72,39 @@ object AnnIndex {
   /** Run the full quantizer over snapped (vec_id, sv, nrm) rows and
     * write the committed index layout to `path`. The centroids stored
     * are exactly the ones the LAST assignment round used, so stored
-    * cells and stored quantizer can never disagree. */
+    * cells and stored quantizer can never disagree — MINUS cells the
+    * final round left EMPTY (Lloyd moved a centroid off its members).
+    * An empty cell's centroid must not be stored: a PROBE whose argmin
+    * is an empty cell would scan zero candidates even though a
+    * populated near cell exists (measured in ProfileAnnDrift before
+    * this filter: 16% of drifted probes hit one empty cell and nprobe=1
+    * recall fell off a cliff). Dropping it can't orphan any stored
+    * vector — a vector assigned there would make the cell non-empty —
+    * and is the standard production-quantizer behavior. */
   private def buildFrom(vecs: DataFrame, path: String, k: Int,
                         lloydIters: Int): Unit = {
-    val v = graft.core.CacheScope.track(vecs.persist())
-    var cents = seedCentroids(v, k)
-    var assigned = assignToCells(v, cents, k)
-    for (_ <- 0 until lloydIters) {
-      cents = graft.core.CacheScope.track(lloydRefine(assigned).persist())
-      assigned = assignToCells(v, cents, k)
-    }
-    rows(assigned, cents).write.mode("overwrite").parquet(path)
+    // Persists are UNPERSISTED EAGERLY once the artifact is written —
+    // not left to CacheScope. When [[compact]] calls this, `vecs` is a
+    // plan rooted at the index path being replaced; a persist that
+    // outlived the swap would SHADOW every later read of that path in
+    // this session (Spark's CacheManager substitutes matching plan
+    // subtrees with the cached — now stale — rows, which surfaced as
+    // post-compaction queries still seeing the pre-compaction cells).
+    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+    def hold(df: DataFrame): DataFrame = { persisted += df.persist(); df }
+    try {
+      val v = hold(vecs)
+      var cents = seedCentroids(v, k)
+      var assigned = assignToCells(v, cents, k)
+      for (_ <- 0 until lloydIters) {
+        cents = hold(lloydRefine(assigned))
+        assigned = assignToCells(v, cents, k)
+      }
+      val a = hold(assigned)
+      val centsKept = cents.join(
+        a.select(col("cell").as("c_id")).distinct(), Seq("c_id"), "left_semi")
+      rows(a, centsKept).write.mode("overwrite").parquet(path)
+    } finally persisted.foreach(_.unpersist())
   }
 
   /** Build the index from an embeddings-shaped frame (vec_id,
@@ -142,15 +164,24 @@ object AnnIndex {
     * centroids (so probe cells match stored vector cells by
     * construction), equi-join on cell, exact int64 cosines, bounded-heap
     * top-k per probe. Probes are embeddings-shaped (vec_id, embedding).
-    * Output: (probe_id, neighbor_id, cell, rank, cos). */
-  def query(probes: DataFrame, path: String, topK: Int = 3): DataFrame = {
+    * Output: (probe_id, neighbor_id, cell, rank, cos).
+    *
+    * `nprobe` is the recall dial (the y11 precedent): each probe scans
+    * its `nprobe` nearest cells instead of only the argmin cell. This
+    * is what recovers recall when true neighbors straddle a cell
+    * boundary — which is the NORMAL state right after a [[compact]]
+    * rebalances an append-heavy region into several bounded cells
+    * (measured in `tools/ProfileAnnDrift`: the stale quantizer scores a
+    * drifted domain as one giant cell — high recall only because the
+    * scan degenerates toward brute force — while the compacted index
+    * needs nprobe > 1 to re-cross the new boundaries at a fraction of
+    * the stale scan cost). Candidates stay cell-bounded: cost is ~
+    * nprobe × avg cell, never the corpus. */
+  def query(probes: DataFrame, path: String, topK: Int = 3,
+            nprobe: Int = 1): DataFrame = {
     val spark = probes.sparkSession
     val index = read(spark, path)
-    val cents = centroids(index)
-    val p = assignToCells(snapped(probes, "vec_id", "sv", "nrm"),
-        cents, kOf(cents))
-      .select(col("vec_id").as("probe_id"), col("sv").as("pv"),
-        col("nrm").as("pn"), col("cell"))
+    val p = probeCells(probes, path, nprobe)
     val scored = vectors(index)
       .select(col("vec_id").as("neighbor_id"), col("sv").as("nv"),
         col("nrm").as("nn"), col("cell"))
@@ -165,5 +196,37 @@ object AnnIndex {
         .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
       .select(col("probe_id"), col("neighbor_id"),
         col("cell").cast("long").as("cell"), col("rank"), col("cos"))
+  }
+
+  /** The probe→cell selection [[query]] scans with: each probe's
+    * `nprobe` nearest stored centroids by exact int64 L2 —
+    * (probe_id, pv, pn, cell), one row per probed cell. Exposed so
+    * measurement (ProfileAnnDrift's scan-cost accounting) and custom
+    * consumers share the query's own selection instead of
+    * re-deriving it. nprobe = 1 is the plain argmin assignment
+    * (map-side `min_by` agg); nprobe > 1 keeps a bounded heap of
+    * nprobe cells per probe over the same K-way broadcast fan-out. */
+  def probeCells(probes: DataFrame, path: String, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cents = centroids(read(probes.sparkSession, path))
+    val pSnap = snapped(probes, "vec_id", "sv", "nrm")
+    if (nprobe == 1)
+      assignToCells(pSnap, cents, kOf(cents))
+        .select(col("vec_id").as("probe_id"), col("sv").as("pv"),
+          col("nrm").as("pn"), col("cell"))
+    else {
+      val l2 = aggregate(
+        zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+      val ranked = pSnap
+        .withColumn("c_id", explode(sequence(lit(0L), lit(kOf(cents) - 1L))))
+        .join(broadcast(cents), "c_id")
+        .withColumn("dist", l2)
+        .select(col("vec_id").as("probe_id"), col("sv").as("pv"),
+          col("nrm").as("pn"), col("c_id").as("cell"), col("dist"))
+      graft.ops.TopK.perKey(ranked, Seq("probe_id"),
+          Seq("dist" -> false, "cell" -> false), nprobe)
+        .select(col("probe_id"), col("pv"), col("pn"), col("cell"))
+    }
   }
 }

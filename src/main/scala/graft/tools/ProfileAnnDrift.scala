@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.core.GraftSession
 import graft.ext.{AnnIndex, Similarity}
-import graft.queries.SimilarityQueries.{assignToCells, snapped}
+import graft.queries.SimilarityQueries.snapped
 import graft.sources.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -71,43 +71,54 @@ object ProfileAnnDrift {
     val (_, tBuild) = time("initial build")(AnnIndex.write(initial, idx))
     val (_, tAppend) = time("append shifted batch")(AnnIndex.append(batch, idx))
 
-    def measure(tag: String): (Double, Double, Long, Double) = {
+    def measure(tag: String, nprobe: Int): (Double, Double, Long, Double) = {
       val index = AnnIndex.read(spark, idx)
-      val (ann, tQuery) = time(s"query [$tag]") {
-        val a = AnnIndex.query(probes, idx, 3)
+      val (ann, tQuery) = time(s"query [$tag, nprobe=$nprobe]") {
+        val a = AnnIndex.query(probes, idx, 3, nprobe)
           .select(col("probe_id"), col("neighbor_id")).persist()
         a.count(); a
       }
       val hits = ann.join(exact, Seq("probe_id", "neighbor_id")).count()
       val recall = hits.toDouble / (nProbes * 3.0)
-      // scan-cost shape: each probe reads its assigned cell
+      // scan-cost shape: each probe reads its nprobe nearest cells —
+      // measured through the query's OWN cell selection (probeCells),
+      // as candidate rows per probe before the top-k heap
       val cells = AnnIndex.vectors(index).groupBy(col("cell"))
         .agg(count(lit(1)).as("n")).persist()
       val maxCell = cells.agg(max(col("n"))).head().getLong(0)
-      val cands = assignToCells(pSnap.select(col("probe_id").as("vec_id"),
-            col("pv").as("sv"), col("pn").as("nrm")),
-          AnnIndex.centroids(index),
-          AnnIndex.centroids(index).agg(max(col("c_id"))).head().getLong(0).toInt + 1)
-        .select(col("vec_id"), col("cell"))
-        .join(cells, "cell")
-        .agg(avg(col("n"))).head().getDouble(0)
+      // LEFT join + coalesce: a probe whose probed cells hold no
+      // vectors must count as scan 0, not silently drop from the mean
+      val cands = AnnIndex.probeCells(probes, idx, nprobe)
+        .select(col("probe_id"), col("cell"))
+        .join(cells, Seq("cell"), "left")
+        .groupBy(col("probe_id"))
+        .agg(sum(coalesce(col("n"), lit(0L))).as("scan"))
+        .agg(avg(col("scan"))).head().getDouble(0)
       ann.unpersist(); cells.unpersist()
       graft.core.CacheScope.releaseAll()
       (recall, cands, maxCell, tQuery)
     }
 
-    val (rStale, cStale, mStale, qStale) = measure("stale")
+    val (rStale, cStale, mStale, qStale) = measure("stale", 1)
     val (_, tCompact) = time("compact")(AnnIndex.compact(spark, idx))
-    val (rComp, cComp, mComp, qComp) = measure("compacted")
+    // the compacted index at increasing nprobe: the operating points a
+    // maintenance cadence actually chooses between (stale monocell vs
+    // rebalanced cells × multi-probe)
+    val (rComp, cComp, mComp, qComp) = measure("compacted", 1)
+    val (rComp2, cComp2, _, qComp2) = measure("compacted", 2)
+    val (rComp4, cComp4, _, qComp4) = measure("compacted", 4)
 
     def f3(v: Double) = graft.Bench.fmt3(v)
     println(s"""{"metric":"ann_drift","sf":"$dir","shift":${f3(shift)},""" +
       s""""n_initial":$nInitial,"n_batch":$nBatch,"n_probes":$nProbes,""" +
       s""""recall_stale":${f3(rStale)},"recall_compacted":${f3(rComp)},""" +
+      s""""recall_compacted_np2":${f3(rComp2)},"recall_compacted_np4":${f3(rComp4)},""" +
       s""""cand_per_probe_stale":${f3(cStale)},"cand_per_probe_compacted":${f3(cComp)},""" +
+      s""""cand_per_probe_np2":${f3(cComp2)},"cand_per_probe_np4":${f3(cComp4)},""" +
       s""""max_cell_stale":$mStale,"max_cell_compacted":$mComp,""" +
       s""""t_build":${f3(tBuild)},"t_append":${f3(tAppend)},"t_compact":${f3(tCompact)},""" +
-      s""""t_query_stale":${f3(qStale)},"t_query_compacted":${f3(qComp)}}""")
+      s""""t_query_stale":${f3(qStale)},"t_query_compacted":${f3(qComp)},""" +
+      s""""t_query_np2":${f3(qComp2)},"t_query_np4":${f3(qComp4)}}""")
     org.apache.commons.io.FileUtils.deleteQuietly(idxRoot.toFile)
     spark.stop()
   }

@@ -80,6 +80,57 @@ class AnnIndexSpec extends SparkTestBase {
     graft.core.CacheScope.releaseAll()
   }
 
+  test("nprobe widens the scan monotonically; nprobe = k IS brute force") {
+    import graft.ext.Similarity
+    import graft.queries.SimilarityQueries.snapped
+    val path = freshPath()
+    AnnIndex.write(emb, path)
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+    def pairs(np: Int) = AnnIndex.query(probes, path, 3, np)
+      .select(col("probe_id"), col("neighbor_id"), col("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact ground truth: brute-force cosine top-3 (the y1 shape)
+    val pSnap = snapped(probes, "probe_id", "pv", "pn")
+    val exact = graft.ops.TopK.perKey(
+        snapped(emb, "neighbor_id", "nv", "nn")
+          .join(broadcast(pSnap), col("probe_id") =!= col("neighbor_id"))
+          .withColumn("cos", Similarity.cosineFromSnapped(
+            col("pv"), col("nv"), col("pn"), col("nn")))
+          .select(col("probe_id"), col("neighbor_id"), col("cos")),
+        Seq("probe_id"), Seq("cos" -> true, "neighbor_id" -> false), 3)
+      .select(col("probe_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r1 = pairs(1); val r4 = pairs(4); val rAll = pairs(16)
+    def hits(s: Set[(Long, Long)]) = (s intersect exact).size
+    assert(hits(r1) <= hits(r4) && hits(r4) <= hits(rAll),
+      "recall must be monotone in nprobe")
+    // scanning every cell leaves nothing approximate
+    assert(rAll === exact)
+    graft.core.CacheScope.releaseAll()
+  }
+
+  test("the stored quantizer never contains an empty cell, even under drift") {
+    // drift-shaped fixture (the ProfileAnnDrift shape): a domain-shifted
+    // slice pulls Lloyd centroids far enough that a seed cell can end
+    // the final assignment round EMPTY — its centroid must not be
+    // stored, or probes arg-minning into it would scan zero candidates
+    val path = freshPath()
+    val shifted = emb.filter(col("vec_id") % 5 === 0)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x + lit(0.5).cast("float")))
+    AnnIndex.write(emb.filter(col("vec_id") % 5 =!= 0).unionByName(shifted), path)
+    val index = AnnIndex.read(spark, path)
+    val emptyCells = AnnIndex.centroids(index).join(
+      AnnIndex.vectors(index).select(col("cell").as("c_id")).distinct(),
+      Seq("c_id"), "left_anti").count()
+    assert(emptyCells === 0, "stored centroids must all have member vectors")
+    // consequence: every probe's nprobe=1 query has a non-empty scan
+    val perProbe = AnnIndex.query(shifted, path, 3)
+      .groupBy(col("probe_id")).count()
+    assert(perProbe.filter(col("count") === 0).count() === 0)
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("compact refuses an artifact that is not an AnnIndex") {
     val path = freshPath()
     graft.core.IndexStore.ensure(spark, path) { scratch =>
