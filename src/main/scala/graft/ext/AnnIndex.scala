@@ -198,6 +198,33 @@ object AnnIndex {
         col("cell").cast("long").as("cell"), col("rank"), col("cos"))
   }
 
+  /** Threshold SCREEN against the committed index: every (probe,
+    * stored-vector) pair in the probed cells with cosine >= `minCos` —
+    * [[query]] without the top-k heap, the shape ingest pipelines
+    * want ("is this new vector semantically near ANYTHING standing?").
+    * Output: (probe_id, neighbor_id, cell, cos). Candidates are
+    * cell-bounded (~ nprobe × avg cell per probe, never the corpus);
+    * recall is the IVF recall at the chosen `nprobe` — same dial, same
+    * caveats as [[query]]. [[graft.streaming.StreamAnn.againstIndex]]
+    * is this operator's streaming twin (spec-asserted differentially,
+    * same output row for row). */
+  def screen(probes: DataFrame, path: String, minCos: Double,
+             nprobe: Int = 1): DataFrame = {
+    val spark = probes.sparkSession
+    val index = read(spark, path)
+    val p = probeCells(probes, path, nprobe)
+    vectors(index)
+      .select(col("vec_id").as("neighbor_id"), col("sv").as("nv"),
+        col("nrm").as("nn"), col("cell"))
+      .join(p, "cell")
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", Similarity.cosineFromSnapped(
+        col("pv"), col("nv"), col("pn"), col("nn")))
+      .filter(col("cos") >= minCos)
+      .select(col("probe_id"), col("neighbor_id"),
+        col("cell").cast("long").as("cell"), col("cos"))
+  }
+
   /** The probe→cell selection [[query]] scans with: each probe's
     * `nprobe` nearest stored centroids by exact int64 L2 —
     * (probe_id, pv, pn, cell), one row per probed cell. Exposed so

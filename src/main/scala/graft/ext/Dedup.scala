@@ -878,4 +878,159 @@ object Dedup {
     }.reduce(_ + _)
     agg.select(col("doc_id"), sim.cast("long").as("simhash"))
   }
+
+  /** Token k-gram rows with 1-based positions: (idCol, pos, kgram, h)
+    * where h = md5(kgram). Pure projection + generate — no shuffle.
+    * Docs with fewer than k tokens contribute no rows. Shared by the
+    * winnowing selection (which needs every position) and the span
+    * decode join. */
+  def kgramRows(docs: DataFrame, k: Int, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    docs
+      .select(col(idCol), split(col(textCol), "\\s+").as("__toks"))
+      .select(col(idCol), posexplode(
+          when(size(col("__toks")) >= k,
+            transform(sequence(lit(1), size(col("__toks")) - (k - 1)), i =>
+              concat_ws(" ", (0 until k).map(j =>
+                element_at(col("__toks"), i + lit(j))): _*)))
+            .otherwise(array().cast("array<string>")))
+        .as(Seq("__p0", "kgram")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("pos"),
+        col("kgram"), md5(col("kgram")).as("h"))
+  }
+
+  /** Winnowed fingerprint selection (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003) over token k-grams: slide a window of w consecutive
+    * k-gram hashes over each document and select each window's minimum
+    * (ties broken by the leftmost position — encoded by taking the
+    * string min of md5-hex || zero-padded position, which both engines
+    * compare identically). Output: (idCol, pos, kgram, h), one row per
+    * SELECTED fingerprint, density ~ 2/(w+1) of all positions.
+    *
+    * The winnowing GUARANTEE (the reason this beats stride sampling):
+    * any two documents sharing an exact token run of length >=
+    * k + w - 1 share at least one selected fingerprint — the shared
+    * run contains a full window of w identical k-gram hashes in both
+    * docs, whose minimum is the same VALUE in both, so both select it.
+    * This is the candidate generator for exact-substring dedup (the
+    * operation Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022, motivates at training-corpus scale):
+    * suffix arrays don't distribute, winnowing is embarrassingly
+    * parallel — a pure per-doc projection + one window function,
+    * partitioned by doc, then cross-doc matching is an equi-join on
+    * the fingerprint. Near the end of a doc the trailing windows are
+    * CLAMPED (frame shrinks) rather than dropped, so every doc with
+    * >= 1 k-gram selects >= 1 fingerprint; extra selections never
+    * weaken the guarantee (selection sets only grow).
+    *
+    * `kg` must be a [[kgramRows]] frame. This is the TEXTBOOK
+    * window-function form, kept as the differential reference (and the
+    * shape the DuckDB oracle runs); production uses
+    * [[winnowFingerprints]], the same selection as a shuffle-free
+    * array-domain projection. */
+  def winnowSelect(kg: DataFrame, w: Int,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    // distinct BEFORE decode: the same position is the argmin of up to
+    // w windows; selkey (h || pos) is unique per selected position
+    kg
+      .withColumn("__selkey",
+        min(concat(col("h"), lpad(col("pos").cast("string"), 10, "0"))).over(win))
+      .select(col(idCol), col("__selkey")).distinct()
+      .select(col(idCol),
+        substring(col("__selkey"), 1, 32).as("h"),
+        substring(col("__selkey"), 33, 10).cast("long").as("pos"))
+      .join(kg.select(col(idCol), col("pos"), col("kgram")), Seq(idCol, "pos"))
+      .select(col(idCol), col("pos"), col("kgram"), col("h"))
+  }
+
+  /** [[winnowSelect]]'s selection computed entirely IN THE ARRAY
+    * DOMAIN — the production formulation. The window-function form
+    * shuffles and sorts every k-gram ROW by doc just to look w-1
+    * positions ahead, but the k-grams of a doc are born co-located
+    * (one generate from one doc row) and already position-ordered, so
+    * the whole selection can run as a per-row projection: for each
+    * window start p, min over q in [p, min(p+w-1, n)] of
+    * h[q] || zero-padded q — the exact rowsBetween frame, clamped tail
+    * included — then array_distinct, then ONE explode to fingerprint
+    * rows. O(n·w) comparisons per doc (w is small) buys ZERO exchanges
+    * before the cross-doc pair join; at 100 TB the avoided shuffle is
+    * the corpus's entire token stream. Output and contract identical
+    * to [[winnowSelect]] (spec-asserted equal row for row on real
+    * corpus text in `WinnowSpec`; the DuckDB oracle runs the
+    * window-function form, so the equivalence is also hash-checked
+    * cross-engine through d15). */
+  def winnowFingerprints(docs: DataFrame, k: Int, w: Int,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val kgArr = docs
+      .select(col(idCol), split(col(textCol), "\\s+").as("__toks"))
+      .select(col(idCol),
+        when(size(col("__toks")) >= k,
+          transform(sequence(lit(1), size(col("__toks")) - (k - 1)), i =>
+            concat_ws(" ", (0 until k).map(j =>
+              element_at(col("__toks"), i + lit(j))): _*)))
+          .otherwise(array().cast("array<string>")).as("kg"))
+      .select(col(idCol), col("kg"),
+        transform(col("kg"), g => md5(g)).as("__h"))
+    // sequence(1, 0) would DESCEND, so empty k-gram arrays are guarded
+    val selkeys = when(size(col("kg")) >= 1,
+      array_distinct(transform(sequence(lit(1), size(col("kg"))), p =>
+        array_min(transform(
+          sequence(p, least(p + lit(w - 1), size(col("kg")))), q =>
+          concat(element_at(col("__h"), q),
+            lpad(q.cast("string"), 10, "0")))))))
+      .otherwise(array().cast("array<string>"))
+    kgArr
+      .select(col(idCol), col("kg"), explode(selkeys).as("__selkey"))
+      .select(col(idCol),
+        substring(col("__selkey"), 33, 10).cast("long").as("pos"),
+        element_at(col("kg"),
+          substring(col("__selkey"), 33, 10).cast("int")).as("kgram"),
+        substring(col("__selkey"), 1, 32).as("h"))
+  }
+
+  /** Cross-document shared-span detection over winnowed fingerprints:
+    * pairs of documents sharing >= `minShared` selected k-gram
+    * fingerprints, with the earliest shared position on each side.
+    * EXACT — the join matches on the k-gram TEXT (the md5 is only the
+    * equi-join key), so every reported pair shares >= minShared literal
+    * k-token substrings, and by the winnowing guarantee every pair
+    * sharing a token run of length >= k + w - 1 in >= minShared
+    * selected windows is reported.
+    *
+    * Scale shape: selection is a pure per-row projection
+    * ([[winnowFingerprints]] — no exchange at all on the selection
+    * side); the only corpus-wide shuffle is the fingerprint
+    * equi-join, whose bucket sizes are fingerprint posting lists —
+    * boilerplate k-grams (license headers, nav chrome) make hot
+    * buckets, so `maxBucket` > 0 arms [[SkewGuard.capBuckets]] on the
+    * fingerprint hash exactly like the MinHash band join (drop
+    * semantics; cap sizing guidance there). Output columns:
+    * (a_id, b_id, shared_fps, first_a_pos, first_b_pos). */
+  def winnowSharedSpans(docs: DataFrame, k: Int, w: Int,
+                        minShared: Long = 2L, maxBucket: Int = 0,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val fp = SkewGuard.capBuckets(
+      winnowFingerprints(docs, k, w, textCol, idCol), Seq("h"), maxBucket)
+    val a = fp.select(col(idCol).as("a_id"), col("pos").as("a_pos"),
+      col("kgram").as("__ka"), col("h"))
+    val b = fp.select(col(idCol).as("b_id"), col("pos").as("b_pos"),
+      col("kgram").as("__kb"), col("h").as("__hb"))
+    a.join(b,
+        col("h") === col("__hb") && col("__ka") === col("__kb") &&
+        col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared_fps"),
+        min(col("a_pos")).as("first_a_pos"),
+        min(col("b_pos")).as("first_b_pos"))
+      .filter(col("shared_fps") >= minShared)
+  }
 }

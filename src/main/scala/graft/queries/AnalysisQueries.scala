@@ -588,6 +588,51 @@ object AnalysisQueries extends QueryGroup {
     * token. Explode + two-level hash aggregation (partial map-side
     * combine on (doc, token), then per-doc), all codegen'd; ratios are
     * int64/int64 IEEE divisions so both engines agree bit-for-bit. */
+  /** Gopher-style composite quality rules (Rae et al., "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", 2021, §A1.1 — the published web-corpus filter suite):
+    * per-document rule verdicts for word-count bounds, mean word
+    * length, alphabetic-word ratio, bullet/ellipsis line shares, and
+    * within-doc duplicate-line fraction, plus the conjunction. Every
+    * measure is an array-domain pure projection over the staged token
+    * and line arrays — no explode, no shuffle, one codegen span per
+    * row; the thresholds are Gopher's published ones, not tuned to
+    * the fixture. Complements x_repetition (token-level repetition via
+    * one grouped pass) with the LINE-level duplicate measure Gopher
+    * actually filters on. All divisions are exact int64 counts through
+    * one IEEE division, so both engines compare identical doubles. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(col("__toks")).cast("long")
+    val nLn = size(col("__lines")).cast("long")
+    Tables(spark, dir).documents
+      .select(col("doc_id"), toks.as("__toks"),
+        split(col("text"), "\n").as("__lines"))
+      .select(col("doc_id"),
+        nTok.as("n_tokens"),
+        (aggregate(transform(col("__toks"), t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).cast("double") / nTok.cast("double"))
+          .as("mean_tok_len"),
+        (size(filter(col("__toks"), t => t.rlike("[a-zA-Z]"))).cast("double") /
+          nTok.cast("double")).as("alpha_tok_ratio"),
+        (size(filter(col("__lines"), l => l.rlike("^\\s*[-*•]")))
+          .cast("double") / nLn.cast("double")).as("bullet_line_ratio"),
+        (size(filter(col("__lines"), l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+          .cast("double") / nLn.cast("double")).as("ellipsis_line_ratio"),
+        ((nLn - size(array_distinct(col("__lines")))).cast("double") /
+          nLn.cast("double")).as("dup_line_frac"))
+      .withColumn("r_word_count",
+        col("n_tokens") >= 50L && col("n_tokens") <= 100000L)
+      .withColumn("r_mean_len",
+        col("mean_tok_len") >= 3.0 && col("mean_tok_len") <= 10.0)
+      .withColumn("r_alpha", col("alpha_tok_ratio") >= 0.8)
+      .withColumn("r_bullet", col("bullet_line_ratio") <= 0.9)
+      .withColumn("r_ellipsis", col("ellipsis_line_ratio") <= 0.3)
+      .withColumn("r_dup_lines", col("dup_line_frac") <= 0.3)
+      .withColumn("pass_gopher",
+        col("r_word_count") && col("r_mean_len") && col("r_alpha") &&
+        col("r_bullet") && col("r_ellipsis") && col("r_dup_lines"))
+  }
+
   def repetition(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id"), toks.as("__toks"))
@@ -739,6 +784,7 @@ object AnalysisQueries extends QueryGroup {
     "x_decontaminate"   -> (decontaminate _),
     "x_stratified_sample" -> (stratifiedSample _),
     "x_repetition"      -> (repetition _),
+    "x_gopher_rules"    -> (gopherRules _),
     "x_tfidf_topk"      -> (tfidfTopK _),
     "x_pack_sequences"  -> ((s, d) => packSequences(s, d)),
     "x_mixture_weights" -> (mixtureWeights _),
@@ -1097,6 +1143,40 @@ object AnalysisQueries extends QueryGroup {
          |  CAST(COUNT(*) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
          |  CAST(MAX(c) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS max_tok_share
          |FROM c GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+    // Gopher §A1.1 rules, same exact-int64-counts-through-one-division
+    // arithmetic as the Spark side; lines split on chr(10)
+    "x_gopher_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS tk, string_split(text, chr(10)) AS ln
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    CAST(list_aggregate(list_transform(tk,
+         |      x -> CAST(length(x) AS BIGINT)), 'sum') AS DOUBLE)
+         |      / CAST(len(tk) AS DOUBLE) AS mean_tok_len,
+         |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+         |      / CAST(len(tk) AS DOUBLE) AS alpha_tok_ratio,
+         |    CAST(len(list_filter(ln, x -> regexp_matches(x, '^\\s*[-*•]'))) AS DOUBLE)
+         |      / CAST(len(ln) AS DOUBLE) AS bullet_line_ratio,
+         |    CAST(len(list_filter(ln, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$$'))) AS DOUBLE)
+         |      / CAST(len(ln) AS DOUBLE) AS ellipsis_line_ratio,
+         |    CAST(len(ln) - len(list_distinct(ln)) AS DOUBLE)
+         |      / CAST(len(ln) AS DOUBLE) AS dup_line_frac
+         |  FROM t
+         |)
+         |SELECT m.*,
+         |  (n_tokens >= 50 AND n_tokens <= 100000) AS r_word_count,
+         |  (mean_tok_len >= 3.0 AND mean_tok_len <= 10.0) AS r_mean_len,
+         |  (alpha_tok_ratio >= 0.8) AS r_alpha,
+         |  (bullet_line_ratio <= 0.9) AS r_bullet,
+         |  (ellipsis_line_ratio <= 0.3) AS r_ellipsis,
+         |  (dup_line_frac <= 0.3) AS r_dup_lines,
+         |  (n_tokens >= 50 AND n_tokens <= 100000
+         |    AND mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
+         |    AND alpha_tok_ratio >= 0.8 AND bullet_line_ratio <= 0.9
+         |    AND ellipsis_line_ratio <= 0.3 AND dup_line_frac <= 0.3) AS pass_gopher
+         |FROM m ORDER BY doc_id""".stripMargin,
     "x_tfidf_topk" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($toksSql) AS tok FROM documents

@@ -80,6 +80,18 @@ object DedupQueries extends QueryGroup {
       Dedup.candidatePairsSalted(sigs, maxBucket = 2), 0.8)
   }
 
+  /** Winnowed-fingerprint shared-span report (Schleimer et al.
+    * SIGMOD'03; the candidate generator for Lee-et-al-style exact
+    * substring dedup — scaladoc on [[Dedup.winnowSharedSpans]]). k = 4
+    * token grams, window w = 4: any two docs sharing an exact 7-token
+    * run share a selected fingerprint; pairs sharing >= 2 are
+    * reported with their earliest positions. Unguarded (maxBucket = 0)
+    * so the DuckDB oracle mirrors the full join; production arms the
+    * fingerprint-hash df-cap exactly like the band join. */
+  def winnowSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowSharedSpans(Tables(spark, dir).documents, k = 4, w = 4,
+      minShared = 2L)
+
   /** 48-bit SimHash per document (Dedup.simhashBits). `hashMode` as in
     * [[minhashSigs]]. */
   def simhashes(spark: SparkSession, dir: String): DataFrame =
@@ -402,7 +414,8 @@ object DedupQueries extends QueryGroup {
     "d12_containment_join" -> (containmentJoin _),
     "d12_containment_slice" -> (containmentJoinSlice _),
     "d13_dedup_apply_best" -> (dedupApplyBest _),
-    "d14_incremental_clusters" -> (incrementalClusters _)
+    "d14_incremental_clusters" -> (incrementalClusters _),
+    "d15_winnow_spans" -> (winnowSpans _)
   )
 
   // ---- DuckDB oracles ----
@@ -662,7 +675,42 @@ object DedupQueries extends QueryGroup {
     // then the same exact verify as d11
     "d12_containment_join" -> containmentOracleSql("documents"),
     "d12_containment_slice" -> containmentOracleSql(
-      "(SELECT * FROM documents WHERE doc_id % 2 = 0) d")
+      "(SELECT * FROM documents WHERE doc_id % 2 = 0) d"),
+    // winnowing (k=4, w=4, minShared=2): selection = per-doc window min
+    // of md5(kgram) || zero-padded pos (leftmost-min tie-break — both
+    // engines compare the concatenated string identically); trailing
+    // windows clamp, mirroring Spark's rowsBetween frame. The pair join
+    // matches on the k-gram TEXT (h is only the equi key).
+    "d15_winnow_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents
+         |), kg AS (
+         |  SELECT doc_id, u.pos AS pos, u.kgram AS kgram, md5(u.kgram) AS h FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 1)),
+         |      i -> struct_pack(pos := i,
+         |        kgram := t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS u
+         |    FROM toks)
+         |), sel AS (
+         |  SELECT DISTINCT doc_id,
+         |    min(h || lpad(CAST(pos AS VARCHAR), 10, '0'))
+         |      OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selkey
+         |  FROM kg
+         |), dec AS (
+         |  SELECT doc_id, substr(selkey, 1, 32) AS h,
+         |    CAST(substr(selkey, 33, 10) AS BIGINT) AS pos
+         |  FROM sel
+         |), fp AS (
+         |  SELECT d.doc_id, d.pos, k.kgram, d.h
+         |  FROM dec d JOIN kg k ON k.doc_id = d.doc_id AND k.pos = d.pos
+         |)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(COUNT(*) AS BIGINT) AS shared_fps,
+         |  MIN(a.pos) AS first_a_pos, MIN(b.pos) AS first_b_pos
+         |FROM fp a JOIN fp b
+         |  ON a.h = b.h AND a.kgram = b.kgram AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |ORDER BY a_id, b_id""".stripMargin
   )
 
   /** The d12 oracle parameterized by the source relation, so the raw

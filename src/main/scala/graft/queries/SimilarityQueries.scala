@@ -404,6 +404,37 @@ object SimilarityQueries extends QueryGroup {
     s"${base.stripSuffix("/")}/graft-ann-index-$digest"
   }
 
+  /** IVF threshold screen over the MAINTAINED ANN index
+    * ([[graft.ext.AnnIndex]] — the write/append/compact lifecycle
+    * artifact, distinct from y7's LSH-bucket index): index built once
+    * from the corpus side (vec_id % 5 != 0) via IndexStore.ensure,
+    * probes = the remaining fifth, every (probe, standing) pair with
+    * cosine >= 0.2 in the probe's `nprobe` nearest kept cells —
+    * [[graft.ext.AnnIndex.query]] without the top-k heap, the ingest
+    * question ("is this new vector near ANYTHING standing?").
+    * [[graft.streaming.StreamAnn.againstIndex]] is the streaming twin
+    * (differential spec); nprobe is the recall dial, registered at 1
+    * and 2 against the same parameterized oracle. */
+  def annScreen(spark: SparkSession, dir: String, nprobe: Int = 1): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val idx = graft.core.IndexStore.ensure(spark, ivfIndexPathFor(spark, dir)) {
+      scratch =>
+        graft.ext.AnnIndex.write(emb.filter(col("vec_id") % 5 =!= 0), scratch)
+    }
+    graft.ext.AnnIndex.screen(emb.filter(col("vec_id") % 5 === 0), idx,
+      minCos = 0.2, nprobe = nprobe)
+  }
+
+  /** Per-sf-dir location of the maintained IVF index (y12 / StreamAnn),
+    * beside but distinct from y7's LSH artifact. */
+  private def ivfIndexPathFor(spark: SparkSession, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val base = spark.conf.get("spark.graft.index.dir",
+      sys.props("java.io.tmpdir"))
+    s"${base.stripSuffix("/")}/graft-ivf-index-$digest"
+  }
+
   /** Per-label embedding centroids — the aggregate every retrieval /
     * clustering pipeline needs (class prototypes, IVF seeding, drift
     * monitoring). posexplode to (label, dim, snapped component) rows,
@@ -679,7 +710,10 @@ object SimilarityQueries extends QueryGroup {
     "y10_pq_adc"       -> ((s: SparkSession, d: String) => pqAdc(s, d)),
     "y11_ivf_pq"       -> ((s: SparkSession, d: String) => ivfPqAdc(s, d)),
     "y11_ivf_pq_np2"   -> ((s: SparkSession, d: String) =>
-      ivfPqAdc(s, d, nProbeCells = 2))
+      ivfPqAdc(s, d, nProbeCells = 2)),
+    "y12_ann_screen"   -> ((s: SparkSession, d: String) => annScreen(s, d)),
+    "y12_ann_screen_np2" -> ((s: SparkSession, d: String) =>
+      annScreen(s, d, nprobe = 2))
   )
 
   // ---- DuckDB oracles ----
@@ -739,13 +773,17 @@ object SimilarityQueries extends QueryGroup {
 
   /** The y4 k-means quantizer as SQL (snap → seed pick → assign → one
     * Lloyd step → re-assign), shared by y4_ann_ivf and
-    * y8_semantic_dedup. Ends with `assigned(vec_id, embedding, cell)`. */
-  private val kmeansAssignedCte: String =
-    """WITH sv AS (
+    * y8_semantic_dedup. Ends with `assigned(vec_id, embedding, cell)`.
+    * `srcWhere` restricts the quantizer's INPUT corpus (y12 builds the
+    * index from the corpus side only); empty keeps the whole table —
+    * the emitted SQL is then byte-identical to the pre-parameterized
+    * text every other consumer was checked against. */
+  private def kmeansCteFor(srcWhere: String): String =
+    s"""WITH sv AS (
       |  SELECT vec_id, embedding,
       |    list_transform(embedding,
       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS s
-      |  FROM embeddings
+      |  FROM embeddings$srcWhere
       |), cents0 AS (
       |  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS c_id, cs FROM (
       |    SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, s AS cs
@@ -779,6 +817,8 @@ object SimilarityQueries extends QueryGroup {
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
       |    FROM dists) WHERE rn = 1
       |)""".stripMargin
+
+  private val kmeansAssignedCte: String = kmeansCteFor("")
 
   /** The y11 IVF-PQ oracle skeleton, parameterized by the probed-cell
     * CTE (nprobe=1 reads the argmin assignment; higher settings rank
@@ -1019,6 +1059,43 @@ object SimilarityQueries extends QueryGroup {
         |  CAST(SUM(u.iv) AS BIGINT) AS sum_snapped,
         |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
         |  CAST(SUM(u.iv) AS DOUBLE) / (1000000.0 * COUNT(*)) AS centroid
-        |FROM comp GROUP BY label, u.d ORDER BY label, dim""".stripMargin
+        |FROM comp GROUP BY label, u.d ORDER BY label, dim""".stripMargin,
+    "y12_ann_screen" -> annScreenSql(1),
+    "y12_ann_screen_np2" -> annScreenSql(2)
   )
+
+  /** The y12 oracle, parameterized by nprobe: quantizer over the CORPUS
+    * side only (kmeansCteFor with the vec_id % 5 filter — y12's index
+    * is built from corpus vectors), KEPT cells = cells the final
+    * assignment populates (AnnIndex.buildFrom drops empty-cell
+    * centroids), probes snapped separately and ranked against the kept
+    * centroids by exact int64 L2 with the (dist, c_id) tie-break —
+    * AnnIndex.probeCells' ordering — taking the top nprobe cells. */
+  private def annScreenSql(nprobe: Int): String =
+    s"""${kmeansCteFor(" WHERE vec_id % 5 <> 0")}, kept AS (
+       |  SELECT DISTINCT cell FROM assigned
+       |), ckept AS (
+       |  SELECT c.c_id, c.cs FROM cents c JOIN kept k ON k.cell = c.c_id
+       |), psv AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS s
+       |  FROM embeddings WHERE vec_id % 5 = 0
+       |), pd AS (
+       |  SELECT p.vec_id, p.embedding, c.c_id,
+       |    list_aggregate(list_transform(list_zip(p.s, c.cs),
+       |      q -> (q[1] - q[2]) * (q[1] - q[2])), 'sum') AS dist
+       |  FROM psv p CROSS JOIN ckept c
+       |), passigned AS (
+       |  SELECT vec_id, embedding, c_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
+       |    FROM pd) WHERE rn <= $nprobe
+       |)
+       |SELECT p.vec_id AS probe_id, a.vec_id AS neighbor_id,
+       |  CAST(a.cell AS BIGINT) AS cell,
+       |  ${cosSql("p.embedding", "a.embedding")} AS cos
+       |FROM passigned p JOIN assigned a
+       |  ON a.cell = p.cell AND a.vec_id <> p.vec_id
+       |WHERE ${cosSql("p.embedding", "a.embedding")} >= 0.2
+       |ORDER BY probe_id, neighbor_id""".stripMargin
 }

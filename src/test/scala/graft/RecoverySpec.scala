@@ -121,6 +121,45 @@ class RecoverySpec extends SparkTestBase {
       s"dedup state must survive the restart (doc 2 suppressed): $all")
   }
 
+  test("the streaming ANN screen resumes from checkpoint: exactly-once pairs across restart") {
+    // StreamAnn.againstIndex is stateless like the dedup screen — its
+    // exactly-once story is source offsets + idempotent sink; the
+    // collected-centroid literals must also survive the restart path
+    // (the restarted query re-plans from the same committed index)
+    val dim = 8
+    def vec(seed: Int): Seq[Float] =
+      (0 until dim).map(d => if (d == seed % dim) 1.0f else 0.01f * seed)
+    val corpus = Seq(
+      (1001L, vec(1)), (2001L, vec(2)), (3001L, vec(3)), (4001L, vec(4))
+    ).toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("graft-sann-ckpt-idx").toString + "/ivf"
+    graft.ext.AnnIndex.write(corpus, idx, k = 4)
+    val ckpt = Files.createTempDirectory("graft-sann-ckpt").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val in = MemoryStream[(Long, Seq[Float])]
+    val screen = graft.streaming.StreamAnn.againstIndex(
+      in.toDF().toDF("vec_id", "embedding"), idx, minCos = 0.9)
+    def start() = screen.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("probe_id", "neighbor_id").as[(Long, Long)]
+          .collect().foreach(got.add)
+      }
+      .start()
+    val q1 = start()
+    in.addData((1L, vec(1)))
+    q1.processAllAvailable(); q1.stop()
+    assert(got.toArray(Array.empty[(Long, Long)]).toSeq === Seq((1L, 1001L)))
+    val q2 = start()
+    in.addData((2L, vec(2)))
+    q2.processAllAvailable(); q2.stop()
+    val all = got.toArray(Array.empty[(Long, Long)]).toSeq
+    assert(all.sorted === Seq((1L, 1001L), (2L, 2001L)),
+      s"restart must be exactly-once over the emitted pairs: $all")
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("kafka source wrapper fails with the connector-missing error (jar not bundled here)") {
     // The spark-sql-kafka connector isn't in /opt/spark/jars (zero-egress
     // container); assert the wrapper reaches Kafka source resolution so
