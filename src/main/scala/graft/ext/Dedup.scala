@@ -1018,8 +1018,12 @@ object Dedup {
                         minShared: Long = 2L, maxBucket: Int = 0,
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
-    val fp = SkewGuard.capBuckets(
-      winnowFingerprints(docs, k, w, textCol, idCol), Seq("h"), maxBucket)
+    // the RAW fingerprint frame is persisted (the d3 sigs precedent):
+    // the guard's occupancy aggregate AND both self-join sides read the
+    // cached selection instead of re-scanning the corpus per consumer
+    val raw = graft.core.CacheScope.track(
+      winnowFingerprints(docs, k, w, textCol, idCol).persist())
+    val fp = SkewGuard.capBuckets(raw, Seq("h"), maxBucket)
     val a = fp.select(col(idCol).as("a_id"), col("pos").as("a_pos"),
       col("kgram").as("__ka"), col("h"))
     val b = fp.select(col(idCol).as("b_id"), col("pos").as("b_pos"),

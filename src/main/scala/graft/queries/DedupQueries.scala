@@ -92,6 +92,19 @@ object DedupQueries extends QueryGroup {
     Dedup.winnowSharedSpans(Tables(spark, dir).documents, k = 4, w = 4,
       minShared = 2L)
 
+  /** d15 with the fingerprint df-cap ARMED (maxBucket = 2) and the cap
+    * mirrored in the oracle as a HAVING on the posting lists — the
+    * d3_neardup_capped precedent: the guard's output contract (a pair
+    * survives iff it shares >= minShared SUB-CAP fingerprints) is
+    * hash-checked cross-engine. The cap is deliberately LOW so the
+    * clean synthetic corpus exercises the drop path; production sizes
+    * it to task comfort and it drops only boilerplate k-grams
+    * (license headers, nav chrome), whose spans are exactly the ones
+    * exact-substring dedup does NOT want to act on. */
+  def winnowSpansCapped(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowSharedSpans(Tables(spark, dir).documents, k = 4, w = 4,
+      minShared = 2L, maxBucket = 2)
+
   /** 48-bit SimHash per document (Dedup.simhashBits). `hashMode` as in
     * [[minhashSigs]]. */
   def simhashes(spark: SparkSession, dir: String): DataFrame =
@@ -415,7 +428,8 @@ object DedupQueries extends QueryGroup {
     "d12_containment_slice" -> (containmentJoinSlice _),
     "d13_dedup_apply_best" -> (dedupApplyBest _),
     "d14_incremental_clusters" -> (incrementalClusters _),
-    "d15_winnow_spans" -> (winnowSpans _)
+    "d15_winnow_spans" -> (winnowSpans _),
+    "d15_winnow_capped" -> (winnowSpansCapped _)
   )
 
   // ---- DuckDB oracles ----
@@ -681,37 +695,50 @@ object DedupQueries extends QueryGroup {
     // engines compare the concatenated string identically); trailing
     // windows clamp, mirroring Spark's rowsBetween frame. The pair join
     // matches on the k-gram TEXT (h is only the equi key).
-    "d15_winnow_spans" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, $toksSql AS t FROM documents
-         |), kg AS (
-         |  SELECT doc_id, u.pos AS pos, u.kgram AS kgram, md5(u.kgram) AS h FROM (
-         |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 1)),
-         |      i -> struct_pack(pos := i,
-         |        kgram := t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS u
-         |    FROM toks)
-         |), sel AS (
-         |  SELECT DISTINCT doc_id,
-         |    min(h || lpad(CAST(pos AS VARCHAR), 10, '0'))
-         |      OVER (PARTITION BY doc_id ORDER BY pos
-         |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selkey
-         |  FROM kg
-         |), dec AS (
-         |  SELECT doc_id, substr(selkey, 1, 32) AS h,
-         |    CAST(substr(selkey, 33, 10) AS BIGINT) AS pos
-         |  FROM sel
-         |), fp AS (
-         |  SELECT d.doc_id, d.pos, k.kgram, d.h
-         |  FROM dec d JOIN kg k ON k.doc_id = d.doc_id AND k.pos = d.pos
-         |)
-         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |  CAST(COUNT(*) AS BIGINT) AS shared_fps,
-         |  MIN(a.pos) AS first_a_pos, MIN(b.pos) AS first_b_pos
-         |FROM fp a JOIN fp b
-         |  ON a.h = b.h AND a.kgram = b.kgram AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
-         |ORDER BY a_id, b_id""".stripMargin
+    "d15_winnow_spans" -> winnowSpansSql(maxBucket = 0),
+    // the armed variant: SkewGuard.capBuckets on the fingerprint hash
+    // mirrored as a HAVING on the posting-list occupancy
+    "d15_winnow_capped" -> winnowSpansSql(maxBucket = 2)
   )
+
+  /** The d15 oracle, parameterized by the fingerprint df-cap (0 = the
+    * unguarded join). */
+  private def winnowSpansSql(maxBucket: Int): String = {
+    val fpSrc =
+      if (maxBucket <= 0) "fp"
+      else s"""(SELECT f.* FROM fp f JOIN (
+              |    SELECT h AS ch FROM fp GROUP BY h HAVING COUNT(*) <= $maxBucket
+              |  ) cool ON f.h = cool.ch)""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS t FROM documents
+       |), kg AS (
+       |  SELECT doc_id, u.pos AS pos, u.kgram AS kgram, md5(u.kgram) AS h FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 1)),
+       |      i -> struct_pack(pos := i,
+       |        kgram := t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS u
+       |    FROM toks)
+       |), sel AS (
+       |  SELECT DISTINCT doc_id,
+       |    min(h || lpad(CAST(pos AS VARCHAR), 10, '0'))
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selkey
+       |  FROM kg
+       |), dec AS (
+       |  SELECT doc_id, substr(selkey, 1, 32) AS h,
+       |    CAST(substr(selkey, 33, 10) AS BIGINT) AS pos
+       |  FROM sel
+       |), fp AS (
+       |  SELECT d.doc_id, d.pos, k.kgram, d.h
+       |  FROM dec d JOIN kg k ON k.doc_id = d.doc_id AND k.pos = d.pos
+       |)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(COUNT(*) AS BIGINT) AS shared_fps,
+       |  MIN(a.pos) AS first_a_pos, MIN(b.pos) AS first_b_pos
+       |FROM $fpSrc a JOIN $fpSrc b
+       |  ON a.h = b.h AND a.kgram = b.kgram AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 
   /** The d12 oracle parameterized by the source relation, so the raw
     * and sliced registrations share one SQL body (the slice relation
