@@ -43,26 +43,33 @@ object SkewGuard {
   private val guardSeq = new AtomicLong(0)
 
   /** `rows` filtered to buckets (grouped by `keys`) with occupancy <=
-    * `maxBucket`; `maxBucket <= 0` returns `rows` unchanged. One extra
-    * aggregation + equi-join on the same keys the downstream candidate
-    * join shuffles on — only paid when the guard is active.
+    * `maxBucket`; `maxBucket <= 0` returns `rows` unchanged. Cost when
+    * armed: one aggregation (whose map-side combine reduces the shuffle
+    * to (key, count) pairs) plus a broadcast ANTI-join against the HOT
+    * key set — by the guard's own premise that set is tiny (a handful
+    * of degenerate boilerplate keys), so the data rows themselves are
+    * never reshuffled; the guard is a map-side filter. (The first
+    * formulation equi-joined against the COOL set — nearly every key —
+    * which reshuffled the full input twice; measured 3.5x the
+    * unguarded d15 stage cost at sf0.1 before the flip.)
     *
-    * Armed/unarmed behavioral difference, part of the contract: the
-    * filter is an equi-join, so rows with a NULL in any key column are
-    * dropped when the guard is armed but passed through when it is off.
-    * Every in-repo caller feeds the capped frame to a downstream
-    * candidate EQUI-join on the same keys — which drops null-keyed rows
-    * itself — so pair output is unaffected; a caller using the capped
-    * frame for anything else must treat null-keyed rows as filtered.
-    * The `null_key_rows` observe metric counts them so the difference
-    * is auditable, not silent. */
+    * Armed/unarmed behavioral difference, part of the contract: rows
+    * with a NULL in any key column are dropped when the guard is armed
+    * (explicit filter — an anti-join alone would pass them) but passed
+    * through when it is off. Every in-repo caller feeds the capped
+    * frame to a downstream candidate EQUI-join on the same keys —
+    * which drops null-keyed rows itself — so pair output is
+    * unaffected; a caller using the capped frame for anything else
+    * must treat null-keyed rows as filtered. The `null_key_rows`
+    * observe metric counts them so the difference is auditable, not
+    * silent. */
   def capBuckets(rows: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
     if (maxBucket <= 0) rows
     else {
       val keyCols = keys.map(col)
       val anyKeyNull = keyCols.map(_.isNull).reduce(_ || _)
       val name = s"graft_skew_guard_${guardSeq.incrementAndGet()}"
-      val cool = rows.groupBy(keyCols: _*).agg(count(lit(1)).as("__bucket_n"))
+      val hot = rows.groupBy(keyCols: _*).agg(count(lit(1)).as("__bucket_n"))
         .observe(name,
           sum(when(col("__bucket_n") > maxBucket, 1L).otherwise(0L))
             .as("buckets_dropped"),
@@ -70,9 +77,10 @@ object SkewGuard {
             .otherwise(0L)).as("rows_dropped"),
           sum(when(anyKeyNull, col("__bucket_n")).otherwise(0L))
             .as("null_key_rows"))
-        .filter(col("__bucket_n") <= maxBucket)
+        .filter(col("__bucket_n") > maxBucket)
         .select(keyCols: _*)
-      rows.join(cool, keys)
+      rows.filter(keyCols.map(_.isNotNull).reduce(_ && _))
+        .join(hot, keys, "left_anti")
     }
 
   /** Recall-PRESERVING hot-bucket handling for bucket-keyed candidate

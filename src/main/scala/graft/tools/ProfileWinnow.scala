@@ -30,8 +30,10 @@ object ProfileWinnow {
       graft.core.CacheScope.releaseAll()
       println(f"[winnow] $label: pairs=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    run(s"df-cap $cap", cap)
+    // first run absorbs JIT/codegen warmup — discard its timing
+    run("warmup (unguarded)", 0)
     run("unguarded", 0)
+    run(s"df-cap $cap", cap)
     spark.stop()
   }
 }
