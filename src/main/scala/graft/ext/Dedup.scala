@@ -1014,6 +1014,87 @@ object Dedup {
     * fingerprint hash exactly like the MinHash band join (drop
     * semantics; cap sizing guidance there). Output columns:
     * (a_id, b_id, shared_fps, first_a_pos, first_b_pos). */
+  /** Maximal VERIFIED shared-span extents — the step after
+    * [[winnowSharedSpans]]'s pair report that exact-substring dedup
+    * (Lee et al. ACL'22) actually acts on: WHERE the duplicated run
+    * sits in each document, so a curation pass can drop or trim it.
+    *
+    * Construction: matched fingerprint anchors (exact k-gram equality,
+    * as in winnowSharedSpans) live on a DIAGONAL b_pos - a_pos that is
+    * constant across one contiguous shared run. Per (pair, diagonal),
+    * anchors whose position gaps are <= w are merged gaps-and-islands
+    * style (inside a true shared run winnowing selects an anchor in
+    * every w-window, so consecutive matched anchors are at most w
+    * apart); each island becomes a candidate extent
+    * [min anchor, max anchor + k - 1].
+    *
+    * Exactness: for merge gap w <= k (the default here) extents are
+    * exact BY CONSTRUCTION — two matched anchors p, q with q - p <= w
+    * <= k carry k-gram matches [p, p+k-1] and [q, q+k-1] whose union
+    * covers every token in [p, q+k-1], so by induction an island's
+    * whole extent is covered by matched (identical, same-diagonal)
+    * k-grams. Equivalently: one differing token invalidates the k
+    * k-grams covering it, leaving an anchor gap >= k+1 > w, so islands
+    * can never bridge a difference. The token-slice comparison against
+    * both documents is therefore a cheap certified-output invariant
+    * (and the safety net if a caller overrides the gap above k), not a
+    * recall filter; the spec pins both the coverage and the
+    * no-bridging behavior.
+    *
+    * Scale shape: selection is the shuffle-free projection; anchors
+    * are the d15 equi-join; the island window repartitions only the
+    * ANCHOR rows (bounded by shared-fingerprint mass, not the corpus);
+    * verification joins extents back to the two token arrays by id.
+    * Output: (a_id, b_id, a_start, a_end, b_start, b_end, span_len,
+    * n_anchors), token positions 1-based inclusive. */
+  def winnowSpanExtents(docs: DataFrame, k: Int, w: Int,
+                        minLen: Long, maxBucket: Int = 0,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val toksFrame = graft.core.CacheScope.track(
+      docs.select(col(idCol), split(col(textCol), "\\s+").as("__t")).persist())
+    val raw = graft.core.CacheScope.track(
+      winnowFingerprints(docs, k, w, textCol, idCol).persist())
+    val fp = SkewGuard.capBuckets(raw, Seq("h"), maxBucket)
+    val a = fp.select(col(idCol).as("a_id"), col("pos").as("a_pos"),
+      col("kgram").as("__ka"), col("h"))
+    val b = fp.select(col(idCol).as("b_id"), col("pos").as("b_pos"),
+      col("kgram").as("__kb"), col("h").as("__hb"))
+    val anchors = a.join(b,
+        col("h") === col("__hb") && col("__ka") === col("__kb") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_pos"), col("b_pos"),
+        (col("b_pos") - col("a_pos")).as("__diag"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id"), col("b_id"), col("__diag"))
+      .orderBy(col("a_pos"))
+    val prev = lag(col("a_pos"), 1).over(wOrd)
+    val isl = anchors
+      .withColumn("__new",
+        when(prev.isNull || col("a_pos") - prev > w, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(wOrd.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+    val ext = isl
+      .groupBy(col("a_id"), col("b_id"), col("__diag"), col("__island"))
+      .agg(min(col("a_pos")).as("a_start"),
+        (max(col("a_pos")) + lit(k - 1)).as("a_end"),
+        count(lit(1)).as("n_anchors"))
+      .withColumn("b_start", col("a_start") + col("__diag"))
+      .withColumn("b_end", col("a_end") + col("__diag"))
+      .withColumn("span_len", col("a_end") - col("a_start") + 1)
+      .filter(col("span_len") >= minLen)
+    ext
+      .join(toksFrame.select(col(idCol).as("a_id"), col("__t").as("__ta")), "a_id")
+      .join(toksFrame.select(col(idCol).as("b_id"), col("__t").as("__tb")), "b_id")
+      .filter(slice(col("__ta"), col("a_start").cast("int"),
+          col("span_len").cast("int")) ===
+        slice(col("__tb"), col("b_start").cast("int"),
+          col("span_len").cast("int")))
+      .select(col("a_id"), col("b_id"), col("a_start"), col("a_end"),
+        col("b_start"), col("b_end"), col("span_len"), col("n_anchors"))
+  }
+
   def winnowSharedSpans(docs: DataFrame, k: Int, w: Int,
                         minShared: Long = 2L, maxBucket: Int = 0,
                         textCol: String = "text",

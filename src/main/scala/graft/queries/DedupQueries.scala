@@ -105,6 +105,15 @@ object DedupQueries extends QueryGroup {
     Dedup.winnowSharedSpans(Tables(spark, dir).documents, k = 4, w = 4,
       minShared = 2L, maxBucket = 2)
 
+  /** Verified shared-span EXTENTS (scaladoc on
+    * [[Dedup.winnowSpanExtents]]): where each duplicated run sits in
+    * both docs, slice-verified so every row is a literal identical
+    * token run. minLen = k + w - 1 = 7, the winnowing detection
+    * guarantee threshold. */
+  def winnowExtents(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowSpanExtents(Tables(spark, dir).documents, k = 4, w = 4,
+      minLen = 7L)
+
   /** 48-bit SimHash per document (Dedup.simhashBits). `hashMode` as in
     * [[minhashSigs]]. */
   def simhashes(spark: SparkSession, dir: String): DataFrame =
@@ -429,7 +438,8 @@ object DedupQueries extends QueryGroup {
     "d13_dedup_apply_best" -> (dedupApplyBest _),
     "d14_incremental_clusters" -> (incrementalClusters _),
     "d15_winnow_spans" -> (winnowSpans _),
-    "d15_winnow_capped" -> (winnowSpansCapped _)
+    "d15_winnow_capped" -> (winnowSpansCapped _),
+    "d16_winnow_extents" -> (winnowExtents _)
   )
 
   // ---- DuckDB oracles ----
@@ -698,17 +708,49 @@ object DedupQueries extends QueryGroup {
     "d15_winnow_spans" -> winnowSpansSql(maxBucket = 0),
     // the armed variant: SkewGuard.capBuckets on the fingerprint hash
     // mirrored as a HAVING on the posting-list occupancy
-    "d15_winnow_capped" -> winnowSpansSql(maxBucket = 2)
+    "d15_winnow_capped" -> winnowSpansSql(maxBucket = 2),
+    // extents: anchors -> per-(pair, diagonal) gaps-and-islands merge
+    // (LAG + running-sum windows, gap <= w = 4) -> slice-verified
+    // literal token runs; minLen = 7 = k + w - 1
+    "d16_winnow_extents" ->
+      s"""$winnowFpCte, anch AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS a_pos,
+         |    b.pos AS b_pos, b.pos - a.pos AS diag
+         |  FROM fp a JOIN fp b
+         |    ON a.h = b.h AND a.kgram = b.kgram AND a.doc_id < b.doc_id
+         |), lagged AS (
+         |  SELECT *, LAG(a_pos) OVER (PARTITION BY a_id, b_id, diag
+         |    ORDER BY a_pos) AS prev
+         |  FROM anch
+         |), isl AS (
+         |  SELECT *, SUM(CASE WHEN prev IS NULL OR a_pos - prev > 4
+         |      THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY a_id, b_id, diag ORDER BY a_pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM lagged
+         |), ext AS (
+         |  SELECT a_id, b_id, diag, island,
+         |    MIN(a_pos) AS a_start, MAX(a_pos) + 3 AS a_end,
+         |    CAST(COUNT(*) AS BIGINT) AS n_anchors
+         |  FROM isl GROUP BY 1, 2, 3, 4
+         |), spans AS (
+         |  SELECT a_id, b_id, a_start, a_end, a_start + diag AS b_start,
+         |    a_end + diag AS b_end, a_end - a_start + 1 AS span_len, n_anchors
+         |  FROM ext WHERE a_end - a_start + 1 >= 7
+         |)
+         |SELECT s.a_id, s.b_id, s.a_start, s.a_end, s.b_start, s.b_end,
+         |  s.span_len, s.n_anchors
+         |FROM spans s
+         |JOIN toks ta ON ta.doc_id = s.a_id
+         |JOIN toks tb ON tb.doc_id = s.b_id
+         |WHERE list_slice(ta.t, s.a_start, s.a_end) =
+         |      list_slice(tb.t, s.b_start, s.b_end)
+         |ORDER BY a_id, b_id, a_start, b_start""".stripMargin
   )
 
-  /** The d15 oracle, parameterized by the fingerprint df-cap (0 = the
-    * unguarded join). */
-  private def winnowSpansSql(maxBucket: Int): String = {
-    val fpSrc =
-      if (maxBucket <= 0) "fp"
-      else s"""(SELECT f.* FROM fp f JOIN (
-              |    SELECT h AS ch FROM fp GROUP BY h HAVING COUNT(*) <= $maxBucket
-              |  ) cool ON f.h = cool.ch)""".stripMargin
+  /** The shared toks -> kg -> winnowed-selection -> fp CTE chain of the
+    * d15/d16 oracles (k = 4, w = 4, unguarded). */
+  private val winnowFpCte: String =
     s"""WITH toks AS (
        |  SELECT doc_id, $toksSql AS t FROM documents
        |), kg AS (
@@ -730,7 +772,17 @@ object DedupQueries extends QueryGroup {
        |), fp AS (
        |  SELECT d.doc_id, d.pos, k.kgram, d.h
        |  FROM dec d JOIN kg k ON k.doc_id = d.doc_id AND k.pos = d.pos
-       |)
+       |)""".stripMargin
+
+  /** The d15 oracle, parameterized by the fingerprint df-cap (0 = the
+    * unguarded join). */
+  private def winnowSpansSql(maxBucket: Int): String = {
+    val fpSrc =
+      if (maxBucket <= 0) "fp"
+      else s"""(SELECT f.* FROM fp f JOIN (
+              |    SELECT h AS ch FROM fp GROUP BY h HAVING COUNT(*) <= $maxBucket
+              |  ) cool ON f.h = cool.ch)""".stripMargin
+    s"""$winnowFpCte
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |  CAST(COUNT(*) AS BIGINT) AS shared_fps,
        |  MIN(a.pos) AS first_a_pos, MIN(b.pos) AS first_b_pos

@@ -107,6 +107,96 @@ class WinnowSpec extends SparkTestBase {
     assert(prod.nonEmpty)
   }
 
+  private def extents(df: DataFrame, minLen: Long = 7L) =
+    Dedup.winnowSpanExtents(df, k, w, minLen)
+      .select(col("a_id"), col("b_id"), col("a_start"), col("a_end"),
+        col("b_start"), col("b_end"), col("span_len"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+
+  test("extents: a single shared run is recovered on its diagonal") {
+    // 20-token shared run: doc 1 at tokens 4..23, doc 2 at 3..22.
+    // Interior windows guarantee matched anchors with gaps <= w whose
+    // first is <= run_start + w - 1 and last is >= run_end - k - w + 2,
+    // so ONE island covering most of the run must come back.
+    val shared = (0 until 20).map(i => s"s$i").mkString(" ")
+    val d = docs(
+      1L -> s"a1 a2 a3 $shared t1 t2",
+      2L -> s"b1 b2 $shared u1 u2 u3")
+    val got = extents(d)
+    assert(got.size === 1, s"one island expected: $got")
+    val (aId, bId, aS, aE, bS, bE, len) = got.head
+    assert((aId, bId) === (1L, 2L))
+    assert(aS >= 4 && aS <= 7, "first anchor within w of the run start")
+    assert(aE >= 20 && aE <= 23, "last anchor k-gram reaches the run tail")
+    assert(bS - aS === -1 && bE - aE === -1, "one diagonal, one offset")
+    assert(len >= 14 && len <= 20)
+  }
+
+  test("extents: identical docs merge to one near-full-doc island") {
+    val text = (0 until 40).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> text, 2L -> text)
+    val got = extents(d)
+    assert(got.size === 1)
+    val (_, _, aS, aE, bS, bE, len) = got.head
+    // first selected anchor is within the first window, the last
+    // within the trailing one; diagonal 0
+    assert(aS >= 1 && aS <= w)
+    assert(aE >= 40 - w + 1 && aE <= 40)
+    assert(aS === bS && aE === bE)
+    assert(len >= 40 - 2 * (w - 1) && len <= 40)
+  }
+
+  test("extents: runs separated by differing text yield separate islands") {
+    // same diagonal (equal-length differing gaps); islands must not
+    // bridge the difference
+    val run1 = (0 until 20).map(i => s"p$i").mkString(" ")
+    val run2 = (0 until 20).map(i => s"q$i").mkString(" ")
+    val gapA = (0 until 12).map(i => s"ga$i").mkString(" ")
+    val gapB = (0 until 12).map(i => s"gb$i").mkString(" ")
+    val d = docs(
+      1L -> s"$run1 $gapA $run2",
+      2L -> s"$run1 $gapB $run2")
+    val got = extents(d)
+    assert(got.size === 2, s"expected two islands, got $got")
+    assert(got.forall { case (_, _, _, _, _, _, len) => len <= 20 },
+      "no island may span the differing gap")
+  }
+
+  test("extents: one differing token splits the island (no bridging)") {
+    // a single substituted token invalidates the k k-grams covering it,
+    // leaving an anchor gap >= k+1 > w — the no-bridging half of the
+    // exactness argument; each side's island stays <= its sub-run
+    val a = (0 until 20).map(i => s"c$i").mkString(" ")
+    val b = (0 until 20).map(i => s"d$i").mkString(" ")
+    val d = docs(
+      1L -> s"$a MID1 $b",
+      2L -> s"$a MID2 $b")
+    val got = extents(d)
+    assert(got.size === 2, s"expected an island per side, got $got")
+    assert(got.forall { case (_, _, _, _, _, _, len) => len <= 20 },
+      s"an island bridged the differing token: $got")
+  }
+
+  test("extents: every emitted extent is a literal identical token slice") {
+    // the certified-output invariant, checked on real corpus text by
+    // re-slicing both documents
+    val real = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val toks = real.select(col("doc_id"),
+      split(col("text"), "\\s+").as("t"))
+    val ext = Dedup.winnowSpanExtents(real, k, w, minLen = 7L)
+    val joined = ext
+      .join(toks.select(col("doc_id").as("a_id"), col("t").as("ta")), "a_id")
+      .join(toks.select(col("doc_id").as("b_id"), col("t").as("tb")), "b_id")
+    val n = joined.count()
+    val nExact = joined.filter(
+      slice(col("ta"), col("a_start").cast("int"), col("span_len").cast("int")) ===
+      slice(col("tb"), col("b_start").cast("int"), col("span_len").cast("int")))
+      .count()
+    assert(n > 0, "fixture should contain shared spans")
+    assert(nExact === n, "every extent must be a literal identical run")
+  }
+
   test("maxBucket arms the df-cap on hot fingerprints (drop semantics)") {
     // 20 docs all containing the same boilerplate run -> its selected
     // fingerprints have df 20; two docs additionally share a private
