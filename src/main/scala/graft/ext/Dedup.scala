@@ -229,6 +229,66 @@ object Dedup {
         col("n_common").cast("double") / denom.cast("double")).otherwise(0.0))
   }
 
+  /** In-engine recall/precision audit of the MinHash-LSH candidate
+    * stage — the measurement operator behind trusting [[candidatePairs]]
+    * at scale. Before shipping a dedup run over 100 TB you need a NUMBER
+    * for what the banding misses; this computes it inside the engine, on
+    * the same shingle/signature code the production pipeline runs, so
+    * the audited recall is the deployed recall, not a paper estimate.
+    *
+    * Ground truth is COMPLETE for the audited threshold: any pair with
+    * Jaccard ≥ minJaccard > 0 shares at least one shingle, so the
+    * truth-candidate set "pairs sharing ≥ 1 shingle" (inverted-index
+    * equi-join on the shingle, never all-pairs) provably contains every
+    * qualifying pair; exact-Jaccard verification then filters it to the
+    * truth set. LSH candidates come from the unmodified production
+    * [[candidatePairs]]. One summary row:
+    *   n_docs, n_true (truth pairs), n_candidates (LSH pairs),
+    *   n_found (truth ∩ LSH — also exactly the d3 OUTPUT, since verify
+    *   keeps candidates iff they qualify), recall = n_found / n_true,
+    *   precision = n_found / n_candidates (the verify stage's hit rate,
+    *   i.e. what fraction of verify work is productive).
+    *
+    * Scale contract: the overlap join's cost is Σ df(shingle)² — the
+    * exact quadratic LSH banding exists to avoid — so the audit runs on
+    * a SAMPLED SLICE, never the raw corpus (the d17 registration slices
+    * doc_id % 2 = 0; a 100 TB corpus audits a ~1e-4 hash slice). A
+    * uniform doc slice estimates pair recall without bias only when
+    * duplicate pairs are exchangeable across the slice boundary — true
+    * for hash slicing; band-stratified slicing would overestimate.
+    * Deterministic under md5 mode, hence DuckDB-oracle-checkable
+    * end-to-end. */
+  def lshRecallAudit(docs: DataFrame, minJaccard: Double = 0.8,
+                     idCol: String = "doc_id"): DataFrame = {
+    val sh = graft.core.CacheScope.track(shingleFrame(docs, idCol = idCol).persist())
+    val ex = sh.select(col(idCol), explode(col("sh")).as("__s"))
+    val overlap = ex.select(col(idCol).as("a_id"), col("__s"))
+      .join(ex.select(col(idCol).as("b_id"), col("__s").as("__s_b")),
+        col("__s") === col("__s_b") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val truth = graft.core.CacheScope.track(
+      verifyJaccardOnShingles(sh, overlap, minJaccard, idCol)
+        .select(col("a_id"), col("b_id")).persist())
+    val cand = graft.core.CacheScope.track(
+      candidatePairs(signaturesFromShingles(sh, idCol), idCol).persist())
+    val found = truth.join(cand, Seq("a_id", "b_id"))
+    // four 1-row aggregates crossJoined (each side broadcast-sized by
+    // construction), then the two ratios; divisions guarded to 1.0 on
+    // empty denominators (an empty audit slice is a vacuous pass)
+    sh.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .withColumn("recall",
+        when(col("n_true") > 0,
+          col("n_found").cast("double") / col("n_true").cast("double"))
+          .otherwise(1.0))
+      .withColumn("precision",
+        when(col("n_candidates") > 0,
+          col("n_found").cast("double") / col("n_candidates").cast("double"))
+          .otherwise(1.0))
+  }
+
   /** COMPLETE-recall containment join via prefix filtering (the
     * AllPairs/PPJoin family) — the exact-asymmetric path that closes
     * [[verifyContainmentOnShingles]]'s documented LSH recall gap.

@@ -114,6 +114,17 @@ object DedupQueries extends QueryGroup {
     Dedup.winnowSpanExtents(Tables(spark, dir).documents, k = 4, w = 4,
       minLen = 7L)
 
+  /** LSH recall/precision audit ([[Dedup.lshRecallAudit]]) over the
+    * doc_id % 2 audit slice — the slice keeps the complete-truth
+    * overlap join (Σ df² — the quadratic LSH exists to avoid) bounded
+    * regardless of parent corpus size, the same operating-mode
+    * precedent as d12_containment_slice. One summary row whose recall/
+    * precision numbers are themselves hash-checked cross-engine: the
+    * audit that certifies the d3 pipeline is certified too. */
+  def lshRecallAudit(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshRecallAudit(
+      Tables(spark, dir).documents.filter(col("doc_id") % 2 === 0), 0.8)
+
   /** 48-bit SimHash per document (Dedup.simhashBits). `hashMode` as in
     * [[minhashSigs]]. */
   def simhashes(spark: SparkSession, dir: String): DataFrame =
@@ -439,7 +450,8 @@ object DedupQueries extends QueryGroup {
     "d14_incremental_clusters" -> (incrementalClusters _),
     "d15_winnow_spans" -> (winnowSpans _),
     "d15_winnow_capped" -> (winnowSpansCapped _),
-    "d16_winnow_extents" -> (winnowExtents _)
+    "d16_winnow_extents" -> (winnowExtents _),
+    "d17_lsh_recall_audit" -> (lshRecallAudit _)
   )
 
   // ---- DuckDB oracles ----
@@ -745,7 +757,64 @@ object DedupQueries extends QueryGroup {
          |JOIN toks tb ON tb.doc_id = s.b_id
          |WHERE list_slice(ta.t, s.a_start, s.a_end) =
          |      list_slice(tb.t, s.b_start, s.b_end)
-         |ORDER BY a_id, b_id, a_start, b_start""".stripMargin
+         |ORDER BY a_id, b_id, a_start, b_start""".stripMargin,
+    // LSH recall/precision audit on the doc_id % 2 slice: truth = pairs
+    // sharing >= 1 shingle (complete for J > 0) filtered to exact
+    // Jaccard >= 0.8; candidates = the d3 banding, mirrored from
+    // sigsCte but rebased onto the slice; found = truth ∩ candidates.
+    // Ratios guarded to 1.0 on empty denominators, matching the Spark
+    // side bit-for-bit (same small-int IEEE divisions both engines).
+    "d17_lsh_recall_audit" ->
+      s"""WITH sliced AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+         |), shingled AS (
+         |  SELECT doc_id, $shSql AS sh FROM sliced
+         |), sigs AS (
+         |  SELECT doc_id, ${sigSql(0)} AS sig0, ${sigSql(1)} AS sig1,
+         |         ${sigSql(2)} AS sig2, ${sigSql(3)} AS sig3
+         |  FROM shingled
+         |), banded AS (
+         |  SELECT doc_id, md5(sig0 || sig1) AS band0, md5(sig2 || sig3) AS band1
+         |  FROM sigs
+         |), bands AS (
+         |  SELECT doc_id, 0 AS band_idx, band0 AS band_hash FROM banded
+         |  UNION ALL
+         |  SELECT doc_id, 1, band1 FROM banded
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id
+         |), ex AS (
+         |  SELECT doc_id, unnest(sh) AS s FROM shingled
+         |), overlap AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |), truth AS (
+         |  SELECT a_id, b_id FROM overlap
+         |  JOIN shingled sa ON sa.doc_id = a_id
+         |  JOIN shingled sb ON sb.doc_id = b_id
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |    CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+         |         AS DOUBLE) >= 0.8
+         |), found AS (
+         |  SELECT t.a_id, t.b_id FROM truth t
+         |  JOIN cand c ON t.a_id = c.a_id AND t.b_id = c.b_id
+         |), agg AS (
+         |  SELECT
+         |    (SELECT COUNT(*) FROM shingled) AS n_docs,
+         |    (SELECT COUNT(*) FROM truth) AS n_true,
+         |    (SELECT COUNT(*) FROM cand) AS n_candidates,
+         |    (SELECT COUNT(*) FROM found) AS n_found
+         |)
+         |SELECT n_docs, n_true, n_candidates, n_found,
+         |  CASE WHEN n_true > 0
+         |    THEN CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE)
+         |    ELSE 1.0 END AS recall,
+         |  CASE WHEN n_candidates > 0
+         |    THEN CAST(n_found AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+         |    ELSE 1.0 END AS precision
+         |FROM agg""".stripMargin
   )
 
   /** The shared toks -> kg -> winnowed-selection -> fp CTE chain of the

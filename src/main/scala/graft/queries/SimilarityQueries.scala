@@ -694,6 +694,40 @@ object SimilarityQueries extends QueryGroup {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** Cell-balanced diversity subsample — the embedding-space analog of
+    * the x-tier's stratified/balanced samplers, and the selection step
+    * semantic curation pipelines run after dedup: cap every
+    * hyperplane-LSH cell (the y3 partitioning of embedding space) at
+    * `m` vectors, chosen uniformly-but-deterministically within the
+    * cell (rank by md5 of vec_id — the repo's standard engine-neutral
+    * pseudo-random key). Dense regions are downsampled hard, sparse
+    * regions survive intact, so the kept set covers the embedding
+    * space instead of mirroring its density — the motivation behind
+    * cluster-balanced data selection (SemDeDup-style pruning reported
+    * in Abbas et al., arXiv:2303.09540, reduces to exactly this shape
+    * once near-dups are gone). Scale: the per-cell cap runs on the
+    * bounded-heap TopKPerKey exec (no cell-sized sort window) and the
+    * only shuffles are the two bucket-keyed exchanges (top-m + the
+    * occupancy agg AQE reuses); nPlanes is the y3 scale knob — 2^8
+    * cells suit the test corpus, a 100 TB corpus raises it
+    * logarithmically so cells stay cache-sized. `n_cell` (pre-cap
+    * occupancy) rides along per kept row — the observability a
+    * curation report needs to show WHAT was downsampled. */
+  def cellBalancedSample(spark: SparkSession, dir: String,
+                         nPlanes: Int = 8, m: Int = 8): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val bucketed = emb.select(col("vec_id"),
+        Similarity.lshBucket(Similarity.snapVec(col("embedding")), nPlanes, 64)
+          .as("bucket"))
+      .withColumn("pick", md5(col("vec_id").cast("string")))
+    val kept = graft.ops.TopK.perKey(bucketed, Seq("bucket"),
+      Seq("pick" -> false, "vec_id" -> false), m)
+    val occ = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("n_cell"))
+    kept.join(occ, "bucket")
+      .select(col("vec_id"), col("bucket"), col("n_cell"))
+      .orderBy(col("vec_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "y1_cosine_topk"   -> (cosineTopK _),
     "y2_embed_neardup" -> (embedNearDup _),
@@ -713,7 +747,9 @@ object SimilarityQueries extends QueryGroup {
       ivfPqAdc(s, d, nProbeCells = 2)),
     "y12_ann_screen"   -> ((s: SparkSession, d: String) => annScreen(s, d)),
     "y12_ann_screen_np2" -> ((s: SparkSession, d: String) =>
-      annScreen(s, d, nprobe = 2))
+      annScreen(s, d, nprobe = 2)),
+    "y13_cell_balanced_sample" -> ((s: SparkSession, d: String) =>
+      cellBalancedSample(s, d))
   )
 
   // ---- DuckDB oracles ----
@@ -1061,7 +1097,24 @@ object SimilarityQueries extends QueryGroup {
         |  CAST(SUM(u.iv) AS DOUBLE) / (1000000.0 * COUNT(*)) AS centroid
         |FROM comp GROUP BY label, u.d ORDER BY label, dim""".stripMargin,
     "y12_ann_screen" -> annScreenSql(1),
-    "y12_ann_screen_np2" -> annScreenSql(2)
+    "y12_ann_screen_np2" -> annScreenSql(2),
+    // cell-balanced diversity subsample: same bucket mirror as y3,
+    // per-cell rank by the md5 pseudo-random key (ties impossible —
+    // pick is unique per vec_id), cap at m = 8, pre-cap occupancy via
+    // a count window
+    "y13_cell_balanced_sample" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, $bucketSql AS bucket,
+         |         md5(CAST(vec_id AS VARCHAR)) AS pick
+         |  FROM embeddings
+         |), ranked AS (
+         |  SELECT vec_id, bucket,
+         |    row_number() OVER (PARTITION BY bucket ORDER BY pick, vec_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY bucket) AS n_cell
+         |  FROM bucketed
+         |)
+         |SELECT vec_id, bucket, n_cell FROM ranked
+         |WHERE rn <= 8 ORDER BY vec_id""".stripMargin
   )
 
   /** The y12 oracle, parameterized by nprobe: quantizer over the CORPUS
