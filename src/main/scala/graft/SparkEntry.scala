@@ -20,7 +20,8 @@ object SparkEntry {
     StatefulQueries,
     AnalysisQueries,
     DedupQueries,
-    SimilarityQueries
+    SimilarityQueries,
+    SelectionQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -11,8 +11,8 @@ import graft.functions.RollingHash.rolling_hash
   */
 object AnalysisQueries extends QueryGroup {
 
-  private def toks = split(col("text"), "\\s+")
-  private val toksSql = "string_split_regex(text, '\\s+')"
+  private[queries] def toks = split(col("text"), "\\s+")
+  private[queries] val toksSql = "string_split_regex(text, '\\s+')"
   private[queries] def sqlIn(words: Seq[String]) =
     // '' -escape embedded quotes: safe for the static stopword list, and
     // keeps any future corpus-derived caller from generating broken (or
@@ -810,6 +810,41 @@ object AnalysisQueries extends QueryGroup {
       ((s: SparkSession, d: String) => qualityClassifier(s, d))
   )
 
+  /** The x_lm_score CTE chain ending in `lmq(doc_id, n_bigrams,
+    * lm_score)` — the ONE SQL-side definition of the per-doc bigram LM
+    * score, shared by the x_lm_score oracle and SelectionQueries'
+    * perplexity-bucket oracle (which re-ranks the same scores). */
+  private[queries] val lmCte: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents
+       |), bg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
+       |  FROM t
+       |), docbg AS (
+       |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM bg GROUP BY 1, 2, 3
+       |), cb AS (
+       |  SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS cb FROM docbg GROUP BY 1, 2
+       |), cu AS (
+       |  SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM cb GROUP BY 1
+       |), b AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM cb
+       |), q AS (
+       |  SELECT d.doc_id, d.c,
+       |    CAST(floor(CAST(cb.cb + 1 AS DOUBLE) / CAST(cu.cu + b.nb AS DOUBLE)
+       |      * 1000000000000.0 + 0.5) AS BIGINT) AS pq
+       |  FROM docbg d
+       |  JOIN cb ON d.w1 = cb.w1 AND d.w2 = cb.w2
+       |  JOIN cu ON d.w1 = cu.w1
+       |  CROSS JOIN b
+       |), lmq AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       |    CAST(CAST(SUM(c * pq) AS BIGINT) AS DOUBLE)
+       |      / (CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) * 1000000000000.0) AS lm_score
+       |  FROM q GROUP BY doc_id
+       |)""".stripMargin
+
   /** The 3 Bloom bit positions of an n-gram string column/expr — SQL
     * valid on Spark AND DuckDB (hexValSql), m = 2^18. */
   private def bloomPosSql(j: Int, ng: String): String =
@@ -1213,34 +1248,8 @@ object AnalysisQueries extends QueryGroup {
          |       array_to_string(ck, ' ') AS chunk_text
          |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     "x_lm_score" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, $toksSql AS toks FROM documents
-         |), bg AS (
-         |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-         |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
-         |  FROM t
-         |), docbg AS (
-         |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM bg GROUP BY 1, 2, 3
-         |), cb AS (
-         |  SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS cb FROM docbg GROUP BY 1, 2
-         |), cu AS (
-         |  SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM cb GROUP BY 1
-         |), b AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM cb
-         |), q AS (
-         |  SELECT d.doc_id, d.c,
-         |    CAST(floor(CAST(cb.cb + 1 AS DOUBLE) / CAST(cu.cu + b.nb AS DOUBLE)
-         |      * 1000000000000.0 + 0.5) AS BIGINT) AS pq
-         |  FROM docbg d
-         |  JOIN cb ON d.w1 = cb.w1 AND d.w2 = cb.w2
-         |  JOIN cu ON d.w1 = cu.w1
-         |  CROSS JOIN b
-         |)
-         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
-         |  CAST(CAST(SUM(c * pq) AS BIGINT) AS DOUBLE)
-         |    / (CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) * 1000000000000.0) AS lm_score
-         |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""$lmCte
+         |SELECT doc_id, n_bigrams, lm_score FROM lmq ORDER BY doc_id""".stripMargin,
     "x_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  substr(hex(encode(text)), 1, 16) AS header_hex,

@@ -268,7 +268,109 @@ object RelationalQueries extends QueryGroup {
         |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
   }
 
+  /** TPC-H Q4-style order-priority check, adapted to this schema (no
+    * commit/receipt dates): count 1997 orders per priority having at
+    * least one lineitem shipped more than 60 days after the order date.
+    * The EXISTS becomes a LEFT SEMI join — lineitem is deduplicated by
+    * the semi join itself (no DISTINCT pass), the only shuffle is on
+    * orderkey, and both date predicates push to the scans. The 60-day
+    * lateness condition is a non-equi conjunct evaluated inside the
+    * join, so no post-join filter rescans the fact table. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ord = t.orders
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+              col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = t.lineitem.select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q10-style returned-item reporting: revenue lost to returns
+    * per customer over one year — lineitem(R) ⋈ orders ⋈ customer ⋈
+    * nation, top 20. Fact sides shuffle on orderkey; customer and
+    * nation broadcast; the top-k is TakeOrderedAndProject (per-partition
+    * heaps, never a global sort). */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = t.orders
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+              col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = t.customer.select(col("c_custkey"), col("c_name"),
+      col("c_acctbal"), col("c_nationkey"))
+    val nat = t.nation.select(col("n_nationkey"), col("n_name"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dsumProd(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14-style promo revenue share: one scan-side year filter,
+    * part broadcast, and a single-row conditional aggregate — the
+    * CASE runs inside the same hash agg, so promo and total are one
+    * pass. Both terms are exact decimal sums; the final ratio is one
+    * double division (engine-identical). */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+              col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val part = t.part.select(col("p_partkey"), col("p_type"))
+    val rev = col("l_extendedprice").cast("decimal(18,6)") *
+      (lit(1) - col("l_discount")).cast("decimal(18,6)")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast("decimal(18,6)"))), 6).cast("double")
+          .as("promo_revenue"),
+        round(sum(rev), 6).cast("double").as("total_revenue"))
+      .select(
+        (lit(100.0) * col("promo_revenue") / col("total_revenue"))
+          .as("promo_pct"),
+        col("promo_revenue"), col("total_revenue"))
+  }
+
+  /** TPC-H Q18-style large-volume orders: orders whose total quantity
+    * exceeds 250 units, with their customer. The HAVING filter runs on
+    * the aggregate BEFORE the joins — the agg output (orders-sized)
+    * shrinks to the heavy tail first, then joins back to orders and a
+    * broadcast customer; quantity sums are exact decimals so the
+    * threshold compare is engine-identical. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val big = t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 250.0)
+    val ord = t.orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"))
+    val cust = t.customer.select(col("c_custkey"), col("c_name"))
+    big.join(ord, big("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q18_large_orders" -> (q18LargeOrders _),
     "q_correlated_max" -> (correlatedMax _),
     "q_topk_per_key" -> (topkPerKey _),
     "q_set_ops" -> (setOps _),
@@ -288,6 +390,52 @@ object RelationalQueries extends QueryGroup {
   )
 
   def oracles: Map[String, String] = Map(
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  ${sqlDsumProd("l_extendedprice", "(1 - l_discount)")} AS revenue
+         |FROM lineitem, orders, customer, nation
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo_revenue" ->
+      """WITH r AS (
+        |  SELECT p_type,
+        |    CAST(l_extendedprice AS DECIMAL(18,6))
+        |      * CAST(1 - l_discount AS DECIMAL(18,6)) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |), s AS (
+        |  SELECT
+        |    CAST(round(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END), 6) AS DOUBLE) AS promo_revenue,
+        |    CAST(round(SUM(rev), 6) AS DOUBLE) AS total_revenue
+        |  FROM r
+        |)
+        |SELECT 100.0 * promo_revenue / total_revenue AS promo_pct,
+        |  promo_revenue, total_revenue FROM s""".stripMargin,
+    "q18_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, ${sqlDsum("l_quantity")} AS sum_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING ${sqlDsum("l_quantity")} > 250.0
+         |)
+         |SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+         |FROM big JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
     "q_correlated_max" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders o

@@ -20,7 +20,10 @@ class PlanQualitySpec extends SparkTestBase {
     Set("d6_ngram_jaccard", "y1_cosine_topk", "x_tfidf_topk",
       "x_mixture_weights",  // 1-row corpus-totals broadcast, like tfidf's N
       "x_balanced_sample",  // same 1-row totals broadcast via its rate frame
-      "x_lm_score")         // 1-row bigram-type-count broadcast, same shape
+      "x_lm_score",         // 1-row bigram-type-count broadcast, same shape
+      "x_ppl_buckets",      // inherits x_lm_score's 1-row broadcast
+      "x_dsir_weights",     // 1-row target/raw-totals broadcast
+      "d17_lsh_recall_audit") // four 1-row audit counters crossJoined
 
   test("no CartesianProduct anywhere") {
     val offenders = plans.collect {
