@@ -184,6 +184,29 @@ object Curation {
       .select(col("doc_id"), coalesce(col("n_merged"), lit(1L)).as("n_merged"))
   }
 
+  /** Cross-source representative rule: each near-dup cluster keeps the
+    * member from the highest-priority SOURCE (ties inside a source by
+    * min doc_id) — the policy a multi-crawl pipeline applies when the
+    * same page arrives from several dumps/registries and one is
+    * authoritative ("prefer wiki over CC"). `priority` is a
+    * (source, prio) frame, lower prio wins; it is registry-sized, so it
+    * broadcasts — the only corpus-sized work is the members join and
+    * one per-cluster hash agg (min_by, no sort window). Unknown sources
+    * (no priority row) are dropped from the vote by the inner join —
+    * pass a complete registry or union a default tier first. */
+  def clusterBySource(docs: DataFrame, clusters: DataFrame,
+                      priority: DataFrame): DataFrame = {
+    val members = docs.select(col("doc_id"), col("source"))
+      .join(clusters, Seq("doc_id"))
+      .join(broadcast(priority), Seq("source"))
+    members.groupBy(col("cluster_id"))
+      .agg(
+        min_by(col("doc_id"), struct(col("prio"), col("doc_id"))).as("keep_id"),
+        min_by(col("source"), struct(col("prio"), col("doc_id"))).as("keep_source"),
+        min(col("prio")).as("keep_prio"),
+        count(lit(1)).as("n_members"))
+  }
+
   /** Fixed-budget sequence packing: shard by doc_id, per-shard running
     * token sum, window id = start offset div budget. Requires an
     * `n_tok` column. Scale note: the window sort is per-shard; nShards

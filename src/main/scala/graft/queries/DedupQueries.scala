@@ -361,6 +361,23 @@ object DedupQueries extends QueryGroup {
   def clusterBestOn(docs: DataFrame, clusters: DataFrame): DataFrame =
     graft.ext.Curation.clusterBest(docs, clusters)
 
+  /** Cross-source dedup (d18): each near-dup cluster keeps the member
+    * from the highest-priority source ([[graft.ext.Curation.clusterBySource]]).
+    * The registration derives the priority registry from the corpus
+    * itself — alphabetical rank of the distinct source names (a
+    * stand-in for the curated "wiki > news > CC" table a real pipeline
+    * ships) — so the oracle can rebuild the identical registry in SQL.
+    * The rank window runs over the DISTINCT source list (registry-
+    * sized, ~dozens of rows), never the corpus. */
+  def crossSourceDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val prio = docs.select(col("source")).distinct()
+      .withColumn("prio", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("source")))
+        .cast("long"))
+    graft.ext.Curation.clusterBySource(docs, dupClusters(spark, dir), prio)
+  }
+
   /** Containment near-dup: pairs where the SMALLER doc's shingle set is
     * >= 90% contained in the other — doc-inside-doc duplication that
     * symmetric Jaccard (d3) misses. Same LSH candidate machinery as d3
@@ -451,7 +468,8 @@ object DedupQueries extends QueryGroup {
     "d15_winnow_spans" -> (winnowSpans _),
     "d15_winnow_capped" -> (winnowSpansCapped _),
     "d16_winnow_extents" -> (winnowExtents _),
-    "d17_lsh_recall_audit" -> (lshRecallAudit _)
+    "d17_lsh_recall_audit" -> (lshRecallAudit _),
+    "d18_cross_source_dedup" -> (crossSourceDedup _)
   )
 
   // ---- DuckDB oracles ----
@@ -758,6 +776,33 @@ object DedupQueries extends QueryGroup {
          |WHERE list_slice(ta.t, s.a_start, s.a_end) =
          |      list_slice(tb.t, s.b_start, s.b_end)
          |ORDER BY a_id, b_id, a_start, b_start""".stripMargin,
+    // cross-source dedup: d7's clusters, representative = the member
+    // whose (source-priority, doc_id) is minimal; the priority registry
+    // is the alphabetical rank of distinct sources, rebuilt here so the
+    // keep decision is hash-checked end-to-end
+    "d18_cross_source_dedup" ->
+      s"""$ccCte, labels AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src
+         |), prio AS (
+         |  SELECT source,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT) AS prio
+         |  FROM (SELECT DISTINCT source FROM documents)
+         |), mem AS (
+         |  SELECT l.cluster_id, d.doc_id, d.source, p.prio
+         |  FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+         |  JOIN prio p ON p.source = d.source
+         |), r AS (
+         |  SELECT cluster_id, doc_id AS keep_id, source AS keep_source,
+         |    prio AS keep_prio,
+         |    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         |      AS n_members,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |                       ORDER BY prio, doc_id) AS rn
+         |  FROM mem
+         |)
+         |SELECT cluster_id, keep_id, keep_source, keep_prio, n_members
+         |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     // LSH recall/precision audit on the doc_id % 2 slice: truth = pairs
     // sharing >= 1 shingle (complete for J > 0) filtered to exact
     // Jaccard >= 0.8; candidates = the d3 banding, mirrored from
