@@ -11,9 +11,11 @@ import Oracle._
   * joins, top-k, distinct aggregation, window ranking.
   *
   * Scale notes:
-  *  - Dimension tables (region/nation/customer/supplier/part) are orders
-  *    of magnitude smaller than fact tables -> always `broadcast()` them;
-  *    the only shuffles left are the fact-side aggregations.
+  *  - TRUE dimension tables (region/nation, and filtered slices that
+  *    stay small) get an explicit `broadcast()`. Tables that SCALE with
+  *    the corpus (customer/part/supplier in full) are left unhinted so
+  *    AQE broadcasts them while they fit and shuffle-joins beyond — a
+  *    forced broadcast(part) measured 40x slower at the sf10 replica.
   *  - Filters are plain column predicates on the scan -> parquet pushdown.
   */
 object RelationalQueries extends QueryGroup {
@@ -310,7 +312,10 @@ object RelationalQueries extends QueryGroup {
       col("c_acctbal"), col("c_nationkey"))
     val nat = t.nation.select(col("n_nationkey"), col("n_name"))
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      // customer is corpus-sized (it scales with the fact tables) — no
+      // broadcast hint; AQE broadcasts it at small sf and shuffles at
+      // scale. nation IS a dimension (25 rows): always broadcast.
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
       .agg(dsumProd(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
@@ -332,7 +337,10 @@ object RelationalQueries extends QueryGroup {
     val part = t.part.select(col("p_partkey"), col("p_type"))
     val rev = col("l_extendedprice").cast("decimal(18,6)") *
       (lit(1) - col("l_discount")).cast("decimal(18,6)")
-    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+    // part scales with the corpus (2M rows at the sf10 replica — a
+    // forced broadcast measured 40x slower there); unhinted, AQE
+    // broadcasts while it fits and shuffle-joins beyond
+    li.join(part, li("l_partkey") === part("p_partkey"))
       .agg(
         round(sum(when(col("p_type") === "PROMO", rev)
           .otherwise(lit(0).cast("decimal(18,6)"))), 6).cast("double")
@@ -360,7 +368,7 @@ object RelationalQueries extends QueryGroup {
       col("o_totalprice"))
     val cust = t.customer.select(col("c_custkey"), col("c_name"))
     big.join(ord, big("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey")) // corpus-sized: AQE decides
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_totalprice"), col("sum_qty"))
       .orderBy(col("sum_qty").desc, col("o_orderkey"))

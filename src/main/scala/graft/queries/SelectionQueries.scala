@@ -33,7 +33,7 @@ object SelectionQueries extends QueryGroup {
     * buckets for 400M docs; the rule is m ≫ distinct-feature collision
     * tolerance while the weight table stays broadcastable — at 100 TB,
     * m = 1e5–1e6 is still a few MB. */
-  val dsirBuckets = 4096
+  val dsirBuckets: Int = graft.ext.Selection.defaultBuckets
 
   /** DSIR-style importance weights: how much more likely is each doc's
     * hashed n-gram profile under the TARGET distribution (here: the
@@ -54,52 +54,40 @@ object SelectionQueries extends QueryGroup {
     * table (≤ m rows) and the 1-row totals broadcast back. The only
     * corpus-sized shuffle is the per-doc count agg. */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
-    val m = dsirBuckets
-    val base = Tables(spark, dir).documents
-      .select(col("doc_id"), col("lang"), toks.as("__toks"))
-    // explode_outer + null-filter (not bare explode): the generate
-    // filter-inlining trap would re-split the text per predicate
-    val uni = base
-      .select(col("doc_id"), col("lang"), explode_outer(col("__toks")).as("f"))
-      .filter(col("f").isNotNull)
-    // bigram string "w1 w2" cannot collide with a unigram (tokens are
-    // \s+-split, so they never contain a space); concat is null-strict,
-    // so zip_with's padded tail pair drops in the same filter
-    val bi = base
-      .select(col("doc_id"), col("lang"), explode_outer(zip_with(
-        col("__toks"), slice(col("__toks"), lit(2), size(col("__toks"))),
-        (x, y) => concat(x, lit(" "), y))).as("f"))
-      .filter(col("f").isNotNull)
-    // stage the 4-hex digest before the 4-reference hex-value extract
-    // (hex4ValSql reads its input 4x; inlining would run md5 4x/row)
-    val db = uni.unionByName(bi)
-      .select(col("doc_id"), col("lang"),
-        substring(md5(col("f")), 1, 4).as("__h"))
-      .select(col("doc_id"), col("lang"),
-        expr(s"(${graft.ext.Dedup.hex4ValSql("__h")}) % $m").as("b"))
-      .groupBy(col("doc_id"), col("lang"), col("b"))
-      .agg(count(lit(1)).as("c"))
-    val dbp = graft.core.CacheScope.track(db.persist())
-    val cr = dbp.groupBy(col("b")).agg(sum(col("c")).as("cr"))
-    val ct = dbp.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(sum(col("c")).as("ct"))
-    val tot = dbp.agg(sum(col("c")).as("nr"),
-      sum(when(col("lang") === "en", col("c")).otherwise(lit(0L))).as("nt"))
-    val qf = floor(
-      (coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") *
-        (col("nr") + lit(m.toLong)).cast("double") /
-        ((col("cr") + lit(1L)).cast("double") *
-          (col("nt") + lit(m.toLong)).cast("double")) *
-        lit(1.0e9) + lit(0.5)).cast("long")
-    val feat = cr.join(ct, Seq("b"), "left")
-      .crossJoin(broadcast(tot))
-      .select(col("b"), qf.as("qf"))
-    dbp.join(broadcast(feat), Seq("b"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_feats"),
-        (sum(col("c") * col("qf")).cast("double") /
-          (sum(col("c")).cast("double") * lit(1.0e9))).as("dsir_score"))
-      .select(col("doc_id"), col("n_feats"), col("dsir_score"))
+    val S = graft.ext.Selection
+    // the per-doc count frame feeds the weight aggregation AND the
+    // scoring join — ONE corpus scan/explode, persisted for the reuse
+    val db = graft.core.CacheScope.track(
+      S.featureCounts(Tables(spark, dir).documents, dsirBuckets,
+        extra = Seq("lang")).persist())
+    S.scoreFromCounts(db,
+      S.weightTableFromCounts(db, col("lang") === "en", dsirBuckets))
+  }
+
+  /** The ingest form of x_dsir_weights: weights TRAINED once on the
+    * standing corpus (doc_id % 5 ≠ 0) and committed through the
+    * IndexStore, then a new batch (doc_id % 5 = 0) scored against the
+    * committed table — two reads of an m-row parquet plus one pass over
+    * the batch; the corpus is never rescanned (the d9/y7 ingest
+    * pattern). Features the corpus never saw don't vote (inner-join
+    * semantics, mirrored in the oracle). */
+  def dsirIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val S = graft.ext.Selection
+    val docs = Tables(spark, dir).documents
+    val idx = graft.core.IndexStore.ensure(spark, dsirIndexPathFor(spark, dir)) {
+      scratch => S.writeWeightIndex(docs.filter(col("doc_id") % 5 =!= 0),
+        col("lang") === "en", scratch, dsirBuckets)
+    }
+    S.scoreAgainstIndex(spark, docs.filter(col("doc_id") % 5 === 0), idx,
+      dsirBuckets)
+  }
+
+  private def dsirIndexPathFor(spark: SparkSession, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val base = spark.conf.get("spark.graft.index.dir",
+      sys.props("java.io.tmpdir"))
+    s"${base.stripSuffix("/")}/graft-dsir-index-$digest"
   }
 
   /** CCNet-style perplexity bucketing: rank every doc within its
@@ -168,50 +156,64 @@ object SelectionQueries extends QueryGroup {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dsir_weights" -> (dsirWeights _),
+    "x_dsir_incremental" -> (dsirIncremental _),
     "x_ppl_buckets" -> (pplBuckets _),
     "x_quality_topp" -> (qualityTopP _),
     "x_token_budget" -> ((s: SparkSession, d: String) => tokenBudget(s, d))
   )
 
+  /** The one SQL-side definition of the DSIR pipeline: feature counts
+    * over ALL docs, weights from the `corpusPred` slice, scores for the
+    * `scorePred` slice (both predicates over db rows / d rows). The
+    * full registration uses TRUE/TRUE; the incremental one trains on
+    * doc_id % 5 ≠ 0 and scores doc_id % 5 = 0 — same arithmetic, so
+    * the committed-index path is hash-checked against a from-scratch
+    * SQL derivation. */
+  private def dsirOracleSql(corpusPred: String, scorePred: String): String = {
+    val hv = graft.ext.Dedup.hex4ValSql("substr(md5(f),1,4)")
+    val m = dsirBuckets
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $toksSql AS toks FROM documents
+       |), feats AS (
+       |  SELECT doc_id, lang, unnest(toks) AS f FROM t
+       |  UNION ALL
+       |  SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i + 1])) AS f FROM t
+       |), db AS (
+       |  SELECT doc_id, lang, ($hv) % $m AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM feats GROUP BY 1, 2, 3
+       |), cr AS (
+       |  SELECT b, CAST(SUM(c) AS BIGINT) AS cr FROM db
+       |  WHERE $corpusPred GROUP BY 1
+       |), ct AS (
+       |  SELECT b, CAST(SUM(c) AS BIGINT) AS ct FROM db
+       |  WHERE lang = 'en' AND $corpusPred GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(c) AS BIGINT) AS nr,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS nt
+       |  FROM db WHERE $corpusPred
+       |), q AS (
+       |  SELECT cr.b,
+       |    CAST(floor(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
+       |      * CAST(tot.nr + $m AS DOUBLE)
+       |      / (CAST(cr.cr + 1 AS DOUBLE) * CAST(tot.nt + $m AS DOUBLE))
+       |      * 1000000000.0 + 0.5) AS BIGINT) AS qf
+       |  FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN tot
+       |)
+       |SELECT d.doc_id, CAST(SUM(d.c) AS BIGINT) AS n_feats,
+       |  CAST(CAST(SUM(d.c * q.qf) AS BIGINT) AS DOUBLE)
+       |    / (CAST(CAST(SUM(d.c) AS BIGINT) AS DOUBLE) * 1000000000.0)
+       |    AS dsir_score
+       |FROM db d JOIN q ON d.b = q.b
+       |WHERE $scorePred
+       |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
-    "x_dsir_weights" -> {
-      val hv = graft.ext.Dedup.hex4ValSql("substr(md5(f),1,4)")
-      val m = dsirBuckets
-      s"""WITH t AS (
-         |  SELECT doc_id, lang, $toksSql AS toks FROM documents
-         |), feats AS (
-         |  SELECT doc_id, lang, unnest(toks) AS f FROM t
-         |  UNION ALL
-         |  SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)),
-         |    i -> toks[i] || ' ' || toks[i + 1])) AS f FROM t
-         |), db AS (
-         |  SELECT doc_id, lang, ($hv) % $m AS b,
-         |    CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM feats GROUP BY 1, 2, 3
-         |), cr AS (
-         |  SELECT b, CAST(SUM(c) AS BIGINT) AS cr FROM db GROUP BY 1
-         |), ct AS (
-         |  SELECT b, CAST(SUM(c) AS BIGINT) AS ct FROM db
-         |  WHERE lang = 'en' GROUP BY 1
-         |), tot AS (
-         |  SELECT CAST(SUM(c) AS BIGINT) AS nr,
-         |    CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS nt
-         |  FROM db
-         |), q AS (
-         |  SELECT cr.b,
-         |    CAST(floor(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
-         |      * CAST(tot.nr + $m AS DOUBLE)
-         |      / (CAST(cr.cr + 1 AS DOUBLE) * CAST(tot.nt + $m AS DOUBLE))
-         |      * 1000000000.0 + 0.5) AS BIGINT) AS qf
-         |  FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN tot
-         |)
-         |SELECT d.doc_id, CAST(SUM(d.c) AS BIGINT) AS n_feats,
-         |  CAST(CAST(SUM(d.c * q.qf) AS BIGINT) AS DOUBLE)
-         |    / (CAST(CAST(SUM(d.c) AS BIGINT) AS DOUBLE) * 1000000000.0)
-         |    AS dsir_score
-         |FROM db d JOIN q ON d.b = q.b
-         |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
-    },
+    "x_dsir_weights" -> dsirOracleSql("TRUE", "TRUE"),
+    "x_dsir_incremental" ->
+      dsirOracleSql("doc_id % 5 <> 0", "d.doc_id % 5 = 0"),
     "x_ppl_buckets" ->
       s"""${AnalysisQueries.lmCte}, ranked AS (
          |  SELECT l.doc_id, d.lang, l.lm_score,
