@@ -728,8 +728,63 @@ object SimilarityQueries extends QueryGroup {
       .orderBy(col("vec_id"))
   }
 
+  /** SQ8 scalar quantization + asymmetric top-k (y14) — the third
+    * compression point on the storage/recall curve next to raw vectors
+    * (y1) and PQ (y9–y11): each snapped component mapped to an 8-bit
+    * code against per-DIMENSION corpus min/max (FAISS's SQ8 index
+    * type). Everything is exact int64 — code = (v − mn)·255 div
+    * max(mx − mn, 1), dequant = mn + code·(mx − mn) div 255 — so both
+    * engines agree bit-for-bit, queries are ADC-style asymmetric (probe
+    * exact, corpus dequantized), and the ranking is deterministic.
+    *
+    * Plan shape: one posexplode + 64-row min/max agg for the dimension
+    * stats, COLLECTED into two array literals (1 KB — the
+    * scoreProjected/Bloom budget) so quantize+dequantize is a pure
+    * per-row projection via an index-lambda transform — no join, no
+    * shuffle on the corpus side beyond the broadcast-probe scan. At
+    * 100 TB the codes column is what you'd PERSIST (8 bits/dim = 64 B
+    * per 64-dim vector vs 512 B snapped; pack into a BinaryType column
+    * at write time) and the dimension stats ride in the index metadata;
+    * recompute on compaction like the IVF centroids. Recall vs exact
+    * cosine is spec-asserted (`Sq8Spec`); the oracle hash-checks the
+    * full quantize→dequantize→rank pipeline. */
+  def sq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val sv = graft.core.CacheScope.track(
+      emb.select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
+        .persist())
+    val dims = sv.select(posexplode(col("sv")).as(Seq("p", "v")))
+      .groupBy(col("p")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy(col("p")).collect()
+    val mn = dims.map(_.getLong(1))
+    val span = dims.map(r => math.max(r.getLong(2) - r.getLong(1), 1L))
+    val (mnA, spanA) = (lit(mn), lit(span))
+    // dequantized corpus: dv_i = mn_i + ((v_i - mn_i)*255 div span_i)*span_i div 255
+    val dq = sv.select(col("vec_id").as("neighbor_id"),
+        mnA.as("__mn"), spanA.as("__sp"), col("sv"))
+      .select(col("neighbor_id"),
+        expr("""transform(sv, (x, i) ->
+               |  element_at(__mn, i + 1) +
+               |  ((x - element_at(__mn, i + 1)) * CAST(255 AS BIGINT)
+               |     div element_at(__sp, i + 1)) * element_at(__sp, i + 1)
+               |     div CAST(255 AS BIGINT))""".stripMargin).as("dv"))
+      .withColumn("dn", Similarity.normSnapped(col("dv")))
+    val probes = snapped(emb.filter(col("vec_id") < 16), "probe_id", "pv", "pn")
+    val scored = dq.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", Similarity.cosineFromSnapped(
+        col("pv"), col("dv"), col("pn"), col("dn")))
+      .select(col("probe_id"), col("neighbor_id"), col("cos"))
+    graft.ops.TopK.perKey(scored, Seq("probe_id"),
+        Seq("cos" -> true, "neighbor_id" -> false), 10)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cos"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "y1_cosine_topk"   -> (cosineTopK _),
+    "y14_sq8_topk"     -> (sq8TopK _),
     "y2_embed_neardup" -> (embedNearDup _),
     "y2_embed_neardup_k64" -> ((s: SparkSession, d: String) => embedNearDup(s, d, 64)),
     "y3_ann_lsh"       -> ((s: SparkSession, d: String) => annLsh(s, d)),
@@ -914,6 +969,55 @@ object SimilarityQueries extends QueryGroup {
        |ORDER BY a_id, b_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // y14: the SQ8 pipeline relationally — snap, per-dim min/span,
+    // quantize+dequantize in exact int64 (nonneg operands, so DuckDB's
+    // floor-div // and Spark's truncating div agree), asymmetric cosine,
+    // rank. Positions are 1-based here, 0-based in the Spark transform —
+    // internal to each side, never compared.
+    "y14_sq8_topk" ->
+      s"""WITH sv AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS sv
+         |  FROM embeddings
+         |), ex AS (
+         |  SELECT vec_id, unnest(list_transform(range(1, len(sv) + 1),
+         |    i -> struct_pack(p := i, v := sv[i]))) AS e
+         |  FROM sv
+         |), dims AS (
+         |  SELECT e.p AS p, MIN(e.v) AS mn,
+         |    GREATEST(MAX(e.v) - MIN(e.v), 1) AS sp
+         |  FROM ex GROUP BY 1
+         |), dq AS (
+         |  SELECT x.vec_id, x.e.p AS p,
+         |    d.mn + ((x.e.v - d.mn) * 255 // d.sp) * d.sp // 255 AS dv
+         |  FROM ex x JOIN dims d ON x.e.p = d.p
+         |), dn AS (
+         |  SELECT vec_id, sqrt(CAST(CAST(SUM(dv * dv) AS BIGINT) AS DOUBLE)) AS dn
+         |  FROM dq GROUP BY 1
+         |), pex AS (
+         |  SELECT vec_id AS probe_id, e FROM ex WHERE vec_id < 16
+         |), pn AS (
+         |  SELECT probe_id,
+         |    sqrt(CAST(CAST(SUM(e.v * e.v) AS BIGINT) AS DOUBLE)) AS pn
+         |  FROM pex GROUP BY 1
+         |), dots AS (
+         |  SELECT px.probe_id, q.vec_id AS neighbor_id,
+         |    CAST(CAST(SUM(px.e.v * q.dv) AS BIGINT) AS DOUBLE) AS dot
+         |  FROM pex px JOIN dq q ON q.p = px.e.p AND q.vec_id <> px.probe_id
+         |  GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT d.probe_id, d.neighbor_id, d.dot / (pn.pn * dn.dn) AS cos
+         |  FROM dots d
+         |  JOIN pn ON pn.probe_id = d.probe_id
+         |  JOIN dn ON dn.vec_id = d.neighbor_id
+         |), ranked AS (
+         |  SELECT probe_id, neighbor_id, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored
+         |)
+         |SELECT probe_id, neighbor_id, rank, cos FROM ranked
+         |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
     "y1_cosine_topk" ->
       s"""WITH probes AS (
          |  SELECT vec_id AS probe_id, embedding AS probe_vec
