@@ -91,7 +91,7 @@ class RecoverySpec extends SparkTestBase {
     val text = (1 to 120).map(i => s"word$i").mkString(" ")
     val other = (1 to 120).map(i => s"fresh$i").mkString(" ")
     val ckpt = Files.createTempDirectory("graft-scur-ckpt").toString
-    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
     val in = MemoryStream[(Long, String, java.sql.Timestamp)]
     val curated = StreamCuration.curate(
       in.toDF().toDF("doc_id", "text", "ts"), "ts", "1 hour")
@@ -99,7 +99,7 @@ class RecoverySpec extends SparkTestBase {
       .option("checkpointLocation", ckpt)
       .outputMode("append")
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        b.select("doc_id").as[Long].collect().foreach(got.add)
+        b.select("doc_id").as[Long].collect().foreach(v => got.add(v))
       }
       .start()
     import scala.jdk.CollectionConverters._
@@ -157,6 +157,49 @@ class RecoverySpec extends SparkTestBase {
     val all = got.toArray(Array.empty[(Long, Long)]).toSeq
     assert(all.sorted === Seq((1L, 1001L), (2L, 2001L)),
       s"restart must be exactly-once over the emitted pairs: $all")
+    graft.core.CacheScope.releaseAll()
+  }
+
+  test("the streaming DSIR screen resumes from checkpoint: exactly-once docs, retrain picked up on restart") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, "good clean helpful text tokens here", "en"),
+      (2L, "good clean helpful text tokens again", "en"),
+      (3L, "ruido basura tokens raros aqui mismo", "es"),
+      (4L, "mas ruido basura sin valor alguno", "es")
+    ).toDF("doc_id", "text", "lang")
+    val w = graft.ext.Selection.weightTable(corpus, col("lang") === "en")
+    // threshold between the EN-like and ES-like score bands
+    val scores = graft.ext.Selection.score(corpus, w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val thr = (math.min(scores(1L), scores(2L)) +
+      math.max(scores(3L), scores(4L))) / 2
+    assert(math.min(scores(1L), scores(2L)) > thr, s"fixture bands overlap: $scores")
+    val ckpt = Files.createTempDirectory("graft-ssel-ckpt").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val in = MemoryStream[(Long, String)]
+    val screen = graft.streaming.StreamSelect.dsirScreen(
+      in.toDF().toDF("doc_id", "text"), w, thr)
+    def start() = screen.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("doc_id").as[Long].collect().foreach(v => got.add(v))
+      }
+      .start()
+    val q1 = start()
+    in.addData((10L, "good clean helpful text tokens here"),
+      (11L, "ruido basura tokens raros aqui mismo"))
+    q1.processAllAvailable(); q1.stop()
+    assert(got.toArray(Array.empty[java.lang.Long]).toSeq.map(_.toLong) === Seq(10L),
+      "screen must keep the target-like doc and drop the pool-like one")
+    // restart from the SAME checkpoint: offsets resume (batch 0 not
+    // replayed), and the screen keeps screening
+    val q2 = start()
+    in.addData((12L, "good clean helpful text tokens again"))
+    q2.processAllAvailable(); q2.stop()
+    assert(got.toArray(Array.empty[java.lang.Long]).toSeq.map(_.toLong).sorted === Seq(10L, 12L),
+      "restart must be exactly-once over the kept docs")
     graft.core.CacheScope.releaseAll()
   }
 
