@@ -374,7 +374,163 @@ object RelationalQueries extends QueryGroup {
       .orderBy(col("sum_qty").desc, col("o_orderkey"))
   }
 
+  /** TPC-H Q7-style nation volume: revenue flowing between two named
+    * nations in either direction, by shipment year. The distinctive
+    * shape is nation playing TWO ROLES in one query — the supplier's
+    * nation and the customer's nation join independently, each as a
+    * 2-row broadcast (the name filter lands on the dimension BEFORE the
+    * join, so the fact side only keeps rows touching either nation);
+    * the direction pair-up is a residual `supp <> cust` filter after
+    * both roles resolve. Facts shuffle once on orderkey. */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pair = Seq("NATION_1", "NATION_2")
+    val n1 = t.nation.filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("__sn_key"), col("n_name").as("supp_nation"))
+    val n2 = t.nation.filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("__cn_key"), col("n_name").as("cust_nation"))
+    val li = t.lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+              col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+    val ord = t.orders.select(col("o_orderkey"), col("o_custkey"))
+    val cust = t.customer.select(col("c_custkey"), col("c_nationkey"))
+    val supp = t.supplier.select(col("s_suppkey"), col("s_nationkey"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey")) // corpus-sized: AQE
+      .join(supp, li("l_suppkey") === supp("s_suppkey")) // corpus-sized: AQE
+      .join(broadcast(n1), supp("s_nationkey") === col("__sn_key"))
+      .join(broadcast(n2), cust("c_nationkey") === col("__cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(dsumProd(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q13-style order-count distribution: how many customers
+    * placed 0, 1, 2, … qualifying orders. The shape is a LEFT OUTER
+    * join (customers with no qualifying orders must survive as
+    * c_count = 0 — the priority filter therefore sits on the orders
+    * side BEFORE the join, the ON-clause form) followed by TWO
+    * aggregations: per-customer counts (customer-sized, shuffles on
+    * custkey) then the histogram over those counts (collapses to the
+    * handful of distinct counts — map-side partials make the second
+    * shuffle a few rows per partition). */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ord = t.orders.filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    t.customer.select(col("c_custkey"))
+      .join(ord, col("c_custkey") === ord("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15-style top supplier: suppliers whose quarterly revenue
+    * equals the maximum. The revenue view aggregates once
+    * (supplier-sized); the max is a 1-row broadcast joined back on
+    * revenue equality (both sides computed the same exact-decimal
+    * double, so the equality is engine-safe — the q_correlated_max
+    * precedent); the name join to supplier is corpus-sized and left
+    * to AQE. The revenue view feeds both the max and the equality
+    * probe — persist would be overkill for one re-read, and AQE reuses
+    * the exchange. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rev = t.lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+              col("l_shipdate") < lit("1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsumProd(col("l_extendedprice"), lit(1) - col("l_discount")).as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("__max"))
+    rev.join(broadcast(top), col("total_revenue") === col("__max")).drop("__max")
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q17-style small-quantity revenue: lineitems of one brand
+    * whose quantity falls below 20% of that part's own average. The
+    * correlated `avg per part` subquery is re-expressed distributed:
+    * aggregate the brand slice once (part-sized), join the per-part
+    * averages back to the same slice on partkey, filter, sum. The
+    * brand filter makes the slice 1/|brands| of lineitem and pushes to
+    * the scan via the part join; everything downstream is slice-sized. */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val brandParts = t.part.filter(col("p_brand") === "Brand#23")
+      .select(col("p_partkey")) // 1/25 of part: corpus-scaled slice, AQE decides
+    val slice = t.lineitem
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(brandParts, col("l_partkey") === col("p_partkey"))
+      .drop("p_partkey")
+    val avgq = slice.groupBy(col("l_partkey").as("__pk"))
+      .agg(davg(col("l_quantity")).as("avg_qty"))
+    slice.join(avgq, col("l_partkey") === col("__pk"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  /** TPC-H Q19-style disjunctive join predicates: three brand/size/
+    * quantity bands OR-ed together on top of the partkey equi-join.
+    * Catalyst extracts the equi key for the hash join and keeps the
+    * disjunction as a residual; the per-side common factors (brand IN,
+    * quantity within the union of bands) are derivable via CNF
+    * constraint propagation — the point of the registration is that
+    * the OR-of-ANDs shape stays a single hash join, not a union of
+    * three scans. */
+  def q19DisjunctiveBands(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem.select(col("l_partkey"), col("l_quantity"),
+      col("l_extendedprice"), col("l_discount"))
+    val part = t.part.select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val bands =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#14" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    li.join(part, li("l_partkey") === part("p_partkey") && bands)
+      .agg(dsumProd(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  /** TPC-H Q22-style dormant high-balance customers: above-average
+    * balance AND no orders since 1999 (this generator gives every
+    * customer at least one lifetime order, so dormancy is recency-
+    * scoped). Shape: a 1-row broadcast scalar (the positive-balance
+    * average), then a LEFT ANTI join against the date-filtered orders
+    * slice — the anti side carries only o_custkey and its date filter
+    * pushes to the scan — then a segment rollup. */
+  def q22DormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val avgBal = t.customer.filter(col("c_acctbal") > 0.0)
+      .agg(davg(col("c_acctbal")).as("__avg"))
+    val recent = t.orders
+      .filter(col("o_orderdate") >= lit("1999-01-01"))
+      .select(col("o_custkey"))
+    t.customer.join(broadcast(avgBal)) // 1-row literal
+      .filter(col("c_acctbal") > col("__avg"))
+      .join(recent, col("c_custkey") === recent("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_nation_volume" -> (q7NationVolume _),
+    "q13_customer_distribution" -> (q13CustomerDistribution _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q17_small_quantity" -> (q17SmallQuantity _),
+    "q19_disjunctive_bands" -> (q19DisjunctiveBands _),
+    "q22_dormant_customers" -> (q22DormantCustomers _),
     "q4_order_priority" -> (q4OrderPriority _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
@@ -398,6 +554,79 @@ object RelationalQueries extends QueryGroup {
   )
 
   def oracles: Map[String, String] = Map(
+    "q7_nation_volume" ->
+      s"""SELECT supp_nation, cust_nation, l_year,
+         |  ${sqlDsumProd("l_extendedprice", "(1 - l_discount)")} AS revenue
+         |FROM (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |    l_extendedprice, l_discount
+         |  FROM lineitem, orders, customer, supplier, nation n1, nation n2
+         |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |    AND l_suppkey = s_suppkey
+         |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+         |    AND n1.n_name IN ('NATION_1', 'NATION_2')
+         |    AND n2.n_name IN ('NATION_1', 'NATION_2')
+         |    AND n1.n_name <> n2.n_name
+         |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1998-01-01'
+         |)
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q13_customer_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey
+        |) GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    ${sqlDsumProd("l_extendedprice", "(1 - l_discount)")} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01'
+         |  GROUP BY l_suppkey
+         |)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_quantity" ->
+      s"""WITH j AS (
+         |  SELECT l_partkey, l_quantity, l_extendedprice
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand = 'Brand#23'
+         |), a AS (
+         |  SELECT l_partkey AS pk, ${sqlDavg("l_quantity")} AS avg_qty
+         |  FROM j GROUP BY l_partkey
+         |)
+         |SELECT ${sqlDsum("l_extendedprice")} / 7.0 AS avg_yearly,
+         |  COUNT(*) AS n_rows
+         |FROM j JOIN a ON l_partkey = pk
+         |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q19_disjunctive_bands" ->
+      s"""SELECT ${sqlDsumProd("l_extendedprice", "(1 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |         AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |         AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+         |         AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_dormant_customers" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS numcust,
+         |  ${sqlDsum("c_acctbal")} AS totacctbal
+         |FROM customer
+         |WHERE c_acctbal > (SELECT ${sqlDavg("c_acctbal")} FROM customer
+         |                   WHERE c_acctbal > 0.0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey
+         |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders o
