@@ -1,0 +1,102 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Co-located join storage: persist a frame as a Spark BUCKETED table —
+  * hash-bucketed AND sorted by the join key — so that every downstream
+  * equi-join or aggregation on that key is satisfied by the table's
+  * on-disk layout: no shuffle exchange, no sort, just a zip of matching
+  * buckets. This is the storage-side half of shuffle elimination; the
+  * plan-side half (AQE, broadcast) only helps when one side is small.
+  * At 100 TB, where BOTH fact sides are huge and re-joined on the same
+  * key query after query (lineitem⋈orders on orderkey every night), a
+  * one-time bucketed write amortizes the shuffle across every future
+  * join — the classic warehouse co-location contract (Hive bucketing,
+  * Spark `bucketBy`).
+  *
+  * Sizing rule: pick `buckets` so one bucket of the LARGER table fits
+  * an executor's shuffle memory (bucket ≈ table_bytes / buckets); at
+  * 100 TB that is thousands of buckets, and the bucket count — like a
+  * partition count — should be a power of two so a later `bucketBy(2k)`
+  * re-write can split buckets without re-reading unrelated keys. Both
+  * join sides MUST agree on the count: Spark zips bucket i with bucket
+  * i, and mismatched counts fall back to a shuffle on the smaller side
+  * (still half the exchange cost — one side stays put).
+  *
+  * Catalog mechanics: bucketing metadata lives in the session catalog,
+  * not the parquet footers, so a fresh session must re-REGISTER the
+  * table before the layout is trusted. [[ensure]] handles both halves:
+  * data absent → bucketed write (external table at `location`, its
+  * `_SUCCESS` marker is the committed signal, the [[IndexStore]]
+  * convention); data committed but catalog entry missing (new session
+  * over a warm store) → re-register the external-table DDL over the
+  * existing bucketed files, no data movement. Spark's bucketed file
+  * naming (`..._00042.c000...`) carries the bucket id, so a
+  * re-registered table reads with full bucket trust. */
+object BucketedWarehouse {
+
+  /** Ensure `name` is a registered bucketed table at `location`,
+    * building it from `frame` only when no committed artifact exists.
+    * Returns `name`, readable via `spark.table(name)`. The write path
+    * is single-maintainer (the [[IndexStore.replace]] discipline):
+    * concurrent first-callers of the same table should be serialized
+    * by the caller's scheduler. */
+  def ensure(spark: SparkSession, name: String, location: String,
+             buckets: Int, key: String)(frame: => DataFrame): String = {
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
+    if (!spark.catalog.tableExists(name)) {
+      if (IndexStore.isCommitted(spark, location)) {
+        // warm store, cold catalog: register the existing bucketed
+        // files as an external table. Schema from the parquet footers;
+        // bucket spec re-declared (it lives only in the catalog).
+        val ddlSchema = spark.read.parquet(location).schema.toDDL
+        spark.sql(
+          s"""CREATE TABLE $name ($ddlSchema)
+             |USING PARQUET
+             |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+             |LOCATION '$location'""".stripMargin)
+      } else {
+        // repartition ON the bucket key first: Spark writes one file
+        // per (task, bucket), so an unaligned upstream partitioning
+        // yields up to tasks×buckets files and — decisively — MULTIPLE
+        // files per bucket, which makes the reader distrust the sortBy
+        // order and re-insert a Sort under every merge join. Aligned
+        // (repartition's murmur3 hash is the bucket hash), each bucket
+        // is exactly one sorted file: the scan reports both the
+        // distribution AND the order, and joins skip the sort too.
+        frame.repartition(buckets, org.apache.spark.sql.functions.col(key))
+          .write.format("parquet")
+          .bucketBy(buckets, key).sortBy(key)
+          .option("path", location)
+          .mode("overwrite")
+          .saveAsTable(name)
+      }
+    }
+    name
+  }
+
+  /** The standard co-located fact pair for a testdata dir: lineitem and
+    * orders bucketed+sorted on their order key, same bucket count.
+    * Table names and locations are keyed by the dir digest (stable
+    * across sessions, collision-free across scale factors), base
+    * directory via `spark.graft.bucket.dir` (any Hadoop-FS URI;
+    * driver-local tmpdir is the standalone fallback). */
+  def factPair(spark: SparkSession, dir: String,
+               buckets: Int = 8): (String, String) = {
+    // layout epoch in the digest: bump when the on-disk contract
+    // changes (v2 = one-sorted-file-per-bucket), so a warm store from
+    // an older layout is never re-registered with trust it can't honor
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir#$buckets#v2".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString.take(12)
+    val base = spark.conf.get("spark.graft.bucket.dir",
+      sys.props("java.io.tmpdir"))
+    val root = s"${base.stripSuffix("/")}/graft-bucketed-$digest"
+    val t = graft.sources.Tables(spark, dir)
+    val li = ensure(spark, s"graft_bkt_lineitem_$digest",
+      s"$root/lineitem", buckets, "l_orderkey")(t.lineitem)
+    val ord = ensure(spark, s"graft_bkt_orders_$digest",
+      s"$root/orders", buckets, "o_orderkey")(t.orders)
+    (li, ord)
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import graft.core.BucketedWarehouse
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** The bucketed-storage contract: a join or aggregation on the bucket
+  * key must be satisfied by the on-disk layout — zero shuffle
+  * exchanges, zero sorts — and point filters on the key must prune to a
+  * single bucket. Results stay identical to the unbucketed plan. */
+class BucketedJoinSpec extends SparkTestBase {
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE finalizes its plan
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p                        => p.toString
+    }
+  }
+
+  private def withNoBroadcast[A](body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  private def withConf[A](key: String, value: String)(body: => A): A = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("join + agg on the bucket key runs with zero exchanges and zero sorts") {
+    withNoBroadcast {
+      // sort trust: the writer guarantees one sorted file per bucket,
+      // but since 3.0 the scan only REPORTS that ordering under the
+      // opt-in conf — set it, as a cluster deployment of bucketed
+      // fact tables would (without it the join is still exchange-free,
+      // it just re-sorts each bucket in memory)
+      withConf("spark.sql.legacy.bucketedTableScan.outputOrdering", "true") {
+      val (liT, ordT) = BucketedWarehouse.factPair(spark, sf())
+      val li = spark.table(liT)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val ord = spark.table(ordT)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      // join on the bucket key, then aggregate BY the bucket key: the
+      // bucketed distribution satisfies both, so the whole plan is
+      // scan -> SMJ (bucket zip) -> hash agg, exchange-free end to end
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
+      val plan = finalPlan(joined)
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge bucket zip:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join/agg on the bucket key must not shuffle:\n$plan")
+      // no Sort operator NODE either — both sides are sortBy'd on disk.
+      // (match the operator prefix "Sort [" — 'SortMergeJoin' contains
+      // the substring)
+      assert(!plan.contains("Sort ["),
+        s"bucketed join must not re-sort sorted buckets:\n$plan")
+      }
+    }
+  }
+
+  test("bucketed results equal the unbucketed join exactly") {
+    val (liT, ordT) = BucketedWarehouse.factPair(spark, sf())
+    val viaBuckets = spark.table(liT)
+      .join(spark.table(ordT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val t = graft.sources.Tables(spark, sf())
+    val raw = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(viaBuckets === raw)
+  }
+
+  test("a point filter on the bucket key prunes to one bucket") {
+    val (liT, _) = BucketedWarehouse.factPair(spark, sf())
+    // a bare filter needs no output distribution, so AQE's
+    // DisableUnnecessaryBucketedScan would demote the scan (pruning
+    // still happens, but the scan no longer reports it) — pin the
+    // bucketed scan on so the decision is observable
+    withConf("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false") {
+    val one = spark.table(liT).filter(col("l_orderkey") === 42L)
+    one.collect()
+    // read the pruning decision off the scan node itself (the toString
+    // form truncates metadata); unwrap AQE — the adaptive node is a
+    // leaf to collect()
+    val finalized = one.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    val scans = finalized.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "expected a file scan")
+    val selected = scans.head.metadata.get("SelectedBucketsCount")
+    assert(selected.exists(_.startsWith("1 out of 8")),
+      s"point lookup must read a single bucket, got $selected")
+    }
+  }
+
+  test("a fresh catalog re-registers committed bucketed files without rewriting") {
+    // factPair above committed the artifact; drop the catalog entries
+    // to simulate a new session over a warm store, then re-ensure —
+    // the DDL path must restore full bucket trust (zero-exchange join)
+    val (liT, ordT) = BucketedWarehouse.factPair(spark, sf())
+    val before = spark.table(liT).count()
+    spark.sql(s"DROP TABLE $liT")
+    spark.sql(s"DROP TABLE $ordT")
+    val (liT2, ordT2) = BucketedWarehouse.factPair(spark, sf())
+    assert(liT2 === liT && ordT2 === ordT)
+    assert(spark.table(liT2).count() === before)
+    withNoBroadcast {
+      val plan = finalPlan(
+        spark.table(liT2).select(col("l_orderkey"))
+          .join(spark.table(ordT2).select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey")))
+      assert(!plan.contains("Exchange"),
+        s"re-registered bucketed tables must keep the zero-shuffle join:\n$plan")
+    }
+  }
+}
