@@ -75,28 +75,65 @@ object BucketedWarehouse {
     name
   }
 
+  /** Bucket count from the LARGER side's on-disk bytes: next power of
+    * two of bytes/target, floored at `minBuckets`. The target is
+    * compressed-parquet bytes per bucket — the quantity that decides
+    * whether one bucket's join task fits an executor AND what the scan
+    * parallelism ceiling is (a bucketed scan gets exactly one task per
+    * bucket: an 8-bucket 60M-row table reads on 8 cores no matter how
+    * wide the cluster is — the round-8 probe measured exactly that
+    * before this sizing existed). Power of two so a future re-bucketing
+    * to 2k splits buckets without re-reading unrelated keys. */
+  def autoBuckets(spark: SparkSession, dataPath: String,
+                  targetBytes: Long = 64L << 20, minBuckets: Int = 8): Int = {
+    val p = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(p).getLength
+    val want = math.max(minBuckets, math.ceil(bytes.toDouble / targetBytes).toInt)
+    Integer.highestOneBit(want - 1) << 1 match {
+      case 0 => minBuckets
+      case b => math.max(b, minBuckets)
+    }
+  }
+
   /** The standard co-located fact pair for a testdata dir: lineitem and
-    * orders bucketed+sorted on their order key, same bucket count.
-    * Table names and locations are keyed by the dir digest (stable
-    * across sessions, collision-free across scale factors), base
-    * directory via `spark.graft.bucket.dir` (any Hadoop-FS URI;
-    * driver-local tmpdir is the standalone fallback). */
+    * orders bucketed+sorted on their order key, same bucket count
+    * (auto-sized from the lineitem bytes when 0 — both sides MUST
+    * agree, so the larger side picks). Table names and locations are
+    * keyed by the dir digest (stable across sessions, collision-free
+    * across scale factors AND bucket counts), base directory via
+    * `spark.graft.bucket.dir` (any Hadoop-FS URI; driver-local tmpdir
+    * is the standalone fallback).
+    *
+    * Session conf side effect, deliberate and documented: sort trust
+    * for bucketed scans (`spark.sql.legacy.bucketedTableScan
+    * .outputOrdering`) is enabled here — the writer's v2 layout
+    * guarantees one sorted file per bucket, which is exactly the
+    * precondition that conf exists for; without it every merge join
+    * re-sorts each bucket in memory (measured: the per-bucket sort of
+    * a 7.5M-row bucket dominated the sf10 join before this). It only
+    * affects bucketed scans, which in this library exist only through
+    * this warehouse. */
   def factPair(spark: SparkSession, dir: String,
-               buckets: Int = 8): (String, String) = {
+               buckets: Int = 0): (String, String) = {
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val n =
+      if (buckets > 0) buckets
+      else autoBuckets(spark, s"${dir.stripSuffix("/")}/lineitem.parquet")
     // layout epoch in the digest: bump when the on-disk contract
     // changes (v2 = one-sorted-file-per-bucket), so a warm store from
     // an older layout is never re-registered with trust it can't honor
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir#$buckets#v2".getBytes("UTF-8"))
+      .digest(s"$dir#$n#v2".getBytes("UTF-8"))
       .map(b => f"${b & 0xff}%02x").mkString.take(12)
     val base = spark.conf.get("spark.graft.bucket.dir",
       sys.props("java.io.tmpdir"))
     val root = s"${base.stripSuffix("/")}/graft-bucketed-$digest"
     val t = graft.sources.Tables(spark, dir)
     val li = ensure(spark, s"graft_bkt_lineitem_$digest",
-      s"$root/lineitem", buckets, "l_orderkey")(t.lineitem)
+      s"$root/lineitem", n, "l_orderkey")(t.lineitem)
     val ord = ensure(spark, s"graft_bkt_orders_$digest",
-      s"$root/orders", buckets, "o_orderkey")(t.orders)
+      s"$root/orders", n, "o_orderkey")(t.orders)
     (li, ord)
   }
 }
