@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -202,7 +202,53 @@ object EventQueries extends QueryGroup {
           col("exact_users") <= 0.05).as("approx_within_5pct"))
       .orderBy(col("event_type"))
 
+  /** Funnel analysis: each user's furthest strictly-ordered progress
+    * through view → click → purchase. The correlated "first click
+    * AFTER the first view" chain would be three shuffle-join passes in
+    * the naive plan; here it is ONE shuffle (the per-user
+    * `collect_list`) followed by pure array projections in a single
+    * codegen span — each stage timestamp is an `array_min` over a
+    * lambda-filtered view of the event array, with the previous
+    * stage's column as an outer reference in the filter (no sort
+    * needed: min is order-free). Strict `>` between stages makes the
+    * result tie-deterministic and engine-identical; the DuckDB oracle
+    * derives the same stages through the explicit three-pass
+    * conditional-min joins, so the single-pass rewrite is
+    * cross-checked against the textbook plan.
+    *
+    * Scale: per-user state is that user's events — production funnels
+    * scope a time window (date filter on the scan, or the streaming
+    * twin's watermark), which bounds the array; a corpus whose
+    * per-user history outgrows memory falls back to exactly the
+    * oracle's 3-pass join plan, trading two more shuffles for O(1)
+    * row width. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    def firstAt(ev: String, after: Option[Column]): Column =
+      array_min(transform(
+        filter(col("__evs"), e => after match {
+          case Some(prev) => e("t") === ev && e("ts") > prev
+          case None       => e("t") === ev
+        }),
+        e => e("ts")))
+    Tables(spark, dir).events
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("ts_us").as("ts"),
+        col("event_type").as("t"))).as("__evs"))
+      .withColumn("s1_us", firstAt("view", None))
+      .withColumn("s2_us", firstAt("click", Some(col("s1_us"))))
+      .withColumn("s3_us", firstAt("purchase", Some(col("s2_us"))))
+      .withColumn("stage",
+        when(col("s3_us").isNotNull, 3L)
+          .when(col("s2_us").isNotNull, 2L)
+          .when(col("s1_us").isNotNull, 1L)
+          .otherwise(0L))
+      .select(col("user_id"), col("s1_us"), col("s2_us"), col("s3_us"),
+        col("stage"))
+      .orderBy(col("user_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a11_funnel" -> (funnel _),
     "a7_pivot_event_counts" -> (pivotEventCounts _),
     "a8_approx_distinct" -> (approxDistinct _),
     "a6_asof_last_order" -> (asofLastOrder _),
@@ -217,6 +263,31 @@ object EventQueries extends QueryGroup {
   )
 
   def oracles: Map[String, String] = Map(
+    "a11_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS s1_us
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS s2_us
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1_us
+        |  GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS s3_us
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2_us
+        |  GROUP BY e.user_id
+        |), u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id, s1_us, s2_us, s3_us,
+        |  CAST(CASE WHEN s3_us IS NOT NULL THEN 3
+        |            WHEN s2_us IS NOT NULL THEN 2
+        |            WHEN s1_us IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS stage
+        |FROM u
+        |LEFT JOIN s1 ON u.user_id = s1.user_id
+        |LEFT JOIN s2 ON u.user_id = s2.user_id
+        |LEFT JOIN s3 ON u.user_id = s3.user_id
+        |ORDER BY u.user_id""".stripMargin,
     "a2_rolling_sum" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |  CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
