@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Batch sink helpers (the write side of the engine).
   *
@@ -32,4 +32,39 @@ object Sinks {
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+
+  /** Small-files compactor: rewrite an existing parquet directory into
+    * `ceil(bytes / targetBytes)` files. THE 100 TB ops primitive the
+    * streaming sinks and fine-grained ingests need — a micro-batch
+    * writer or a 10k-task job leaves thousands of KB-sized files, and
+    * every later scan pays one task + one open per file (plus the
+    * object-store listing). Input bytes come from the filesystem (exact
+    * — this is re-laying out EXISTING data, no estimation involved);
+    * the rewrite goes through [[graft.core.IndexStore.replace]], so the
+    * directory stays readable for the whole rewrite and a crash can
+    * never leave it torn or empty. Returns the file count written.
+    *
+    * Direction asymmetry, deliberate: GLUING (the compaction case —
+    * target count below the read's split count) uses `coalesce`, which
+    * pays no shuffle and preserves any within-file ordering per output
+    * file; SPLITTING oversized files (target above the split count)
+    * needs `repartition`'s round-robin shuffle, because a parquet file
+    * only splits at row-group boundaries the reader chooses — the rare
+    * direction, and the shuffle is the data being rewritten anyway. */
+  def compactParquetDir(spark: SparkSession, path: String,
+                        targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    graft.core.IndexStore.replace(spark, path) { scratch =>
+      val in = spark.read.parquet(path)
+      val sized =
+        if (nFiles <= in.rdd.getNumPartitions) in.coalesce(nFiles)
+        else in.repartition(nFiles)
+      sized.write.mode("overwrite").parquet(scratch)
+    }
+    nFiles
+  }
 }

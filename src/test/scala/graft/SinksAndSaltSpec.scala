@@ -57,6 +57,27 @@ class SinksAndSaltSpec extends SparkTestBase {
     }
   }
 
+  test("compactParquetDir glues a fragmented directory to the target file count") {
+    val out = Files.createTempDirectory("graft-compact").toString + "/frag"
+    // a deliberately fragmented write: 64 files for a few hundred KB
+    Tables(spark, sf()).documents.repartition(64)
+      .write.mode("overwrite").parquet(out)
+    def dataFiles() = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(dataFiles() === 64)
+    val before = spark.read.parquet(out).orderBy(col("doc_id")).collect()
+    // target far above the dir's bytes -> everything glues into 1 file
+    val n = Sinks.compactParquetDir(spark, out, targetBytes = 1L << 30)
+    assert(n === 1 && dataFiles() === 1)
+    val after = spark.read.parquet(out).orderBy(col("doc_id")).collect()
+    assert(after.toSeq === before.toSeq) // rewrite moved bytes, not rows
+    // a small target splits: ceil(bytes / target) files
+    val bytes = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val n2 = Sinks.compactParquetDir(spark, out, targetBytes = bytes / 3)
+    assert(n2 >= 3 && dataFiles() === n2)
+  }
+
   test("salted join equals plain join (deterministic salt)") {
     val orders = Tables(spark, sf()).orders
       .select(col("o_custkey"), col("o_totalprice"))
