@@ -633,9 +633,14 @@ object SimilarityQueries extends QueryGroup {
     * distance table (probes × codebook, corpus-independent) and the
     * probe cell map broadcast together; everything downstream of the
     * quantizers is exact int64, so ranks are engine-deterministic. */
-  def ivfPqAdc(spark: SparkSession, dir: String,
-               nSub: Int = 4, k: Int = 16,
-               nProbeCells: Int = 1): DataFrame = {
+  /** Everything through the cell-restricted ADC `scored` frame
+    * (probe_id, neighbor_id, cell, adc) — single owner shared by the
+    * y11 rank tail and the y15 exact-refine tail. Also returns the
+    * `assigned` frame so refine can reuse its snapped vectors without
+    * re-snapping. */
+  private def ivfPqScored(spark: SparkSession, dir: String,
+                          nSub: Int, k: Int,
+                          nProbeCells: Int): (DataFrame, DataFrame) = {
     // 0 or negative would silently produce an empty probed-cell frame
     // (and an empty result) through the else branch — fail loudly like
     // containmentJoin does for a bad threshold
@@ -685,12 +690,51 @@ object SimilarityQueries extends QueryGroup {
       .filter(col("cell") === col("p_cell")) // only the probed cells' candidates
       .groupBy(col("probe_id"), col("neighbor_id"), col("cell"))
       .agg(sum(col("d")).as("adc"))
+    (scored, assigned)
+  }
+
+  def ivfPqAdc(spark: SparkSession, dir: String,
+               nSub: Int = 4, k: Int = 16,
+               nProbeCells: Int = 1): DataFrame = {
+    val (scored, _) = ivfPqScored(spark, dir, nSub, k, nProbeCells)
     graft.ops.TopK.perKey(scored, Seq("probe_id"),
         Seq("adc" -> false, "neighbor_id" -> false), 3)
       .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
         .orderBy(col("adc"), col("neighbor_id"))).cast("long"))
       .select(col("probe_id"), col("neighbor_id"), col("cell"),
         col("rank"), col("adc"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** IVF-PQ + exact refine — the third stage of the production ANN
+    * query path (FAISS's `IVFPQR` / refine wrapper): the coarse
+    * quantizer prunes to the probed cell, ADC ranks the cell's CODES,
+    * and then only the top-`cand` ADC candidates per probe are
+    * re-ranked by their EXACT full-width distance. Compression error
+    * can swap near-ties in ADC order; touching `cand` real vectors per
+    * probe (instead of zero) buys back exact ordering among the
+    * survivors while the corpus-wide scan still reads only codes —
+    * at 100 TB the refine join fetches cand·|probes| vectors, a
+    * vanishing fraction of the corpus. Everything stays exact int64
+    * (snapped-vector L2), so the re-rank is engine-deterministic. */
+  def ivfPqRefine(spark: SparkSession, dir: String,
+                  nSub: Int = 4, k: Int = 16,
+                  cand: Int = 10): DataFrame = {
+    val (scored, assigned) = ivfPqScored(spark, dir, nSub, k, nProbeCells = 1)
+    val shortlist = graft.ops.TopK.perKey(scored, Seq("probe_id"),
+      Seq("adc" -> false, "neighbor_id" -> false), cand)
+    val sv = assigned.select(col("vec_id"), col("sv"))
+    val exact = shortlist
+      .join(sv.select(col("vec_id").as("probe_id"), col("sv").as("pv")), "probe_id")
+      .join(sv.select(col("vec_id").as("neighbor_id"), col("sv").as("nv")),
+        "neighbor_id")
+      .withColumn("l2", pqL2(col("pv"), col("nv")))
+    exact
+      .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("l2"), col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"),
+        col("adc"), col("l2"))
       .orderBy(col("probe_id"), col("rank"))
   }
 
@@ -804,7 +848,8 @@ object SimilarityQueries extends QueryGroup {
     "y12_ann_screen_np2" -> ((s: SparkSession, d: String) =>
       annScreen(s, d, nprobe = 2)),
     "y13_cell_balanced_sample" -> ((s: SparkSession, d: String) =>
-      cellBalancedSample(s, d))
+      cellBalancedSample(s, d)),
+    "y15_ivfpq_refine" -> ((s: SparkSession, d: String) => ivfPqRefine(s, d))
   )
 
   // ---- DuckDB oracles ----
@@ -916,7 +961,10 @@ object SimilarityQueries extends QueryGroup {
     * the refined `cents` per probe). The pq CTEs re-derive subs/cb/
     * codes from kmeans' `sv` — same snapped `s` list, so codes match
     * y9 exactly. */
-  private def ivfPqSql(pcellCte: String): String =
+  /** The IVF-PQ pipeline CTEs through the cell-restricted `scored`
+    * frame — shared by the y11 rank tail and the y15 refine tail
+    * (the SQL twin of [[ivfPqScored]]'s single-owner split). */
+  private def ivfPqScoredCtes(pcellCte: String): String =
     s"""$kmeansAssignedCte, subs AS (
        |  SELECT vec_id, sub, list_slice(s, sub * 16 + 1, sub * 16 + 16) AS ssv
        |  FROM (SELECT vec_id, s, unnest(range(0, 4)) AS sub FROM sv)
@@ -947,11 +995,41 @@ object SimilarityQueries extends QueryGroup {
        |  JOIN pcell pc ON pc.probe_id = dt.probe_id AND pc.p_cell = a.cell
        |  WHERE k.vec_id >= 16
        |  GROUP BY 1, 2, 3
-       |), ranked AS (
+       |)""".stripMargin
+
+  private def ivfPqSql(pcellCte: String): String =
+    s"""${ivfPqScoredCtes(pcellCte)}, ranked AS (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
        |    ORDER BY adc, neighbor_id) AS BIGINT) AS rank FROM scored
        |)
        |SELECT probe_id, neighbor_id, cell, rank, adc FROM ranked
+       |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+
+  /** y15: the y11 scored CTEs + a top-`cand` ADC shortlist re-ranked by
+    * exact full-width snapped-vector L2 (`sv.s` is the same snapped
+    * list the Spark side's `sv` column carries). */
+  private def ivfPqRefineSql(cand: Int): String =
+    s"""${ivfPqScoredCtes(
+           """pcell AS (
+             |  SELECT vec_id AS probe_id, cell AS p_cell
+             |  FROM assigned WHERE vec_id < 16
+             |)""".stripMargin)}, shortlist AS (
+       |  SELECT probe_id, neighbor_id, adc FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY adc, neighbor_id) AS crn FROM scored
+       |  ) WHERE crn <= $cand
+       |), refined AS (
+       |  SELECT s.probe_id, s.neighbor_id, s.adc,
+       |    CAST(list_aggregate(list_transform(list_zip(p.s, n.s),
+       |      q -> (q[1] - q[2]) * (q[1] - q[2])), 'sum') AS BIGINT) AS l2
+       |  FROM shortlist s
+       |  JOIN sv p ON p.vec_id = s.probe_id
+       |  JOIN sv n ON n.vec_id = s.neighbor_id
+       |), ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+       |    ORDER BY l2, neighbor_id) AS BIGINT) AS rank FROM refined
+       |)
+       |SELECT probe_id, neighbor_id, rank, adc, l2 FROM ranked
        |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
 
   /** Brute-force all-pairs cosine at the 0.4 threshold — deliberately
@@ -1089,6 +1167,7 @@ object SimilarityQueries extends QueryGroup {
         |  SELECT vec_id AS probe_id, cell AS p_cell
         |  FROM assigned WHERE vec_id < 16
         |)""".stripMargin),
+    "y15_ivfpq_refine" -> ivfPqRefineSql(10),
     "y11_ivf_pq_np2" -> ivfPqSql(
       """pcell AS (
         |  SELECT probe_id, p_cell FROM (
