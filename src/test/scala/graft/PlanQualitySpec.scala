@@ -24,7 +24,8 @@ class PlanQualitySpec extends SparkTestBase {
       "x_lm_score",         // 1-row bigram-type-count broadcast, same shape
       "x_ppl_buckets",      // inherits x_lm_score's 1-row broadcast
       "x_dsir_weights",     // 1-row target/raw-totals broadcast
-      "d17_lsh_recall_audit") // four 1-row audit counters crossJoined
+      "d17_lsh_recall_audit", // four 1-row audit counters crossJoined
+      "q22_dormant_customers") // 1-row positive-balance-average broadcast
 
   test("no CartesianProduct anywhere") {
     val offenders = plans.collect {

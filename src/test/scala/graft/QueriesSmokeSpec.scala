@@ -22,8 +22,12 @@ class QueriesSmokeSpec extends SparkTestBase {
       val n = fn(spark, sf()).count()
       if (n == 0) empty += name
     }
-    // d3/y2/y3 may legitimately be empty at the tiny sf; nothing else may
-    val allowedEmpty = Set("d3_neardup_pairs", "y2_embed_neardup", "y3_ann_lsh")
+    // d3/y2/y3 may legitimately be empty at the tiny sf; q7's one
+    // nation pair × two shipment years has zero matching lineitems in
+    // sf0.001's 6k rows (DuckDB-confirmed on the raw parquet — data,
+    // not plan). Nothing else may be empty.
+    val allowedEmpty = Set("d3_neardup_pairs", "y2_embed_neardup", "y3_ann_lsh",
+      "q7_nation_volume")
     assert((empty.toSet -- allowedEmpty).isEmpty,
       s"unexpectedly empty: ${empty.toSet -- allowedEmpty}")
   }
