@@ -45,6 +45,39 @@ class RecoverySpec extends SparkTestBase {
     assert(all.last.message === "u1 has clicked 3 times.")
   }
 
+  test("the funnel state machine resumes from checkpoint: stage timestamps survive restart") {
+    val ckpt = Files.createTempDirectory("graft-funnel-ckpt").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[FunnelAdvance]()
+    val in = MemoryStream[FunnelEvent]
+    val adv = StreamFunnel.advances(in.toDS())
+    def start() = adv.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[FunnelAdvance], _: Long) =>
+        batch.collect().foreach(got.add)
+      }
+      .start()
+
+    val q1 = start()
+    in.addData(FunnelEvent(1L, 100L, "view", 1))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(got.size === 1)
+
+    // restart from the SAME checkpoint: the stage-1 timestamp must be
+    // live again — the click advances to 2 carrying s1 from BEFORE the
+    // restart, and batch 0 is not replayed (no duplicate stage-1 row)
+    val q2 = start()
+    in.addData(FunnelEvent(1L, 250L, "click", 2),
+               FunnelEvent(1L, 400L, "purchase", 3))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val all = got.toArray(Array.empty[FunnelAdvance]).sortBy(_.stage)
+    assert(all.map(_.stage).toSeq === Seq(1, 2, 3))
+    assert(all.last === FunnelAdvance(1L, 3, Some(100L), Some(250L), Some(400L)))
+  }
+
   test("the streaming index screen resumes from checkpoint: exactly-once pairs across restart") {
     // the operational ingest screen (StreamDedup.againstIndex) killed
     // mid-stream and resumed from its checkpoint must neither re-emit
