@@ -50,12 +50,25 @@ object Sinks {
     * file; SPLITTING oversized files (target above the split count)
     * needs `repartition`'s round-robin shuffle, because a parquet file
     * only splits at row-group boundaries the reader chooses — the rare
-    * direction, and the shuffle is the data being rewritten anyway. */
+    * direction, and the shuffle is the data being rewritten anyway.
+    *
+    * Scope: FLAT directories (one parquet dataset, no partitionBy
+    * subdirectories) — a Hive-partitioned root is rejected loudly,
+    * because it would read back with the partition columns folded into
+    * the data files, silently changing the layout. Compact each leaf
+    * partition directory instead (the per-partition call is also what
+    * a 100 TB compaction scheduler does: partitions compact
+    * independently, on independent cadences). */
   def compactParquetDir(spark: SparkSession, path: String,
                         targetBytes: Long = 128L << 20): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val partDirs = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.contains("="))
+    require(partDirs.isEmpty,
+      s"$path is a partitioned root (found ${partDirs.headOption.getOrElse("")}/) — " +
+        "compact each leaf partition directory instead")
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     graft.core.IndexStore.replace(spark, path) { scratch =>

@@ -78,6 +78,15 @@ class SinksAndSaltSpec extends SparkTestBase {
     assert(n2 >= 3 && dataFiles() === n2)
   }
 
+  test("compactParquetDir rejects a partitioned root loudly") {
+    val out = Files.createTempDirectory("graft-compact-part").toString + "/root"
+    Sinks.parquetPartitioned(Tables(spark, sf()).documents, out, Seq("lang"))
+    val e = intercept[IllegalArgumentException] {
+      Sinks.compactParquetDir(spark, out)
+    }
+    assert(e.getMessage.contains("partitioned root"))
+  }
+
   test("salted join equals plain join (deterministic salt)") {
     val orders = Tables(spark, sf()).orders
       .select(col("o_custkey"), col("o_totalprice"))
