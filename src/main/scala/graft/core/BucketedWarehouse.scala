@@ -96,6 +96,61 @@ object BucketedWarehouse {
     }
   }
 
+  /** Append a batch to a registered bucketed table, preserving the
+    * bucket spec (count + key come from the catalog, so callers cannot
+    * drift the layout). Each append lands one MORE file per touched
+    * bucket: the join stays exchange-free (distribution still holds),
+    * but sort trust is file-count-gated, so merge joins silently
+    * re-sort buckets until the next [[compact]] — the same
+    * append-degrades / compact-restores cadence as the near-dup and
+    * ANN indexes ([[IndexStore]] maintenance parity). */
+  def append(spark: SparkSession, name: String, frame: DataFrame): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$name is not a bucketed table"))
+    val key = spec.bucketColumnNames.head
+    frame.repartition(spec.numBuckets, org.apache.spark.sql.functions.col(key))
+      .write.format("parquet")
+      .bucketBy(spec.numBuckets, key).sortBy(key)
+      .mode("append").saveAsTable(name)
+  }
+
+  /** Restore the one-sorted-file-per-bucket v2 layout after appends:
+    * rewrite the table's data through [[IndexStore.replace]] (old files
+    * readable throughout, crash can't leave the location torn), keeping
+    * the SAME catalog entry and location — only the files swap. The
+    * scratch write goes through a throwaway catalog name because
+    * bucketed writes must flow through `saveAsTable`; the temp entry is
+    * dropped before the swap (external table: catalog-only drop).
+    * Single-maintainer, like every replace. */
+  def compact(spark: SparkSession, name: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$name is not a bucketed table"))
+    val key = spec.bucketColumnNames.head
+    val loc = meta.location.toString
+    IndexStore.replace(spark, loc) { scratch =>
+      val tmp = name + "_compact_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      // read the FILES, not the catalog table: a bucketed scan
+      // advertises its (multi-file) layout to the planner, which then
+      // re-plans the write's shuffle at spark.sql.shuffle.partitions
+      // and fans buckets across tasks — the plain file read + aligned
+      // repartition is exactly the shape the original ensure write
+      // used, and it yields one file per bucket again
+      spark.read.parquet(loc)
+        .repartition(spec.numBuckets, org.apache.spark.sql.functions.col(key))
+        .write.format("parquet")
+        .bucketBy(spec.numBuckets, key).sortBy(key)
+        .option("path", scratch)
+        .saveAsTable(tmp)
+      spark.sql(s"DROP TABLE $tmp")
+    }
+    spark.catalog.refreshTable(name)
+  }
+
   /** The standard co-located fact pair for a testdata dir: lineitem and
     * orders bucketed+sorted on their order key, same bucket count
     * (auto-sized from the lineitem bytes when 0 — both sides MUST

@@ -106,6 +106,40 @@ class BucketedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("append keeps the join exchange-free; compact restores one sorted file per bucket") {
+    // a PRIVATE table — the shared factPair artifact must stay
+    // byte-identical to the raw parquet for the equality tests and the
+    // oracle gate
+    val loc = java.nio.file.Files.createTempDirectory("graft-bkt-life")
+      .toString + "/li"
+    val name = "graft_bkt_lifecycle_test"
+    BucketedWarehouse.ensure(spark, name, loc, 8, "l_orderkey")(
+      graft.sources.Tables(spark, sf()).lineitem)
+    val before = spark.table(name).count()
+    def filesPerBucket(): Int = spark.table(name).inputFiles.length / 8
+    assert(filesPerBucket() === 1)
+    // append a small batch (re-ingest of a slice, ids intact — layout
+    // behavior is what's under test, not dedup semantics)
+    val batch = graft.sources.Tables(spark, sf()).lineitem
+      .filter(col("l_orderkey") % 100 === 0)
+    val batchN = batch.count()
+    BucketedWarehouse.append(spark, name, batch)
+    assert(spark.table(name).count() === before + batchN)
+    assert(filesPerBucket() === 2) // one more file per bucket
+    withNoBroadcast {
+      // distribution still holds: the self-aggregation stays
+      // exchange-free even with two files per bucket
+      val plan = finalPlan(spark.table(name).groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n")))
+      assert(!plan.contains("Exchange"),
+        s"appended bucketed table must keep the bucket distribution:\n$plan")
+    }
+    BucketedWarehouse.compact(spark, name)
+    assert(filesPerBucket() === 1) // v2 layout restored
+    assert(spark.table(name).count() === before + batchN) // rows moved, not lost
+    spark.sql(s"DROP TABLE $name")
+  }
+
   test("a fresh catalog re-registers committed bucketed files without rewriting") {
     // factPair above committed the artifact; drop the catalog entries
     // to simulate a new session over a warm store, then re-ensure —
