@@ -20,7 +20,10 @@ class PartitionInvarianceSpec extends SparkTestBase {
     "q1_pricing_summary", // decimal aggregation
     "x_mixture_weights",  // int64 -> double ratio chain
     "x_lm_score",         // quantized-int probability sums
-    "y8_semantic_dedup")  // k-means + within-cell anti-join
+    "y8_semantic_dedup",  // k-means + within-cell anti-join
+    "a11_funnel",         // collect_list order varies per partitioning;
+                          // the min-chain must not see it
+    "q21_sole_late_supplier") // conditional countDistinct pair + top-10
 
   private def rows(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
