@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Event funnel input: one user action with its event timestamp; `seq`
   * breaks arrival-order ties like the other streaming records. */
@@ -83,5 +84,40 @@ object StreamFunnel {
           state.update(next)
           out.iterator
       }
+  }
+
+  /** Spark-4 `transformWithState` form: the same [[advance]] fold
+    * behind a named ValueState — the StatefulV2 parity the T1-T4
+    * quartet keeps, here with the funnel's own production dial: a
+    * non-NONE `ttl` expires a user's stalled funnel progress
+    * `ttlDuration` after its last advance (abandoned-funnel state is
+    * the unbounded term at 100 TB users; the T2 precedent —
+    * store-enforced RocksDB expiry, requires processing-time mode,
+    * selected automatically like [[StatefulV2.eventLists]]). */
+  class FunnelProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, FunnelEvent, FunnelAdvance] {
+    def this() = this(TTLConfig.NONE)
+    @transient private var progress: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      progress = getHandle.getValueState[FunnelState]("funnelProgress",
+        Encoders.product[FunnelState], ttl)
+
+    override def handleInputRows(userId: Long, rows: Iterator[FunnelEvent],
+                                 timers: TimerValues): Iterator[FunnelAdvance] = {
+      val st = if (progress.exists()) progress.get()
+               else FunnelState(0, None, None, None)
+      val (out, next) = advance(st, rows.toSeq.sortBy(e => (e.tsUs, e.seq)))
+      progress.update(next)
+      out.iterator
+    }
+  }
+
+  def advancesV2(events: Dataset[FunnelEvent],
+                 ttl: TTLConfig = TTLConfig.NONE): Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    val mode = if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    events.groupByKey(_.userId)
+      .transformWithState(new FunnelProcessor(ttl), mode, OutputMode.Append())
   }
 }

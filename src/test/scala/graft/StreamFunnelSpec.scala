@@ -47,6 +47,32 @@ class StreamFunnelSpec extends SparkTestBase {
     assert(out.map(_.stage) === Seq(1, 2))
   }
 
+  test("transformWithState twin: same golden through a named ValueState on RocksDB") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[FunnelEvent]
+      val q = StreamFunnel.advancesV2(in.toDS())
+        .writeStream.format("memory").queryName("funnel_v2_out")
+        .outputMode("append").start()
+      in.addData(
+        FunnelEvent(1L, 100L, "view", 1), FunnelEvent(2L, 150L, "click", 2))
+      q.processAllAvailable()
+      in.addData(
+        FunnelEvent(1L, 300L, "click", 3), FunnelEvent(1L, 400L, "purchase", 4))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("funnel_v2_out").as[FunnelAdvance].collect()
+        .sortBy(_.stage)
+      assert(rows.map(_.stage).toList === List(1, 2, 3))
+      assert(rows.last === FunnelAdvance(1L, 3, Some(100L), Some(300L), Some(400L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("state machine over the real events table equals the batch a11_funnel stages") {
     val dir = sf("sf0.001")
     // run the batch registered query...
