@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProductLong, RollingHash}
+import graft.functions.{DotProductLong, FirstEventAfter, RollingHash}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql("SELECT rolling_hash(x)")`
@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_long"),
       new ExpressionInfo(classOf[DotProductLong].getName, "dot_long"),
       exprs => DotProductLong(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("first_event_after"),
+      new ExpressionInfo(classOf[FirstEventAfter].getName, "first_event_after"),
+      exprs => FirstEventAfter(exprs(0), exprs(1), exprs(2))))
     e.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
     // rank-filter idiom -> TopKPerKey (the strategy above plans it)
     e.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)

@@ -223,13 +223,14 @@ object EventQueries extends QueryGroup {
     * oracle's 3-pass join plan, trading two more shuffles for O(1)
     * row width. */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
+    // native single-loop stage primitive (FirstEventAfter scaladoc:
+    // the HOF chain filter→transform→array_min interprets its lambdas
+    // per element and allocates two arrays per stage per row); the
+    // first stage's "after" is -infinity, later stages chain the
+    // previous stage column — null propagation IS the funnel contract
     def firstAt(ev: String, after: Option[Column]): Column =
-      array_min(transform(
-        filter(col("__evs"), e => after match {
-          case Some(prev) => e("t") === ev && e("ts") > prev
-          case None       => e("t") === ev
-        }),
-        e => e("ts")))
+      graft.functions.FirstEventAfter.first_event_after(
+        col("__evs"), lit(ev), after.getOrElse(lit(Long.MinValue)))
     Tables(spark, dir).events
       .groupBy(col("user_id"))
       .agg(collect_list(struct(col("ts_us").as("ts"),

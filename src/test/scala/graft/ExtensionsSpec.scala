@@ -194,4 +194,67 @@ class ExtensionsSpec extends SparkTestBase {
       .as[String].collect()
     assert(fps.distinct.length === 1)
   }
+
+  test("first_event_after matches the HOF chain it replaces, on real events") {
+    import graft.functions.FirstEventAfter.first_event_after
+    val evs = graft.sources.Tables(spark, sf()).events
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("ts_us").as("ts"),
+        col("event_type").as("t"))).as("__evs"))
+    def hof(ev: String, after: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array_min(transform(
+        filter(col("__evs"), e => e("t") === ev && e("ts") > after),
+        e => e("ts")))
+    // chain both derivations independently and compare every stage
+    val diff = evs
+      .withColumn("f1", first_event_after(col("__evs"), lit("view"), lit(Long.MinValue)))
+      .withColumn("f2", first_event_after(col("__evs"), lit("click"), col("f1")))
+      .withColumn("f3", first_event_after(col("__evs"), lit("purchase"), col("f2")))
+      .withColumn("h1", hof("view", lit(Long.MinValue)))
+      .withColumn("h2", hof("click", col("h1")))
+      .withColumn("h3", hof("purchase", col("h2")))
+      .filter(!(col("f1") <=> col("h1")) || !(col("f2") <=> col("h2")) ||
+        !(col("f3") <=> col("h3")))
+      .count()
+    assert(diff === 0)
+  }
+
+  test("first_event_after null chain: unreached prior stage nulls the next") {
+    import graft.functions.FirstEventAfter.first_event_after
+    val df = Seq(
+      (1L, Seq((10L, "view"), (20L, "click"))),  // reaches 2
+      (2L, Seq((10L, "click"))),                 // no view -> s1 null -> s2 null
+      (3L, Seq((10L, "view"), (10L, "click")))   // same ts: strict > blocks s2
+    ).toDF("id", "raw")
+      .withColumn("__evs", transform(col("raw"),
+        r => struct(r("_1").as("ts"), r("_2").as("t"))))
+      .withColumn("s1", first_event_after(col("__evs"), lit("view"), lit(Long.MinValue)))
+      .withColumn("s2", first_event_after(col("__evs"), lit("click"), col("s1")))
+      .select(col("id"), col("s1"), col("s2"))
+      .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(df.toSeq === Seq(
+      (1L, Some(10L), Some(20L)),
+      (2L, None, None),
+      (3L, Some(10L), None)))
+  }
+
+  test("first_event_after generated code compiles (no interpreted fallback)") {
+    import graft.functions.FirstEventAfter.first_event_after
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val got = Seq(Seq((5L, "view"), (9L, "click")))
+        .toDF("raw")
+        .withColumn("__evs", transform(col("raw"),
+          r => struct(r("_1").as("ts"), r("_2").as("t"))))
+        .select(
+          first_event_after(col("__evs"), lit("view"), lit(Long.MinValue)).as("s1"),
+          first_event_after(col("__evs"), lit("missing"), lit(Long.MinValue)).as("none"))
+        .as[(Option[Long], Option[Long])].collect().head
+      assert(got === ((Some(5L), None)))
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }
