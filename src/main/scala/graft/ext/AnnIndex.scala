@@ -242,9 +242,7 @@ object AnnIndex {
         .select(col("vec_id").as("probe_id"), col("sv").as("pv"),
           col("nrm").as("pn"), col("cell"))
     else {
-      val l2 = aggregate(
-        zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x)
+      val l2 = graft.functions.L2DistanceLong.l2_long(col("sv"), col("cv"))
       val ranked = pSnap
         .withColumn("c_id", explode(sequence(lit(0L), lit(kOf(cents) - 1L))))
         .join(broadcast(cents), "c_id")

@@ -45,8 +45,10 @@ object SimilarityQueries extends QueryGroup {
     * c_id (a BroadcastHashJoin), never a nested-loop join; `cents` must
     * have (c_id: long in [0, k), cv, cn). */
   private[graft] def assignToCells(vecs: DataFrame, cents: DataFrame, k: Int): DataFrame = {
-    val l2 = aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    // native codegen L2 (L2DistanceLong scaladoc): this runs |vecs|·K
+    // times per assignment pass — the quantizer-bound term of the
+    // decade probes
+    val l2 = graft.functions.L2DistanceLong.l2_long(col("sv"), col("cv"))
     // argmin as a min_by hash aggregate, not a row_number window: the
     // map-side partial agg collapses the k-way fan-out back to one row
     // per vector BEFORE the exchange (the window form shuffled and
@@ -550,10 +552,11 @@ object SimilarityQueries extends QueryGroup {
       .select(col("vec_id"), col("sub"),
         slice(col("sv"), (col("sub") * subDim + 1).cast("int"), lit(subDim)).as("ssv"))
 
-  /** Exact int64 subvector L2, shared by the encode and the ADC table. */
+  /** Exact int64 subvector L2, shared by the encode and the ADC table —
+    * the native codegen loop (L2DistanceLong scaladoc; was an
+    * interpreted aggregate(zip_with) lambda pair). */
   private def pqL2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.L2DistanceLong.l2_long(a, b)
 
   /** First k vectors' subvectors as the per-subspace codebook. */
   private def pqCodebook(subs: DataFrame, k: Int): DataFrame =

@@ -62,8 +62,7 @@ object StreamAnn {
     // (dist, cell) sort — probeCells' ordering — then the nprobe prefix
     val ranked: Column = array(cents.map { case (cid, cv) =>
       struct(
-        aggregate(zip_with(col("pv"), typedlit(cv), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, x) => acc + x).as("dist"),
+        graft.functions.L2DistanceLong.l2_long(col("pv"), typedlit(cv)).as("dist"),
         lit(cid).as("cell"))
     }: _*)
     probes

@@ -45,8 +45,7 @@ object SeedQuality {
       val r = SimilarityQueries.assignToCells(vecs, refined, k)
         .join(refined.select(col("c_id").as("cell"), col("cv")), "cell")
         .withColumn("dist",
-          aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
-            lit(0L), (acc, x) => acc + x))
+          graft.functions.L2DistanceLong.l2_long(col("sv"), col("cv")))
         .agg(avg(col("dist")), count(lit(1))).collect()(0)
       (r.getDouble(0), r.getLong(1))
     }

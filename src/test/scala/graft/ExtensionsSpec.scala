@@ -238,6 +238,34 @@ class ExtensionsSpec extends SparkTestBase {
       (3L, Some(10L), None)))
   }
 
+  test("l2_long matches aggregate(zip_with) on real snapped embeddings") {
+    import graft.functions.L2DistanceLong.l2_long
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet").limit(200)
+      .select(col("vec_id"), graft.ext.Similarity.snapVec(col("embedding")).as("sv"))
+    val pairs = emb.as("a").join(emb.as("b"),
+      col("a.vec_id") < col("b.vec_id") && col("b.vec_id") < 20)
+    val diff = pairs.select(
+        l2_long(col("a.sv"), col("b.sv")).as("fast"),
+        aggregate(zip_with(col("a.sv"), col("b.sv"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff === 0)
+  }
+
+  test("l2_long generated code compiles (no interpreted fallback)") {
+    import graft.functions.L2DistanceLong.l2_long
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val got = Seq((Seq(1L, 2L, 3L), Seq(4L, 0L, 3L))).toDF("a", "b")
+        .select(l2_long(col("a"), col("b"))).as[Long].collect().head
+      assert(got === 13L) // 9 + 4 + 0
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("first_event_after generated code compiles (no interpreted fallback)") {
     import graft.functions.FirstEventAfter.first_event_after
     spark.conf.set("spark.sql.codegen.fallback", "false")
