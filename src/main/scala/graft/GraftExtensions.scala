@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.{DotProductLong, FirstEventAfter, L2DistanceLong,
-  RollingHash}
+  RollingHash, SnapVecLong}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql("SELECT rolling_hash(x)")`
@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_long"),
       new ExpressionInfo(classOf[DotProductLong].getName, "dot_long"),
       exprs => DotProductLong(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("snap_vec"),
+      new ExpressionInfo(classOf[SnapVecLong].getName, "snap_vec"),
+      exprs => SnapVecLong(exprs.head)))
     e.injectFunction((
       new FunctionIdentifier("l2_long"),
       new ExpressionInfo(classOf[L2DistanceLong].getName, "l2_long"),

@@ -29,8 +29,11 @@ object Similarity {
     floor(c.cast("double") * lit(1000000.0) + lit(0.5)).cast("long")
 
   /** Snap a whole float array once — project this to a column before
-    * pairwise work so each vector snaps once, not once per pair. */
-  def snapVec(c: Column): Column = transform(c, x => snap(x))
+    * pairwise work so each vector snaps once, not once per pair.
+    * Native codegen loop (SnapVecLong scaladoc: the transform HOF
+    * interpreted its lambda per component, dims × corpus times at the
+    * head of every y-tier build). */
+  def snapVec(c: Column): Column = graft.functions.SnapVecLong.snap_vec(c)
 
   /** Exact int64 dot product of two pre-snapped (long-array) columns —
     * a native codegen Expression (see DotProductLong: HOF lambdas are

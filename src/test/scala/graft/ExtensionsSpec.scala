@@ -252,6 +252,23 @@ class ExtensionsSpec extends SparkTestBase {
     assert(diff === 0)
   }
 
+  test("snap_vec matches the transform HOF on real embeddings, both element types") {
+    import graft.functions.SnapVecLong.snap_vec
+    def snapHof(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      transform(c, x =>
+        floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val diff = emb.select(
+        snap_vec(col("embedding")).as("fast"),
+        snapHof(col("embedding")).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff === 0)
+    // double-array input path
+    val d = Seq(Seq(0.1d, -0.5d, 2.9999995d)).toDF("v")
+    val got = d.select(snap_vec(col("v"))).as[Seq[Long]].collect().head
+    assert(got === Seq(100000L, -500000L, 3000000L))
+  }
+
   test("l2_long generated code compiles (no interpreted fallback)") {
     import graft.functions.L2DistanceLong.l2_long
     spark.conf.set("spark.sql.codegen.fallback", "false")
@@ -260,6 +277,11 @@ class ExtensionsSpec extends SparkTestBase {
       val got = Seq((Seq(1L, 2L, 3L), Seq(4L, 0L, 3L))).toDF("a", "b")
         .select(l2_long(col("a"), col("b"))).as[Long].collect().head
       assert(got === 13L) // 9 + 4 + 0
+      // snap_vec through the same CODEGEN_ONLY gate (array output path)
+      val sn = Seq(Seq(1.5f, -2.25f)).toDF("v")
+        .select(graft.functions.SnapVecLong.snap_vec(col("v")))
+        .as[Seq[Long]].collect().head
+      assert(sn === Seq(1500000L, -2250000L))
     } finally {
       spark.conf.unset("spark.sql.codegen.fallback")
       spark.conf.unset("spark.sql.codegen.factoryMode")
