@@ -64,6 +64,13 @@ object SparkEntry {
     "x_curate_pack_xxh64" ->
       ((s, d) => graft.ext.Curation.curate(
         graft.sources.Tables(s, d).documents,
-        graft.ext.CurationConfig(hashMode = "xxh64")))
+        graft.ext.CurationConfig(hashMode = "xxh64"))),
+    // CMS heavy hitters in production hash mode: output-INVARIANT vs
+    // the md5 registration (the screen is recall-complete in either
+    // family and the exact pass owns the answer — CountMinSpec asserts
+    // the equality), so this is both a timing twin and a second
+    // correctness witness
+    "x_heavy_shingles_xxh64" ->
+      ((s, d) => graft.queries.AnalysisQueries.heavyShingles(s, d, "xxh64"))
   )
 }

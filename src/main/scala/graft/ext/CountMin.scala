@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch primitives for the heavy-hitters screen
+  * (`AnalysisQueries.heavyShingles`).
+  *
+  * The operating contract mirrors [[Bloom]]'s: the sketch is built in
+  * one bounded aggregation (≤ d·w rows shuffle, however large the
+  * input), collected, and probed as a pure projection against array
+  * LITERALS — d·w counters (4 × 8192 longs = 256 KB by default),
+  * bounded by the sketch dimensions, never by the corpus. A CMS
+  * estimate NEVER undercounts (each of the d counters saw every
+  * occurrence of the value, plus collisions), so `estimate >= T` is a
+  * COMPLETE-RECALL screen for `count >= T`: the exact second pass over
+  * the surviving candidates removes the collision-inflated false
+  * positives and nothing else. That is what lets the heavy-hitters
+  * query share the plain `HAVING count >= T` oracle verbatim — the
+  * same share-the-unguarded-oracle proof the salt-split and
+  * write-time-cap registrations use.
+  *
+  * Sizing: w ≈ e/ε for overcount ≤ ε·N per row with d = ln(1/δ) rows;
+  * at 100 TB the point is that w scales with the TOLERANCE, not the
+  * vocabulary — the screen's shuffle carries only candidate
+  * occurrences while the naive plan shuffles the full token stream
+  * into a vocabulary-sized aggregation.
+  *
+  * Both hash families: "md5" (DuckDB-portable; staged prefix like
+  * [[Bloom.md5Stage]]) and "xxh64" (production codegen). */
+object CountMin {
+
+  /** 4 rows × 8192 counters = 256 KB of literals. */
+  val DefaultD: Int = 4
+  val DefaultW: Int = 1 << 13
+
+  /** Counter position of value `ng` for sketch row `j`. */
+  def position(j: Int, ng: Column, hashMode: String, w: Int): Column =
+    hashMode match {
+      case "md5" =>
+        Bloom.hexValCol(substring(md5(concat(lit(s"cms${j}_"), ng)), 1, 8), 8) % w
+      case "xxh64" => pmod(xxhash64(lit(s"cms$j"), ng), lit(w.toLong))
+      case other => throw new IllegalArgumentException(
+        s"hashMode must be md5 or xxh64, got: $other")
+    }
+
+  /** Stage the per-row md5 prefixes once: (ng, __hx0..__hx{d-1}).
+    * md5 is the whole cost of the sketch in oracle mode, and BOTH the
+    * build and the screen need the same d hashes per occurrence —
+    * staging them into one persisted frame halves the md5 count for
+    * the query (measured: 12.4 → 4.8 s at sf0.1). Callers persist the
+    * result (it feeds two actions AND is the filter-pushdown barrier —
+    * see [[stagedEstimate]]). */
+  def stagePrefixes(occurrences: DataFrame, d: Int = DefaultD): DataFrame =
+    occurrences.select(col("ng") +: (0 until d).map(j =>
+      substring(md5(concat(lit(s"cms${j}_"), col("ng"))), 1, 8)
+        .as(s"__hx$j")): _*)
+
+  private def posFromPrefix(j: Int, w: Int): Column =
+    Bloom.hexValCol(col(s"__hx$j"), 8) % w
+
+  /** Build the d×w counter matrix from an OCCURRENCE frame (one row
+    * per occurrence — repeats are the counts): either a raw (ng) frame
+    * (xxh64 mode hashes inline) or a [[stagePrefixes]] frame (md5 mode
+    * folds the staged prefixes). One explode to (row, pos), one
+    * bounded groupBy (≤ d·w result rows), densified driver-side so
+    * every probe is an O(1) array read. */
+  def build(occurrences: DataFrame, hashMode: String = "md5",
+            d: Int = DefaultD, w: Int = DefaultW): Seq[Seq[Long]] = {
+    val staged = hashMode match {
+      case "md5" if !occurrences.columns.contains("__hx0") =>
+        stagePrefixes(occurrences, d)
+      case _ => occurrences
+    }
+    def pos(j: Int): Column =
+      if (staged.columns.contains(s"__hx$j")) posFromPrefix(j, w)
+      else position(j, col("ng"), hashMode, w)
+    val counts = staged
+      .select(explode(array((0 until d).map(j =>
+        struct(lit(j).as("j"), pos(j).as("p"))): _*)).as("jp"))
+      .groupBy(col("jp.j").as("j"), col("jp.p").as("p"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+    val rows = Array.fill(d)(Array.fill(w)(0L))
+    counts.foreach(r => rows(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
+    rows.map(_.toSeq).toSeq
+  }
+
+  /** The point estimate: min over the d counters — lambda-safe pure
+    * projection against the embedded literals. Self-contained form for
+    * xxh64 (one hash per row) and small frames; the md5 HOT PATH must
+    * go through [[stagedEstimate]] — hexValCol references its input 8
+    * times, so an inlined md5 runs 8× per position (the
+    * bloomDecontaminate staging lesson, ProfileBloom-measured). */
+  def estimate(sketch: Seq[Seq[Long]], ng: Column, hashMode: String,
+               w: Int = DefaultW): Column =
+    least(sketch.zipWithIndex.map { case (row, j) =>
+      element_at(typedlit(row), (position(j, ng, hashMode, w) + 1).cast("int"))
+    }: _*)
+
+  /** (ng, est) with the md5 prefixes STAGED one projection below the
+    * hex folds — each md5 computed once per (occurrence, row). Callers
+    * filtering on `est` must persist the result first: a filter pushed
+    * through these projections re-inlines the fold's 8 references of
+    * each md5 (PushDownPredicates substitutes through projects — the
+    * measured Bloom trap). */
+  def stagedEstimate(occurrences: DataFrame, sketch: Seq[Seq[Long]],
+                     hashMode: String, w: Int = DefaultW): DataFrame =
+    hashMode match {
+      case "md5" =>
+        val staged =
+          if (occurrences.columns.contains("__hx0")) occurrences
+          else stagePrefixes(occurrences, sketch.length)
+        staged.select(col("ng"),
+          least(sketch.zipWithIndex.map { case (row, j) =>
+            element_at(typedlit(row),
+              (posFromPrefix(j, w) + 1).cast("int"))
+          }: _*).as("est"))
+      case _ =>
+        occurrences.select(col("ng"),
+          estimate(sketch, col("ng"), hashMode, w).as("est"))
+    }
+}

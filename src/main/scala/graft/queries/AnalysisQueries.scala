@@ -770,7 +770,52 @@ object AnalysisQueries extends QueryGroup {
           .as("score"))
   }
 
+  /** Heavy hitters via count-min sketch + exact verify — corpus-wide
+    * boilerplate n-gram detection (shingles whose document frequency
+    * reaches `threshold`; the df signal the winnow/band caps act on,
+    * here surfaced as its own report). Plan shape, the production
+    * heavy-hitters pattern: ONE bounded aggregation builds the d×w
+    * sketch (≤ d·w rows shuffle however large the corpus, collected as
+    * 256 KB of literals), then the screen probes the sketch as a pure
+    * projection and only CANDIDATE occurrences reach the exact
+    * vocabulary-keyed aggregation — the naive plan shuffles every
+    * occurrence into a vocabulary-sized groupBy. A CMS estimate never
+    * undercounts, so the screen has COMPLETE recall for `df >=
+    * threshold` and the exact pass removes exactly the
+    * collision-inflated false positives: the registration shares the
+    * plain HAVING oracle verbatim — the cross-engine proof that the
+    * sketch screen changes cost, not answers (the d3_salted /
+    * d15_capped oracle-sharing precedent). The estimate frame is
+    * persisted before the filter: a filter pushed through the staged
+    * projections would re-inline the hex fold's 8 references of each
+    * md5 ([[graft.ext.CountMin.stagedEstimate]]). */
+  def heavyShingles(spark: SparkSession, dir: String): DataFrame =
+    heavyShingles(spark, dir, "md5")
+  def heavyShingles(spark: SparkSession, dir: String,
+                    hashMode: String, threshold: Long = 5L): DataFrame = {
+    import graft.ext.{CountMin, Dedup}
+    val occ = Dedup.shingleFrame(Tables(spark, dir).documents)
+      // explode_outer + null filter: the bare-explode attribute-input
+      // trap (see sourceOverlap) would triple-compute the shingling
+      .select(explode_outer(col("sh")).as("ng"))
+      .filter(col("ng").isNotNull)
+    // md5 mode persists the STAGED prefixes (one md5 per (occurrence,
+    // row), shared by the build and the screen — measured 12.4→4.8 s
+    // at sf0.1); xxh64 hashes inline, so the raw frame suffices
+    val staged = graft.core.CacheScope.track(
+      (if (hashMode == "md5") CountMin.stagePrefixes(occ) else occ).persist())
+    val sketch = CountMin.build(staged, hashMode)
+    val est = graft.core.CacheScope.track(
+      CountMin.stagedEstimate(staged, sketch, hashMode).persist())
+    est.filter(col("est") >= threshold)
+      .groupBy(col("ng"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= threshold)
+      .orderBy(col("ng"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_heavy_shingles"  -> ((s: SparkSession, d: String) => heavyShingles(s, d)),
     "x_curation_pipeline" -> (curationPipeline _),
     "x_text_stats"      -> (textStats _),
     "x_lang_id"         -> (langId _),
@@ -851,6 +896,16 @@ object AnalysisQueries extends QueryGroup {
     s"(${graft.ext.Dedup.hexValSql(s"substr(md5(concat('bloom${j}_', $ng)),1,8)", 8)} % ${1 << 18})"
 
   def oracles: Map[String, String] = Map(
+    // no CMS in the oracle: the sketch screen is complete-recall by
+    // construction (estimates never undercount) and the exact pass
+    // removes its false positives, so the answer IS the plain HAVING —
+    // hash-sharing it is the cross-engine proof
+    "x_heavy_shingles" ->
+      s"""WITH occ AS (
+         |  SELECT doc_id, unnest(${DedupQueries.shSql}) AS ng FROM documents
+         |)
+         |SELECT ng, CAST(COUNT(*) AS BIGINT) AS df FROM occ
+         |GROUP BY ng HAVING COUNT(*) >= 5 ORDER BY ng""".stripMargin,
     "x_curation_pipeline" -> {
       val p = TA.langProfiles
       def score(ws: Seq[String]) =
