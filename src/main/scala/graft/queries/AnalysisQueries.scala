@@ -792,9 +792,18 @@ object AnalysisQueries extends QueryGroup {
   def heavyShingles(spark: SparkSession, dir: String): DataFrame =
     heavyShingles(spark, dir, "md5")
   def heavyShingles(spark: SparkSession, dir: String,
-                    hashMode: String, threshold: Long = 5L): DataFrame = {
+                    hashMode: String, thresholdFrac: Double = 0.01): DataFrame = {
     import graft.ext.{CountMin, Dedup}
-    val occ = Dedup.shingleFrame(Tables(spark, dir).documents)
+    val docs = Tables(spark, dir).documents
+    // FRACTIONAL threshold — heavy means "in >= frac of documents",
+    // re-derived from the corpus count each run, so the dial keeps its
+    // meaning as the corpus grows (the sf100 probe measured what an
+    // absolute threshold does at 1000×: every shingle crosses it, the
+    // screen admits 100%, and the query degenerates to the naive
+    // full-stream aggregation plus sketch overhead). 1% of 500 gate
+    // docs = the original demo threshold of 5, answer unchanged.
+    val threshold = math.ceil(thresholdFrac * docs.count()).toLong
+    val occ = Dedup.shingleFrame(docs)
       // explode_outer + null filter: the bare-explode attribute-input
       // trap (see sourceOverlap) would triple-compute the shingling
       .select(explode_outer(col("sh")).as("ng"))
@@ -905,7 +914,9 @@ object AnalysisQueries extends QueryGroup {
          |  SELECT doc_id, unnest(${DedupQueries.shSql}) AS ng FROM documents
          |)
          |SELECT ng, CAST(COUNT(*) AS BIGINT) AS df FROM occ
-         |GROUP BY ng HAVING COUNT(*) >= 5 ORDER BY ng""".stripMargin,
+         |GROUP BY ng
+         |HAVING COUNT(*) >= CEIL(0.01 * (SELECT COUNT(*) FROM documents))
+         |ORDER BY ng""".stripMargin,
     "x_curation_pipeline" -> {
       val p = TA.langProfiles
       def score(ws: Seq[String]) =

@@ -46,7 +46,10 @@ class CountMinSpec extends SparkTestBase {
   }
 
   test("heavy-shingles output equals the exact HAVING, in both hash modes") {
-    val expected = exact.filter(_._2 >= 5L)
+    // the registration's fractional threshold, derived the same way
+    val t = math.ceil(0.01 *
+      graft.sources.Tables(spark, sf()).documents.count()).toLong
+    val expected = exact.filter(_._2 >= t)
     for (mode <- Seq("md5", "xxh64")) {
       val got = AnalysisQueries.heavyShingles(spark, sf(), mode)
         .as[(String, Long)].collect().toMap
