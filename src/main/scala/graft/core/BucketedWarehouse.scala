@@ -35,6 +35,95 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * re-registered table reads with full bucket trust. */
 object BucketedWarehouse {
 
+  /** Sidecar spec manifest, written next to the data at every write
+    * path (`ensure` cold write, [[compact]] rewrite). The bucket spec
+    * lives only in the session catalog, so a warm-store re-register
+    * must re-declare it — and a re-declaration that differs from what
+    * the files were written with makes bucket pruning hash against the
+    * wrong modulus and silently drop matching rows. The manifest is the
+    * written-with record the re-register path validates against. An
+    * underscore-prefixed name so parquet scans ignore it. */
+  private val SpecFile = "_graft_bucket_spec"
+
+  private def hadoopFs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Persist the written-with spec next to the data. Called after the
+    * data write commits: a crash in between leaves a committed store
+    * without a manifest, which the re-register path treats as a
+    * pre-manifest store (filename fallback), never as a mismatch. */
+  private def writeSpec(spark: SparkSession, location: String,
+                        buckets: Int, key: String): Unit = {
+    val (fs, _) = hadoopFs(spark, location)
+    val f = new org.apache.hadoop.fs.Path(location, SpecFile)
+    val out = fs.create(f, true)
+    try out.write(s"buckets=$buckets\nkey=$key\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readSpec(spark: SparkSession,
+                       location: String): Option[(Int, String)] = {
+    val (fs, _) = hadoopFs(spark, location)
+    val f = new org.apache.hadoop.fs.Path(location, SpecFile)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      val text =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8")
+        finally in.close()
+      val kv = text.linesIterator.flatMap { line =>
+        line.split("=", 2) match {
+          case Array(k, v) => Some(k.trim -> v.trim)
+          case _           => None
+        }
+      }.toMap
+      for (b <- kv.get("buckets"); k <- kv.get("key")) yield (b.toInt, k)
+    }
+  }
+
+  /** Validate a warm-store re-registration's declared spec against the
+    * on-disk layout. Manifest present → exact match required. Manifest
+    * absent (pre-manifest store) → fall back to the bucket ids encoded
+    * in Spark's bucketed file names (`..._00042.c000...`): the declared
+    * count must be exactly max-id+1. The fallback can false-reject a
+    * store whose highest bucket is legitimately empty (no file) — that
+    * fails loud with a rebuild hint, which is the right direction: the
+    * alternative (accepting a wrong count) drops rows silently. The
+    * key column is only checkable via the manifest. */
+  private def validateWarmSpec(spark: SparkSession, location: String,
+                               buckets: Int, key: String): Unit =
+    readSpec(spark, location) match {
+      case Some((b, k)) =>
+        require(b == buckets && k == key,
+          s"bucketed store at $location was written with buckets=$b " +
+            s"key=$k but re-registration declared buckets=$buckets " +
+            s"key=$key — a mismatched declared spec makes bucket " +
+            "pruning silently drop rows; register with the written-with " +
+            "spec or rebuild")
+      case None =>
+        val (fs, loc) = hadoopFs(spark, location)
+        val BucketId = "_(\\d{5})\\.c\\d+".r
+        val ids = fs.listStatus(loc).iterator
+          .map(_.getPath.getName)
+          .flatMap(n => BucketId.findFirstMatchIn(n).map(_.group(1).toInt))
+          .toSeq
+        require(ids.nonEmpty,
+          s"bucketed store at $location has no spec manifest and no " +
+            "bucket-id-named files — cannot validate the declared spec; " +
+            "rebuild through BucketedWarehouse.ensure")
+        val actual = ids.max + 1
+        require(actual == buckets,
+          s"bucketed store at $location has bucket ids implying " +
+            s"$actual buckets but re-registration declared $buckets — " +
+            "a mismatched declared spec makes bucket pruning silently " +
+            "drop rows; register with the written-with count or rebuild " +
+            "(if the highest bucket is legitimately empty, rebuild writes " +
+            "the spec manifest and this check becomes exact)")
+    }
+
   /** Ensure `name` is a registered bucketed table at `location`,
     * building it from `frame` only when no committed artifact exists.
     * Returns `name`, readable via `spark.table(name)`. The write path
@@ -48,7 +137,10 @@ object BucketedWarehouse {
       if (IndexStore.isCommitted(spark, location)) {
         // warm store, cold catalog: register the existing bucketed
         // files as an external table. Schema from the parquet footers;
-        // bucket spec re-declared (it lives only in the catalog).
+        // bucket spec re-declared (it lives only in the catalog) —
+        // validated against the written-with manifest first, because a
+        // drifted declaration silently breaks bucket pruning.
+        validateWarmSpec(spark, location, buckets, key)
         val ddlSchema = spark.read.parquet(location).schema.toDDL
         spark.sql(
           s"""CREATE TABLE $name ($ddlSchema)
@@ -70,6 +162,7 @@ object BucketedWarehouse {
           .option("path", location)
           .mode("overwrite")
           .saveAsTable(name)
+        writeSpec(spark, location, buckets, key)
       }
     }
     name
@@ -134,19 +227,24 @@ object BucketedWarehouse {
     IndexStore.replace(spark, loc) { scratch =>
       val tmp = name + "_compact_" +
         java.util.UUID.randomUUID().toString.take(8)
-      // read the FILES, not the catalog table: a bucketed scan
-      // advertises its (multi-file) layout to the planner, which then
-      // re-plans the write's shuffle at spark.sql.shuffle.partitions
-      // and fans buckets across tasks — the plain file read + aligned
-      // repartition is exactly the shape the original ensure write
-      // used, and it yields one file per bucket again
-      spark.read.parquet(loc)
-        .repartition(spec.numBuckets, org.apache.spark.sql.functions.col(key))
-        .write.format("parquet")
-        .bucketBy(spec.numBuckets, key).sortBy(key)
-        .option("path", scratch)
-        .saveAsTable(tmp)
-      spark.sql(s"DROP TABLE $tmp")
+      // the temp catalog entry is dropped in a finally: a failed
+      // scratch write would otherwise leave a dangling entry pointing
+      // at a scratch path that replace's own finally block deletes
+      try {
+        // read the FILES, not the catalog table: a bucketed scan
+        // advertises its (multi-file) layout to the planner, which then
+        // re-plans the write's shuffle at spark.sql.shuffle.partitions
+        // and fans buckets across tasks — the plain file read + aligned
+        // repartition is exactly the shape the original ensure write
+        // used, and it yields one file per bucket again
+        spark.read.parquet(loc)
+          .repartition(spec.numBuckets, org.apache.spark.sql.functions.col(key))
+          .write.format("parquet")
+          .bucketBy(spec.numBuckets, key).sortBy(key)
+          .option("path", scratch)
+          .saveAsTable(tmp)
+        writeSpec(spark, scratch, spec.numBuckets, key)
+      } finally spark.sql(s"DROP TABLE IF EXISTS $tmp")
     }
     spark.catalog.refreshTable(name)
   }

@@ -20,6 +20,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * quantizer-BOUND in the decade probes. One tight primitive loop,
   * identical exact-int64 results (oracle hashes unchanged by
   * construction).
+  *
+  * Length contract: the two arrays MUST have equal length — snapped
+  * embedding dims are an invariant of the quantizer tier, so a
+  * mismatch means a wiring bug (wrong column, stale index), and the
+  * replaced `aggregate(zip_with(...))` form surfaced it as a null.
+  * Truncating to the shorter array would instead return a plausible
+  * distance and surface the bug much later as a wrong ranking, so
+  * this fails loudly at eval time instead.
   */
 case class L2DistanceLong(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,7 +46,9 @@ case class L2DistanceLong(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) throw new IllegalArgumentException(
+      s"l2_long: array length mismatch ($n vs ${y.numElements()})")
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -56,7 +66,11 @@ case class L2DistanceLong(left: Expression, right: Expression)
       val d = ctx.freshName("d")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "l2_long: array length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  long $d = $a.getLong($i) - $b.getLong($i);

@@ -164,7 +164,8 @@ object TradeChangeDetectionJob {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
     val bootstrap = args.headOption.getOrElse("localhost:29092")
-    val out = changes(spark, bootstrap, args.lift(1).getOrElse("trades"))
+    val topic = args.lift(1).getOrElse("trades")
+    val out = changes(spark, bootstrap, topic)
       .select(col("tradeId"), to_json(col("diffs")).as("changes"))
     val writer = args.lift(2) match {
       case Some(outTopic) => // K3: produce (key=id, value=changes JSON)
@@ -178,8 +179,17 @@ object TradeChangeDetectionJob {
       case None =>
         out.writeStream.format("console")
     }
+    // checkpoint keyed by (bootstrap, topics): a rerun against a
+    // different broker/topic must NOT resume another run's offsets —
+    // Kafka checkpoints embed the source topic+offsets, and a reused
+    // location either fails or silently skips records
+    val ckptKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$bootstrap#$topic#${args.lift(2).getOrElse("")}"
+        .getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString.take(12)
     writer.outputMode("append")
-      .option("checkpointLocation", "/tmp/graft-trade-cdc")
+      .option("checkpointLocation",
+        s"${sys.props("java.io.tmpdir")}/graft-trade-cdc-$ckptKey")
       .start().awaitTermination()
   }
 }

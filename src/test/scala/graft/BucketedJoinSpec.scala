@@ -140,6 +140,46 @@ class BucketedJoinSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE $name")
   }
 
+  test("warm re-registration validates the declared spec against the written-with manifest") {
+    val loc = java.nio.file.Files.createTempDirectory("graft-bkt-spec")
+      .toString + "/li"
+    val name = "graft_bkt_spec_test"
+    val slice = graft.sources.Tables(spark, sf()).lineitem
+      .filter(col("l_orderkey") < 1000)
+    BucketedWarehouse.ensure(spark, name, loc, 8, "l_orderkey")(slice)
+    val rows = spark.table(name).count()
+    spark.sql(s"DROP TABLE $name") // cold catalog, warm store
+
+    // drifted bucket count → loud failure, no table registered
+    val e1 = intercept[IllegalArgumentException] {
+      BucketedWarehouse.ensure(spark, name, loc, 16, "l_orderkey")(slice)
+    }
+    assert(e1.getMessage.contains("buckets=8"), e1.getMessage)
+    assert(!spark.catalog.tableExists(name))
+    // drifted key → loud failure
+    val e2 = intercept[IllegalArgumentException] {
+      BucketedWarehouse.ensure(spark, name, loc, 8, "l_partkey")(slice)
+    }
+    assert(e2.getMessage.contains("key=l_orderkey"), e2.getMessage)
+    // matching spec → registers over the existing files
+    BucketedWarehouse.ensure(spark, name, loc, 8, "l_orderkey")(slice)
+    assert(spark.table(name).count() === rows)
+    spark.sql(s"DROP TABLE $name")
+
+    // pre-manifest store (manifest deleted): the filename fallback
+    // still catches a wrong count, and accepts the written-with one
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(loc, "_graft_bucket_spec"), false)
+    val e3 = intercept[IllegalArgumentException] {
+      BucketedWarehouse.ensure(spark, name, loc, 16, "l_orderkey")(slice)
+    }
+    assert(e3.getMessage.contains("bucket ids"), e3.getMessage)
+    BucketedWarehouse.ensure(spark, name, loc, 8, "l_orderkey")(slice)
+    assert(spark.table(name).count() === rows)
+    spark.sql(s"DROP TABLE $name")
+  }
+
   test("a fresh catalog re-registers committed bucketed files without rewriting") {
     // factPair above committed the artifact; drop the catalog entries
     // to simulate a new session over a warm store, then re-ensure —
