@@ -596,7 +596,267 @@ object RelationalQueries extends QueryGroup {
       .limit(10)
   }
 
+  /** TPC-H Q2-style minimum-cost supplier — the correlated-min-subquery
+    * shape. This corpus has no partsupp table, so the supply relation is
+    * DERIVED from the fact table: per (part, supplier) pair, the best
+    * unit price ever quoted (`min(l_extendedprice / l_quantity)`), which
+    * is the natural analogue of ps_supplycost. The correlated "cost =
+    * min cost for this part among the region's suppliers" decorrelates
+    * distributively as a window-min over the part key: ONE shuffle of
+    * the eligible slice, no per-row re-execution. supplier⋈nation⋈region
+    * is the classic broadcast dimension chain; part is corpus-scaled so
+    * AQE decides its join side. Unit-price division and min are
+    * bit-identical across engines (IEEE doubles, order-independent
+    * min), so the equality filter survives the oracle hash. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val ps = t.lineitem
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+    val parts = t.part
+      .filter(col("p_size") === 15 && col("p_type") === "SMALL")
+      .select(col("p_partkey"), col("p_name"))
+    val eur = t.region.filter(col("r_name") === "EUROPE")
+    val nation = t.nation
+    val eurNations = nation.join(broadcast(eur),
+        nation("n_regionkey") === eur("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = t.supplier
+      .join(broadcast(eurNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val eligible = ps
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+    eligible
+      .withColumn("__min_cost",
+        min(col("cost")).over(Window.partitionBy(col("p_partkey"))))
+      .filter(col("cost") === col("__min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q8-style national market share: one nation's slice of the
+    * region's revenue in a part segment, by order year. Two independent
+    * nation roles again (q7 precedent): the CUSTOMER side restricts to
+    * region AMERICA (semi-filter broadcast onto customer before the
+    * fact join), the SUPPLIER side only labels (every nation kept, the
+    * share numerator picks one). Numerator and denominator come out of
+    * ONE conditional aggregate pass (q14 precedent — exact decimal sums
+    * rounded to scale 6, the final share a single double division). */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val nation = t.nation
+    val amer = t.region.filter(col("r_name") === "AMERICA")
+    val custNations = nation.join(broadcast(amer),
+        nation("n_regionkey") === amer("r_regionkey"))
+      .select(col("n_nationkey").as("__cn_key"))
+    val cust = t.customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(custNations), col("c_nationkey") === col("__cn_key"))
+      .select(col("c_custkey"))
+    val suppNation = t.supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val parts = t.part.filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    val ord = t.orders
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+              col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val li = t.lineitem.select(col("l_orderkey"), col("l_partkey"),
+      col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    val vol = col("l_extendedprice").cast("decimal(18,6)") *
+      (lit(1) - col("l_discount")).cast("decimal(18,6)")
+    li.join(parts, col("l_partkey") === col("p_partkey")) // corpus-sized: AQE
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey")) // 2/5 of customer: AQE
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_5", vol)
+          .otherwise(lit(0).cast("decimal(18,6)"))), 6).cast("double")
+          .as("nation_volume"),
+        round(sum(vol), 6).cast("double").as("total_volume"))
+      .select(col("o_year"),
+        (col("nation_volume") / col("total_volume")).as("mkt_share"),
+        col("nation_volume"), col("total_volume"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9-style product-type profit by nation and year. No
+    * partsupp/ps_supplycost here, so unit cost is proxied from the part
+    * dimension itself: 60% of p_retailprice — per-row profit =
+    * extendedprice·(1−discount) − 0.6·retailprice·quantity, every term
+    * snapped to DECIMAL(18,6) before the exact sum (the dsumProd
+    * discipline, with a subtraction between two exact products). The
+    * name LIKE filter prunes part before it reaches the facts; supplier
+    * nations attach via broadcast; one shuffle per fact join and one
+    * for the (nation, year) rollup. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val parts = t.part.filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val suppNation = t.supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"),
+        col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("nation"))
+    val ord = t.orders.select(col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("o_year"))
+    val li = t.lineitem.select(col("l_orderkey"), col("l_partkey"),
+      col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"))
+    val profit =
+      col("l_extendedprice").cast("decimal(18,6)") *
+        (lit(1) - col("l_discount")).cast("decimal(18,6)") -
+      (col("p_retailprice") * 0.6).cast("decimal(18,6)") *
+        col("l_quantity").cast("decimal(18,6)")
+    li.join(parts, col("l_partkey") === col("p_partkey")) // corpus-sized: AQE
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(round(sum(profit), 6).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11-style important stock: parts whose inventory value in
+    * one nation exceeds a threshold derived from the nation's TOTAL
+    * value. ps_availqty·ps_supplycost is proxied by the shipped value
+    * (sum of extendedprice) of each part across the nation's suppliers.
+    * TPC-H's fixed `0.0001/SF` fraction is replaced by a SCALE-FREE
+    * threshold — 2× the per-part mean (total/|parts|) — so the
+    * selectivity survives a 100× corpus without retuning. The total and
+    * the part count come from the same slice in one extra pass and join
+    * in as a 1-row broadcast (q22 precedent). */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val nat = t.nation.filter(col("n_name") === "NATION_7")
+      .select(col("n_nationkey"))
+    val supp = t.supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val slice = t.lineitem.select(col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"))
+      .join(supp, col("l_suppkey") === col("s_suppkey")) // 1/25 of supplier: AQE
+    val perPart = slice.groupBy(col("l_partkey"))
+      .agg(dsum(col("l_extendedprice")).as("stock_value"))
+    val scalars = slice.agg(
+      dsum(col("l_extendedprice")).as("__total"),
+      countDistinct(col("l_partkey")).as("__nparts"))
+    perPart.join(broadcast(scalars)) // 1-row literal
+      .filter(col("stock_value") > lit(2.0) * col("__total") / col("__nparts"))
+      .select(col("l_partkey"), col("stock_value"))
+      .orderBy(col("stock_value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q12-style shipping-delay priority split. No l_shipmode /
+    * commitdate / receiptdate in this corpus, so the mode dimension is
+    * replaced by the observable delay BAND (ship minus order date:
+    * >90d LATE, >30d SLOW, else FAST — interval arithmetic only, the
+    * q4/q21 precedent, no datediff cross-engine risk) and the
+    * high/low-priority split is the classic one-pass conditional
+    * aggregate. One fact join on orderkey, three-row result. */
+  def q12DelayPriority(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ord = t.orders
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+              col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = t.lineitem.select(col("l_orderkey"), col("l_shipdate"))
+    val band =
+      when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "LATE")
+      .when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "SLOW")
+      .otherwise("FAST")
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(band.as("ship_band"), isHigh.as("__high"))
+      .groupBy(col("ship_band"))
+      // count-of-conditional, not sum-of-1s: COUNT is BIGINT on both
+      // engines where DuckDB's SUM(int) widens to HUGEINT
+      .agg(count(when(col("__high"), 1)).as("high_line_count"),
+           count(when(!col("__high"), 1)).as("low_line_count"))
+      .orderBy(col("ship_band"))
+  }
+
+  /** TPC-H Q16-style supplier-per-part-segment counts. The partsupp
+    * association is derived as the DISTINCT (part, supplier) pairs that
+    * actually traded (lineitem projection → distinct — one shuffle,
+    * pair-sized output); suppliers "with complaints" are proxied by
+    * negative account balance and removed with a LEFT ANTI against a
+    * broadcast-small exclusion list; the rollup is a count-distinct per
+    * (brand, type, size) over the surviving pairs. */
+  def q16SupplierParts(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pairs = t.lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+    val excluded = t.supplier.filter(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey"))
+    val parts = t.part
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 15, 25, 35, 45, 49, 50))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    pairs
+      .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(parts, col("l_partkey") === col("p_partkey")) // corpus-sized: AQE
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q20-style potential part promotion — the NESTED-semi shape:
+    * suppliers (in one nation) having [a red part whose lifetime
+    * shipped quantity more than doubles its 1997 shipments — declining
+    * demand, the availqty>½·shipped analogue on a corpus with no
+    * partsupp]. Decorrelated distributively: BOTH the lifetime and the
+    * 1997 aggregates key on the same (part, supplier) pair, so they
+    * come from two passes over the SAME red-part slice joined pairwise
+    * (pair-sized shuffle), and the surviving suppliers semi-join into
+    * supplier. The red-part filter prunes before the facts; the nation
+    * filter is a broadcast dimension. */
+  def q20PromotionCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val redParts = t.part.filter(col("p_name").like("red%"))
+      .select(col("p_partkey"))
+    val slice = t.lineitem
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        col("l_shipdate"))
+      .join(redParts, col("l_partkey") === col("p_partkey")) // 1/|colors|: AQE
+    val lifetime = slice.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+    val recent = slice
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+              col("l_shipdate") < lit("1998-01-01"))
+      .groupBy(col("l_partkey").as("__pk"), col("l_suppkey").as("__sk"))
+      .agg(dsum(col("l_quantity")).as("qty97"))
+    val candidates = lifetime.join(recent,
+        col("l_partkey") === col("__pk") && col("l_suppkey") === col("__sk"))
+      .filter(col("total_qty") > lit(2.0) * col("qty97"))
+      .select(col("l_suppkey")).distinct()
+    val nat = t.nation.filter(col("n_name") === "NATION_3")
+      .select(col("n_nationkey"))
+    t.supplier
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(candidates, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_name"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q11_important_stock" -> (q11ImportantStock _),
+    "q12_delay_priority" -> (q12DelayPriority _),
+    "q16_supplier_parts" -> (q16SupplierParts _),
+    "q20_promotion_candidates" -> (q20PromotionCandidates _),
     "q21_sole_late_supplier" -> (q21SoleLateSupplier _),
     "q_bucketed_revenue" -> (bucketedRevenue _),
     "q7_nation_volume" -> (q7NationVolume _),
@@ -628,6 +888,131 @@ object RelationalQueries extends QueryGroup {
   )
 
   def oracles: Map[String, String] = Map(
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(l_extendedprice / l_quantity) AS cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey
+        |), eligible AS (
+        |  SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+        |  FROM ps, part, supplier, nation, region
+        |  WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |    AND p_size = 15 AND p_type = 'SMALL'
+        |    AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |    AND r_name = 'EUROPE'
+        |)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+        |FROM eligible e
+        |WHERE cost = (SELECT MIN(cost) FROM eligible e2
+        |              WHERE e2.p_partkey = e.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q8_market_share" ->
+      """WITH j AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,6))
+        |      * CAST(1 - l_discount AS DECIMAL(18,6)) AS vol,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem, part, orders, customer, nation n1, region,
+        |    supplier, nation n2
+        |  WHERE l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND c_nationkey = n1.n_nationkey
+        |    AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        |    AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |)
+        |SELECT o_year, nation_volume / total_volume AS mkt_share,
+        |  nation_volume, total_volume
+        |FROM (
+        |  SELECT o_year,
+        |    CAST(round(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END), 6) AS DOUBLE)
+        |      AS nation_volume,
+        |    CAST(round(SUM(vol), 6) AS DOUBLE) AS total_volume
+        |  FROM j GROUP BY o_year
+        |)
+        |ORDER BY o_year""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(round(SUM(
+        |    CAST(l_extendedprice AS DECIMAL(18,6))
+        |      * CAST(1 - l_discount AS DECIMAL(18,6))
+        |    - CAST(p_retailprice * 0.6 AS DECIMAL(18,6))
+        |      * CAST(l_quantity AS DECIMAL(18,6))
+        |  ), 6) AS DOUBLE) AS sum_profit
+        |FROM lineitem, part, supplier, nation, orders
+        |WHERE l_partkey = p_partkey AND p_name LIKE '%red%'
+        |  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND l_orderkey = o_orderkey
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_important_stock" ->
+      s"""WITH slice AS (
+         |  SELECT l_partkey, l_extendedprice
+         |  FROM lineitem, supplier, nation
+         |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         |    AND n_name = 'NATION_7'
+         |), per_part AS (
+         |  SELECT l_partkey, ${sqlDsum("l_extendedprice")} AS stock_value
+         |  FROM slice GROUP BY l_partkey
+         |), scalars AS (
+         |  SELECT ${sqlDsum("l_extendedprice")} AS total,
+         |    COUNT(DISTINCT l_partkey) AS nparts
+         |  FROM slice
+         |)
+         |SELECT l_partkey, stock_value FROM per_part, scalars
+         |WHERE stock_value > 2.0 * total / nparts
+         |ORDER BY stock_value DESC, l_partkey""".stripMargin,
+    "q12_delay_priority" ->
+      """SELECT ship_band,
+        |  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 END) AS high_line_count,
+        |  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 END) AS low_line_count
+        |FROM (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 'LATE'
+        |         WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY THEN 'SLOW'
+        |         ELSE 'FAST' END AS ship_band
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |)
+        |GROUP BY ship_band ORDER BY ship_band""".stripMargin,
+    "q16_supplier_parts" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM pairs JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 15, 25, 35, 45, 49, 50)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_promotion_candidates" ->
+      s"""WITH ps AS (
+         |  SELECT l_partkey, l_suppkey, ${sqlDsum("l_quantity")} AS total_qty
+         |  FROM lineitem
+         |  WHERE l_partkey IN (SELECT p_partkey FROM part
+         |                      WHERE p_name LIKE 'red%')
+         |  GROUP BY l_partkey, l_suppkey
+         |)
+         |SELECT s_suppkey, s_name
+         |FROM supplier, nation
+         |WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+         |  AND s_suppkey IN (
+         |    SELECT l_suppkey FROM ps
+         |    WHERE total_qty > 2.0 * (
+         |      SELECT ${sqlDsum("l2.l_quantity")}
+         |      FROM lineitem l2
+         |      WHERE l2.l_partkey = ps.l_partkey
+         |        AND l2.l_suppkey = ps.l_suppkey
+         |        AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+         |        AND l2.l_shipdate < TIMESTAMP '1998-01-01'))
+         |ORDER BY s_name""".stripMargin,
     "q21_sole_late_supplier" ->
       """SELECT s_name, COUNT(*) AS numwait
         |FROM supplier, lineitem l1, orders
