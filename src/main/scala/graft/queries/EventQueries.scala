@@ -248,8 +248,55 @@ object EventQueries extends QueryGroup {
       .orderBy(col("user_id"))
   }
 
+  /** The funnel's BOUNDED operating mode — what a11 deploys as when the
+    * per-user history cannot be collected into a row: a bot with 10M
+    * events makes `collect_list` row width unbounded, and no cap that
+    * truncates the array can stay exact. This form never materializes a
+    * history: it is the 3-pass conditional-min join the a11 scaladoc
+    * promises (and the oracle always used) with a time-window scan
+    * filter in front — each stage is a hash aggregation carrying ONE
+    * long of state per user, each join is user-keyed, so per-task
+    * memory is O(users-per-partition), independent of how skewed one
+    * user's event count is. Two more shuffles than the collect_list
+    * form, O(1) row width — the d12_slice precedent of registering the
+    * scale posture beside the compact one. The window filter is on the
+    * derived epoch-us column (uniform across both testdata timestamp
+    * generations); a production table with native TIMESTAMP(MICROS)
+    * would filter the raw column and get row-group pruning too. */
+  def funnelBounded(spark: SparkSession, dir: String): DataFrame = {
+    // [2024-01-08, 2024-01-22): a two-week analysis window mid-corpus
+    val winStartUs = 1704672000000000L
+    val winEndUs   = 1705881600000000L
+    val ev = Tables(spark, dir).events
+      .filter(col("ts_us") >= winStartUs && col("ts_us") < winEndUs)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("__u1")).agg(min(col("ts_us")).as("s1_us"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, col("user_id") === col("__u1"))
+      .filter(col("ts_us") > col("s1_us"))
+      .groupBy(col("user_id").as("__u2")).agg(min(col("ts_us")).as("s2_us"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, col("user_id") === col("__u2"))
+      .filter(col("ts_us") > col("s2_us"))
+      .groupBy(col("user_id").as("__u3")).agg(min(col("ts_us")).as("s3_us"))
+    ev.select(col("user_id")).distinct()
+      .join(s1, col("user_id") === col("__u1"), "left")
+      .join(s2, col("user_id") === col("__u2"), "left")
+      .join(s3, col("user_id") === col("__u3"), "left")
+      .withColumn("stage",
+        when(col("s3_us").isNotNull, 3L)
+          .when(col("s2_us").isNotNull, 2L)
+          .when(col("s1_us").isNotNull, 1L)
+          .otherwise(0L))
+      .select(col("user_id"), col("s1_us"), col("s2_us"), col("s3_us"),
+        col("stage"))
+      .orderBy(col("user_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a11_funnel" -> (funnel _),
+    "a11_funnel_bounded" -> (funnelBounded _),
     "a7_pivot_event_counts" -> (pivotEventCounts _),
     "a8_approx_distinct" -> (approxDistinct _),
     "a6_asof_last_order" -> (asofLastOrder _),
@@ -279,6 +326,35 @@ object EventQueries extends QueryGroup {
         |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2_us
         |  GROUP BY e.user_id
         |), u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id, s1_us, s2_us, s3_us,
+        |  CAST(CASE WHEN s3_us IS NOT NULL THEN 3
+        |            WHEN s2_us IS NOT NULL THEN 2
+        |            WHEN s1_us IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS stage
+        |FROM u
+        |LEFT JOIN s1 ON u.user_id = s1.user_id
+        |LEFT JOIN s2 ON u.user_id = s2.user_id
+        |LEFT JOIN s3 ON u.user_id = s3.user_id
+        |ORDER BY u.user_id""".stripMargin,
+    "a11_funnel_bounded" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |  WHERE epoch_us(ts) >= 1704672000000000
+        |    AND epoch_us(ts) < 1705881600000000
+        |), s1 AS (
+        |  SELECT user_id, min(ts_us) AS s1_us
+        |  FROM ev WHERE event_type = 'view' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts_us) AS s2_us
+        |  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_us > s1_us
+        |  GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts_us) AS s3_us
+        |  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > s2_us
+        |  GROUP BY e.user_id
+        |), u AS (SELECT DISTINCT user_id FROM ev)
         |SELECT u.user_id, s1_us, s2_us, s3_us,
         |  CAST(CASE WHEN s3_us IS NOT NULL THEN 3
         |            WHEN s2_us IS NOT NULL THEN 2
