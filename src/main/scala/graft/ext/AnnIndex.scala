@@ -53,6 +53,51 @@ object AnnIndex {
 
   private val K_DEFAULT = 16
 
+  /** Quantizer GENERATION sidecar: a fresh id written beside the data
+    * by every quantizer (re)build — [[write]] and [[compact]], NOT
+    * [[append]] (appends reuse the standing quantizer, so consumers
+    * holding its centroids stay valid). A long-running stream that
+    * baked the centroids in as plan literals ([[graft.streaming
+    * .StreamAnn]]) checks this id per micro-batch and fails loud when
+    * a compact swapped the quantizer underneath it — without the
+    * check it would silently quantize probes with the OLD centroids
+    * against rows assigned by the NEW ones and lose recall unbounded.
+    * Underscore-prefixed so parquet scans ignore it; it travels with
+    * the directory through [[graft.core.IndexStore.replace]]'s atomic
+    * swap, so generation and rows can never be torn. */
+  private val GenFile = "_graft_ann_gen"
+
+  /** The committed quantizer generation, None for pre-generation
+    * artifacts (guards treat a None→Some transition as a change). */
+  def generation(spark: SparkSession, path: String): Option[String] =
+    readGeneration(path, spark.sessionState.newHadoopConf())
+
+  /** Conf-explicit form, callable from executors (the stream guard
+    * re-reads per micro-batch with a default Hadoop conf — index
+    * paths on shared storage carry their scheme, so the default conf
+    * resolves the same filesystem the driver wrote through). */
+  private[graft] def readGeneration(
+      path: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[String] = {
+    val f = new org.apache.hadoop.fs.Path(path, GenFile)
+    val fs = f.getFileSystem(conf)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  private def writeGeneration(spark: SparkSession, path: String): Unit = {
+    val f = new org.apache.hadoop.fs.Path(path, GenFile)
+    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(f, true)
+    try out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Vector rows of a read index: (vec_id, sv, nrm, cell). */
   def vectors(index: DataFrame): DataFrame =
     index.filter(col("kind") === "v")
@@ -104,6 +149,9 @@ object AnnIndex {
       val centsKept = cents.join(
         a.select(col("cell").as("c_id")).distinct(), Seq("c_id"), "left_semi")
       rows(a, centsKept).write.mode("overwrite").parquet(path)
+      // a (re)built quantizer is a NEW generation — streams holding the
+      // old centroids as plan literals must fail loud, not lose recall
+      writeGeneration(vecs.sparkSession, path)
     } finally persisted.foreach(_.unpersist())
   }
 

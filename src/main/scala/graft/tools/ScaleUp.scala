@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Synthesizes a larger scale factor from an existing testdata directory
@@ -11,18 +11,41 @@ import org.apache.spark.sql.functions._
   * Document text is perturbed per replica so dedup clusters stay
   * bounded (cluster size = factor, not corpus-sized).
   *
-  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <factor> [tables]
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <factor> [tables] [--zipf]
   * `tables` is an optional comma-separated subset to synthesize (e.g.
   * "documents,embeddings" for the sf100-equivalent index-query probe,
   * where the full fact schema would waste tens of GB the probe never
   * reads); omitted = all tables + the media fixture.
   * Used for the BASELINE.md scaling probe (sf0.1 -> sf1-equivalent);
   * correctness gates keep using the driver-provided parquet unmodified.
+  *
+  * `--zipf` switches the replica synthesis from uniform to HEAVY-TAILED
+  * — the fixture the skew guards exist for. Uniform replicas produced
+  * three vacuous-guard probe findings in a row (heavy-hitters admitting
+  * 100% then 0%, the winnow df-cap never capping, C4 line rules with
+  * nothing to cut), because every key is equally frequent. Zipf mode:
+  *  - documents: every replica doc gets a BOILERPLATE sentence appended
+  *    whose template index is log-uniform in [1, 1000] (P(k) ∝ 1/k) —
+  *    template 1 lands in ~10% of docs, the tail is rare. Identical
+  *    template text across docs ⇒ genuinely heavy shingles for the CMS
+  *    screen and genuinely high-df winnow fingerprints for the df-cap.
+  *  - events: user_id is REASSIGNED log-uniformly over the scaled user
+  *    space (P(user k) ∝ 1/k), so the top user absorbs ~1/ln(U) of ALL
+  *    events — the bot tail that makes per-user collect_list rows
+  *    unbounded and the funnel's bounded mode necessary.
+  * Both draws are hash-deterministic (xxhash64 of the row key and
+  * replica index): re-running produces the same fixture. Zipf replicas
+  * are probe fixtures only — referential integrity holds (boilerplate
+  * only appends text; reassigned user ids stay within the scaled
+  * customer key space) but cross-sf comparability to uniform replicas
+  * does not.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
-    val (Array(srcDir, outDir, factorStr), rest) = args.splitAt(3)
+    val (Array(srcDir, outDir, factorStr), restAll) = args.splitAt(3)
     val factor = factorStr.toInt
+    val zipf = restAll.contains("--zipf")
+    val rest = restAll.filterNot(_ == "--zipf")
     val only: Option[Set[String]] = rest.headOption.map(_.split(",").toSet)
     def wanted(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -78,11 +101,38 @@ object ScaleUp {
     if (wanted("lineitem"))
       replicate("lineitem", Map("l_orderkey" -> oMax, "l_partkey" -> pMax,
         "l_suppkey" -> sMax))
-    if (wanted("events"))
-      replicate("events", Map("event_id" -> eMax, "user_id" -> cMax))
+    // log-uniform draw in [1, bound] from a deterministic hash: if
+    // u ~ U[0,1) then floor(bound^u) has P(k) ∝ ~1/k — the zipf tail
+    def logUniform(seedCols: Column, i: Int, bound: Double): Column = {
+      val u = pmod(xxhash64(seedCols, lit(i)), lit(1000000L))
+        .cast("double") / 1000000.0
+      floor(pow(lit(bound), u)).cast("long")
+    }
+
+    if (wanted("events")) {
+      if (zipf) {
+        // heavy-tailed activity: reassign user_id log-uniformly over the
+        // scaled user space — user 1 absorbs ~1/ln(U) of all events
+        val totalUsers = (cMax * factor).toDouble
+        replicate("events", Map("event_id" -> eMax), (df, i) =>
+          df.withColumn("user_id", logUniform(col("event_id"), i, totalUsers)))
+      } else
+        replicate("events", Map("event_id" -> eMax, "user_id" -> cMax))
+    }
     if (wanted("documents"))
       replicate("documents", Map("doc_id" -> dMax), (df, i) =>
-        if (i == 0) df
+        if (zipf) {
+          // boilerplate template k (zipf-ranked), identical 15-word text
+          // for every doc that draws the same k — heavy shingles and
+          // high-df winnow fingerprints concentrate on small k
+          val k = logUniform(col("doc_id"), i, 1000.0)
+          df.withColumn("__bk", k)
+            .withColumn("text", concat(col("text"), lit(" "),
+              expr("concat_ws(' ', transform(sequence(0, 14), " +
+                "j -> concat('zb', pmod(__bk * 13 + j * 7, 997))))"),
+              lit(s" r$i")))
+            .drop("__bk")
+        } else if (i == 0) df
         else df.withColumn("text", concat(col("text"), lit(s" r$i"))))
     if (wanted("embeddings")) replicate("embeddings", Map("vec_id" -> vMax))
 

@@ -65,6 +65,71 @@ class StreamAnnSpec extends SparkTestBase {
     }
   }
 
+  test("a quantizer-generation change under a running screen fails the next micro-batch loud; a restart picks up the new quantizer") {
+    val path = freshPath()
+    AnnIndex.write(emb.filter(col("vec_id") % 5 =!= 0), path)
+    val gen0 = AnnIndex.generation(spark, path)
+    assert(gen0.nonEmpty, "write must commit a generation id")
+    // append reuses the standing quantizer — generation must NOT move
+    AnnIndex.append(
+      emb.filter(col("vec_id") % 10 === 3).limit(5), path)
+    assert(AnnIndex.generation(spark, path) === gen0,
+      "append must not bump the quantizer generation")
+
+    val probeRows = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq.take(20)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val screened = StreamAnn.againstIndex(
+      mem.toDF().toDF("vec_id", "embedding"), path, -1.0, 1)
+    val q = screened.writeStream.format("memory")
+      .queryName("stream_ann_gen_guard").outputMode("append").start()
+    try {
+      mem.addData(probeRows.take(10): _*)
+      q.processAllAvailable() // first batch passes under the built quantizer
+      assert(spark.table("stream_ann_gen_guard").count() > 0)
+      // an EXTERNAL maintainer (separate JVM — no shared cache to fail
+      // first) republishes the quantizer: simulate exactly what the
+      // stream's session observes, a bumped generation sidecar over
+      // still-readable rows — the silent-staleness scenario the guard
+      // exists for. (An in-session compact also fails the query, but
+      // through refreshByPath's recache, before the guard can run.)
+      val genFile = new org.apache.hadoop.fs.Path(path, "_graft_ann_gen")
+      val fs = genFile.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(genFile, true)
+      try out.write("compacted-elsewhere".getBytes("UTF-8"))
+      finally out.close()
+      mem.addData(probeRows.drop(10): _*)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("quantizer generation changed")),
+        s"expected the generation guard to fail the batch, got: $e")
+    } finally q.stop()
+    graft.core.CacheScope.releaseAll()
+
+    // a real compact bumps the generation atomically with the rows...
+    AnnIndex.compact(spark, path)
+    val gen1 = AnnIndex.generation(spark, path)
+    assert(gen1.nonEmpty && gen1 != gen0,
+      "compact must commit a fresh quantizer generation")
+    // ...and a RESTARTED query re-collects the new quantizer and equals
+    // the batch screen over the compacted index
+    val streamed = runStream(probeRows, path, -1.0, 1)
+    graft.core.CacheScope.releaseAll()
+    assert(streamed.nonEmpty, "restart must serve the new quantizer")
+    assert(streamed === batchScreen(
+      emb.filter(col("vec_id") % 5 === 0)
+        .join(spark.createDataset(probeRows.map(_._1)).toDF("__id"),
+          col("vec_id") === col("__id"), "left_semi"),
+      path, -1.0, 1),
+      "restarted stream must equal the batch screen over the new index")
+  }
+
   test("nprobe widens the emitted candidate set monotonically") {
     val path = freshPath()
     AnnIndex.write(emb.filter(col("vec_id") % 5 =!= 0), path)
