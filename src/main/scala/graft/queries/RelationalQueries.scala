@@ -72,8 +72,16 @@ object RelationalQueries extends QueryGroup {
       .limit(10)
   }
 
-  /** TPC-H Q5-style local supplier volume: 6-way join, all dims
-    * broadcast, one shuffle-agg by nation. */
+  /** TPC-H Q5-style local supplier volume: 6-way join, one shuffle-agg
+    * by nation. The `c_nationkey = s_nationkey ∈ ASIA` constraint means
+    * the ASIA-nation slice (a TRUE dimension — region×nation, fixed
+    * cardinality) can semi-filter BOTH corpus-scaled carriers before
+    * the fact pipeline sees either: each broadcast-joins the 5-row
+    * nation slice early (q7's pattern, RelationalQueries q7NationVolume),
+    * shrinking customer and supplier to |ASIA|/|nations| of their rows;
+    * the carriers then join the facts UNHINTED so AQE broadcasts them
+    * while they fit and shuffle-joins beyond — never a forced broadcast
+    * of a table that scales with the corpus. */
   def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val asia = t.region.filter(col("r_name") === "ASIA")
@@ -81,19 +89,24 @@ object RelationalQueries extends QueryGroup {
     val nat = nation.join(broadcast(asia),
       nation("n_regionkey") === asia("r_regionkey"))
       .select(col("n_nationkey"), col("n_name"))
+    // semi-filter + name attach in one pass over each carrier
     val cust = t.customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("__cn_key"))),
+        col("c_nationkey") === col("__cn_key"))
+      .select(col("c_custkey"), col("c_nationkey"))
     val supp = t.supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
     val ord = t.orders
       .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
       .select(col("o_orderkey"), col("o_custkey"))
     val li = t.lineitem.select(col("l_orderkey"), col("l_suppkey"),
       col("l_extendedprice"), col("l_discount"))
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-      .join(broadcast(supp),
+      .join(cust, ord("o_custkey") === cust("c_custkey")) // ASIA slice: AQE
+      .join(supp,
         li("l_suppkey") === supp("s_suppkey") &&
-        cust("c_nationkey") === supp("s_nationkey"))
-      .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+        cust("c_nationkey") === supp("s_nationkey")) // ASIA slice: AQE
       .groupBy(col("n_name"))
       .agg(dsumProd(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
@@ -118,8 +131,8 @@ object RelationalQueries extends QueryGroup {
     t.orders.groupBy(col("o_custkey"))
       .agg(dsum(col("o_totalprice")).as("total_spent"),
            count(lit(1)).as("n_orders"))
-      .join(broadcast(t.customer.select(col("c_custkey"), col("c_name"))),
-        col("o_custkey") === col("c_custkey"))
+      .join(t.customer.select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey")) // corpus-sized: AQE
       .select(col("c_custkey"), col("c_name"), col("total_spent"), col("n_orders"))
       .orderBy(col("total_spent").desc, col("c_custkey"))
       .limit(10)
@@ -676,7 +689,7 @@ object RelationalQueries extends QueryGroup {
     li.join(parts, col("l_partkey") === col("p_partkey")) // corpus-sized: AQE
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey")) // 2/5 of customer: AQE
-      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey")) // corpus-sized: AQE
       .groupBy(col("o_year"))
       .agg(
         round(sum(when(col("supp_nation") === "NATION_5", vol)
@@ -695,9 +708,10 @@ object RelationalQueries extends QueryGroup {
     * extendedprice·(1−discount) − 0.6·retailprice·quantity, every term
     * snapped to DECIMAL(18,6) before the exact sum (the dsumProd
     * discipline, with a subtraction between two exact products). The
-    * name LIKE filter prunes part before it reaches the facts; supplier
-    * nations attach via broadcast; one shuffle per fact join and one
-    * for the (nation, year) rollup. */
+    * name LIKE filter prunes part before it reaches the facts; the
+    * supplier→nation carrier joins UNHINTED (supplier scales with the
+    * corpus — AQE broadcasts while it fits, shuffle-joins beyond); one
+    * shuffle per fact join and one for the (nation, year) rollup. */
   def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val parts = t.part.filter(col("p_name").like("%red%"))
@@ -718,7 +732,7 @@ object RelationalQueries extends QueryGroup {
       (col("p_retailprice") * 0.6).cast("decimal(18,6)") *
         col("l_quantity").cast("decimal(18,6)")
     li.join(parts, col("l_partkey") === col("p_partkey")) // corpus-sized: AQE
-      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey")) // corpus-sized: AQE
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("nation"), col("o_year"))
       .agg(round(sum(profit), 6).cast("double").as("sum_profit"))
