@@ -72,9 +72,16 @@ object StreamAnn {
     // per stage (stages are fresh every micro-batch), rows only pass
     // while the committed quantizer is still the constructed one. A
     // Scala UDF breaks codegen only on the batch-sized probe
-    // projection, never on the index side.
+    // projection, never on the index side. The DRIVER's hadoop conf is
+    // captured here (serializable wrapper, closure-shipped) — a bare
+    // `new Configuration()` on the executor ignores spark.hadoop.*
+    // session settings (s3a credentials, fs.defaultFS) and would fail
+    // or resolve the wrong filesystem on clusters whose FS config
+    // comes from Spark conf rather than executor-classpath XML.
+    val hconf = new graft.core.SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
     val genGuard = udf((p: String, expected: String) => {
-      QuantizerGenGuard.check(p, Option(expected).filter(_.nonEmpty))
+      QuantizerGenGuard.check(p, Option(expected).filter(_.nonEmpty), hconf.value)
       true
     })
     val probes = stream.select(col("vec_id").as("probe_id"),
@@ -113,13 +120,13 @@ object QuantizerGenGuard {
   private val checked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
 
-  def check(indexPath: String, expected: Option[String]): Unit = {
+  def check(indexPath: String, expected: Option[String],
+            conf: org.apache.hadoop.conf.Configuration): Unit = {
     val stage = Option(org.apache.spark.TaskContext.get())
       .map(_.stageId()).getOrElse(-1)
     val key = (indexPath, stage)
     if (!checked.contains(key)) {
-      val current = graft.ext.AnnIndex.readGeneration(indexPath,
-        new org.apache.hadoop.conf.Configuration())
+      val current = graft.ext.AnnIndex.readGeneration(indexPath, conf)
       if (current != expected) throw new IllegalStateException(
         s"ANN index at $indexPath was recompacted under a running " +
           s"stream: quantizer generation changed from " +
