@@ -138,9 +138,11 @@ object FraudDetectorJob {
 
 /** ref kafka/TradeChangeDetectionJob.java — Kafka JSON CDC. Args:
   * bootstrap (a real broker, or `mock:<dir>` for the file-backed
-  * contract mock), input topic, and optionally an output topic — given
+  * contract mock), input topic, optionally an output topic — given
   * one, changes are produced back to Kafka keyed by trade id (K3, ref
-  * :48) instead of printed. */
+  * :48) instead of printed — and optionally an explicit checkpoint
+  * location (pass it to keep a pre-existing run's committed offsets;
+  * otherwise a (bootstrap, topics)-keyed tmpdir default is used). */
 object TradeChangeDetectionJob {
 
   /** The topology, sink-agnostic: kafka records → keyed JSON CDC. */
@@ -179,17 +181,23 @@ object TradeChangeDetectionJob {
       case None =>
         out.writeStream.format("console")
     }
-    // checkpoint keyed by (bootstrap, topics): a rerun against a
+    // checkpoint: explicit 4th arg wins — an EXISTING deployment must
+    // pass its old location (e.g. the pre-keyed /tmp/graft-trade-cdc)
+    // or its committed offsets are abandoned and, with
+    // startingOffsets=latest, the records in between silently skipped.
+    // Default: keyed by (bootstrap, topics) — a rerun against a
     // different broker/topic must NOT resume another run's offsets —
     // Kafka checkpoints embed the source topic+offsets, and a reused
-    // location either fails or silently skips records
-    val ckptKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$bootstrap#$topic#${args.lift(2).getOrElse("")}"
-        .getBytes("UTF-8"))
-      .map(b => f"${b & 0xff}%02x").mkString.take(12)
+    // location either fails or silently skips records.
+    val ckpt = args.lift(3).getOrElse {
+      val ckptKey = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$bootstrap#$topic#${args.lift(2).getOrElse("")}"
+          .getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(12)
+      s"${sys.props("java.io.tmpdir")}/graft-trade-cdc-$ckptKey"
+    }
     writer.outputMode("append")
-      .option("checkpointLocation",
-        s"${sys.props("java.io.tmpdir")}/graft-trade-cdc-$ckptKey")
+      .option("checkpointLocation", ckpt)
       .start().awaitTermination()
   }
 }
