@@ -57,10 +57,21 @@ object BucketedWarehouse {
   private def writeSpec(spark: SparkSession, location: String,
                         buckets: Int, key: String): Unit = {
     val (fs, _) = hadoopFs(spark, location)
-    val f = new org.apache.hadoop.fs.Path(location, SpecFile)
-    val out = fs.create(f, true)
+    // temp-file-then-rename: fs.create is not atomic, and a partial
+    // manifest (crash mid-write on a non-atomic store) would read as
+    // corrupt forever. Rename is atomic on HDFS/local.
+    val tmp = new org.apache.hadoop.fs.Path(location,
+      SpecFile + ".tmp-" + java.util.UUID.randomUUID().toString)
+    val out = fs.create(tmp, true)
     try out.write(s"buckets=$buckets\nkey=$key\n".getBytes("UTF-8"))
     finally out.close()
+    val f = new org.apache.hadoop.fs.Path(location, SpecFile)
+    if (fs.exists(f)) fs.delete(f, false)
+    if (!fs.rename(tmp, f)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"could not publish bucket spec manifest at $f")
+    }
   }
 
   private def readSpec(spark: SparkSession,
@@ -80,7 +91,20 @@ object BucketedWarehouse {
           case _           => None
         }
       }.toMap
-      for (b <- kv.get("buckets"); k <- kv.get("key")) yield (b.toInt, k)
+      // a manifest that EXISTS but doesn't parse is corruption (e.g. a
+      // torn write on a store populated before the atomic-rename
+      // publish), not a pre-manifest store — fail loud with the rebuild
+      // hint instead of surfacing a bare NumberFormatException or,
+      // worse, silently falling back to the weaker filename check
+      val parsed = for (b <- kv.get("buckets");
+                        n <- scala.util.Try(b.toInt).toOption;
+                        k <- kv.get("key")) yield (n, k)
+      if (parsed.isEmpty) throw new IllegalStateException(
+        s"bucketed store at $location has an unreadable spec manifest " +
+          s"($SpecFile content: ${text.take(80).replace("\n", "\\n")}) — " +
+          "likely a torn write; delete the manifest to re-validate via " +
+          "bucket filenames, or rebuild through BucketedWarehouse")
+      parsed
     }
   }
 
@@ -122,6 +146,12 @@ object BucketedWarehouse {
             "drop rows; register with the written-with count or rebuild " +
             "(if the highest bucket is legitimately empty, rebuild writes " +
             "the spec manifest and this check becomes exact)")
+        // backfill: the filename fallback can only check the COUNT —
+        // a drifted KEY on a manifest-less store would still register
+        // silently, forever. Persisting the now-validated declared
+        // spec makes the key checkable on every subsequent
+        // re-registration instead of waiting for a compact.
+        writeSpec(spark, location, buckets, key)
     }
 
   /** Ensure `name` is a registered bucketed table at `location`,
@@ -175,8 +205,8 @@ object BucketedWarehouse {
     * parallelism ceiling is (a bucketed scan gets exactly one task per
     * bucket: an 8-bucket 60M-row table reads on 8 cores no matter how
     * wide the cluster is — the round-8 probe measured exactly that
-    * before this sizing existed). Power of two so a future re-bucketing
-    * to 2k splits buckets without re-reading unrelated keys. */
+    * before this sizing existed). Power of two so [[split]] can double
+    * the count without re-reading unrelated keys. */
   def autoBuckets(spark: SparkSession, dataPath: String,
                   targetBytes: Long = 64L << 20, minBuckets: Int = 8): Int = {
     val p = new org.apache.hadoop.fs.Path(dataPath)
@@ -288,5 +318,69 @@ object BucketedWarehouse {
     val ord = ensure(spark, s"graft_bkt_orders_$digest",
       s"$root/orders", n, "o_orderkey")(t.orders)
     (li, ord)
+  }
+
+  /** Double a bucketed table's bucket count WITHOUT a shuffle — the
+    * payoff the power-of-two sizing rule ([[autoBuckets]], header
+    * sizing note) was bought for. With Spark's bucket hash
+    * (`pmod(murmur3(key), n)`), every key in old bucket `b` lands in
+    * new bucket `b` or `b + n` under `2n` — each old bucket splits
+    * into exactly two children and no key crosses to an unrelated
+    * bucket. Mechanically: a BUCKETED scan of the table plans exactly
+    * one task per old bucket (Spark groups files by bucket id, any
+    * file count), so each write task holds precisely the rows of its
+    * two child buckets — the bucketed writer emits one file per
+    * (task, bucket) = one sorted file per child bucket, preserving the
+    * v2 one-sorted-file-per-bucket layout, with zero exchange in the
+    * plan (spec-pinned in `BucketedJoinSpec`). The rewrite flows
+    * through [[IndexStore.replace]] (old files readable throughout, a
+    * crash cannot tear the location) and re-registers the catalog
+    * entry with the doubled count (bucket spec lives in the catalog,
+    * so the old entry would silently mis-prune). Auto-bucketed-scan
+    * is forced OFF for the read: if AQE rewrote the scan as a plain
+    * file scan, a large bucket file could SPLIT across tasks
+    * (maxPartitionBytes) and tear a child bucket across two files
+    * from two tasks. Single-maintainer, like every replace. */
+  def split(spark: SparkSession, name: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$name is not a bucketed table"))
+    val key = spec.bucketColumnNames.head
+    val loc = meta.location.toString
+    val doubled = spec.numBuckets * 2
+    val autoScanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAutoScan = spark.conf.getOption(autoScanKey)
+    spark.conf.set(autoScanKey, "false")
+    try {
+      IndexStore.replace(spark, loc) { scratch =>
+        val tmp = name + "_split_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        try {
+          // NO repartition: the bucketed scan's one-task-per-bucket
+          // distribution IS the split's locality guarantee; the writer
+          // inserts only a task-local sort on (bucket id, key)
+          spark.table(name)
+            .write.format("parquet")
+            .bucketBy(doubled, key).sortBy(key)
+            .option("path", scratch)
+            .saveAsTable(tmp)
+          writeSpec(spark, scratch, doubled, key)
+        } finally spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      }
+    } finally prevAutoScan match {
+      case Some(v) => spark.conf.set(autoScanKey, v)
+      case None    => spark.conf.unset(autoScanKey)
+    }
+    // the catalog entry still declares the OLD count — re-register
+    // with the doubled spec (external table: drop is catalog-only)
+    val ddlSchema = spark.read.parquet(loc).schema.toDDL
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(
+      s"""CREATE TABLE $name ($ddlSchema)
+         |USING PARQUET
+         |CLUSTERED BY ($key) SORTED BY ($key) INTO $doubled BUCKETS
+         |LOCATION '$loc'""".stripMargin)
+    spark.catalog.refreshTable(name)
   }
 }

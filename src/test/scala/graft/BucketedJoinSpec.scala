@@ -177,6 +177,99 @@ class BucketedJoinSpec extends SparkTestBase {
     assert(e3.getMessage.contains("bucket ids"), e3.getMessage)
     BucketedWarehouse.ensure(spark, name, loc, 8, "l_orderkey")(slice)
     assert(spark.table(name).count() === rows)
+    // the successful fallback BACKFILLS the manifest (the filename
+    // check can't see the key; the manifest makes it checkable on
+    // every later re-registration) — so a now-drifted KEY fails loud
+    assert(fs.exists(new org.apache.hadoop.fs.Path(loc, "_graft_bucket_spec")),
+      "fallback validation must backfill the spec manifest")
+    spark.sql(s"DROP TABLE $name")
+    val e4 = intercept[IllegalArgumentException] {
+      BucketedWarehouse.ensure(spark, name, loc, 8, "l_partkey")(slice)
+    }
+    assert(e4.getMessage.contains("key=l_orderkey"), e4.getMessage)
+
+    // a manifest that EXISTS but is garbage is corruption, not a
+    // pre-manifest store: loud failure with the rebuild hint
+    val specPath = new org.apache.hadoop.fs.Path(loc, "_graft_bucket_spec")
+    fs.delete(specPath, false)
+    val out = fs.create(specPath, true)
+    try out.write("buckets=not-a-number\nkey=l_orderkey\n".getBytes("UTF-8"))
+    finally out.close()
+    val e5 = intercept[IllegalStateException] {
+      BucketedWarehouse.ensure(spark, name, loc, 8, "l_orderkey")(slice)
+    }
+    assert(e5.getMessage.contains("unreadable spec manifest"), e5.getMessage)
+  }
+
+  test("split doubles the bucket count shuffle-free and keeps every contract") {
+    val loc = java.nio.file.Files.createTempDirectory("graft-bkt-split")
+      .toString + "/li"
+    val name = "graft_bkt_split_test"
+    BucketedWarehouse.ensure(spark, name, loc, 8, "l_orderkey")(
+      graft.sources.Tables(spark, sf()).lineitem)
+    val before = spark.table(name).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+
+    // observe the split's actual execution: count shuffle records
+    // written across it, then drain the (async) listener bus with a
+    // known-size sentinel shuffle — the assertion is "total == the
+    // sentinel's records", i.e. the split itself shuffled NOTHING
+    val shuffled = new java.util.concurrent.atomic.AtomicLong(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          shuffled.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    val tableRows = spark.table(name).count()
+    spark.sparkContext.addSparkListener(l)
+    try {
+      BucketedWarehouse.split(spark, name)
+      spark.range(100).repartition(2).count() // sentinel: exactly 100
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (shuffled.get() < 100 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    } finally spark.sparkContext.removeSparkListener(l)
+    // the sentinel writes its 100 repartition rows plus a handful of
+    // count() partial-agg rows; a split that shuffled would add the
+    // whole table (thousands of rows) — the bound separates the two
+    assert(shuffled.get() >= 100L && shuffled.get() < 100L + tableRows / 2,
+      s"split must not shuffle its $tableRows rows " +
+        s"(only the sentinel may): ${shuffled.get()}")
+
+    // catalog spec doubled; rows intact; v2 one-file-per-bucket holds
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name)).bucketSpec.get
+    assert(spec.numBuckets === 16)
+    val after = spark.table(name).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(after === before)
+    assert(spark.table(name).inputFiles.length === 16,
+      "split must keep one sorted file per (now doubled) bucket")
+
+    // the doubled layout still satisfies key-distribution demands
+    // (zero-exchange agg) and point filters prune to 1 of 16
+    withNoBroadcast {
+      val plan = finalPlan(spark.table(name).groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n")))
+      assert(!plan.contains("Exchange"),
+        s"split table must keep the bucket distribution:\n$plan")
+    }
+    withConf("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false") {
+      val one = spark.table(name).filter(col("l_orderkey") === 42L)
+      one.collect()
+      val finalized = one.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p                        => p
+      }
+      val selected = finalized.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head.metadata.get("SelectedBucketsCount")
+      assert(selected.exists(_.startsWith("1 out of 16")),
+        s"post-split point lookup must read a single bucket, got $selected")
+    }
     spark.sql(s"DROP TABLE $name")
   }
 
