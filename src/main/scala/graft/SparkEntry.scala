@@ -71,6 +71,12 @@ object SparkEntry {
     // the equality), so this is both a timing twin and a second
     // correctness witness
     "x_heavy_shingles_xxh64" ->
-      ((s, d) => graft.queries.AnalysisQueries.heavyShingles(s, d, "xxh64"))
+      ((s, d) => graft.queries.AnalysisQueries.heavyShingles(s, d, "xxh64")),
+    // HLL cardinality twin: approx_count_distinct in place of the
+    // exact distinct — the exchange carries fixed-size sketches, not
+    // the vocabulary. Timing-only (approximate output); relative
+    // error and the map-side partial are pinned by VocabSketchSpec.
+    "x_vocab_by_source_hll" ->
+      ((s, d) => graft.queries.AnalysisQueries.vocabBySource(s, d, exact = false))
   )
 }

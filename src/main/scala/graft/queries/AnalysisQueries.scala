@@ -823,7 +823,52 @@ object AnalysisQueries extends QueryGroup {
       .orderBy(col("ng"))
   }
 
+  /** Per-source SHINGLE vocabulary: distinct 3-gram cardinality +
+    * occurrence totals by source — the dataset-profiling question
+    * ("how much novel text does each source contribute?") over the
+    * domain that actually grows with the corpus. The token vocabulary
+    * is the wrong domain here (this synthetic corpus holds ~31 distinct
+    * tokens — measured, like the C4-rule vacuity finding); the shingle
+    * space is hapax-heavy (315k distinct in 50k zipf docs) and scales.
+    * The EXACT form is the oracle-checked registration; its cost is
+    * the distinct itself — Spark plans count(DISTINCT) as a
+    * (source, ng)-keyed pre-aggregation, so the exchange carries one
+    * row per distinct pair: VOCABULARY-sized however large the corpus.
+    * The production twin (`x_vocab_by_source_hll`, prodVariants) swaps
+    * in `approx_count_distinct` — a HyperLogLog++ sketch that merges
+    * map-side, so the exchange carries one fixed-size sketch per
+    * (source, partition) regardless of vocabulary: the cardinality
+    * member of the sketch triad the x-tier already fields (Bloom =
+    * membership, CMS = frequency), the oracle-pays-exact /
+    * production-runs-sketch split of x_heavy_shingles. rsd 2% and the
+    * map-side partial are spec-pinned (`VocabSketchSpec`); `ngrams` is
+    * sketch-free in both forms, so the twins must agree on it exactly.
+    * RAW occurrences (no per-doc distinct): the count is corpus mass,
+    * mirrored exactly in the oracle. */
+  def vocabBySource(spark: SparkSession, dir: String): DataFrame =
+    vocabBySource(spark, dir, exact = true)
+  def vocabBySource(spark: SparkSession, dir: String,
+                    exact: Boolean): DataFrame = {
+    // STAGE the split before shingles3 (the shingleFrame discipline):
+    // passing the raw split expression re-evaluates it inside the
+    // shingle lambda's element_at calls — measured 6.8 s vs 1.5 s at
+    // sf0.1. explode_outer + null-filter: __toks is an ATTRIBUTE here,
+    // the explode filter-inlining trap applies (see sourceOverlap).
+    val ng = Tables(spark, dir).documents
+      .select(col("source"), toks.as("__toks"))
+      .select(col("source"),
+        explode_outer(graft.ext.Dedup.shingles3(col("__toks"))).as("ng"))
+      .filter(col("ng").isNotNull)
+    val vocab =
+      if (exact) countDistinct(col("ng"))
+      else approx_count_distinct(col("ng"), 0.02)
+    ng.groupBy(col("source"))
+      .agg(vocab.as("vocab"), count(lit(1)).as("ngrams"))
+      .orderBy(col("source"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_vocab_by_source" -> ((s: SparkSession, d: String) => vocabBySource(s, d)),
     "x_heavy_shingles"  -> ((s: SparkSession, d: String) => heavyShingles(s, d)),
     "x_curation_pipeline" -> (curationPipeline _),
     "x_text_stats"      -> (textStats _),
@@ -905,6 +950,18 @@ object AnalysisQueries extends QueryGroup {
     s"(${graft.ext.Dedup.hexValSql(s"substr(md5(concat('bloom${j}_', $ng)),1,8)", 8)} % ${1 << 18})"
 
   def oracles: Map[String, String] = Map(
+    // exact distinct only — the HLL twin is timing-only by design
+    // (approximate output has no hash-stable oracle). RAW 3-gram
+    // occurrences (no per-doc list_distinct — unlike shSql): the
+    // ngrams column counts corpus mass, matching the Spark side.
+    "x_vocab_by_source" ->
+      s"""SELECT source, CAST(COUNT(DISTINCT ng) AS BIGINT) AS vocab,
+         |  COUNT(*) AS ngrams
+         |FROM (SELECT source,
+         |  unnest(list_transform(range(1, greatest(len($toksSql) - 1, 1)),
+         |    i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2])) AS ng
+         |  FROM documents)
+         |GROUP BY source ORDER BY source""".stripMargin,
     // no CMS in the oracle: the sketch screen is complete-recall by
     // construction (estimates never undercount) and the exact pass
     // removes its false positives, so the answer IS the plain HAVING —

@@ -154,6 +154,37 @@ class RecoverySpec extends SparkTestBase {
       s"dedup state must survive the restart (doc 2 suppressed): $all")
   }
 
+  test("an open session window survives restart: events merge across the checkpoint") {
+    val M = 60L * 1000000
+    val ckpt = Files.createTempDirectory("graft-sess-ckpt").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
+    val in = MemoryStream[(Long, Long, Long)]
+    val sess = StreamSessions.sessions(
+      in.toDF().toDF("user_id", "event_id", "ts_us"))
+    def start() = sess.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.as[(Long, Long, Long, Long)].collect().foreach(got.add)
+      }
+      .start()
+    import scala.jdk.CollectionConverters._
+    val q1 = start()
+    in.addData((1L, 1L, 0L), (1L, 2L, 10 * M))
+    q1.processAllAvailable(); q1.stop()
+    // session [0, 10min] is OPEN in the state store at the stop
+    val q2 = start()
+    in.addData((1L, 3L, 20 * M)) // inside the gap: must MERGE, not restart
+    q2.processAllAvailable()
+    in.addData((9L, 99L, 10000 * M)) // watermark past everything
+    q2.processAllAvailable(); q2.stop()
+    // ONE session spanning the restart, its 3 events counted exactly
+    // once (no replay of the pre-restart batch, no split at the stop)
+    val u1 = got.asScala.toSeq.filter(_._1 == 1L)
+    assert(u1 === Seq((1L, 0L, 20 * M, 3L)),
+      s"expected one merged exactly-once session across the restart: $u1")
+  }
+
   test("the streaming ANN screen resumes from checkpoint: exactly-once pairs across restart") {
     // StreamAnn.againstIndex is stateless like the dedup screen — its
     // exactly-once story is source offsets + idempotent sink; the
