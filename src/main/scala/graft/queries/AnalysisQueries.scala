@@ -837,10 +837,13 @@ object AnalysisQueries extends QueryGroup {
     * The production twin (`x_vocab_by_source_hll`, prodVariants) swaps
     * in `approx_count_distinct` — a HyperLogLog++ sketch that merges
     * map-side, so the exchange carries one fixed-size sketch per
-    * (source, partition) regardless of vocabulary: the cardinality
-    * member of the sketch triad the x-tier already fields (Bloom =
-    * membership, CMS = frequency), the oracle-pays-exact /
-    * production-runs-sketch split of x_heavy_shingles. rsd 2% and the
+    * (source, partition) regardless of vocabulary. HLL already appears
+    * in `a8_approx_distinct` (user cardinality, self-bounded check);
+    * what this pair adds is the oracle-pays-exact /
+    * production-runs-sketch SPLIT of x_heavy_shingles on a domain
+    * where the sketch's exchange advantage is real, plus the plan pin
+    * that proves it (Bloom = membership, CMS = frequency, HLL =
+    * cardinality — each with an exact cross-engine anchor). rsd 2% and the
     * map-side partial are spec-pinned (`VocabSketchSpec`); `ngrams` is
     * sketch-free in both forms, so the twins must agree on it exactly.
     * RAW occurrences (no per-doc distinct): the count is corpus mass,
