@@ -59,18 +59,27 @@ object BucketedWarehouse {
     val (fs, _) = hadoopFs(spark, location)
     // temp-file-then-rename: fs.create is not atomic, and a partial
     // manifest (crash mid-write on a non-atomic store) would read as
-    // corrupt forever. Rename is atomic on HDFS/local.
+    // corrupt forever. The publish uses FileContext's OVERWRITE rename
+    // — atomic replace on HDFS/local (posix rename(2)) — NOT
+    // delete-then-rename: a crash between those two steps would leave
+    // NO manifest at all, silently downgrading every later
+    // re-registration to the weaker filename-count check.
     val tmp = new org.apache.hadoop.fs.Path(location,
       SpecFile + ".tmp-" + java.util.UUID.randomUUID().toString)
     val out = fs.create(tmp, true)
     try out.write(s"buckets=$buckets\nkey=$key\n".getBytes("UTF-8"))
     finally out.close()
     val f = new org.apache.hadoop.fs.Path(location, SpecFile)
-    if (fs.exists(f)) fs.delete(f, false)
-    if (!fs.rename(tmp, f)) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(
-        s"could not publish bucket spec manifest at $f")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        f.toUri, spark.sessionState.newHadoopConf())
+      fc.rename(fc.makeQualified(tmp), fc.makeQualified(f),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case e: Exception =>
+        fs.delete(tmp, false)
+        throw new java.io.IOException(
+          s"could not publish bucket spec manifest at $f", e)
     }
   }
 
@@ -150,8 +159,20 @@ object BucketedWarehouse {
         // a drifted KEY on a manifest-less store would still register
         // silently, forever. Persisting the now-validated declared
         // spec makes the key checkable on every subsequent
-        // re-registration instead of waiting for a compact.
-        writeSpec(spark, location, buckets, key)
+        // re-registration instead of waiting for a compact. BEST
+        // EFFORT, deliberately: registration was a read-only operation
+        // before the manifest existed, and it must keep working for a
+        // session with only read access to a shared warm store — and
+        // for two sessions racing the backfill (either manifest wins;
+        // both carry the same validated count, and the key becomes
+        // checkable either way).
+        try writeSpec(spark, location, buckets, key)
+        catch {
+          // a lost backfill only means the NEXT registration still
+          // uses the filename fallback — registration itself succeeded
+          case e: Exception => System.err.println(
+            s"[graft] bucket-spec backfill at $location skipped: ${e.getMessage}")
+        }
     }
 
   /** Ensure `name` is a registered bucketed table at `location`,
@@ -349,6 +370,18 @@ object BucketedWarehouse {
     val key = spec.bucketColumnNames.head
     val loc = meta.location.toString
     val doubled = spec.numBuckets * 2
+    // capture the bucketed scan BEFORE dropping the catalog entry: the
+    // analyzed plan holds the resolved relation (files + bucket spec),
+    // so the write below reads it fine with the entry gone
+    val source = spark.table(name)
+    // drop FIRST: between the data publish and the re-register the
+    // catalog would otherwise declare the OLD count over doubled files
+    // — a crash in that window would leave point filters pruning to
+    // the wrong bucket and joins zipping mismatched buckets, silently.
+    // Dropped-then-crashed instead fails LOUD: the table is simply
+    // unregistered, and a re-ensure validates the declared count
+    // against whichever manifest (n or 2n) the crash left committed.
+    spark.sql(s"DROP TABLE IF EXISTS $name")
     val autoScanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prevAutoScan = spark.conf.getOption(autoScanKey)
     spark.conf.set(autoScanKey, "false")
@@ -360,7 +393,7 @@ object BucketedWarehouse {
           // NO repartition: the bucketed scan's one-task-per-bucket
           // distribution IS the split's locality guarantee; the writer
           // inserts only a task-local sort on (bucket id, key)
-          spark.table(name)
+          source
             .write.format("parquet")
             .bucketBy(doubled, key).sortBy(key)
             .option("path", scratch)
@@ -372,12 +405,10 @@ object BucketedWarehouse {
       case Some(v) => spark.conf.set(autoScanKey, v)
       case None    => spark.conf.unset(autoScanKey)
     }
-    // the catalog entry still declares the OLD count — re-register
-    // with the doubled spec (external table: drop is catalog-only)
-    val ddlSchema = spark.read.parquet(loc).schema.toDDL
-    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // re-register with the doubled spec; the catalog schema is already
+    // in hand (no re-listing + footer inference over the location)
     spark.sql(
-      s"""CREATE TABLE $name ($ddlSchema)
+      s"""CREATE TABLE $name (${meta.schema.toDDL})
          |USING PARQUET
          |CLUSTERED BY ($key) SORTED BY ($key) INTO $doubled BUCKETS
          |LOCATION '$loc'""".stripMargin)

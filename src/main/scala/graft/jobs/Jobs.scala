@@ -140,9 +140,10 @@ object FraudDetectorJob {
   * bootstrap (a real broker, or `mock:<dir>` for the file-backed
   * contract mock), input topic, optionally an output topic — given
   * one, changes are produced back to Kafka keyed by trade id (K3, ref
-  * :48) instead of printed — and optionally an explicit checkpoint
-  * location (pass it to keep a pre-existing run's committed offsets;
-  * otherwise a (bootstrap, topics)-keyed tmpdir default is used). */
+  * :48) instead of printed — and optionally `--checkpoint=<loc>`
+  * (a flag, usable with or without an output topic: pass it to keep a
+  * pre-existing run's committed offsets; otherwise a
+  * (bootstrap, topics)-keyed tmpdir default is used). */
 object TradeChangeDetectionJob {
 
   /** The topology, sink-agnostic: kafka records → keyed JSON CDC. */
@@ -165,11 +166,19 @@ object TradeChangeDetectionJob {
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
-    val bootstrap = args.headOption.getOrElse("localhost:29092")
-    val topic = args.lift(1).getOrElse("trades")
+    // --checkpoint= is a FLAG, not positional: a console-sink
+    // deployment (no output topic) must be able to pass it without a
+    // path being mistaken for a Kafka output topic — that deployment
+    // is exactly the keep-your-committed-offsets migration case
+    val (ckptFlags, positional) =
+      args.partition(_.startsWith("--checkpoint="))
+    val ckptOverride =
+      ckptFlags.lastOption.map(_.stripPrefix("--checkpoint="))
+    val bootstrap = positional.headOption.getOrElse("localhost:29092")
+    val topic = positional.lift(1).getOrElse("trades")
     val out = changes(spark, bootstrap, topic)
       .select(col("tradeId"), to_json(col("diffs")).as("changes"))
-    val writer = args.lift(2) match {
+    val writer = positional.lift(2) match {
       case Some(outTopic) => // K3: produce (key=id, value=changes JSON)
         val (fmt, opts) =
           if (bootstrap.startsWith("mock:"))
@@ -181,17 +190,18 @@ object TradeChangeDetectionJob {
       case None =>
         out.writeStream.format("console")
     }
-    // checkpoint: explicit 4th arg wins — an EXISTING deployment must
-    // pass its old location (e.g. the pre-keyed /tmp/graft-trade-cdc)
-    // or its committed offsets are abandoned and, with
-    // startingOffsets=latest, the records in between silently skipped.
-    // Default: keyed by (bootstrap, topics) — a rerun against a
-    // different broker/topic must NOT resume another run's offsets —
-    // Kafka checkpoints embed the source topic+offsets, and a reused
-    // location either fails or silently skips records.
-    val ckpt = args.lift(3).getOrElse {
+    // checkpoint: the explicit --checkpoint= flag wins — an EXISTING
+    // deployment must pass its old location (e.g. the pre-keyed
+    // /tmp/graft-trade-cdc) or its committed offsets are abandoned
+    // and, with startingOffsets=latest, the records in between
+    // silently skipped. Default: keyed by (bootstrap, topics) — a
+    // rerun against a different broker/topic must NOT resume another
+    // run's offsets — Kafka checkpoints embed the source
+    // topic+offsets, and a reused location either fails or silently
+    // skips records.
+    val ckpt = ckptOverride.getOrElse {
       val ckptKey = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$bootstrap#$topic#${args.lift(2).getOrElse("")}"
+        .digest(s"$bootstrap#$topic#${positional.lift(2).getOrElse("")}"
           .getBytes("UTF-8"))
         .map(b => f"${b & 0xff}%02x").mkString.take(12)
       s"${sys.props("java.io.tmpdir")}/graft-trade-cdc-$ckptKey"

@@ -78,12 +78,13 @@ object ProbeZipf {
     // ---- funnel per-user skew
     val perUser = graft.sources.Tables(spark, dir).events
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-    val Array(users, maxU, p99) = perUser.agg(
+    // total = sum of the per-user counts — no second scan of the
+    // (at sf100z: 100M-row) events table
+    val Array(users, maxU, p99, totalEv) = perUser.agg(
         count(lit(1)), max(col("n")),
-        expr("approx_percentile(n, 0.99)"))
+        expr("approx_percentile(n, 0.99)"), sum(col("n")))
       .collect()(0).toSeq.map(v => Option(v).fold(0L)(_.toString.toLong))
       .toArray
-    val totalEv = graft.sources.Tables(spark, dir).events.count()
     out ++= s""","users":$users,"events":$totalEv,"max_user_events":$maxU"""
     out ++= s""","p99_user_events":$p99"""
     out ++= f""","top_user_share":${maxU.toDouble / totalEv}%.4f}"""

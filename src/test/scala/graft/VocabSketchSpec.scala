@@ -38,9 +38,9 @@ class VocabSketchSpec extends SparkTestBase {
     // plan's shuffle rows are (source, MS[...] sketch words). The
     // exact form needs a (source, t)-keyed pre-aggregation exchange
     // first (vocabulary-sized), so it carries strictly more exchanges.
-    assert(!plan.contains("hashpartitioning(source#") ||
+    assert(plan.contains("hashpartitioning(source#") &&
       "hashpartitioning".r.findAllIn(plan).length == 1,
-      s"sketch plan must have one source-keyed hash exchange:\n$plan")
+      s"sketch plan must have exactly ONE hash exchange, keyed by source:\n$plan")
     val exactPlan = graft.queries.AnalysisQueries
       .vocabBySource(spark, sf(), exact = true)
       .queryExecution.executedPlan.toString
