@@ -77,6 +77,17 @@ object SparkEntry {
     // the vocabulary. Timing-only (approximate output); relative
     // error and the map-side partial are pinned by VocabSketchSpec.
     "x_vocab_by_source_hll" ->
-      ((s, d) => graft.queries.AnalysisQueries.vocabBySource(s, d, exact = false))
+      ((s, d) => graft.queries.AnalysisQueries.vocabBySource(s, d, exact = false)),
+    // Quantile-sketch split on a CONTINUOUS domain: exact percentile's
+    // agg state is distinct-value-sized (group-row-count-sized here) vs
+    // the GK summary's eps-bounded state. Neither is oracle-registered
+    // (sketch approximate by design; exact float interpolation not
+    // expression-shape-stable cross-engine) — the rank-error contract
+    // and plan shape are pinned by QuantileSketchSpec; timing both
+    // keeps the exact-vs-sketch gap in the bench record.
+    "q_price_quantiles_exact" ->
+      ((s, d) => RelationalQueries.priceQuantiles(s, d, exact = true)),
+    "q_price_quantiles_sketch" ->
+      ((s, d) => RelationalQueries.priceQuantiles(s, d, exact = false))
   )
 }

@@ -222,7 +222,11 @@ object RelationalQueries extends QueryGroup {
 
   /** Exact interpolated quartiles of l_quantity per return flag
     * (integer-valued data + binary-exact fractions -> both engines
-    * interpolate to identical doubles). */
+    * interpolate to identical doubles). Exact `percentile` is safe
+    * HERE because its aggregation state is a counts-map keyed by
+    * distinct value and l_quantity has 50 of them; on a continuous
+    * domain that state is group-row-count-sized — see
+    * [[priceQuantiles]] for the sketch split that scales. */
   def quartiles(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).lineitem
       .groupBy(col("l_returnflag"))
@@ -232,6 +236,45 @@ object RelationalQueries extends QueryGroup {
         expr("percentile(l_quantity, 0.75)").as("q3"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
+
+  /** Quartiles of o_totalprice (a CONTINUOUS domain — essentially all
+    * values distinct) per order priority: the quantile member of the
+    * sketch family (Bloom = membership, CMS = frequency, HLL =
+    * cardinality, this = distribution). The split q_quartiles cannot
+    * make: exact `percentile` keeps one counts-map ENTRY PER DISTINCT
+    * VALUE in its aggregation buffer, so on a continuous column the
+    * per-group state is group-row-count-sized — at 100 TB that is a
+    * driver/executor OOM shaped exactly like the collect_list funnel
+    * row (BASELINE.md round 10), just hidden inside an agg buffer.
+    * `approx_percentile` (Greenwald-Khanna summaries) bounds the state
+    * at O((1/eps) log(eps n)) with a RANK-error contract
+    * |rank(v)/n - q| <= eps, merged map-side, so the exchange carries
+    * fixed-size summaries however large the group. accuracy = 1000
+    * (eps = 1e-3): ~1k-entry summaries — generous for analytics, tiny
+    * on the wire. Neither form is oracle-registered: the sketch is
+    * approximate by design, and the exact form's float interpolation
+    * ((hi-pos)*lo + ...) is not expression-shape-identical across
+    * engines on arbitrary doubles, so a hash oracle would pin
+    * last-bit arithmetic, not semantics. Correctness rides on
+    * `QuantileSketchSpec`: the rank-error contract checked against
+    * the in-JVM exact distribution, plus the plan pin (map-side
+    * partial_approx_percentile, one priority-keyed exchange). Both
+    * forms are Bench-timed (prodVariants) so the record keeps the
+    * exact-vs-sketch gap visible. */
+  def priceQuantiles(spark: SparkSession, dir: String,
+                     exact: Boolean): DataFrame = {
+    val fn = if (exact) "percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))"
+             else "approx_percentile(o_totalprice, array(0.25D, 0.5D, 0.75D), 1000)"
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(expr(fn).as("qs"), count(lit(1)).as("n"))
+      .select(col("o_orderpriority"),
+        col("qs").getItem(0).cast("double").as("q1"),
+        col("qs").getItem(1).cast("double").as("median"),
+        col("qs").getItem(2).cast("double").as("q3"),
+        col("n"))
+      .orderBy(col("o_orderpriority"))
+  }
 
   /** Mean / population variance / stddev per order priority, built from
     * exact decimal sums so the double arithmetic is engine-identical

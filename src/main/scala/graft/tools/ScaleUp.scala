@@ -96,8 +96,24 @@ object ScaleUp {
     if (wanted("customer")) replicate("customer", Map("c_custkey" -> cMax))
     if (wanted("supplier")) replicate("supplier", Map("s_suppkey" -> sMax))
     if (wanted("part")) replicate("part", Map("p_partkey" -> pMax))
+    // o_totalprice gets a deterministic SUB-MICRO-DOLLAR jitter on the
+    // replicas (i=0 keeps exact base values): plain replication caps
+    // the price domain at the base corpus's ~150k distinct values, so
+    // any distinct-value-sized aggregation state (exact percentile's
+    // counts map, mode maps) silently stays base-scale however many
+    // rows the replica holds — the same fixture-degeneration class the
+    // zipf mode fixes for frequency skew, here for VALUE CARDINALITY.
+    // The offset is < 1e-6 dollars (prices are cent-grained, >= 1), so
+    // no threshold filter, join, or sum at analytic precision changes
+    // observably; it only makes the continuous domain actually
+    // continuous at scale.
     if (wanted("orders"))
-      replicate("orders", Map("o_orderkey" -> oMax, "o_custkey" -> cMax))
+      replicate("orders", Map("o_orderkey" -> oMax, "o_custkey" -> cMax),
+        (df, i) =>
+          if (i == 0) df
+          else df.withColumn("o_totalprice", col("o_totalprice") +
+            pmod(xxhash64(col("o_orderkey"), lit(i)), lit(1000000L))
+              .cast("double") / 1e12))
     if (wanted("lineitem"))
       replicate("lineitem", Map("l_orderkey" -> oMax, "l_partkey" -> pMax,
         "l_suppkey" -> sMax))
