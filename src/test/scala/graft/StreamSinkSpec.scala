@@ -1,0 +1,94 @@
+package graft
+
+import graft.streaming.StreamSink
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.Files
+
+/** The exactly-once foreachBatch sink's contract: rows land exactly
+  * once across crash-replay (the at-least-once failure the batchId
+  * commit exists for), a torn first attempt is invisible to readers,
+  * and a fresh-checkpoint rerun against an old root fails loud
+  * instead of silently replay-skipping live data. */
+class StreamSinkSpec extends SparkTestBase {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("appends across batches land exactly once, batch id readable as partition column") {
+    val root = Files.createTempDirectory("graft-sink").toString
+    val ckpt = Files.createTempDirectory("graft-sink-ckpt").toString
+    val in = MemoryStream[Int]
+    val q = in.toDS().toDF("v").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(StreamSink.parquetAppender(root, ckpt))
+      .start()
+    in.addData(1, 2); q.processAllAvailable()
+    in.addData(3); q.processAllAvailable()
+    q.stop()
+    val got = StreamSink.readCommitted(spark, root)
+      .select("v", "batch").as[(Int, Long)].collect().sorted
+    assert(got.toSeq === Seq((1, 0L), (2, 0L), (3, 1L)))
+  }
+
+  test("a crash AFTER the append and BEFORE the offset commit does not duplicate the batch") {
+    val root = Files.createTempDirectory("graft-sink2").toString
+    val ckpt = Files.createTempDirectory("graft-sink2-ckpt").toString
+    val in = MemoryStream[Int]
+    // the at-least-once window, induced deterministically: batch 1's
+    // first attempt appends, then dies before foreachBatch returns —
+    // so the engine never commits its offsets and MUST replay batch 1
+    // with the same id on restart
+    val dieOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val append = StreamSink.parquetAppender(root, ckpt)
+    def start() = in.toDS().toDF("v").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        append(df, id)
+        if (id == 1L && dieOnce.getAndSet(false))
+          throw new RuntimeException("induced crash after append, before commit")
+      }
+      .start()
+
+    val q1 = start()
+    in.addData(10); q1.processAllAvailable()
+    in.addData(20, 30)
+    intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
+    q1.stop()
+    // batch 1 IS committed in the sink (the append ran) but not in the
+    // checkpoint — the exact torn state that duplicates rows in a
+    // naive appender
+    assert(StreamSink.readCommitted(spark, root).count() === 3)
+
+    val q2 = start() // replays batch 1: appendBatch must skip
+    q2.processAllAvailable()
+    in.addData(40); q2.processAllAvailable()
+    q2.stop()
+    val got = StreamSink.readCommitted(spark, root)
+      .select("v", "batch").as[(Int, Long)].collect().sorted
+    assert(got.toSeq === Seq((10, 0L), (20, 1L), (30, 1L), (40, 2L)),
+      s"exactly-once violated: $got")
+  }
+
+  test("a torn (markerless) batch directory is invisible to readers and recovered by replay") {
+    val root = Files.createTempDirectory("graft-sink3").toString
+    val ckpt = Files.createTempDirectory("graft-sink3-ckpt").toString
+    Seq(1).toDF("v").write.parquet(s"$root/batch=0")
+    // simulate the crash-mid-publish state: data present, no marker
+    new java.io.File(s"$root/batch=0/_SUCCESS").delete()
+    intercept[IllegalArgumentException] { StreamSink.readCommitted(spark, root) }
+    // the same batch id re-attempted (as a replay would): stale target
+    // is recovered, the append commits, rows appear exactly once
+    assert(StreamSink.appendBatch(spark, root, ckpt, 0L, Seq(7).toDF("v")))
+    assert(StreamSink.readCommitted(spark, root).select("v").as[Int].collect().toSeq === Seq(7))
+  }
+
+  test("a different stream against an existing root fails loud instead of replay-skipping") {
+    val root = Files.createTempDirectory("graft-sink4").toString
+    assert(StreamSink.appendBatch(spark, root, "ckpt-A", 0L, Seq(1).toDF("v")))
+    val e = intercept[IllegalArgumentException] {
+      StreamSink.appendBatch(spark, root, "ckpt-B", 0L, Seq(2).toDF("v"))
+    }
+    assert(e.getMessage.contains("belongs to stream"))
+    // the rightful owner keeps appending fine
+    assert(StreamSink.appendBatch(spark, root, "ckpt-A", 1L, Seq(3).toDF("v")))
+  }
+}
