@@ -185,6 +185,46 @@ class RecoverySpec extends SparkTestBase {
       s"expected one merged exactly-once session across the restart: $u1")
   }
 
+  test("an open quantile window survives restart: the GK summary merges across the checkpoint") {
+    // the mid-window state here is a serialized Greenwald-Khanna
+    // buffer (TypedImperativeAggregate), not a scalar — the restart
+    // must round-trip it through the state store and keep merging,
+    // and the closed window's quartiles must still honor the
+    // rank-error contract over BOTH sides of the restart
+    val Sec = 1000000L
+    val ckpt = Files.createTempDirectory("graft-quant-ckpt").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Double, Double, Long)]()
+    val in = MemoryStream[(Long, Double)]
+    val agg = graft.streaming.StreamQuantiles.windowed(
+      in.toDF().toDF("ts_us", "value"))
+    def start() = agg.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.as[(Long, Double, Double, Double, Long)].collect().foreach(got.add)
+      }
+      .start()
+    import scala.jdk.CollectionConverters._
+    val q1 = start()
+    in.addData((1 to 50).map(i => (i % 10 * Sec, i.toDouble)))
+    q1.processAllAvailable(); q1.stop()
+    // window [0,10s) is OPEN with a 50-value summary at the stop
+    val q2 = start()
+    in.addData((51 to 100).map(i => (i % 10 * Sec, i.toDouble)))
+    q2.processAllAvailable()
+    in.addData(Seq((60 * Sec, 0.0))) // watermark past the window end
+    q2.processAllAvailable(); q2.stop()
+    val rows = got.asScala.toSeq.filter(_._1 == 0L)
+    assert(rows.length === 1, s"one exactly-once window row: $rows")
+    val (_, q1v, med, q3v, n) = rows.head
+    assert(n === 100L, "values on both sides of the restart counted once")
+    val sorted = (1 to 100).map(_.toDouble)
+    for ((v, q) <- Seq(q1v -> 0.25, med -> 0.5, q3v -> 0.75)) {
+      val err = math.abs(sorted.count(_ <= v).toDouble / 100 - q)
+      assert(err <= 1e-3 + 0.01, s"q=$q: $v err $err")
+    }
+  }
+
   test("the streaming ANN screen resumes from checkpoint: exactly-once pairs across restart") {
     // StreamAnn.againstIndex is stateless like the dedup screen — its
     // exactly-once story is source offsets + idempotent sink; the
