@@ -59,6 +59,88 @@ object Multimodal {
         expr("repeat(md5(cast(doc_id as string)), cast(doc_id % 5 + 1 as int))")))
         .as("payload"))
 
+  /** Partition-wise CONTENT FEATURE extraction: payload bytes -> a
+    * fixed-dim Double vector, the bridge from the binary column into
+    * the similarity tier (an [[AnnIndex]] builds from this frame
+    * unchanged — `MultimodalSpec` drives that hand-off). The
+    * featurizer is the container-imposed deterministic fake (dim j =
+    * the byte at offset floor(n*j/dims) scaled to [0,1]); a real
+    * deployment swaps in a vision/audio encoder inside the SAME
+    * mapPartitions (one model init per partition, batch the partition
+    * iterator through the encoder). The plumbing is the real thing:
+    * binary in, fixed-width vector schema out, no shuffle, scan
+    * parallelism = decode parallelism. */
+  def features(docs: DataFrame, dims: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withPayload(docs)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real encoders init once per partition here, then batch
+        it.map { case (id, b) =>
+          val n = b.length
+          val fs = Array.tabulate(dims) { j =>
+            if (n == 0) 0.0
+            else (b(((n.toLong * j) / dims).toInt) & 0xff) / 255.0
+          }
+          (id, fs)
+        }
+      }
+      .toDF("doc_id", "features")
+  }
+
+  /** Partition-wise FRAME SAMPLING: treat the payload as `frames`
+    * equal byte-spans (the fake container format [[fakeDecode]]
+    * declares) and emit every `step`-th frame's slice — (doc_id,
+    * frame_idx, frame_len, frame_md5). The md5 stands in for the
+    * decoded frame tensor so the result is oracle-checkable; a real
+    * video pipeline decodes the slice instead and hands each frame to
+    * [[features]]' encoder. Output is one row per SAMPLED frame —
+    * frame explosion happens executor-side inside the iterator, so a
+    * 10k-frame payload never materializes as a driver array, and the
+    * binary column itself still never shuffles. */
+  def sampleFrames(docs: DataFrame, step: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withPayload(docs)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, b) =>
+          val n = b.length.toLong
+          val frames = (n % 30 + 1).toInt // fakeDecode's frame count
+          (0 until frames by step).iterator.map { f =>
+            val start = (n * f / frames).toInt
+            val end = (n * (f + 1) / frames).toInt
+            md.reset()
+            val hex = md.digest(java.util.Arrays.copyOfRange(b, start, end))
+              .map(x => f"${x & 0xff}%02x").mkString
+            (id, f, (end - start).toLong, hex)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_len", "frame_md5")
+  }
+
+  /** RESIZE planning on the decoded metadata: fit (width, height) into
+    * a `box` square preserving aspect ratio, integer fixed-point
+    * arithmetic (scale in 1/256ths, capped at 1x — no upscaling) so
+    * the plan is oracle-exact. The byte transform itself is what a
+    * real image library does with the computed target; computing
+    * targets as a column operation is the part that belongs to the
+    * engine (and is the cheap, shuffle-free projection it should be). */
+  def resizePlan(meta: DataFrame, box: Int = 64): DataFrame =
+    meta.select(col("doc_id"), col("width"), col("height"),
+        least(lit(256L),
+          lit(box * 256L) / greatest(col("width").cast("long"), lit(1L)),
+          lit(box * 256L) / greatest(col("height").cast("long"), lit(1L)))
+          .cast("long").as("scale_256"))
+      .select(col("doc_id"), col("width"), col("height"),
+        (col("width") * col("scale_256") / 256L).cast("int").as("out_w"),
+        (col("height") * col("scale_256") / 256L).cast("int").as("out_h"))
+
   /** Partition-wise decode: binary payloads -> typed metadata Dataset. */
   def decodeMeta(docs: DataFrame): Dataset[MediaMeta] = {
     val spark = docs.sparkSession

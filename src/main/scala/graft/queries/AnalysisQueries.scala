@@ -110,13 +110,32 @@ object AnalysisQueries extends QueryGroup {
     * one), decode THAT, exercising real parquet BINARY IO; the
     * driver-provided dirs have no media column, so the oracle-checked
     * path decodes UTF-8 text payloads as before. */
-  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+  /** The media frame: true parquet BINARY where a fixture exists
+    * (ScaleUp replicas), documents-text-as-payload on the driver dirs
+    * (which is what the DuckDB oracles mirror via encode(text)). */
+  private def mediaSource(spark: SparkSession, dir: String): DataFrame = {
     val mediaPath = s"$dir/media.parquet"
-    val src =
-      if (new java.io.File(mediaPath).exists()) spark.read.parquet(mediaPath)
-      else Tables(spark, dir).documents
-    Multimodal.decodeMeta(src).toDF()
+    if (new java.io.File(mediaPath).exists()) spark.read.parquet(mediaPath)
+    else Tables(spark, dir).documents
   }
+
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMeta(mediaSource(spark, dir)).toDF()
+
+  /** Binary -> fixed-dim content features, one column per dim (array
+    * compare is hash-fragile across engines; 8 named doubles are not). */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val f = Multimodal.features(mediaSource(spark, dir))
+    f.select(col("doc_id") +:
+      (0 until 8).map(j => col("features").getItem(j).as(s"f$j")): _*)
+  }
+
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(mediaSource(spark, dir))
+
+  def resizePlanQ(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizePlan(
+      Multimodal.decodeMeta(mediaSource(spark, dir)).toDF())
 
   /** Deterministic hash sampling — reproducible train/eval splits. The
     * bucket is the first 32 bits of md5(doc_id) mod 100, so membership
@@ -881,6 +900,9 @@ object AnalysisQueries extends QueryGroup {
     "x_rolling_hash"    -> (rollingFingerprints _),
     "x_group_checksum"  -> (groupChecksum _),
     "x_multimodal_meta" -> (multimodalMeta _),
+    "x_media_features"  -> (mediaFeatures _),
+    "x_frame_sample"    -> (frameSample _),
+    "x_resize_plan"     -> (resizePlanQ _),
     "x_hash_sample"     -> (hashSample _),
     "x_pii_scrub"       -> (piiScrub _),
     "x_decontaminate"   -> (decontaminate _),
@@ -1383,6 +1405,45 @@ object AnalysisQueries extends QueryGroup {
         |  CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
         |  CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // byte-offset featurizer: ascii(char at floor(n*j/8)) == the byte
+    // (corpus is pure ASCII — verified; the Spark side reads the BYTE)
+    "x_media_features" -> {
+      val dims = (0 until 8).map { j =>
+        s"ascii(substr(text, CAST((octet_length(encode(text))*$j)//8 AS INT)+1, 1))/255.0 AS f$j"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id,
+         |  $dims
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "x_frame_sample" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
+        |    CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS frames
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST((n*(f+1))//frames - (n*f)//frames AS BIGINT) AS frame_len,
+        |  md5(substr(text, CAST((n*f)//frames AS INT)+1,
+        |             CAST((n*(f+1))//frames - (n*f)//frames AS INT))) AS frame_md5
+        |FROM base, UNNEST(range(0, frames, 3)) AS t(f)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "x_resize_plan" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        |    CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, width, height,
+        |    least(256, (64*256)//greatest(width, 1),
+        |               (64*256)//greatest(height, 1)) AS scale_256
+        |  FROM m
+        |)
+        |SELECT doc_id, width, height,
+        |  CAST((width*scale_256)//256 AS INTEGER) AS out_w,
+        |  CAST((height*scale_256)//256 AS INTEGER) AS out_h
+        |FROM s ORDER BY doc_id""".stripMargin,
     // hashed-feature linear classifier: weight(t) = hex16(md5 t) - 32768,
     // int64 sum, rational squash (exp-sigmoid isn't cross-engine exact)
     "x_quality_classifier" -> {

@@ -188,6 +188,65 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("media frame sampling tiles the payload and bridges to per-frame hashing") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    // step=1: every frame — the slices must TILE the payload exactly
+    val all = Multimodal.sampleFrames(docs, step = 1)
+      .groupBy(col("doc_id")).agg(sum(col("frame_len")).as("total"),
+        count(lit(1)).as("nf"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, total, nf) => id -> ((total, nf)) }.toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    for ((id, (total, nf)) <- all) {
+      val n = texts(id).getBytes("UTF-8").length
+      assert(total === n.toLong, s"doc $id: frame slices must tile all $n bytes")
+      assert(nf === (n % 30 + 1).toLong)
+    }
+    // step=3 is the registered subset of step=1's frames, hashes agree
+    val sampled = Multimodal.sampleFrames(docs, step = 3)
+      .as[(Long, Int, Long, String)].collect()
+    assert(sampled.forall(_._2 % 3 == 0))
+    val one = sampled.find(_._3 > 0).get
+    val bytes = texts(one._1).getBytes("UTF-8")
+    val frames = bytes.length % 30 + 1
+    val start = bytes.length.toLong * one._2 / frames
+    val end = bytes.length.toLong * (one._2 + 1) / frames
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest(java.util.Arrays.copyOfRange(
+      bytes, start.toInt, end.toInt)).map(b => f"${b & 0xff}%02x").mkString
+    assert(one._4 === expect, "frame hash must equal the recomputed slice hash")
+  }
+
+  test("resize plan fits the box, keeps aspect, never upscales") {
+    val meta = Multimodal.decodeMeta(
+      spark.read.parquet(sf() + "/documents.parquet")).toDF()
+    val plans = Multimodal.resizePlan(meta, box = 64)
+      .as[(Long, Int, Int, Int, Int)].collect()
+    for ((_, w, h, ow, oh) <- plans) {
+      assert(ow <= 64 && oh <= 64)
+      assert(ow <= w.max(1) && oh <= h.max(1), "no upscaling")
+      // integer fixed-point aspect: out dims derive from ONE shared scale
+      val s = ((64 * 256L) / w.max(1)).min((64 * 256L) / h.max(1)).min(256L)
+      assert(ow === (w * s / 256).toInt && oh === (h * s / 256).toInt)
+    }
+  }
+
+  test("media features bridge into the ANN index unchanged") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val emb = Multimodal.features(docs)
+      .select(col("doc_id").as("vec_id"),
+        col("features").cast("array<float>").as("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("graft-media-ann")
+      .toString + "/ivf"
+    graft.core.IndexStore.ensure(spark, path) { scratch =>
+      graft.ext.AnnIndex.write(emb, scratch, k = 4)
+    }
+    val idx = graft.ext.AnnIndex.read(spark, path)
+    // every doc's content vector landed in a cell of the committed index
+    assert(idx.filter(col("kind") === "v").count() === docs.count())
+    assert(graft.ext.AnnIndex.centroids(idx).count() > 0)
+  }
+
   test("fingerprint is order- and repetition-insensitive") {
     val df = Seq("b a b c", "c b a", "a b c c c").toDF("text")
     val fps = df.select(TextAnalysis.fingerprint(split(col("text"), " ")))
