@@ -59,11 +59,17 @@ object BucketedWarehouse {
     val (fs, _) = hadoopFs(spark, location)
     // temp-file-then-rename: fs.create is not atomic, and a partial
     // manifest (crash mid-write on a non-atomic store) would read as
-    // corrupt forever. The publish uses FileContext's OVERWRITE rename
-    // — atomic replace on HDFS/local (posix rename(2)) — NOT
-    // delete-then-rename: a crash between those two steps would leave
-    // NO manifest at all, silently downgrading every later
-    // re-registration to the weaker filename-count check.
+    // corrupt forever. The publish prefers FileContext's OVERWRITE
+    // rename — a single atomic replace WHERE THE SCHEME PROVIDES IT
+    // (HDFS overrides renameInternal(overwrite); the local
+    // AbstractFileSystem inherits the default delete-then-rename, so
+    // file:// still carries a tiny no-manifest window) — and falls
+    // back to FileSystem delete+rename on schemes with no
+    // AbstractFileSystem binding at all. Honest blast radius of the
+    // residual window, both paths: a crash inside it leaves NO
+    // manifest, which downgrades the NEXT re-registration to the
+    // filename-count check ONCE — whose success immediately backfills
+    // the manifest (validateWarmSpec) — never a torn/corrupt read.
     val tmp = new org.apache.hadoop.fs.Path(location,
       SpecFile + ".tmp-" + java.util.UUID.randomUUID().toString)
     val out = fs.create(tmp, true)
@@ -71,10 +77,17 @@ object BucketedWarehouse {
     finally out.close()
     val f = new org.apache.hadoop.fs.Path(location, SpecFile)
     try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        f.toUri, spark.sessionState.newHadoopConf())
-      fc.rename(fc.makeQualified(tmp), fc.makeQualified(f),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          f.toUri, spark.sessionState.newHadoopConf())
+        fc.rename(fc.makeQualified(tmp), fc.makeQualified(f),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          if (fs.exists(f)) fs.delete(f, false)
+          if (!fs.rename(tmp, f)) throw new java.io.IOException(
+            s"rename $tmp -> $f returned false")
+      }
     } catch {
       case e: Exception =>
         fs.delete(tmp, false)
@@ -382,6 +395,16 @@ object BucketedWarehouse {
     // unregistered, and a re-ensure validates the declared count
     // against whichever manifest (n or 2n) the crash left committed.
     spark.sql(s"DROP TABLE IF EXISTS $name")
+    def register(buckets: Int): Unit = {
+      // the catalog schema is already in hand (no re-listing + footer
+      // inference over the location)
+      spark.sql(
+        s"""CREATE TABLE $name (${meta.schema.toDDL})
+           |USING PARQUET
+           |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+           |LOCATION '$loc'""".stripMargin)
+      spark.catalog.refreshTable(name)
+    }
     val autoScanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prevAutoScan = spark.conf.getOption(autoScanKey)
     spark.conf.set(autoScanKey, "false")
@@ -401,17 +424,24 @@ object BucketedWarehouse {
           writeSpec(spark, scratch, doubled, key)
         } finally spark.sql(s"DROP TABLE IF EXISTS $tmp")
       }
+    } catch {
+      // an ORDINARY failure (scratch disk full, task failure) aborts
+      // replace with the old n-bucket data at loc fully intact — put
+      // the catalog entry BACK so the table stays queryable, then
+      // rethrow. Only a process CRASH leaves the table unregistered,
+      // and that is the deliberate loud state the drop-first ordering
+      // buys (a crashed catalog-window would otherwise mis-prune
+      // silently); re-ensure re-registers against whichever manifest
+      // the crash left committed.
+      case e: Throwable =>
+        try register(spec.numBuckets)
+        catch { case re: Throwable => e.addSuppressed(re) }
+        throw e
     } finally prevAutoScan match {
       case Some(v) => spark.conf.set(autoScanKey, v)
       case None    => spark.conf.unset(autoScanKey)
     }
-    // re-register with the doubled spec; the catalog schema is already
-    // in hand (no re-listing + footer inference over the location)
-    spark.sql(
-      s"""CREATE TABLE $name (${meta.schema.toDDL})
-         |USING PARQUET
-         |CLUSTERED BY ($key) SORTED BY ($key) INTO $doubled BUCKETS
-         |LOCATION '$loc'""".stripMargin)
-    spark.catalog.refreshTable(name)
+    // re-register with the doubled spec
+    register(doubled)
   }
 }

@@ -70,7 +70,8 @@ object Multimodal {
     * iterator through the encoder). The plumbing is the real thing:
     * binary in, fixed-width vector schema out, no shuffle, scan
     * parallelism = decode parallelism. */
-  def features(docs: DataFrame, dims: Int = 8): DataFrame = {
+  val FeatureDims = 8
+  def features(docs: DataFrame, dims: Int = FeatureDims): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     withPayload(docs)

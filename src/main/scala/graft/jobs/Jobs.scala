@@ -174,6 +174,15 @@ object TradeChangeDetectionJob {
       args.partition(_.startsWith("--checkpoint="))
     val ckptOverride =
       ckptFlags.lastOption.map(_.stripPrefix("--checkpoint="))
+    // FAIL LOUD on extra positionals: the pre-flag interface took the
+    // checkpoint as a 4th POSITIONAL arg — silently ignoring it here
+    // would start a fresh keyed checkpoint and, with
+    // startingOffsets=latest, skip every record since that
+    // deployment's committed head. The one failure this flag migration
+    // exists to prevent must not be reintroduced by the migration.
+    require(positional.length <= 3,
+      s"unexpected argument '${positional(3)}': the checkpoint location " +
+        "moved from the 4th positional argument to --checkpoint=<loc>")
     val bootstrap = positional.headOption.getOrElse("localhost:29092")
     val topic = positional.lift(1).getOrElse("trades")
     val out = changes(spark, bootstrap, topic)

@@ -123,11 +123,16 @@ object AnalysisQueries extends QueryGroup {
     Multimodal.decodeMeta(mediaSource(spark, dir)).toDF()
 
   /** Binary -> fixed-dim content features, one column per dim (array
-    * compare is hash-fragile across engines; 8 named doubles are not). */
+    * compare is hash-fragile across engines; named doubles are not).
+    * Dim count comes from the ONE constant the featurizer, this
+    * projection, and the oracle all share — a divergence would
+    * otherwise surface as silent null f-columns (getItem past the
+    * array end). */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val f = Multimodal.features(mediaSource(spark, dir))
+    val d = Multimodal.FeatureDims
+    val f = Multimodal.features(mediaSource(spark, dir), d)
     f.select(col("doc_id") +:
-      (0 until 8).map(j => col("features").getItem(j).as(s"f$j")): _*)
+      (0 until d).map(j => col("features").getItem(j).as(s"f$j")): _*)
   }
 
   def frameSample(spark: SparkSession, dir: String): DataFrame =
@@ -1408,8 +1413,9 @@ object AnalysisQueries extends QueryGroup {
     // byte-offset featurizer: ascii(char at floor(n*j/8)) == the byte
     // (corpus is pure ASCII — verified; the Spark side reads the BYTE)
     "x_media_features" -> {
-      val dims = (0 until 8).map { j =>
-        s"ascii(substr(text, CAST((octet_length(encode(text))*$j)//8 AS INT)+1, 1))/255.0 AS f$j"
+      val d = graft.ext.Multimodal.FeatureDims
+      val dims = (0 until d).map { j =>
+        s"ascii(substr(text, CAST((octet_length(encode(text))*$j)//$d AS INT)+1, 1))/255.0 AS f$j"
       }.mkString(",\n  ")
       s"""SELECT doc_id,
          |  $dims

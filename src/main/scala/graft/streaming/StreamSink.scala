@@ -25,8 +25,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rerun against an old root would silently SKIP every colliding id
   * as a "replay" (data loss, the worse failure). The `streamId`
   * argument (pass the checkpoint location) is the guard: it is
-  * committed to a `_stream_id` sidecar on first use and every later
-  * append fails loud on mismatch instead.
+  * committed to a `_stream_id` sidecar on first use — folded with the
+  * engine's checkpoint-persisted query id when available, so even a
+  * wiped-and-recreated checkpoint at the SAME path is caught — and
+  * every later append fails loud on mismatch instead.
   *
   * Exactly-once holds under the same contract as Spark's own file
   * sink: a replayable source and a deterministic batch (a replay must
@@ -51,19 +53,26 @@ object StreamSink {
   private val StreamIdFile = "_stream_id"
 
   /** Validate-or-establish the root's owning stream identity.
-    * First caller commits `streamId` (atomically — create-if-absent;
-    * a racing twin that loses reads the winner's and must match). */
+    * First caller commits `streamId` via tmp-write + rename-without-
+    * overwrite (first winner's file is always COMPLETE — a torn create
+    * would otherwise brick the root for the rightful owner forever);
+    * a racing or losing twin reads the winner's and must match. */
   private def checkStreamId(spark: SparkSession, root: String,
                             streamId: String): Unit = {
     val idPath = new Path(root, StreamIdFile)
     val f = fs(spark, idPath)
     if (!f.exists(idPath)) {
       f.mkdirs(new Path(root))
-      try {
-        val out = f.create(idPath, false) // no-overwrite: first writer wins
-        try out.write(streamId.getBytes("UTF-8")) finally out.close()
-        return
-      } catch { case _: java.io.IOException => /* lost the race: fall through to read */ }
+      val tmp = new Path(root,
+        StreamIdFile + ".tmp-" + java.util.UUID.randomUUID().toString)
+      val out = f.create(tmp, true)
+      try out.write(streamId.getBytes("UTF-8")) finally out.close()
+      // rename WITHOUT overwrite: exactly one writer publishes; the
+      // loser (rename returns false / throws on an existing dst)
+      // cleans its tmp and falls through to read the winner's
+      val won = try f.rename(tmp, idPath) catch { case _: java.io.IOException => false }
+      if (!won) f.delete(tmp, false)
+      else return
     }
     val in = f.open(idPath)
     val owner = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -75,15 +84,46 @@ object StreamSink {
         "point this query at a fresh root.")
   }
 
+  /** The identity an appender writes to `_stream_id`: the caller's
+    * `streamId` plus, when running inside a streaming micro-batch, the
+    * engine's own query id. The query id is PERSISTED in the
+    * checkpoint's metadata file, so it is stable across legitimate
+    * restarts — but a wiped-and-recreated checkpoint at the SAME path
+    * mints a new one, which is exactly the case a path-only identity
+    * cannot see: batch ids restart at 0 and every collision would be
+    * silently replay-skipped. With the query id folded in, that rerun
+    * fails the identity check loud instead. */
+  private def effectiveId(spark: SparkSession, streamId: String): String =
+    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .fold(streamId)(qid => s"$streamId#$qid")
+
   /** Idempotently append one micro-batch. Returns true if this call
     * wrote the batch, false if a committed `batch=<id>` already
     * existed (crash-replay, or a duplicate attempt racing this one —
     * either way the rows are in the store exactly once). */
   def appendBatch(spark: SparkSession, root: String, streamId: String,
                   batchId: Long, df: DataFrame): Boolean = {
-    checkStreamId(spark, root, streamId)
+    checkStreamId(spark, root, effectiveId(spark, streamId))
+    commitBatch(spark, root, batchId, df)
+  }
+
+  /** The idempotent commit itself, shared by [[appendBatch]] and the
+    * appender's hot path (which validates identity once, not per
+    * batch). */
+  private def commitBatch(spark: SparkSession, root: String,
+                          batchId: Long, df: DataFrame): Boolean = {
     val target = s"$root/batch=$batchId"
     if (graft.core.IndexStore.isCommitted(spark, target)) return false
+    // reclaim crash-orphaned scratch dirs from OUR OWN prior attempt
+    // at this id (ensure only clears the target, never '.build-'
+    // siblings; replace's cleanup is the precedent). Safe here because
+    // the stream-id guard serializes writers per root: no concurrent
+    // attempt's live scratch can be the victim.
+    val f = fs(spark, new Path(root))
+    val stale = "batch=" + batchId + "\\.build-.*"
+    f.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches(stale))
+      .foreach(s => f.delete(s.getPath, true))
     var built = false
     graft.core.IndexStore.ensure(spark, target) { scratch =>
       df.write.mode("overwrite").parquet(scratch)
@@ -94,9 +134,21 @@ object StreamSink {
 
   /** The `foreachBatch` function: attach with
     * `.writeStream.foreachBatch(StreamSink.parquetAppender(root, ckpt))
-    *  .option("checkpointLocation", ckpt)`. */
-  def parquetAppender(root: String, streamId: String): (DataFrame, Long) => Unit =
-    (df, batchId) => appendBatch(df.sparkSession, root, streamId, batchId, df)
+    *  .option("checkpointLocation", ckpt)`. The identity check runs
+    * once per appender instance, not once per micro-batch — at a 1 s
+    * trigger on an object store the per-batch sidecar read would be
+    * pure metadata overhead on the hot path (the batch=<id> commit
+    * probe that remains IS the idempotence mechanism). */
+  def parquetAppender(root: String, streamId: String): (DataFrame, Long) => Unit = {
+    val validated = new java.util.concurrent.atomic.AtomicBoolean(false)
+    (df, batchId) => {
+      val spark = df.sparkSession
+      if (validated.compareAndSet(false, true))
+        checkStreamId(spark, root, effectiveId(spark, streamId))
+      commitBatch(spark, root, batchId, df)
+      ()
+    }
+  }
 
   /** Read every COMMITTED batch (marker-checked — a torn dir from a
     * crashed first attempt is invisible), with the `batch` id restored
@@ -107,8 +159,17 @@ object StreamSink {
   def readCommitted(spark: SparkSession, root: String): DataFrame = {
     val rootPath = new Path(root)
     val f = fs(spark, rootPath)
+    // EXACT batch=<digits> names only: IndexStore.ensure builds in
+    // sibling 'batch=<id>.build-<uuid>' scratch dirs whose own
+    // _SUCCESS exists mid-build — a crash before publish leaves one
+    // behind, and a prefix match would read that orphan as a committed
+    // batch (double rows after the replay commits the real one, plus a
+    // garbage 'batch' partition value). Orphans are publish-never-ran
+    // leftovers: invisible here, deleted by the replay's appendBatch.
+    val batchDir = "batch=\\d+".r
     val committed = f.listStatus(rootPath).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .filter(s => s.isDirectory &&
+        batchDir.pattern.matcher(s.getPath.getName).matches())
       .map(_.getPath)
       .filter(p => f.exists(new Path(p, "_SUCCESS")))
       .map(_.toString)

@@ -81,6 +81,38 @@ class StreamSinkSpec extends SparkTestBase {
     assert(StreamSink.readCommitted(spark, root).select("v").as[Int].collect().toSeq === Seq(7))
   }
 
+  test("a wiped-and-recreated checkpoint at the SAME path fails loud, not replay-skip") {
+    // rm -rf <ckpt> + restart is the operator mistake a path-only
+    // identity cannot see: same path string, but batch ids restart at
+    // 0 and every collision would be silently skipped as a "replay".
+    // The engine mints a NEW query id for the recreated checkpoint
+    // (the old one lived in the wiped metadata file), and the folded
+    // identity catches it.
+    val root = Files.createTempDirectory("graft-sink5").toString
+    val ckpt = Files.createTempDirectory("graft-sink5-ckpt").toString
+    val in1 = MemoryStream[Int]
+    val q1 = in1.toDS().toDF("v").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(StreamSink.parquetAppender(root, ckpt))
+      .start()
+    in1.addData(1); q1.processAllAvailable(); q1.stop()
+    // wipe + recreate the checkpoint at the same path
+    import scala.sys.process._
+    Seq("rm", "-rf", ckpt).!
+    val in2 = MemoryStream[Int]
+    val q2 = in2.toDS().toDF("v").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(StreamSink.parquetAppender(root, ckpt))
+      .start()
+    in2.addData(2)
+    val e = intercept[Exception] { q2.processAllAvailable(); q2.awaitTermination() }
+    q2.stop()
+    assert(e.getMessage.contains("belongs to stream"),
+      s"expected the identity guard, got: ${e.getMessage}")
+    // and the sink still holds exactly the pre-wipe data
+    assert(StreamSink.readCommitted(spark, root).count() === 1)
+  }
+
   test("a different stream against an existing root fails loud instead of replay-skipping") {
     val root = Files.createTempDirectory("graft-sink4").toString
     assert(StreamSink.appendBatch(spark, root, "ckpt-A", 0L, Seq(1).toDF("v")))
