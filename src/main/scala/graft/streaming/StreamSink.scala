@@ -34,16 +34,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * sink: a replayable source and a deterministic batch (a replay must
   * regenerate the same rows for the same id).
   *
-  * 100 TB notes: per-batch directories are the small-files generator
-  * [[graft.sources.Sinks.compactParquetDir]] exists for — compact a
-  * batch dir in place any time (the marker set is untouched). Batches
-  * at ids at-or-below the checkpoint's committed head are never
-  * replayed, so a retention job may fold old batch dirs into a base
-  * table, provided the fold itself is transactional
-  * ([[graft.core.IndexStore.replace]]). The listing in
-  * [[readCommitted]] is one directory list + one marker probe per
-  * batch — object-store-priced like any partitioned read; fold old
-  * batches before the directory count becomes the listing bottleneck.
+  * 100 TB notes: per-batch directories are a small-files/listing
+  * generator — a 1 s trigger mints ~86k dirs per day, and
+  * [[readCommitted]]'s list + marker probe per dir becomes the
+  * bottleneck long before the data does. [[fold]] is the retention
+  * half: batches at-or-below the checkpoint's committed head are
+  * never replayed, so it merges them into one `fold-<id>` directory.
+  * The fold dir IS the manifest — committed atomically by the same
+  * marker-last protocol, with the highest committed fold id acting as
+  * the reader's high-water mark — so there is no separate mark file
+  * whose loss could double- or zero-count folded rows; deleting the
+  * merged-away dirs is mere garbage collection behind it.
+  * [[graft.sources.Sinks.compactParquetDir]] can then re-lay the flat
+  * fold dir to target file sizes any time.
   */
 object StreamSink {
 
@@ -157,23 +160,109 @@ object StreamSink {
     * an empty root fails loud with the path — the caller knows whether
     * "nothing committed yet" is normal for its topology. */
   def readCommitted(spark: SparkSession, root: String): DataFrame = {
+    val (foldMark, batchDirs) = liveDirs(spark, root)
+    val batchDf = Option.when(batchDirs.nonEmpty) {
+      // basePath restores batch as a partition column (inferred int —
+      // cast to long so the schema is stable whether or not a fold
+      // dir, which carries batch as a regular long, is in the union)
+      import org.apache.spark.sql.functions.col
+      spark.read.option("basePath", root).parquet(batchDirs: _*)
+        .withColumn("batch", col("batch").cast("long"))
+    }
+    val foldDf = foldMark.map(m => spark.read.parquet(s"$root/fold-$m"))
+    val parts = foldDf.toSeq ++ batchDf.toSeq
+    require(parts.nonEmpty, s"no committed batches under $root")
+    parts.reduce(_ unionByName _)
+  }
+
+  /** The live layout under `root`: (highest committed fold id if any,
+    * committed `batch=<id>` dirs ABOVE it). The fold dir is the
+    * manifest: batch dirs at-or-below the fold mark are merged-away
+    * leftovers (a crashed fold's pending deletes) and must be
+    * invisible, or their rows would double-count. EXACT batch=<digits>
+    * names only: IndexStore.ensure builds in sibling
+    * 'batch=<id>.build-<uuid>' scratch dirs whose own _SUCCESS exists
+    * mid-build — a prefix match would read such an orphan as a
+    * committed batch. */
+  private def liveDirs(spark: SparkSession, root: String)
+      : (Option[Long], Seq[String]) = {
     val rootPath = new Path(root)
     val f = fs(spark, rootPath)
-    // EXACT batch=<digits> names only: IndexStore.ensure builds in
-    // sibling 'batch=<id>.build-<uuid>' scratch dirs whose own
-    // _SUCCESS exists mid-build — a crash before publish leaves one
-    // behind, and a prefix match would read that orphan as a committed
-    // batch (double rows after the replay commits the real one, plus a
-    // garbage 'batch' partition value). Orphans are publish-never-ran
-    // leftovers: invisible here, deleted by the replay's appendBatch.
-    val batchDir = "batch=\\d+".r
-    val committed = f.listStatus(rootPath).toSeq
-      .filter(s => s.isDirectory &&
-        batchDir.pattern.matcher(s.getPath.getName).matches())
-      .map(_.getPath)
-      .filter(p => f.exists(new Path(p, "_SUCCESS")))
-      .map(_.toString)
-    require(committed.nonEmpty, s"no committed batches under $root")
-    spark.read.option("basePath", root).parquet(committed: _*)
+    val batchDir = "batch=(\\d+)".r
+    val foldDir = "fold-(\\d+)".r
+    val entries = f.listStatus(rootPath).toSeq.filter(_.isDirectory)
+    def committed(p: Path) = f.exists(new Path(p, "_SUCCESS"))
+    val foldMark = entries.flatMap { s =>
+      s.getPath.getName match {
+        case foldDir(id) if committed(s.getPath) => Some(id.toLong)
+        case _ => None
+      }
+    }.maxOption
+    val batches = entries.flatMap { s =>
+      s.getPath.getName match {
+        case batchDir(id)
+          if foldMark.forall(id.toLong > _) && committed(s.getPath) =>
+          Some(s.getPath.toString)
+        case _ => None
+      }
+    }
+    (foldMark, batches)
+  }
+
+  /** Retention fold — the listing-scale half of the sink. Merges the
+    * current fold dir (if any) plus every committed batch dir with id
+    * <= `upToBatch` into one `fold-<upToBatch>` directory (batch
+    * provenance kept as a regular column), commits it marker-last,
+    * then garbage-collects the merged-away dirs. The commit point is
+    * the fold dir's own marker: a crash BEFORE it leaves the old view
+    * bit-for-bit intact (an uncommitted or lower-id fold dir is
+    * invisible), a crash DURING the deletes leaves leftovers the
+    * fold-mark rule already hides. Only fold ids the checkpoint has
+    * committed past (they can never be replayed); single maintainer,
+    * like compact/split. Returns the folded row count. */
+  def fold(spark: SparkSession, root: String, upToBatch: Long): Long = {
+    val (foldMark, _) = liveDirs(spark, root)
+    require(foldMark.forall(upToBatch > _),
+      s"fold($upToBatch) is not above the current fold mark $foldMark")
+    val rootPath = new Path(root)
+    val f = fs(spark, rootPath)
+    val batchDir = "batch=(\\d+)".r
+    def committed(p: Path) = f.exists(new Path(p, "_SUCCESS"))
+    val toFold = f.listStatus(rootPath).toSeq.filter(_.isDirectory)
+      .flatMap { s =>
+        s.getPath.getName match {
+          case batchDir(id)
+            if id.toLong <= upToBatch && foldMark.forall(id.toLong > _) &&
+              committed(s.getPath) => Some(s.getPath)
+          case _ => None
+        }
+      }
+    require(toFold.nonEmpty || foldMark.nonEmpty,
+      s"nothing to fold at or below batch $upToBatch under $root")
+    import org.apache.spark.sql.functions.col
+    val merged = (foldMark.map(m => spark.read.parquet(s"$root/fold-$m")).toSeq ++
+      Option.when(toFold.nonEmpty)(
+        spark.read.option("basePath", root).parquet(toFold.map(_.toString): _*)
+          .withColumn("batch", col("batch").cast("long"))).toSeq)
+      .reduce(_ unionByName _)
+    var n = 0L
+    graft.core.IndexStore.ensure(spark, s"$root/fold-$upToBatch") { scratch =>
+      merged.write.mode("overwrite").parquet(scratch)
+      n = spark.read.parquet(scratch).count()
+    }
+    // garbage collection behind the committed manifest: merged-away
+    // dirs are already invisible, so a crash anywhere in here is safe.
+    // Sweep ALL lower fold dirs (a crashed previous GC can leave more
+    // than one) and any fold build-scratch orphans.
+    toFold.foreach(p => f.delete(p, true))
+    val lowerFold = "fold-(\\d+)(\\.build-.*)?".r
+    f.listStatus(rootPath).toSeq.filter(_.isDirectory).foreach { s =>
+      s.getPath.getName match {
+        case lowerFold(id, _) if id.toLong < upToBatch =>
+          f.delete(s.getPath, true)
+        case _ => ()
+      }
+    }
+    n
   }
 }

@@ -81,6 +81,39 @@ class StreamSinkSpec extends SparkTestBase {
     assert(StreamSink.readCommitted(spark, root).select("v").as[Int].collect().toSeq === Seq(7))
   }
 
+  test("fold merges old batches behind an atomic manifest; leftovers and re-folds stay exactly-once") {
+    val root = Files.createTempDirectory("graft-fold").toString
+    for (i <- 0L to 3L)
+      assert(StreamSink.appendBatch(spark, root, "ck", i, Seq(i.toInt * 10).toDF("v")))
+    def snapshot() = StreamSink.readCommitted(spark, root)
+      .select("v", "batch").as[(Int, Long)].collect().sorted.toSeq
+    val before = snapshot()
+    assert(before === Seq((0, 0L), (10, 1L), (20, 2L), (30, 3L)))
+
+    assert(StreamSink.fold(spark, root, 2L) === 3L)
+    // same rows, same batch provenance; layout is now fold-2 + batch=3
+    assert(snapshot() === before)
+    val names = new java.io.File(root).list().toSet
+    assert(names.contains("fold-2") && names.contains("batch=3"))
+    assert(!names.exists(n => Set("batch=0", "batch=1", "batch=2")(n)))
+
+    // a crashed fold's pending delete: resurrect a merged-away batch
+    // dir — the fold mark must keep it invisible (no double rows)
+    Seq(99).toDF("v").write.parquet(s"$root/batch=1")
+    assert(snapshot() === before)
+
+    // appends continue above the mark, and a re-fold absorbs the
+    // previous fold dir plus the newer batches
+    assert(StreamSink.appendBatch(spark, root, "ck", 4L, Seq(40).toDF("v")))
+    assert(StreamSink.fold(spark, root, 4L) === 5L)
+    assert(snapshot() === before ++ Seq((40, 4L)))
+    val after = new java.io.File(root).list().toSet
+    assert(after.contains("fold-4") && !after.contains("fold-2"))
+
+    // folding below or at the current mark is refused loud
+    intercept[IllegalArgumentException] { StreamSink.fold(spark, root, 4L) }
+  }
+
   test("a wiped-and-recreated checkpoint at the SAME path fails loud, not replay-skip") {
     // rm -rf <ckpt> + restart is the operator mistake a path-only
     // identity cannot see: same path string, but batch ids restart at
