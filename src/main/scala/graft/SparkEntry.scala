@@ -88,6 +88,12 @@ object SparkEntry {
     "q_price_quantiles_exact" ->
       ((s, d) => RelationalQueries.priceQuantiles(s, d, exact = true)),
     "q_price_quantiles_sketch" ->
-      ((s, d) => RelationalQueries.priceQuantiles(s, d, exact = false))
+      ((s, d) => RelationalQueries.priceQuantiles(s, d, exact = false)),
+    // frequent-items sketch (DataSketches ItemsSketch via approx_top_k,
+    // Spark 4.1): one-pass per-source top-k shingles, maxTracked-bounded
+    // state. Timing twin only — tie order and estimates are not
+    // hash-stable; contract spec-pinned (FrequentItemsSpec).
+    "x_heavy_shingles_topk" ->
+      ((s, d) => AnalysisQueries.heavyShinglesTopK(s, d))
   )
 }

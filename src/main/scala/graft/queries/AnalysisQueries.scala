@@ -874,18 +874,24 @@ object AnalysisQueries extends QueryGroup {
     * mirrored exactly in the oracle. */
   def vocabBySource(spark: SparkSession, dir: String): DataFrame =
     vocabBySource(spark, dir, exact = true)
-  def vocabBySource(spark: SparkSession, dir: String,
-                    exact: Boolean): DataFrame = {
-    // STAGE the split before shingles3 (the shingleFrame discipline):
-    // passing the raw split expression re-evaluates it inside the
-    // shingle lambda's element_at calls — measured 6.8 s vs 1.5 s at
-    // sf0.1. explode_outer + null-filter: __toks is an ATTRIBUTE here,
-    // the explode filter-inlining trap applies (see sourceOverlap).
-    val ng = Tables(spark, dir).documents
+
+  /** (source, ng) shingle occurrences, split STAGED before shingles3
+    * (the shingleFrame discipline): passing the raw split expression
+    * re-evaluates it inside the shingle lambda's element_at calls —
+    * measured 6.8 s vs 1.5 s at sf0.1. explode_outer + null-filter:
+    * __toks is an ATTRIBUTE here, the explode filter-inlining trap
+    * applies (see sourceOverlap). Shared by the vocab and
+    * frequent-items tiers. */
+  private def sourceShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
       .select(col("source"), toks.as("__toks"))
       .select(col("source"),
         explode_outer(graft.ext.Dedup.shingles3(col("__toks"))).as("ng"))
       .filter(col("ng").isNotNull)
+
+  def vocabBySource(spark: SparkSession, dir: String,
+                    exact: Boolean): DataFrame = {
+    val ng = sourceShingles(spark, dir)
     val vocab =
       if (exact) countDistinct(col("ng"))
       else approx_count_distinct(col("ng"), 0.02)
@@ -893,6 +899,30 @@ object AnalysisQueries extends QueryGroup {
       .agg(vocab.as("vocab"), count(lit(1)).as("ngrams"))
       .orderBy(col("source"))
   }
+
+  /** Per-source top-k frequent shingles via `approx_top_k` — the
+    * FREQUENT-ITEMS member of the sketch family (DataSketches
+    * ItemsSketch, new in Spark 4.1), closing the set beside Bloom
+    * membership, CMS frequency-screen, HLL cardinality, and GK
+    * quantiles. What it buys over x_heavy_shingles' CMS screen: ONE
+    * pass and one sketch-sized exchange end-to-end (the CMS pipeline
+    * is screen + exact HAVING verify over the admitted slice), at the
+    * price of estimates instead of exact counts. State is
+    * maxTracked-bounded however large the corpus; the map-side
+    * partials merge, so the exchange carries one sketch per (source,
+    * partition). Timing twin only (prodVariants): top-k TIE order is
+    * arbitrary and estimates have no hash-stable oracle —
+    * `FrequentItemsSpec` pins the contract instead (exact counts and
+    * full recall while distinct <= maxTracked; the heavy-item
+    * never-miss guarantee under capacity pressure). */
+  def heavyShinglesTopK(spark: SparkSession, dir: String, k: Int = 20,
+                        maxTracked: Int = 8192): DataFrame =
+    sourceShingles(spark, dir)
+      .groupBy(col("source"))
+      .agg(expr(s"approx_top_k(ng, $k, $maxTracked)").as("topk"))
+      .select(col("source"), posexplode(col("topk")))
+      .select(col("source"), col("pos").as("rank"),
+        col("col.item").as("ng"), col("col.count").as("est_count"))
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_vocab_by_source" -> ((s: SparkSession, d: String) => vocabBySource(s, d)),
