@@ -94,6 +94,12 @@ object SparkEntry {
     // state. Timing twin only — tie order and estimates are not
     // hash-stable; contract spec-pinned (FrequentItemsSpec).
     "x_heavy_shingles_topk" ->
-      ((s, d) => AnalysisQueries.heavyShinglesTopK(s, d))
+      ((s, d) => AnalysisQueries.heavyShinglesTopK(s, d)),
+    // materialized mergeable HLL sketches (ext/SketchStore): sketch at
+    // ingest, answer distinct-over-history by merging stored kilobyte
+    // rows - no rescan. Timing twin; merge determinism + append
+    // contracts spec-pinned (SketchStoreSpec).
+    "x_vocab_sketch_store" ->
+      ((s, d) => AnalysisQueries.vocabSketchStore(s, d))
   )
 }

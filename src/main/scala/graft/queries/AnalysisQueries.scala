@@ -900,6 +900,28 @@ object AnalysisQueries extends QueryGroup {
       .orderBy(col("source"))
   }
 
+  /** The MATERIALIZED twin of the vocab tier: per-source HLL sketches
+    * persisted once through IndexStore (`ext/SketchStore`), estimates
+    * answered forever after by merging the stored kilobyte rows — no
+    * corpus rescan. Build-if-absent at the shared index base (the
+    * d9/y7 location pattern); delete the store dir to re-measure a
+    * cold build. Timing twin (prodVariants): estimates, like the
+    * transient _hll twin's — but the merge determinism and
+    * append-without-rescan contracts are spec-pinned
+    * (`SketchStoreSpec`). */
+  def vocabSketchStore(spark: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val base = spark.conf.get("spark.graft.index.dir",
+      sys.props("java.io.tmpdir"))
+    val path = s"${base.stripSuffix("/")}/graft-vocab-sketch-$digest"
+    graft.core.IndexStore.ensure(spark, path) { scratch =>
+      graft.ext.SketchStore.write(
+        sourceShingles(spark, dir), "source", "ng", scratch)
+    }
+    graft.ext.SketchStore.estimate(spark, path)
+  }
+
   /** Per-source top-k frequent shingles via `approx_top_k` — the
     * FREQUENT-ITEMS member of the sketch family (DataSketches
     * ItemsSketch, new in Spark 4.1), closing the set beside Bloom
