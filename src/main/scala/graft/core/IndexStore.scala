@@ -224,4 +224,20 @@ object IndexStore {
     spark.catalog.refreshByPath(path)
     path
   }
+
+  /** Canonical per-dataset index location: `<base>/graft-<kind>-<md5
+    * of dataDir>` — stable across calls (artifact reuse is the point)
+    * yet collision-free across scale factors / datasets. The base is
+    * caller-supplied via `spark.graft.index.dir` (any Hadoop-FS URI);
+    * driver-local java.io.tmpdir is the standalone-sandbox fallback.
+    * The ONE copy of a derivation that had grown five verbatim twins
+    * across the query registries — keying-scheme changes happen here,
+    * nowhere else. */
+  def pathFor(spark: SparkSession, kind: String, dataDir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dataDir.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val base = spark.conf.get("spark.graft.index.dir",
+      sys.props("java.io.tmpdir"))
+    s"${base.stripSuffix("/")}/graft-$kind-$digest"
+  }
 }

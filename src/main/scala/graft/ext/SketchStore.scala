@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -17,48 +18,72 @@ import org.apache.spark.sql.functions._
   * ~1% apart, not bit-identical: sparse-mode promotion order inside
   * the union gadget shifts the estimator slightly (the spec pins the
   * <=2% agreement band plus the <=5%-of-exact error; an equality
-  * claim here was tried and measurement refuted it). Appending a
-  * batch writes one sketch row per group, ~1.5 KB at lgK=12.
+  * claim here was tried and measurement refuted it). Each batch
+  * writes one sketch row per group, ~1.5 KB at lgK=12.
+  *
+  * Layout: one `batch_tag=<tag>` directory per ingest batch, each
+  * committed by its own `_SUCCESS` (the parquet committer's, exactly
+  * the [[graft.streaming.StreamSink]] shape) — so a crashed or torn
+  * ingest leaves an uncommitted dir [[estimate]] never reads, and a
+  * retried ingest of the same tag is an idempotent no-op instead of a
+  * duplicate row set. The tag comes back as a partition column, so
+  * callers can estimate over any batch slice.
   *
   * 100 TB shape: ingest cost is one map-side sketch pass over the NEW
   * batch only; query cost is group-count × batch-count sketch rows —
-  * kilobytes per row regardless of corpus size. The store commits
-  * through [[graft.core.IndexStore]] (marker-last; batch appends are
-  * new files under the committed dir, the d9/y7 append precedent). */
+  * kilobytes per row regardless of corpus size. */
 object SketchStore {
 
-  /** Build the store from scratch: one sketch row per (group, batch).
-    * `build` leaves a _SUCCESS-marked artifact — call through
-    * [[graft.core.IndexStore.ensure]] for race-safe build-if-absent. */
-  def write(rows: DataFrame, groupCol: String, itemCol: String,
-            path: String, batchTag: String = "base", lgK: Int = 12): Unit =
-    sketchRows(rows, groupCol, itemCol, batchTag, lgK)
-      .write.mode("overwrite").parquet(path)
+  /** Ingest one batch: sketch `rows` per group and commit them under
+    * `path/batch_tag=<batchTag>`. Idempotent per tag (build-if-absent
+    * through [[graft.core.IndexStore.ensure]]): a retry or a racing
+    * twin finds the committed dir and skips. Returns true if this
+    * call wrote the batch. */
+  def ingest(rows: DataFrame, groupCol: String, itemCol: String,
+             path: String, batchTag: String, lgK: Int = 12): Boolean = {
+    // safe charset keeps the dir name unambiguous vs ensure's
+    // '.build-<uuid>' scratch suffix (no dots) and partition encoding
+    require(batchTag.matches("[A-Za-z0-9_-]+"),
+      s"batchTag must be [A-Za-z0-9_-]+, got '$batchTag'")
+    val target = s"$path/batch_tag=$batchTag"
+    val spark = rows.sparkSession
+    if (graft.core.IndexStore.isCommitted(spark, target)) return false
+    var built = false
+    graft.core.IndexStore.ensure(spark, target) { scratch =>
+      rows.groupBy(col(groupCol).as("grp"))
+        .agg(expr(s"hll_sketch_agg($itemCol, $lgK)").as("sketch"))
+        .write.mode("overwrite").parquet(scratch)
+      built = true
+    }
+    built
+  }
 
-  /** Ingest one new batch: sketches ONLY the new rows, appends one
-    * row per group. History is never rescanned — that is the point. */
-  def append(rows: DataFrame, groupCol: String, itemCol: String,
-             path: String, batchTag: String, lgK: Int = 12): Unit =
-    sketchRows(rows, groupCol, itemCol, batchTag, lgK)
-      .write.mode("append").parquet(path)
-
-  private def sketchRows(rows: DataFrame, groupCol: String,
-                         itemCol: String, batchTag: String,
-                         lgK: Int): DataFrame =
-    rows.groupBy(col(groupCol).as("grp"))
-      .agg(expr(s"hll_sketch_agg($itemCol, $lgK)").as("sketch"))
-      .select(col("grp"), lit(batchTag).as("batch_tag"), col("sketch"))
-
-  /** Distinct-count estimates per group over the WHOLE store (or a
-    * `batch_tag` slice the caller filters first): a union-merge of
-    * kilobyte sketch rows, never a corpus scan. */
+  /** Distinct-count estimates per group over every committed batch
+    * (filter the frame from [[readStore]] first for a slice): a
+    * union-merge of kilobyte sketch rows, never a corpus scan. */
   def estimate(spark: SparkSession, path: String): DataFrame =
-    estimateFrom(graft.core.IndexStore.read(
-      spark, path, "sketch store", "SketchStore.write"))
+    estimateFrom(readStore(spark, path))
 
   def estimateFrom(store: DataFrame): DataFrame =
     store.groupBy(col("grp"))
       .agg(expr("hll_sketch_estimate(hll_union_agg(sketch, false))")
         .as("distinct_est"))
       .orderBy(col("grp"))
+
+  /** Committed batches only — a torn ingest's markerless dir is
+    * invisible; `batch_tag` restored as a partition column. */
+  def readStore(spark: SparkSession, path: String): DataFrame = {
+    val rootPath = new Path(path)
+    val f = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val tagDir = "batch_tag=.+".r
+    val committed = f.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory &&
+        tagDir.pattern.matcher(s.getPath.getName).matches() &&
+        !s.getPath.getName.contains(".build-") &&
+        f.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.toString)
+    require(committed.nonEmpty,
+      s"no committed sketch batches under $path — ingest one with SketchStore.ingest")
+    spark.read.option("basePath", path).parquet(committed: _*)
+  }
 }

@@ -910,15 +910,9 @@ object AnalysisQueries extends QueryGroup {
     * append-without-rescan contracts are spec-pinned
     * (`SketchStoreSpec`). */
   def vocabSketchStore(spark: SparkSession, dir: String): DataFrame = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
-    val base = spark.conf.get("spark.graft.index.dir",
-      sys.props("java.io.tmpdir"))
-    val path = s"${base.stripSuffix("/")}/graft-vocab-sketch-$digest"
-    graft.core.IndexStore.ensure(spark, path) { scratch =>
-      graft.ext.SketchStore.write(
-        sourceShingles(spark, dir), "source", "ng", scratch)
-    }
+    val path = graft.core.IndexStore.pathFor(spark, "vocab-sketch", dir)
+    graft.ext.SketchStore.ingest(
+      sourceShingles(spark, dir), "source", "ng", path, "base")
     graft.ext.SketchStore.estimate(spark, path)
   }
 

@@ -438,13 +438,8 @@ object DedupQueries extends QueryGroup {
     * caller-supplied via `spark.graft.index.dir` (any Hadoop-FS URI —
     * hdfs://, s3a://, file:); driver-local java.io.tmpdir is only the
     * standalone-query fallback for this sandbox. */
-  private[queries] def indexPathFor(spark: SparkSession, dir: String): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
-    val base = spark.conf.get("spark.graft.index.dir",
-      sys.props("java.io.tmpdir"))
-    s"${base.stripSuffix("/")}/graft-neardup-index-$digest"
-  }
+  private[queries] def indexPathFor(spark: SparkSession, dir: String): String =
+    graft.core.IndexStore.pathFor(spark, "neardup-index", dir)
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup"   -> (exactDedup _),

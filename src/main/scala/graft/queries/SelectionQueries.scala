@@ -82,13 +82,8 @@ object SelectionQueries extends QueryGroup {
       dsirBuckets)
   }
 
-  private def dsirIndexPathFor(spark: SparkSession, dir: String): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
-    val base = spark.conf.get("spark.graft.index.dir",
-      sys.props("java.io.tmpdir"))
-    s"${base.stripSuffix("/")}/graft-dsir-index-$digest"
-  }
+  private def dsirIndexPathFor(spark: SparkSession, dir: String): String =
+    graft.core.IndexStore.pathFor(spark, "dsir-index", dir)
 
   /** CCNet-style perplexity bucketing: rank every doc within its
     * language by the bigram LM score (x_lm_score's exact pipeline) and

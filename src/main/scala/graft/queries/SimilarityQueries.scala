@@ -398,13 +398,8 @@ object SimilarityQueries extends QueryGroup {
   /** Per-sf-dir ANN index location; base directory caller-supplied via
     * `spark.graft.index.dir` (tmpdir fallback), like
     * DedupQueries.indexPathFor. */
-  private def annIndexPathFor(spark: SparkSession, dir: String): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
-    val base = spark.conf.get("spark.graft.index.dir",
-      sys.props("java.io.tmpdir"))
-    s"${base.stripSuffix("/")}/graft-ann-index-$digest"
-  }
+  private def annIndexPathFor(spark: SparkSession, dir: String): String =
+    graft.core.IndexStore.pathFor(spark, "ann-index", dir)
 
   /** IVF threshold screen over the MAINTAINED ANN index
     * ([[graft.ext.AnnIndex]] — the write/append/compact lifecycle
@@ -429,13 +424,8 @@ object SimilarityQueries extends QueryGroup {
 
   /** Per-sf-dir location of the maintained IVF index (y12 / StreamAnn),
     * beside but distinct from y7's LSH artifact. */
-  private def ivfIndexPathFor(spark: SparkSession, dir: String): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
-    val base = spark.conf.get("spark.graft.index.dir",
-      sys.props("java.io.tmpdir"))
-    s"${base.stripSuffix("/")}/graft-ivf-index-$digest"
-  }
+  private def ivfIndexPathFor(spark: SparkSession, dir: String): String =
+    graft.core.IndexStore.pathFor(spark, "ivf-index", dir)
 
   /** Per-label embedding centroids — the aggregate every retrieval /
     * clustering pipeline needs (class prototypes, IVF seeding, drift

@@ -160,13 +160,13 @@ object StreamSink {
     * an empty root fails loud with the path — the caller knows whether
     * "nothing committed yet" is normal for its topology. */
   def readCommitted(spark: SparkSession, root: String): DataFrame = {
-    val (foldMark, batchDirs) = liveDirs(spark, root)
-    val batchDf = Option.when(batchDirs.nonEmpty) {
+    val (foldMark, batches) = liveDirs(spark, root)
+    val batchDf = Option.when(batches.nonEmpty) {
       // basePath restores batch as a partition column (inferred int —
       // cast to long so the schema is stable whether or not a fold
       // dir, which carries batch as a regular long, is in the union)
       import org.apache.spark.sql.functions.col
-      spark.read.option("basePath", root).parquet(batchDirs: _*)
+      spark.read.option("basePath", root).parquet(batches.map(_._2): _*)
         .withColumn("batch", col("batch").cast("long"))
     }
     val foldDf = foldMark.map(m => spark.read.parquet(s"$root/fold-$m"))
@@ -176,33 +176,52 @@ object StreamSink {
   }
 
   /** The live layout under `root`: (highest committed fold id if any,
-    * committed `batch=<id>` dirs ABOVE it). The fold dir is the
-    * manifest: batch dirs at-or-below the fold mark are merged-away
+    * committed (id, path) `batch=<id>` dirs ABOVE it). The fold dir is
+    * the manifest: batch dirs at-or-below the fold mark are merged-away
     * leftovers (a crashed fold's pending deletes) and must be
     * invisible, or their rows would double-count. EXACT batch=<digits>
     * names only: IndexStore.ensure builds in sibling
     * 'batch=<id>.build-<uuid>' scratch dirs whose own _SUCCESS exists
     * mid-build — a prefix match would read such an orphan as a
-    * committed batch. */
+    * committed batch.
+    *
+    * A fold dir that EXISTS but carries no marker fails LOUD: it means
+    * a fold publish or an in-place compaction
+    * ([[graft.sources.Sinks.compactParquetDir]] swaps through
+    * IndexStore.replace, whose window leaves the dir markerless) is in
+    * flight or crashed — and in the compaction case the folded
+    * history's batch dirs are already deleted, so "treat as no fold"
+    * would silently serve a fraction of the data. Loud-and-retry over
+    * silently-wrong; the maintainer's re-run (or replace's own crash
+    * recovery) restores the marker. */
   private def liveDirs(spark: SparkSession, root: String)
-      : (Option[Long], Seq[String]) = {
+      : (Option[Long], Seq[(Long, String)]) = {
     val rootPath = new Path(root)
     val f = fs(spark, rootPath)
     val batchDir = "batch=(\\d+)".r
     val foldDir = "fold-(\\d+)".r
     val entries = f.listStatus(rootPath).toSeq.filter(_.isDirectory)
     def committed(p: Path) = f.exists(new Path(p, "_SUCCESS"))
-    val foldMark = entries.flatMap { s =>
+    val folds = entries.flatMap { s =>
       s.getPath.getName match {
-        case foldDir(id) if committed(s.getPath) => Some(id.toLong)
+        case foldDir(id) => Some((id.toLong, committed(s.getPath)))
         case _ => None
       }
-    }.maxOption
+    }
+    folds.filterNot(_._2) match {
+      case torn if torn.nonEmpty =>
+        throw new IllegalStateException(
+          s"fold dir(s) ${torn.map("fold-" + _._1).mkString(", ")} under " +
+            s"$root exist without a commit marker: a fold or compaction " +
+            "is in flight or crashed; finish or re-run it before reading")
+      case _ => ()
+    }
+    val foldMark = folds.collect { case (id, true) => id }.maxOption
     val batches = entries.flatMap { s =>
       s.getPath.getName match {
         case batchDir(id)
           if foldMark.forall(id.toLong > _) && committed(s.getPath) =>
-          Some(s.getPath.toString)
+          Some((id.toLong, s.getPath.toString))
         case _ => None
       }
     }
@@ -220,29 +239,24 @@ object StreamSink {
     * fold-mark rule already hides. Only fold ids the checkpoint has
     * committed past (they can never be replayed); single maintainer,
     * like compact/split. Returns the folded row count. */
-  def fold(spark: SparkSession, root: String, upToBatch: Long): Long = {
-    val (foldMark, _) = liveDirs(spark, root)
+  def fold(spark: SparkSession, root: String, upToBatch: Long,
+           gcMergedDirs: Boolean = true): Long = {
+    val (foldMark, batches) = liveDirs(spark, root)
     require(foldMark.forall(upToBatch > _),
       s"fold($upToBatch) is not above the current fold mark $foldMark")
-    val rootPath = new Path(root)
-    val f = fs(spark, rootPath)
-    val batchDir = "batch=(\\d+)".r
-    def committed(p: Path) = f.exists(new Path(p, "_SUCCESS"))
-    val toFold = f.listStatus(rootPath).toSeq.filter(_.isDirectory)
-      .flatMap { s =>
-        s.getPath.getName match {
-          case batchDir(id)
-            if id.toLong <= upToBatch && foldMark.forall(id.toLong > _) &&
-              committed(s.getPath) => Some(s.getPath)
-          case _ => None
-        }
-      }
-    require(toFold.nonEmpty || foldMark.nonEmpty,
-      s"nothing to fold at or below batch $upToBatch under $root")
+    // upToBatch must be a batch id that EXISTS: folding past the head
+    // (a row count or timestamp passed by mistake) would plant a mark
+    // that silently hides every batch the stream commits later at
+    // ids <= upToBatch — unbounded data loss from one bad argument
+    require(batches.exists(_._1 == upToBatch),
+      s"fold($upToBatch): no committed batch=$upToBatch under $root — " +
+        "pass the id of an existing checkpoint-committed batch " +
+        s"(live ids: ${batches.map(_._1).sorted.takeRight(5).mkString(", ")} ...)")
+    val toFold = batches.filter(_._1 <= upToBatch)
     import org.apache.spark.sql.functions.col
     val merged = (foldMark.map(m => spark.read.parquet(s"$root/fold-$m")).toSeq ++
       Option.when(toFold.nonEmpty)(
-        spark.read.option("basePath", root).parquet(toFold.map(_.toString): _*)
+        spark.read.option("basePath", root).parquet(toFold.map(_._2): _*)
           .withColumn("batch", col("batch").cast("long"))).toSeq)
       .reduce(_ unionByName _)
     var n = 0L
@@ -250,17 +264,31 @@ object StreamSink {
       merged.write.mode("overwrite").parquet(scratch)
       n = spark.read.parquet(scratch).count()
     }
-    // garbage collection behind the committed manifest: merged-away
-    // dirs are already invisible, so a crash anywhere in here is safe.
-    // Sweep ALL lower fold dirs (a crashed previous GC can leave more
-    // than one) and any fold build-scratch orphans.
-    toFold.foreach(p => f.delete(p, true))
-    val lowerFold = "fold-(\\d+)(\\.build-.*)?".r
-    f.listStatus(rootPath).toSeq.filter(_.isDirectory).foreach { s =>
-      s.getPath.getName match {
-        case lowerFold(id, _) if id.toLong < upToBatch =>
-          f.delete(s.getPath, true)
-        case _ => ()
+    // garbage collection behind the committed manifest: every dir at
+    // or below the new mark is already invisible, so a crash anywhere
+    // in here is safe. Sweep by the MARK, not by toFold: a crashed
+    // previous GC's leftovers (batch dirs <= the old mark, lower fold
+    // dirs, fold build-scratch orphans) would otherwise never be
+    // reclaimed by any later fold and pay listing cost forever.
+    // gcMergedDirs=false defers the whole sweep to a later fold or an
+    // ops pass — the retention lag that keeps a LAZY reader's
+    // previously-listed paths alive (a DataFrame from readCommitted
+    // may execute long after the listing; deleting under it fails the
+    // read job). Single-maintainer deployments at a slow cadence can
+    // keep the default.
+    if (gcMergedDirs) {
+      val rootPath = new Path(root)
+      val f = fs(spark, rootPath)
+      val batchSweep = "batch=(\\d+)(\\.build-.*)?".r  // incl. crash orphans
+      val foldSweep = "fold-(\\d+)(\\.build-.*)?".r
+      f.listStatus(rootPath).toSeq.filter(_.isDirectory).foreach { s =>
+        s.getPath.getName match {
+          case batchSweep(id, _) if id.toLong <= upToBatch =>
+            f.delete(s.getPath, true)
+          case foldSweep(id, _) if id.toLong < upToBatch =>
+            f.delete(s.getPath, true)
+          case _ => ()
+        }
       }
     }
     n

@@ -26,14 +26,11 @@ class SketchStoreSpec extends SparkTestBase {
 
   test("batch-appended store tracks the single-shot sketch within 2%, and exact within HLL error") {
     val path = Files.createTempDirectory("graft-skstore").toString + "/store"
-    // three ingest batches by doc id — write, then two appends that
-    // see ONLY their own slice
-    SketchStore.write(shingles.filter(pmod(col("doc_id"), lit(3)) === 0),
-      "source", "ng", path, "b0")
-    SketchStore.append(shingles.filter(pmod(col("doc_id"), lit(3)) === 1),
-      "source", "ng", path, "b1")
-    SketchStore.append(shingles.filter(pmod(col("doc_id"), lit(3)) === 2),
-      "source", "ng", path, "b2")
+    // three ingest batches by doc id, each seeing ONLY its own slice
+    for (b <- 0 to 2)
+      assert(SketchStore.ingest(
+        shingles.filter(pmod(col("doc_id"), lit(3)) === b),
+        "source", "ng", path, s"b$b"))
     val merged = SketchStore.estimate(spark, path)
       .as[(String, Long)].collect().toMap
     val single = shingles.groupBy(col("source").as("grp"))
@@ -54,20 +51,29 @@ class SketchStoreSpec extends SparkTestBase {
     }
   }
 
-  test("append writes only the new batch's sketch rows - history is not rescanned") {
+  test("ingest commits per batch: torn dirs invisible, retries idempotent, history untouched") {
     val path = Files.createTempDirectory("graft-skstore2").toString + "/store"
-    SketchStore.write(shingles, "source", "ng", path, "base")
+    assert(SketchStore.ingest(shingles, "source", "ng", path, "base"))
     val sources = shingles.select("source").distinct().count()
-    val before = spark.read.parquet(path)
+    val before = SketchStore.readStore(spark, path)
     assert(before.count() === sources, "one sketch row per (group, batch)")
     // the store's rows are kilobytes however large the corpus: that
     // byte-bound is the query-cost claim, so pin it
     val maxLen = before.select(max(length(col("sketch")))).head().getInt(0)
     assert(maxLen <= (16 << 10), s"sketch row unexpectedly large: $maxLen bytes")
-    SketchStore.append(shingles.limit(50), "source", "ng", path, "late")
-    val after = spark.read.parquet(path)
+    assert(SketchStore.ingest(shingles.limit(50), "source", "ng", path, "late"))
+    val after = SketchStore.readStore(spark, path)
     assert(after.count() > sources && after.count() <= sources * 2)
     assert(after.filter(col("batch_tag") === "base").count() === sources,
       "base rows untouched by the append")
+    // a RETRY of a committed tag is a no-op, not a duplicate row set
+    assert(!SketchStore.ingest(shingles.limit(50), "source", "ng", path, "late"))
+    assert(SketchStore.readStore(spark, path).count() === after.count())
+    // a torn ingest (data present, no marker) is invisible to readers
+    Seq(("x", Array[Byte](1))).toDF("grp", "sketch")
+      .write.parquet(s"$path/batch_tag=torn")
+    new java.io.File(s"$path/batch_tag=torn/_SUCCESS").delete()
+    assert(!SketchStore.readStore(spark, path).select("batch_tag")
+      .as[String].collect().contains("torn"))
   }
 }

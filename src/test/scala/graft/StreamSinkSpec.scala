@@ -109,9 +109,16 @@ class StreamSinkSpec extends SparkTestBase {
     assert(snapshot() === before ++ Seq((40, 4L)))
     val after = new java.io.File(root).list().toSet
     assert(after.contains("fold-4") && !after.contains("fold-2"))
+    // the re-fold's GC sweeps by the MARK, so the crashed-GC leftover
+    // (the resurrected batch=1) is reclaimed, not carried forever
+    assert(!after.contains("batch=1"), s"leftover below the mark not swept: $after")
 
     // folding below or at the current mark is refused loud
     intercept[IllegalArgumentException] { StreamSink.fold(spark, root, 4L) }
+    // ...as is folding past the newest committed batch (a bad id would
+    // plant a mark that hides every later batch at ids below it)
+    assert(StreamSink.appendBatch(spark, root, "ck", 5L, Seq(50).toDF("v")))
+    intercept[IllegalArgumentException] { StreamSink.fold(spark, root, 999L) }
   }
 
   test("a wiped-and-recreated checkpoint at the SAME path fails loud, not replay-skip") {
