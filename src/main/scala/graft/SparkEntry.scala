@@ -21,7 +21,8 @@ object SparkEntry {
     AnalysisQueries,
     DedupQueries,
     SimilarityQueries,
-    SelectionQueries
+    SelectionQueries,
+    LayoutQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
