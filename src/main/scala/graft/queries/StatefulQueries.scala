@@ -107,7 +107,34 @@ object StatefulQueries extends QueryGroup {
         col("old_value"), col("new_value"))
   }
 
+  /** T6 — the CDC MATERIALIZATION the reference's change-detection
+    * job stops short of (TradeChangeDetectionJob.java emits changes;
+    * applying them is the user's next step): seed an
+    * [[graft.ext.Upsert]] table from the first half of the event
+    * stream (latest row per user), apply the second half as a change
+    * batch ('error' events tombstone the user), read the merged
+    * table back. The oracle is the declarative equivalent — latest
+    * event per user over the WHOLE stream, minus users whose latest
+    * event is a second-half error — so hash equality here proves the
+    * bucket-selective merge machinery (hash layout, per-bucket swap,
+    * delete semantics) reproduces the one-shot answer. */
+  def upsertApply(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    // 1-row driver collect: the base/change split point, not data
+    val half = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+    val cols = Seq("user_id", "event_id", "ts_us", "event_type", "value")
+    val base = ev.filter(col("event_id") <= half).select(cols.map(col): _*)
+    val changes = ev.filter(col("event_id") > half).select(cols.map(col): _*)
+      .withColumn("op",
+        when(col("event_type") === "error", "D").otherwise("U"))
+    val path = graft.core.IndexStore.pathFor(spark, "upsert", dir)
+    graft.ext.Upsert.init(base, path, "user_id", Seq("ts_us", "event_id"), 16)
+    graft.ext.Upsert.applyChanges(spark, path, changes)
+    graft.ext.Upsert.readTable(spark, path).orderBy(col("user_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t6_upsert_apply"  -> (upsertApply _),
     "t1_click_counter" -> (clickCounter _),
     "t2_event_list"    -> (eventList _),
     "t3_fraud_lookback"-> (fraudLookback _),
@@ -116,6 +143,16 @@ object StatefulQueries extends QueryGroup {
   )
 
   def oracles: Map[String, String] = Map(
+    "t6_upsert_apply" ->
+      """SELECT user_id, event_id, ts_us, event_type, value FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1
+        |  AND NOT (event_type = 'error' AND
+        |           event_id > (SELECT MAX(event_id) // 2 FROM events))
+        |ORDER BY user_id""".stripMargin,
     "t1_click_counter" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS BIGINT) AS clicks,

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.ext.Upsert
+
+/** The upsert table's contract:
+  *  - init + applyChanges equals the one-shot latest-per-key answer;
+  *  - ONLY touched buckets are rewritten — untouched bucket dirs keep
+  *    their exact file listing (names + mtimes);
+  *  - deletes tombstone a key, a later upsert revives it;
+  *  - re-applying the same change batch is a no-op on content;
+  *  - a torn (markerless) bucket dir is invisible to readers;
+  *  - a drifted/corrupt spec fails loud.
+  */
+class UpsertSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mkPath(): String =
+    java.nio.file.Files.createTempDirectory("graft-upsert").toString + "/t"
+
+  private def row(k: Long, ts: Long, v: String) = (k, ts, v)
+
+  private def table(path: String): Set[(Long, Long, String)] =
+    Upsert.readTable(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+  test("init keeps the latest row per key; apply merges changes in") {
+    val p = mkPath()
+    val base = Seq(row(1, 10, "a0"), row(1, 20, "a1"),
+                   row(2, 10, "b0"), row(3, 10, "c0"))
+      .toDF("k", "ts", "v")
+    Upsert.init(base, p, "k", Seq("ts"), 4)
+    assert(table(p) === Set((1L, 20L, "a1"), (2L, 10L, "b0"), (3L, 10L, "c0")))
+
+    val changes = Seq((1L, 30L, "a2", "U"), (4L, 5L, "d0", "U"))
+      .toDF("k", "ts", "v", "op")
+    Upsert.applyChanges(spark, p, changes)
+    assert(table(p) === Set((1L, 30L, "a2"), (2L, 10L, "b0"),
+                            (3L, 10L, "c0"), (4L, 5L, "d0")))
+  }
+
+  test("only touched buckets are rewritten; the rest byte-stable") {
+    val p = mkPath()
+    // enough keys that every one of the 8 buckets is populated
+    val base = (1L to 200L).map(k => row(k, 10, s"v$k")).toDF("k", "ts", "v")
+    Upsert.init(base, p, "k", Seq("ts"), 8)
+
+    def listing(): Map[String, Set[(String, Long)]] = {
+      val f = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+      f.listStatus(new Path(p)).filter(_.isDirectory).map { d =>
+        d.getPath.getName ->
+          f.listStatus(d.getPath).map(s =>
+            (s.getPath.getName, s.getModificationTime)).toSet
+      }.toMap
+    }
+    val before = listing()
+
+    val oneKey = Seq((7L, 20L, "v7b", "U")).toDF("k", "ts", "v", "op")
+    Upsert.applyChanges(spark, p, oneKey)
+    val after = listing()
+
+    val touched = "bucket=" + Seq(7L).toDF("k")
+      .select(pmod(xxhash64(col("k")), lit(8)).cast("int")).head().getInt(0)
+    assert(after(touched) !== before(touched), "the touched bucket must change")
+    (before.keySet - touched).foreach { b =>
+      assert(after(b) === before(b), s"untouched bucket $b was rewritten")
+    }
+    // and the content is right
+    assert(table(p).contains((7L, 20L, "v7b")))
+    assert(table(p).size === 200)
+  }
+
+  test("tombstones persist: stale updates lose, later updates revive") {
+    val p = mkPath()
+    Upsert.init(Seq(row(1, 10, "a"), row(2, 10, "b")).toDF("k", "ts", "v"),
+      p, "k", Seq("ts"), 2)
+    Upsert.applyChanges(spark, p,
+      Seq((1L, 20L, "x", "D")).toDF("k", "ts", "v", "op"))
+    assert(table(p) === Set((2L, 10L, "b")))
+    // the tombstone is STORED (raw view), not just applied
+    assert(Upsert.readRaw(spark, p).filter(col("op") === "D").count() === 1)
+    // a straggler ordered BEFORE the tombstone must lose to it —
+    // the case that silently resurrects the key if tombstones are
+    // dropped at write instead of persisted
+    Upsert.applyChanges(spark, p,
+      Seq((1L, 15L, "stale", "U")).toDF("k", "ts", "v", "op"))
+    assert(table(p) === Set((2L, 10L, "b")),
+      "an upsert ordered before the tombstone must lose")
+    // an update ordered AFTER the tombstone revives the key
+    Upsert.applyChanges(spark, p,
+      Seq((1L, 25L, "back", "U")).toDF("k", "ts", "v", "op"))
+    assert(table(p) === Set((1L, 25L, "back"), (2L, 10L, "b")))
+  }
+
+  test("re-applying the same change batch is a content no-op") {
+    val p = mkPath()
+    Upsert.init((1L to 50L).map(k => row(k, 10, s"v$k")).toDF("k", "ts", "v"),
+      p, "k", Seq("ts"), 4)
+    val changes = Seq((3L, 20L, "n3", "U"), (9L, 20L, "n9", "D"))
+      .toDF("k", "ts", "v", "op")
+    Upsert.applyChanges(spark, p, changes)
+    val once = table(p)
+    Upsert.applyChanges(spark, p, changes)
+    assert(table(p) === once)
+    assert(!once.exists(_._1 == 9L) && once.contains((3L, 20L, "n3")))
+  }
+
+  test("a torn (markerless) bucket dir is invisible; corrupt spec is loud") {
+    val p = mkPath()
+    Upsert.init(Seq(row(1, 10, "a")).toDF("k", "ts", "v"), p, "k", Seq("ts"), 2)
+    val f = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    // torn dir: data but no marker — a crashed swap's worst case
+    val torn = new Path(p, "bucket=9")
+    Seq(row(99, 10, "ghost")).toDF("k", "ts", "v")
+      .write.parquet(torn.toString)
+    f.delete(new Path(torn, "_SUCCESS"), false)
+    assert(!table(p).exists(_._1 == 99L), "torn bucket must be invisible")
+
+    val sf = new Path(p, "_graft_upsert_spec")
+    val out = f.create(sf, true); out.write("garbage".getBytes); out.close()
+    val e = intercept[IllegalStateException] { Upsert.readTable(spark, p) }
+    assert(e.getMessage.contains("unparseable"))
+  }
+
+  test("registration t6 equals the declarative one-shot answer") {
+    val dir = sf("sf0.001")
+    val got = graft.queries.StatefulQueries.upsertApply(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = graft.sources.Tables(spark, dir).events
+    val half = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val want = ev.select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"), row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .filter(!(col("event_type") === "error" && col("event_id") > half))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want && got.nonEmpty)
+  }
+}
