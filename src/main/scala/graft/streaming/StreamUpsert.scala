@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+/** The upsert table's streaming writer — the CDC loop closed end to
+  * end: the change-detection stream (ref: TradeChangeDetectionJob
+  * .java's emit side; `jobs/Jobs.scala` here) feeds straight into
+  * [[graft.ext.Upsert.applyChanges]] per micro-batch, so the
+  * queryable latest-state table trails the stream by one trigger.
+  *
+  * Delivery semantics — replay-CONVERGENT, deliberately not
+  * batch-id-transactional (contrast [[StreamSink.parquetAppender]],
+  * whose appends are not idempotent by content and therefore need
+  * the batch=<id> commit): an upsert merge of rows already in the
+  * table is a content no-op (UpsertSpec pins it), so an
+  * at-least-once replay after a crash — including one that died
+  * MID-apply with some buckets swapped and some not — re-merges to
+  * the identical table. Out-of-order delivery needs no watermark for
+  * correctness either: the table's ordering columns decide every
+  * merge, and persisted tombstones make late stragglers lose to
+  * deletes they precede.
+  *
+  * Scale shape per trigger: |batch| + the touched buckets' data —
+  * the same bound as the batch form; an idle trigger costs one
+  * distinct-collect of zero bucket ids.
+  */
+object StreamUpsert {
+
+  /** The `foreachBatch` function: attach with
+    * `.writeStream.foreachBatch(StreamUpsert.changeApplier(path))`.
+    * The micro-batch is persisted across the apply's actions (bucket
+    * discovery + staging write) so a pull-based source is not
+    * re-read per action. */
+  def changeApplier(path: String, opCol: String = "op"): (DataFrame, Long) => Unit =
+    (df, _) => {
+      val cached = df.persist()
+      try graft.ext.Upsert.applyChanges(df.sparkSession, path, cached, opCol)
+      finally cached.unpersist(false)
+      ()
+    }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.ext.Upsert
+import graft.streaming.StreamUpsert
+import java.nio.file.Files
+
+/** The streaming upsert's contract: micro-batched change application
+  * equals the one-shot batch answer, a crash-replayed batch (the
+  * at-least-once window) converges instead of duplicating or
+  * corrupting, and deletes flow through the stream. */
+class StreamUpsertSpec extends SparkTestBase {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def mkTable(): String = {
+    val p = Files.createTempDirectory("graft-supsert").toString + "/t"
+    Upsert.init(Seq((1L, 0L, "seed1"), (2L, 0L, "seed2"))
+      .toDF("k", "ts", "v"), p, "k", Seq("ts"), 4)
+    p
+  }
+
+  private def state(p: String): Set[(Long, Long, String)] =
+    Upsert.readTable(spark, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+  test("micro-batched changes merge to the one-shot answer, deletes included") {
+    val p = mkTable()
+    val ckpt = Files.createTempDirectory("graft-supsert-ckpt").toString
+    val in = MemoryStream[(Long, Long, String, String)]
+    val q = in.toDS().toDF("k", "ts", "v", "op").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(StreamUpsert.changeApplier(p))
+      .start()
+    in.addData((1L, 10L, "a1", "U"), (3L, 10L, "c1", "U"))
+    q.processAllAvailable()
+    assert(state(p) === Set((1L, 10L, "a1"), (2L, 0L, "seed2"), (3L, 10L, "c1")))
+    in.addData((2L, 20L, "x", "D"), (1L, 20L, "a2", "U"))
+    q.processAllAvailable()
+    q.stop()
+    assert(state(p) === Set((1L, 20L, "a2"), (3L, 10L, "c1")))
+    // the delete is a persisted tombstone, not an absence
+    assert(Upsert.readRaw(spark, p).filter(col("op") === "D").count() === 1)
+  }
+
+  test("a crash-replayed batch converges: same table, no duplicates") {
+    val p = mkTable()
+    val ckpt = Files.createTempDirectory("graft-supsert-ckpt2").toString
+    val in = MemoryStream[(Long, Long, String, String)]
+    val apply0 = StreamUpsert.changeApplier(p)
+    val dieOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def start() = in.toDS().toDF("k", "ts", "v", "op").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        apply0(df, id)
+        // die AFTER the apply, BEFORE the offset commit: the engine
+        // must replay this batch on restart — the at-least-once
+        // window a content-idempotent merge absorbs
+        if (id == 1L && dieOnce.getAndSet(false))
+          throw new RuntimeException("induced crash after apply")
+      }.start()
+
+    val q1 = start()
+    in.addData((1L, 10L, "a1", "U")); q1.processAllAvailable()
+    in.addData((2L, 20L, "gone", "D"), (3L, 20L, "c1", "U"))
+    intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
+    q1.stop()
+    val applied = state(p) // batch 1 IS applied, offsets are not committed
+    assert(applied === Set((1L, 10L, "a1"), (3L, 20L, "c1")))
+
+    val q2 = start() // replays batch 1
+    q2.processAllAvailable(); q2.stop()
+    assert(state(p) === applied, "replayed batch must be a content no-op")
+  }
+}
