@@ -39,7 +39,7 @@ import org.apache.spark.sql.functions._
   * update ordered BEFORE the delete would merge against nothing and
   * silently resurrect the key (the first cut had exactly this bug;
   * the spec's revive case caught it). A tombstone row costs a few
-  * bytes per deleted key until a future compaction drops tombstones
+  * bytes per deleted key until [[compactTombstones]] drops tombstones
   * older than every possible straggler — the Hudi/Delta retention
   * trade, keyed here to the caller's ordering columns.
   *
@@ -153,6 +153,32 @@ object Upsert {
     * invisible), data columns only. */
   def readTable(spark: SparkSession, path: String): DataFrame =
     readRaw(spark, path).filter(col("op") =!= "D").drop("op", "bucket")
+
+  /** Drop persisted tombstones matching `expired` (a predicate over
+    * the stored columns — typically "ordering timestamp older than
+    * every possible straggler", e.g. `col("ts") < lit(horizon)`).
+    * Rewrites every bucket that holds an expired tombstone, leaves
+    * the rest untouched. The documented trade: a straggler update
+    * ordered before a COMPACTED-AWAY delete will resurrect its key —
+    * that is what the horizon must bound. Returns the number of
+    * tombstones dropped. */
+  def compactTombstones(spark: SparkSession, path: String,
+                        expired: Column): Long = {
+    val spec = readSpec(spark, path)
+    val raw = readRaw(spark, path)
+    val dead = raw.filter(col("op") === "D" && expired)
+    // bounded driver collect: bucket ids only (n <= 4096)
+    val touched = dead.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return 0L
+    val nDead = dead.count()
+    val keep = raw
+      .filter(touched.map(i => col("bucket") === i).reduce(_ || _))
+      .filter(!(col("op") === "D" && expired))
+    val dataCols = raw.columns.filterNot(c => c == "bucket").toSeq
+    stageAndSwap(spark, path, keep, touched.toSeq, dataCols, spec)
+    nDead
+  }
 
   /** As stored: live rows AND persisted tombstones, with `op` and
     * `bucket` — the maintenance/compaction view. */

@@ -106,6 +106,32 @@ class UpsertSpec extends SparkTestBase {
     assert(!once.exists(_._1 == 9L) && once.contains((3L, 20L, "n3")))
   }
 
+  test("compaction drops expired tombstones only, and re-opens the straggler window") {
+    val p = mkPath()
+    Upsert.init(Seq(row(1, 10, "a"), row(2, 10, "b"), row(3, 10, "c"))
+      .toDF("k", "ts", "v"), p, "k", Seq("ts"), 2)
+    Upsert.applyChanges(spark, p, Seq(
+      (1L, 20L, "x", "D"),   // old tombstone — expired at horizon 50
+      (2L, 60L, "y", "D")    // recent tombstone — kept
+    ).toDF("k", "ts", "v", "op"))
+    assert(table(p) === Set((3L, 10L, "c")))
+    val dropped = Upsert.compactTombstones(spark, p, col("ts") < 50)
+    assert(dropped === 1L)
+    val raw = Upsert.readRaw(spark, p).filter(col("op") === "D")
+      .collect().map(_.getAs[Long]("k")).toSet
+    assert(raw === Set(2L), "only the recent tombstone survives")
+    assert(table(p) === Set((3L, 10L, "c")), "live rows untouched")
+    // the trade the horizon must bound: a straggler BEFORE the
+    // compacted-away delete now resurrects (no tombstone to lose to)
+    Upsert.applyChanges(spark, p,
+      Seq((1L, 15L, "back", "U")).toDF("k", "ts", "v", "op"))
+    assert(table(p).contains((1L, 15L, "back")))
+    // the surviving tombstone still guards its key
+    Upsert.applyChanges(spark, p,
+      Seq((2L, 55L, "stale", "U")).toDF("k", "ts", "v", "op"))
+    assert(!table(p).exists(_._1 == 2L))
+  }
+
   test("a torn (markerless) bucket dir is invisible; corrupt spec is loud") {
     val p = mkPath()
     Upsert.init(Seq(row(1, 10, "a")).toDF("k", "ts", "v"), p, "k", Seq("ts"), 2)
