@@ -149,7 +149,35 @@ object SelectionQueries extends QueryGroup {
       .select(col("doc_id"), col("source"), col("n_tok"), col("cum"))
   }
 
+  /** Leakage-proof train/val/test split: assignment is a pure
+    * function of the NEAR-DUP CLUSTER id (the d7 connectivity labels;
+    * singletons are their own cluster), so two near-duplicate
+    * documents can never land in different splits — the eval-set
+    * contamination a doc-id-hashed split silently commits whenever a
+    * near-dup pair straddles the cut. Split by the same run-stable
+    * md5 bucket as x_hash_sample (engine-reproducible, seedless,
+    * stable under corpus growth: a cluster's split never changes as
+    * other clusters arrive — an append can only shift assignments by
+    * MERGING clusters, which is exactly when a reassignment is
+    * semantically required). 80/10/10 at the bucket level; realized
+    * fractions are cluster-size-weighted, spec-pinned within
+    * tolerance. */
+  def splitByCluster(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = DedupQueries.dupClusters(spark, dir)
+    val bucket = expr(graft.ext.Dedup.hexValSql(
+      "substr(md5(cast(cluster_id as string)),1,8)", 8)) % 100
+    Tables(spark, dir).documents.select(col("doc_id"))
+      .join(clusters.withColumnRenamed("cluster_id", "__c"),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("__c"), col("doc_id")))
+      .drop("__c")
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_split_leakproof" -> (splitByCluster _),
     "x_dsir_weights" -> (dsirWeights _),
     "x_dsir_incremental" -> (dsirIncremental _),
     "x_ppl_buckets" -> (pplBuckets _),
@@ -206,6 +234,24 @@ object SelectionQueries extends QueryGroup {
   }
 
   def oracles: Map[String, String] = Map(
+    "x_split_leakproof" ->
+      s"""${DedupQueries.ccCte}, labels AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src
+         |), assigned AS (
+         |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+         |), bucketed AS (
+         |  SELECT doc_id, cluster_id,
+         |    ${graft.ext.Dedup.hexValSql(
+                "substr(md5(CAST(cluster_id AS VARCHAR)),1,8)", 8)} % 100 AS b
+         |  FROM assigned
+         |)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN b < 80 THEN 'train'
+         |       WHEN b < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM bucketed ORDER BY doc_id""".stripMargin,
     "x_dsir_weights" -> dsirOracleSql("TRUE", "TRUE"),
     "x_dsir_incremental" ->
       dsirOracleSql("doc_id % 5 <> 0", "d.doc_id % 5 = 0"),

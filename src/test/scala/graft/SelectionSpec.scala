@@ -75,6 +75,34 @@ class SelectionSpec extends SparkTestBase {
       (4L, 4L, "cc", 3L, 2L)))
   }
 
+  test("x_split_leakproof: no cluster straddles splits, near-dup pairs co-split, fractions hold") {
+    val split = graft.queries.SelectionQueries.splitByCluster(spark, sf())
+      .persist()
+    try {
+      // the guarantee: split is a function of cluster_id
+      val straddling = split.groupBy(col("cluster_id"))
+        .agg(countDistinct(col("split")).as("n"))
+        .filter(col("n") > 1).count()
+      assert(straddling === 0L)
+      // stronger, via the verified near-dup PAIRS: both ends co-split
+      val pairs = DedupQueries.neardupPairs(spark, sf())
+        .select(col("a_id"), col("b_id"))
+      val a = split.select(col("doc_id").as("a_id"), col("split").as("sa"))
+      val b = split.select(col("doc_id").as("b_id"), col("split").as("sb"))
+      val crossSplit = pairs.join(a, "a_id").join(b, "b_id")
+        .filter(col("sa") =!= col("sb")).count()
+      assert(crossSplit === 0L, "a near-dup pair straddles the split")
+      // realized fractions: cluster-size-weighted 80/10/10; the corpus
+      // is 500 docs so the band is wide but a swapped CASE arm or a
+      // biased bucket would blow it
+      val n = split.count().toDouble
+      val byS = split.groupBy("split").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byS("train") / n > 0.70 && byS("train") / n < 0.90, s"$byS")
+      assert(byS.getOrElse("val", 0L) / n < 0.20 && byS.getOrElse("test", 0L) / n < 0.20, s"$byS")
+    } finally split.unpersist()
+  }
+
   test("d18 registration agrees with composing the library pieces") {
     val viaQuery = DedupQueries.crossSourceDedup(spark, sf())
     val docs = graft.sources.Tables(spark, sf()).documents
