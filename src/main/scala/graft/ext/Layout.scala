@@ -133,8 +133,16 @@ object Layout {
     val spark = df.sparkSession
     val d = normalizeNtz(df, Seq(c1, c2))
     graft.core.IndexStore.ensure(spark, path) { scratch =>
-      val z = zValue16(cellIdx(col(c1), quantileBounds(d, c1, cells)),
-                       cellIdx(col(c2), quantileBounds(d, c2, cells)))
+      // ONE sketch pass for both dimensions (approxQuantile takes a
+      // column array) — a per-column call would scan the corpus twice
+      // before the range exchange
+      val probs = (1 until cells).map(_.toDouble / cells).toArray
+      val Array(b1, b2) = d
+        .select(col(c1).cast("double").as("v1"),
+                col(c2).cast("double").as("v2"))
+        .na.drop()
+        .stat.approxQuantile(Array("v1", "v2"), probs, 1e-3)
+      val z = zValue16(cellIdx(col(c1), b1), cellIdx(col(c2), b2))
       withMicrosTimestamps(spark) {
         d.withColumn("_graft_z", z)
           .repartitionByRange(files, col("_graft_z"))
@@ -160,15 +168,23 @@ object Layout {
 
   /** Run `body` with parquet timestamps written as TIMESTAMP_MICROS
     * (INT64 — carries min/max stats; the INT96 default does not),
-    * restoring the previous session value after. */
-  private def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    * restoring the previous session value after. Serialized across
+    * threads of a session: two concurrent builds interleaving
+    * set/restore could strand the session on the temporary value or
+    * hand one build the stats-free INT96 default mid-write —
+    * timing-dependent versions of exactly the failure this guard
+    * exists to prevent. (Cross-SESSION builds are unaffected: the
+    * conf is per-session.) */
+  private val tsConfLock = new Object
+  private def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T =
+    tsConfLock.synchronized {
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "TIMESTAMP_MICROS")
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     }
-  }
 }

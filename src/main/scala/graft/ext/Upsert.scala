@@ -51,15 +51,23 @@ import org.apache.spark.sql.functions._
 object Upsert {
 
   private val SpecFile = "_graft_upsert_spec"
-  private val SpecVersion = "1"
+  private val SpecVersion = "2"
 
-  final case class Spec(n: Int, keyCol: String, orderCols: Seq[String])
+  final case class Spec(n: Int, keyCol: String, keyType: String,
+                        orderCols: Seq[String])
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def bucketOf(keyCol: String, n: Int): Column =
-    pmod(xxhash64(col(keyCol)), lit(n)).cast("int")
+  /** Bucket of a key. The key is CAST to the table's manifest-pinned
+    * key type before hashing: xxhash64 hashes an INT's 4 bytes and a
+    * BIGINT's 8 differently, so a change batch carrying the same key
+    * VALUES at a narrower type would otherwise route rows to the
+    * wrong bucket with no error (union coercion hides it) — silent
+    * hash drift, the exact failure class the manifest exists to
+    * block. */
+  private def bucketOf(spec: Spec): Column =
+    pmod(xxhash64(col(spec.keyCol).cast(spec.keyType)), lit(spec.n)).cast("int")
 
   /** Latest row per key by (orderCols, priority): `max_by` over a
     * lexicographic struct — partial-merge-friendly, so a hot key
@@ -77,8 +85,8 @@ object Upsert {
     // temp-then-rename: a torn manifest can never be read back
     val tmp = new Path(path, s".$SpecFile-" + java.util.UUID.randomUUID().toString.take(8))
     val out = f.create(tmp, true)
-    out.write(s"$SpecVersion|${spec.n}|${spec.keyCol}|${spec.orderCols.mkString(",")}"
-      .getBytes("UTF-8"))
+    out.write((s"$SpecVersion|${spec.n}|${spec.keyCol}|${spec.keyType}|" +
+      spec.orderCols.mkString(",")).getBytes("UTF-8"))
     out.close()
     val target = new Path(path, SpecFile)
     if (f.exists(target)) f.delete(target, false)
@@ -97,8 +105,9 @@ object Upsert {
     val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
               finally in.close()
     raw.split('|') match {
-      case Array(SpecVersion, n, key, ord) if scala.util.Try(n.toInt).isSuccess =>
-        Spec(n.toInt, key, ord.split(',').toSeq)
+      case Array(SpecVersion, n, key, kt, ord)
+          if scala.util.Try(n.toInt).isSuccess =>
+        Spec(n.toInt, key, kt, ord.split(',').toSeq)
       case _ => throw new IllegalStateException(
         s"unparseable upsert spec at $sf ('$raw') — rebuild with Upsert.init")
     }
@@ -112,14 +121,27 @@ object Upsert {
            orderCols: Seq[String], n: Int): Unit = {
     require(n >= 1 && n <= 4096, s"bucket count must be in [1,4096], got $n")
     val spark = rows.sparkSession
-    val spec = Spec(n, keyCol, orderCols)
+    val spec = Spec(n, keyCol,
+      rows.schema(keyCol).dataType.catalogString, orderCols)
     val dataCols = rows.columns.toSeq
     Seq("bucket", "_pri", "op").foreach(r => require(!dataCols.contains(r),
       s"'$r' is reserved by Upsert"))
     val live = latest(rows.withColumn("_pri", lit(0)), spec, dataCols)
       .withColumn("op", lit("U"))
-      .withColumn("bucket", bucketOf(keyCol, n))
+      .withColumn("bucket", bucketOf(spec))
     stageAndSwap(spark, path, live, (0 until n), dataCols :+ "op", spec)
+    // "(or reset)" must mean it: a re-init with a SMALLER bucket count
+    // would otherwise leave buckets >= n committed — and readRaw's
+    // bucket=\d+ listing (unbounded by the spec) would serve their
+    // stale rows forever, unreachable by any future applyChanges hash
+    val f = fs(spark, new Path(path))
+    val bucketDir = "bucket=(\\d+)".r
+    f.listStatus(new Path(path)).toSeq
+      .flatMap(s => s.getPath.getName match {
+        case bucketDir(i) if s.isDirectory && i.toInt >= n => Some(s.getPath)
+        case _ => None
+      })
+      .foreach(p => f.delete(p, true))
     writeSpec(spark, path, spec)
   }
 
@@ -130,23 +152,30 @@ object Upsert {
   def applyChanges(spark: SparkSession, path: String, changes: DataFrame,
                    opCol: String = "op"): Unit = {
     val spec = readSpec(spark, path)
+    // persisted: the batch feeds TWO actions (bucket discovery, then
+    // the staging write), and a nondeterministic source recomputed
+    // between them could route rows to buckets outside the discovered
+    // set — which the swap loop would then silently discard
     val chg = changes.withColumnRenamed(opCol, "op")
-      .withColumn("bucket", bucketOf(spec.keyCol, spec.n))
-    // bounded driver collect: at most n bucket ids (n <= 4096)
-    val touched = chg.select("bucket").distinct()
-      .collect().map(_.getInt(0)).sorted
-    if (touched.isEmpty) return
-    val dataCols = changes.columns.filterNot(_ == opCol).toSeq
-    val f = fs(spark, new Path(path))
-    val existing = touched.map(i => s"$path/bucket=$i")
-      .filter(d => f.exists(new Path(d, "_SUCCESS")))
-    val current =
-      if (existing.isEmpty) chg.limit(0)
-      else spark.read.option("basePath", path).parquet(existing: _*)
-    val all = current.withColumn("_pri", lit(0))
-      .unionByName(chg.withColumn("_pri", lit(1)))
-    val win = latest(all, spec, dataCols :+ "op" :+ "bucket")
-    stageAndSwap(spark, path, win, touched.toSeq, dataCols :+ "op", spec)
+      .withColumn("bucket", bucketOf(spec))
+      .persist()
+    try {
+      // bounded driver collect: at most n bucket ids (n <= 4096)
+      val touched = chg.select("bucket").distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty) return
+      val dataCols = changes.columns.filterNot(_ == opCol).toSeq
+      val f = fs(spark, new Path(path))
+      val existing = touched.map(i => s"$path/bucket=$i")
+        .filter(d => f.exists(new Path(d, "_SUCCESS")))
+      val current =
+        if (existing.isEmpty) chg.limit(0)
+        else spark.read.option("basePath", path).parquet(existing: _*)
+      val all = current.withColumn("_pri", lit(0))
+        .unionByName(chg.withColumn("_pri", lit(1)))
+      val win = latest(all, spec, dataCols :+ "op" :+ "bucket")
+      stageAndSwap(spark, path, win, touched.toSeq, dataCols :+ "op", spec)
+    } finally chg.unpersist(false)
   }
 
   /** Every committed bucket's LIVE rows (torn swaps and tombstones
@@ -174,7 +203,12 @@ object Upsert {
     val nDead = dead.count()
     val keep = raw
       .filter(touched.map(i => col("bucket") === i).reduce(_ || _))
-      .filter(!(col("op") === "D" && expired))
+      // NULL-safe: a tombstone whose expiry predicate is NULL is NOT
+      // expired (three-valued logic would otherwise drop it from the
+      // rewrite silently — destroying an unexpired tombstone and
+      // re-opening the resurrection window without it ever appearing
+      // in the returned count)
+      .filter(!(col("op") === "D" && coalesce(expired, lit(false))))
     val dataCols = raw.columns.filterNot(c => c == "bucket").toSeq
     stageAndSwap(spark, path, keep, touched.toSeq, dataCols, spec)
     nDead

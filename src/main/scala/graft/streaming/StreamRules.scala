@@ -30,8 +30,22 @@ import org.apache.spark.sql.functions._
   */
 object StreamRules {
 
-  /** The current committed rule set (loud if none). */
+  /** The current committed rule set. A maintainer's `replace` has a
+    * brief uncommitted window (old dir renamed aside, new not yet
+    * marked); a trigger landing inside it must WAIT, not kill the
+    * stream — a loud fail here terminates the whole query and stops
+    * alerting until a manual restart, the opposite of the module's
+    * no-restart contract. Bounded by the same session conf as
+    * IndexStore's publish grace; loud only if no committed rule set
+    * appears within it (genuinely missing ≠ mid-swap). */
   def currentRules(spark: SparkSession, rulesPath: String): DataFrame = {
+    val graceMs = spark.conf
+      .get("spark.graft.index.publishGraceMs", "2000").toLong
+    val deadline = System.currentTimeMillis() + graceMs
+    while (!graft.core.IndexStore.isCommitted(spark, rulesPath) &&
+           System.currentTimeMillis() < deadline) {
+      Thread.sleep(50)
+    }
     spark.catalog.refreshByPath(rulesPath)
     graft.core.IndexStore.read(spark, rulesPath, "rule set",
       "IndexStore.replace (see StreamRules)")

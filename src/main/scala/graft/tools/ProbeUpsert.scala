@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * full-rewrite alternative (re-init over the merged rows — what a
   * user without selective merge has to do). Reports touched bucket
   * count, apply seconds, and the full-rewrite seconds.
-  * Usage: ProbeUpsert <eventsDirOrParquet> [buckets] [changeKeys]
+  * Usage: ProbeUpsert <eventsDir> [buckets] [changeKeys]
   */
 object ProbeUpsert {
   def main(args: Array[String]): Unit = {
@@ -26,9 +26,9 @@ object ProbeUpsert {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val ev = graft.sources.Tables(spark,
-      if (new java.io.File(s"$src/events.parquet").exists()) src
-      else src.stripSuffix("/")).events
+    require(new java.io.File(s"$src/events.parquet").exists(),
+      s"$src must be a table dir containing events.parquet")
+    val ev = graft.sources.Tables(spark, src).events
       .select("user_id", "event_id", "ts_us", "event_type", "value")
     val rows = ev.count()
     val tmp = java.nio.file.Files.createTempDirectory("graft-pupsert").toString

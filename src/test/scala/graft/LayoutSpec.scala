@@ -51,8 +51,12 @@ class LayoutSpec extends SparkTestBase {
 
   // --- pruning: records read, via task input metrics -------------------
 
-  /** Records read while running `q`, drained with a sentinel read of
-    * known size appended after removal of the measured action. */
+  /** Records read while running `q`. The listener bus is async, so
+    * the counter is read only after it QUIESCES (unchanged for 1 s,
+    * 30 s deadline) — a snapshot taken right after the action can
+    * miss task-end events still queued, undercounting q and letting
+    * the prune assertions pass (or the full-scan floor fail)
+    * spuriously. */
   private def recordsRead(q: => Unit): Long = {
     val read = new java.util.concurrent.atomic.AtomicLong(0)
     val l = new org.apache.spark.scheduler.SparkListener {
@@ -65,17 +69,15 @@ class LayoutSpec extends SparkTestBase {
     try {
       val before = read.get()
       q
-      // sentinel: a 100-row parquet read that must be fully observed
-      // before we trust the counter (the listener bus is async)
-      val sent = java.nio.file.Files.createTempDirectory("graft-sentinel")
-        .toString + "/s"
-      spark.range(100).write.parquet(sent)
-      val base = read.get()
-      spark.read.parquet(sent).count()
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (read.get() < base + 100 && System.nanoTime() < deadline)
-        Thread.sleep(50)
-      base - before
+      var last = -1L
+      while ({
+        val now = read.get()
+        val moving = now != last
+        last = now
+        moving && System.nanoTime() < deadline
+      }) Thread.sleep(1000)
+      last - before
     } finally spark.sparkContext.removeSparkListener(l)
   }
 

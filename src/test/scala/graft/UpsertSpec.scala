@@ -132,6 +132,35 @@ class UpsertSpec extends SparkTestBase {
     assert(!table(p).exists(_._1 == 2L))
   }
 
+  test("re-init with a smaller bucket count purges the out-of-range buckets") {
+    val p = mkPath()
+    Upsert.init((1L to 100L).map(k => row(k, 10, s"v$k")).toDF("k", "ts", "v"),
+      p, "k", Seq("ts"), 8)
+    // reset to 4 buckets: dirs bucket=4..7 would otherwise stay
+    // committed and serve stale rows no applyChanges hash can reach
+    Upsert.init((1L to 10L).map(k => row(k, 20, s"w$k")).toDF("k", "ts", "v"),
+      p, "k", Seq("ts"), 4)
+    assert(table(p) === (1L to 10L).map(k => (k, 20L, s"w$k")).toSet)
+    val f = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = f.listStatus(new Path(p)).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("bucket=")).toSet
+    assert(dirs === (0 until 4).map(i => s"bucket=$i").toSet)
+  }
+
+  test("a change batch with a narrower key type routes to the right bucket") {
+    val p = mkPath()
+    Upsert.init(Seq(row(1, 10, "a"), row(2, 10, "b")).toDF("k", "ts", "v"),
+      p, "k", Seq("ts"), 8)
+    // same key VALUE, INT instead of BIGINT: xxhash64 of 4 bytes would
+    // bucket differently; the spec-pinned key type must normalize it
+    val changes = Seq((1, 20L, "a2", "U")).toDF("k", "ts", "v", "op")
+    assert(changes.schema("k").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    Upsert.applyChanges(spark, p, changes)
+    assert(table(p) === Set((1L, 20L, "a2"), (2L, 10L, "b")),
+      "the INT-keyed change must replace the BIGINT-keyed row, not duplicate it")
+  }
+
   test("a torn (markerless) bucket dir is invisible; corrupt spec is loud") {
     val p = mkPath()
     Upsert.init(Seq(row(1, 10, "a")).toDF("k", "ts", "v"), p, "k", Seq("ts"), 2)
