@@ -47,6 +47,25 @@ import org.apache.spark.sql.functions._
   * bucket is a catalog JOIN unit (shuffle-free co-located joins);
   * here it is a REWRITE unit (partition dir + own commit marker). A
   * table needing both would bucketBy inside each partition dir.
+  *
+  * Two write modes, the Hudi COW/MOR split:
+  *  - COPY-ON-WRITE ([[applyChanges]], above): each apply rewrites
+  *    the touched buckets. Reads stay a plain scan; writes pay
+  *    |touched buckets' data| per batch — wrong for a 1 s trigger
+  *    appending a handful of rows, which would rewrite the same hot
+  *    buckets every second.
+  *  - MERGE-ON-READ ([[appendChanges]]): a change batch lands as its
+  *    own committed `delta=<id>` dir — write cost O(|batch|), base
+  *    untouched. [[readTable]] then merges base + deltas per key at
+  *    read (one extra aggregation), and [[compactDeltas]] folds the
+  *    accumulated deltas into the base (one COW apply of the
+  *    cross-delta winners), restoring scan-speed reads. Delta ids
+  *    break ordering ties — base < delta, lower id < higher — and
+  *    the compaction preserves that order, so a reader before and
+  *    after a compact sees the identical table (spec-pinned).
+  *    Streaming appends pass the micro-batch id as the delta id:
+  *    a committed delta=<id> makes crash-replays exactly-once, the
+  *    StreamSink batch-dir shape.
   */
 object Upsert {
 
@@ -136,9 +155,14 @@ object Upsert {
     // stale rows forever, unreachable by any future applyChanges hash
     val f = fs(spark, new Path(path))
     val bucketDir = "bucket=(\\d+)".r
+    val deltaDir = "delta=\\d+(\\.build-.*)?".r
     f.listStatus(new Path(path)).toSeq
       .flatMap(s => s.getPath.getName match {
         case bucketDir(i) if s.isDirectory && i.toInt >= n => Some(s.getPath)
+        // a reset must also clear pending merge-on-read deltas — left
+        // committed, they would merge straight over the fresh base
+        case d if s.isDirectory && deltaDir.pattern.matcher(d).matches() =>
+          Some(s.getPath)
         case _ => None
       })
       .foreach(p => f.delete(p, true))
@@ -178,10 +202,120 @@ object Upsert {
     } finally chg.unpersist(false)
   }
 
-  /** Every committed bucket's LIVE rows (torn swaps and tombstones
-    * invisible), data columns only. */
-  def readTable(spark: SparkSession, path: String): DataFrame =
-    readRaw(spark, path).filter(col("op") =!= "D").drop("op", "bucket")
+  /** Append one change batch as a committed `delta=<id>` dir — the
+    * merge-on-read write path: O(|batch|), the base untouched.
+    * `deltaId` is the idempotence key (pass the micro-batch id from
+    * streaming; a committed id makes a replay a no-op); omitted, the
+    * next free id is taken, retrying past ids a concurrent appender
+    * claims first (a lost ensure race must allocate a NEW id, never
+    * silently drop the batch under the winner's). Returns the id
+    * written (or found committed). */
+  def appendChanges(spark: SparkSession, path: String, changes: DataFrame,
+                    opCol: String = "op",
+                    deltaId: Option[Long] = None): Long = {
+    val spec = readSpec(spark, path)
+    val chg = changes.withColumnRenamed(opCol, "op")
+      .withColumn("bucket", bucketOf(spec))
+      .persist() // one logical batch even if the ensure below retries
+    try {
+      def tryWrite(id: Long): Boolean = {
+        val target = s"$path/delta=$id"
+        if (graft.core.IndexStore.isCommitted(spark, target)) return false
+        var built = false
+        graft.core.IndexStore.ensure(spark, target) { scratch =>
+          chg.write.mode("overwrite").parquet(scratch)
+          built = true
+        }
+        built
+      }
+      deltaId match {
+        case Some(id) => tryWrite(id); id
+        case None =>
+          var id = deltas(spark, path).lastOption.map(_ + 1).getOrElse(0L)
+          var tries = 0
+          while (!tryWrite(id)) {
+            id += 1; tries += 1
+            require(tries < 100,
+              s"could not allocate a delta id at $path after 100 attempts")
+          }
+          id
+      }
+    } finally chg.unpersist(false)
+  }
+
+  /** Committed delta ids, ascending. */
+  def deltas(spark: SparkSession, path: String): Seq[Long] = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    if (!f.exists(root)) return Seq.empty
+    val deltaDir = "delta=(\\d+)".r
+    f.listStatus(root).toSeq.flatMap(s => s.getPath.getName match {
+      case deltaDir(id) if s.isDirectory &&
+          f.exists(new Path(s.getPath, "_SUCCESS")) => Some(id.toLong)
+      case _ => None
+    }).sorted
+  }
+
+  /** Fold every committed delta into the base (one COW apply of the
+    * cross-delta winners — delta order preserved as the ordering
+    * tiebreak, so the merged base equals what [[readTable]] showed
+    * before the fold), then drop the delta dirs. Crash-safe by
+    * convergence: a crash after the apply but before the deletes
+    * leaves deltas that re-merge to the identical table, and a
+    * re-compact converges. Returns the number of deltas folded. */
+  def compactDeltas(spark: SparkSession, path: String): Int = {
+    val spec = readSpec(spark, path)
+    val ids = deltas(spark, path)
+    if (ids.isEmpty) return 0
+    val (dRows, cols) = readDeltas(spark, path, ids)
+    // cross-delta winner per key, ties by delta id (later wins) —
+    // the same rule the reader applies
+    val winners = dRows
+      .withColumn("_pri", col("_src"))
+      .groupBy(col(spec.keyCol))
+      .agg(max_by(struct(cols.map(col): _*),
+        struct((spec.orderCols :+ "_pri").map(col): _*)).as("_w"))
+      .select(col("_w.*"))
+    applyChanges(spark, path, winners)
+    val f = fs(spark, new Path(path))
+    ids.foreach(id => f.delete(new Path(s"$path/delta=$id"), true))
+    spark.catalog.refreshByPath(path)
+    ids.size
+  }
+
+  /** All delta rows with `_src` = delta id + 1 (0 is the base's
+    * rank), plus the column list (dataCols incl. op) they carry. */
+  private def readDeltas(spark: SparkSession, path: String,
+                         ids: Seq[Long]): (DataFrame, Seq[String]) = {
+    val df = spark.read.option("basePath", path)
+      .parquet(ids.map(id => s"$path/delta=$id"): _*)
+      .withColumn("_src", col("delta").cast("long") + 1L)
+      .drop("delta")
+    (df, df.columns.filterNot(c => c == "_src" || c == "bucket").toSeq)
+  }
+
+  /** Every committed LIVE row (torn dirs and tombstones invisible),
+    * data columns only. With no deltas this is a plain scan of the
+    * base buckets (the COW fast path — t6's oracle-checked plan);
+    * with deltas present it is the merge-on-read view: base rank 0
+    * and each delta at rank id+1 feed the same latest-per-key
+    * `max_by` the writers use, so read-after-append equals
+    * read-after-compact row for row. */
+  def readTable(spark: SparkSession, path: String): DataFrame = {
+    val spec = readSpec(spark, path)
+    val ids = deltas(spark, path)
+    if (ids.isEmpty)
+      return readRaw(spark, path).filter(col("op") =!= "D").drop("op", "bucket")
+    val (dRows, cols) = readDeltas(spark, path, ids)
+    val base = readRaw(spark, path).withColumn("_src", lit(0L))
+    val merged = base.unionByName(dRows)
+      .withColumn("_pri", col("_src"))
+      .groupBy(col(spec.keyCol))
+      .agg(max_by(struct(cols.map(col): _*),
+        struct((spec.orderCols :+ "_pri").map(col): _*)).as("_w"))
+      .select(col("_w.*"))
+    merged.filter(col("op") =!= "D").drop("op")
+  }
 
   /** Drop persisted tombstones matching `expired` (a predicate over
     * the stored columns — typically "ordering timestamp older than

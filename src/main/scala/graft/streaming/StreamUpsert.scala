@@ -38,4 +38,21 @@ object StreamUpsert {
       finally cached.unpersist(false)
       ()
     }
+
+  /** The merge-on-read `foreachBatch` twin: each micro-batch lands as
+    * a `delta=<batchId>` dir — O(|batch|) per trigger, no bucket
+    * rewrite, which is the right write mode for high-frequency
+    * triggers (the COW applier re-rewrites the same hot buckets every
+    * second). Exactly-once rather than merely convergent: the batch
+    * id IS the delta id, so a crash-replayed batch finds its
+    * committed dir and skips (the StreamSink batch-dir shape). Run
+    * [[graft.ext.Upsert.compactDeltas]] on a maintenance cadence to
+    * fold deltas into the base before read-side merge cost
+    * accumulates — the StreamSink.fold lesson applied to state. */
+  def deltaAppender(path: String, opCol: String = "op"): (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      graft.ext.Upsert.appendChanges(df.sparkSession, path, df, opCol,
+        deltaId = Some(batchId))
+      ()
+    }
 }

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.ext.Upsert
+import graft.streaming.StreamUpsert
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.Files
+
+/** The merge-on-read mode's contract:
+  *  - append + read-time merge equals the COW answer on the same
+  *    changes, deletes included;
+  *  - ordering ties resolve by delta id (later append wins), and
+  *    compaction preserves that resolution — read-before equals
+  *    read-after row for row;
+  *  - compaction folds and removes the deltas; the fast scan path
+  *    takes over; a crash BETWEEN the fold and the delta deletes
+  *    (deltas still present over the updated base) still reads
+  *    correctly — convergence, spec-induced;
+  *  - re-append under the same delta id is a no-op (the streaming
+  *    exactly-once mechanism), and the auto-id path never reuses a
+  *    committed id;
+  *  - the streaming deltaAppender is exactly-once across an induced
+  *    crash-replay.
+  */
+class UpsertMorSpec extends SparkTestBase {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def mkTable(rows: Seq[(Long, Long, String)] =
+      Seq((1L, 0L, "s1"), (2L, 0L, "s2"))): String = {
+    val p = Files.createTempDirectory("graft-mor").toString + "/t"
+    Upsert.init(rows.toDF("k", "ts", "v"), p, "k", Seq("ts"), 4)
+    p
+  }
+
+  private def state(p: String): Set[(Long, Long, String)] =
+    Upsert.readTable(spark, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+  test("append + merge-on-read equals copy-on-write, deletes included") {
+    val changes = Seq((1L, 10L, "a1", "U"), (2L, 10L, "x", "D"),
+                      (3L, 5L, "c1", "U"))
+    val cow = mkTable()
+    Upsert.applyChanges(spark, cow, changes.toDF("k", "ts", "v", "op"))
+    val mor = mkTable()
+    Upsert.appendChanges(spark, mor, changes.toDF("k", "ts", "v", "op"))
+    assert(state(mor) === state(cow))
+    assert(state(mor) === Set((1L, 10L, "a1"), (3L, 5L, "c1")))
+  }
+
+  test("ties resolve by delta id, and compaction preserves the resolution") {
+    val p = mkTable()
+    // two appends carrying the SAME key at the SAME ordering value —
+    // only the append order can break the tie
+    Upsert.appendChanges(spark, p, Seq((1L, 10L, "first", "U"))
+      .toDF("k", "ts", "v", "op"))
+    Upsert.appendChanges(spark, p, Seq((1L, 10L, "second", "U"))
+      .toDF("k", "ts", "v", "op"))
+    val before = state(p)
+    assert(before.contains((1L, 10L, "second")), s"later delta must win: $before")
+    val folded = Upsert.compactDeltas(spark, p)
+    assert(folded === 2)
+    assert(state(p) === before, "compaction must not change the visible table")
+    assert(Upsert.deltas(spark, p).isEmpty)
+  }
+
+  test("a crash between the fold and the delta deletes still reads correctly") {
+    val p = mkTable()
+    Upsert.appendChanges(spark, p, Seq((1L, 10L, "a1", "U"), (3L, 10L, "c1", "U"))
+      .toDF("k", "ts", "v", "op"))
+    val before = state(p)
+    // induce the crash window by hand: fold into the base exactly as
+    // compactDeltas does, but leave the delta dirs in place
+    Upsert.applyChanges(spark, p, Seq((1L, 10L, "a1", "U"), (3L, 10L, "c1", "U"))
+      .toDF("k", "ts", "v", "op"))
+    assert(Upsert.deltas(spark, p).nonEmpty, "window: base folded, deltas remain")
+    assert(state(p) === before, "deltas over the folded base must re-merge to the same table")
+    // and the retried compact converges
+    Upsert.compactDeltas(spark, p)
+    assert(state(p) === before && Upsert.deltas(spark, p).isEmpty)
+  }
+
+  test("same delta id is a no-op; auto ids never reuse a committed id") {
+    val p = mkTable()
+    val id = Upsert.appendChanges(spark, p,
+      Seq((1L, 10L, "a1", "U")).toDF("k", "ts", "v", "op"), deltaId = Some(7L))
+    assert(id === 7L)
+    // replay with different content under the same id: ignored
+    Upsert.appendChanges(spark, p,
+      Seq((1L, 99L, "ghost", "U")).toDF("k", "ts", "v", "op"), deltaId = Some(7L))
+    assert(state(p).contains((1L, 10L, "a1")) &&
+           !state(p).exists(_._3 == "ghost"))
+    // auto allocation continues past the committed id
+    val auto = Upsert.appendChanges(spark, p,
+      Seq((2L, 10L, "b1", "U")).toDF("k", "ts", "v", "op"))
+    assert(auto === 8L)
+    assert(Upsert.deltas(spark, p) === Seq(7L, 8L))
+  }
+
+  test("re-init clears pending deltas: a reset table replays nothing") {
+    val p = mkTable()
+    Upsert.appendChanges(spark, p,
+      Seq((1L, 10L, "stale", "U")).toDF("k", "ts", "v", "op"))
+    Upsert.init(Seq((1L, 0L, "fresh")).toDF("k", "ts", "v"),
+      p, "k", Seq("ts"), 4)
+    assert(Upsert.deltas(spark, p).isEmpty)
+    assert(state(p) === Set((1L, 0L, "fresh")),
+      "a committed pre-reset delta must not merge over the fresh base")
+  }
+
+  test("a torn delta dir (no marker) is invisible to the merge") {
+    val p = mkTable()
+    Upsert.appendChanges(spark, p,
+      Seq((1L, 10L, "a1", "U")).toDF("k", "ts", "v", "op"))
+    val f = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    val torn = new Path(p, "delta=99")
+    Seq((2L, 50L, "ghost", "U", 2)).toDF("k", "ts", "v", "op", "bucket")
+      .write.parquet(torn.toString)
+    f.delete(new Path(torn, "_SUCCESS"), false)
+    assert(Upsert.deltas(spark, p) === Seq(0L))
+    assert(!state(p).exists(_._3 == "ghost"))
+  }
+
+  test("streaming deltaAppender is exactly-once across a crash-replay") {
+    val p = mkTable()
+    val ckpt = Files.createTempDirectory("graft-mor-ckpt").toString
+    val in = MemoryStream[(Long, Long, String, String)]
+    val append = StreamUpsert.deltaAppender(p)
+    val dieOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def start() = in.toDS().toDF("k", "ts", "v", "op").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        append(df, id)
+        if (id == 1L && dieOnce.getAndSet(false))
+          throw new RuntimeException("induced crash after append")
+      }.start()
+    val q1 = start()
+    in.addData((1L, 10L, "a1", "U")); q1.processAllAvailable()
+    in.addData((2L, 20L, "gone", "D"), (3L, 20L, "c1", "U"))
+    intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
+    q1.stop()
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(Upsert.deltas(spark, p) === Seq(0L, 1L), "replay must not mint a new delta")
+    assert(state(p) === Set((1L, 10L, "a1"), (3L, 20L, "c1")))
+  }
+}
