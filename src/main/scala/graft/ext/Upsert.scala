@@ -66,11 +66,20 @@ import org.apache.spark.sql.functions._
   *    Streaming appends pass the micro-batch id as the delta id:
   *    a committed delta=<id> makes crash-replays exactly-once, the
   *    StreamSink batch-dir shape.
+  *
+  * The delta timeline doubles as history: [[readTableAsOf]] serves
+  * the table as of any UNCOMPACTED delta id (the fold is destructive,
+  * so [[compactDeltas]] publishes a [[compactionHorizon]] floor and
+  * older snapshots fail loud rather than lie), and [[changeFeed]]
+  * serves the net per-key change across a delta range at delta-dir
+  * cost — the incremental-consumer read. [[vacuum]] reclaims
+  * crash-orphaned scratch/staging dirs under a grace period.
   */
 object Upsert {
 
   private val SpecFile = "_graft_upsert_spec"
   private val SpecVersion = "2"
+  private val HorizonFile = "_graft_upsert_horizon"
 
   final case class Spec(n: Int, keyCol: String, keyType: String,
                         orderCols: Seq[String])
@@ -115,6 +124,40 @@ object Upsert {
     }
   }
 
+  /** Highest delta id ever folded into the base by [[compactDeltas]],
+    * or -1 if nothing was ever folded. Snapshots at or below a folded
+    * id are unreconstructable (the fold is destructive by design), so
+    * [[readTableAsOf]] and [[changeFeed]] refuse them LOUD instead of
+    * silently serving the post-fold state as if it were the old
+    * snapshot. */
+  def compactionHorizon(spark: SparkSession, path: String): Long = {
+    val f = fs(spark, new Path(path))
+    val hf = new Path(path, HorizonFile)
+    if (!f.exists(hf)) return -1L
+    val in = f.open(hf)
+    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+    scala.util.Try(raw.toLong).getOrElse(throw new IllegalStateException(
+      s"unparseable compaction horizon at $hf ('$raw') — " +
+        "the snapshot floor is unknown; rebuild with Upsert.init"))
+  }
+
+  private def writeHorizon(spark: SparkSession, path: String, id: Long): Unit = {
+    val f = fs(spark, new Path(path))
+    // temp-then-rename, the spec file's publish rule: a torn horizon
+    // would otherwise read back as a parse error on every snapshot call
+    val tmp = new Path(path, s".$HorizonFile-" + java.util.UUID.randomUUID().toString.take(8))
+    val out = f.create(tmp, true)
+    out.write(id.toString.getBytes("UTF-8"))
+    out.close()
+    val target = new Path(path, HorizonFile)
+    if (f.exists(target)) f.delete(target, false)
+    if (!f.rename(tmp, target)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(s"could not publish compaction horizon at $path")
+    }
+  }
+
   def readSpec(spark: SparkSession, path: String): Spec = {
     val f = fs(spark, new Path(path))
     val sf = new Path(path, SpecFile)
@@ -155,17 +198,20 @@ object Upsert {
     // stale rows forever, unreachable by any future applyChanges hash
     val f = fs(spark, new Path(path))
     val bucketDir = "bucket=(\\d+)".r
-    val deltaDir = "delta=\\d+(\\.build-.*)?".r
+    val deltaDir = "(\\.delta-build-.*|delta=\\d+(\\.build-.*)?)".r
     f.listStatus(new Path(path)).toSeq
       .flatMap(s => s.getPath.getName match {
         case bucketDir(i) if s.isDirectory && i.toInt >= n => Some(s.getPath)
         // a reset must also clear pending merge-on-read deltas — left
-        // committed, they would merge straight over the fresh base
+        // committed, they would merge straight over the fresh base —
+        // and any in-flight hidden delta scratch
         case d if s.isDirectory && deltaDir.pattern.matcher(d).matches() =>
           Some(s.getPath)
         case _ => None
       })
       .foreach(p => f.delete(p, true))
+    // a reset table has no fold history: clear the snapshot floor
+    f.delete(new Path(path, HorizonFile), false)
     writeSpec(spark, path, spec)
   }
 
@@ -216,17 +262,37 @@ object Upsert {
     val spec = readSpec(spark, path)
     val chg = changes.withColumnRenamed(opCol, "op")
       .withColumn("bucket", bucketOf(spec))
-      .persist() // one logical batch even if the ensure below retries
+      .persist() // one logical batch even if the commit below retries
     try {
+      // Deltas get their own commit instead of IndexStore.ensure, for
+      // one reason: ensure's scratch is the VISIBLE sibling
+      // `delta=<id>.build-*`, which a `delta=*` glob consumer
+      // ([[graft.streaming.StreamUpsert.feed]]) would list mid-build —
+      // and worse, re-list under its committed name after the rename
+      // (a double read). A DOT-prefixed scratch is invisible to
+      // Spark's hidden-path filter, and the publish is one atomic dir
+      // rename with the parquet committer's own _SUCCESS already
+      // inside — a glob consumer sees a delta either not at all or
+      // complete. Race semantics match ensure: the loser's rename
+      // fails (or lands as a hidden stray inside the winner, removed
+      // here), and tryWrite reports "found committed".
       def tryWrite(id: Long): Boolean = {
-        val target = s"$path/delta=$id"
-        if (graft.core.IndexStore.isCommitted(spark, target)) return false
-        var built = false
-        graft.core.IndexStore.ensure(spark, target) { scratch =>
-          chg.write.mode("overwrite").parquet(scratch)
-          built = true
+        val target = new Path(s"$path/delta=$id")
+        val f = fs(spark, target)
+        if (graft.core.IndexStore.isCommitted(spark, target.toString)) return false
+        val scratch = new Path(path,
+          ".delta-build-" + java.util.UUID.randomUUID().toString.take(8))
+        try {
+          chg.write.mode("overwrite").parquet(scratch.toString)
+          if (!f.rename(scratch, target)) return false // lost the race
+          val stray = new Path(target, scratch.getName)
+          if (f.exists(stray)) { // posix rename-INTO: racer committed first
+            f.delete(stray, true); return false
+          }
+          true
+        } finally {
+          if (f.exists(scratch)) f.delete(scratch, true)
         }
-        built
       }
       deltaId match {
         case Some(id) => tryWrite(id); id
@@ -267,6 +333,14 @@ object Upsert {
     val spec = readSpec(spark, path)
     val ids = deltas(spark, path)
     if (ids.isEmpty) return 0
+    // horizon FIRST: once the fold starts, snapshots at or below
+    // max(ids) stop being reconstructable, and the floor must already
+    // say so if we crash mid-fold (a crash after the fold with the old
+    // floor would let readTableAsOf serve a base that silently carries
+    // future deltas' effects). A crash after this write but before the
+    // fold only over-restricts — the deltas still re-merge correctly
+    // and a re-compact converges.
+    writeHorizon(spark, path, ids.max)
     val (dRows, cols) = readDeltas(spark, path, ids)
     // cross-delta winner per key, ties by delta id (later wins) —
     // the same rule the reader applies
@@ -301,9 +375,66 @@ object Upsert {
     * and each delta at rank id+1 feed the same latest-per-key
     * `max_by` the writers use, so read-after-append equals
     * read-after-compact row for row. */
-  def readTable(spark: SparkSession, path: String): DataFrame = {
+  def readTable(spark: SparkSession, path: String): DataFrame =
+    mergedView(spark, path, deltas(spark, path))
+
+  /** Snapshot read: the table as it stood after delta `asOf` was
+    * applied — base plus committed deltas with id <= asOf (asOf = -1
+    * is the base alone). The snapshot window is the UNCOMPACTED delta
+    * range: [[compactDeltas]] destroys the per-delta history it folds,
+    * so ids at or below [[compactionHorizon]] are refused loud. With
+    * streaming appends keyed by micro-batch id, this is "the table as
+    * of micro-batch N" — the replay/debug read the CDC story needs,
+    * priced at exactly the deltas it includes. The same straggler
+    * trade as [[compactTombstones]] applies: a snapshot cannot see a
+    * tombstone that compaction already dropped. */
+  def readTableAsOf(spark: SparkSession, path: String, asOf: Long): DataFrame = {
+    val horizon = compactionHorizon(spark, path)
+    require(asOf >= horizon,
+      s"snapshot at delta $asOf is unreconstructable: deltas up to $horizon " +
+        s"were compacted into the base at $path (the fold is destructive; " +
+        "retain snapshots by compacting less eagerly)")
+    mergedView(spark, path, deltas(spark, path).filter(_ <= asOf))
+  }
+
+  /** Net change per key across the committed deltas in
+    * (sinceExclusive, untilInclusive] — the incremental-consumer read:
+    * "what changed since my last read at delta N", with the winning
+    * `op` still attached ("U" upsert / "D" delete) so a downstream
+    * materialization can apply it directly. Cost is the delta dirs in
+    * range, never the base — the whole point of reading the feed
+    * instead of diffing two snapshots. Ids at or below the compaction
+    * horizon are refused loud (their per-delta history is folded away);
+    * an empty range returns an empty frame with the table's change
+    * schema. */
+  def changeFeed(spark: SparkSession, path: String,
+                 sinceExclusive: Long, untilInclusive: Long): DataFrame = {
     val spec = readSpec(spark, path)
+    require(untilInclusive >= sinceExclusive,
+      s"empty-by-construction feed range ($sinceExclusive, $untilInclusive]")
+    val horizon = compactionHorizon(spark, path)
+    require(sinceExclusive >= horizon,
+      s"change feed since delta $sinceExclusive is unreconstructable: deltas " +
+        s"up to $horizon were compacted into the base at $path")
     val ids = deltas(spark, path)
+      .filter(id => id > sinceExclusive && id <= untilInclusive)
+    if (ids.isEmpty)
+      return readRaw(spark, path).drop("bucket").limit(0)
+    val (dRows, cols) = readDeltas(spark, path, ids)
+    dRows
+      .withColumn("_pri", col("_src"))
+      .groupBy(col(spec.keyCol))
+      .agg(max_by(struct(cols.map(col): _*),
+        struct((spec.orderCols :+ "_pri").map(col): _*)).as("_w"))
+      .select(col("_w.*"))
+  }
+
+  /** The shared latest-per-key merge over base + the given delta ids;
+    * with no deltas it degenerates to the plain bucket scan (the COW
+    * fast path every oracle run exercises). */
+  private def mergedView(spark: SparkSession, path: String,
+                         ids: Seq[Long]): DataFrame = {
+    val spec = readSpec(spark, path)
     if (ids.isEmpty)
       return readRaw(spark, path).filter(col("op") =!= "D").drop("op", "bucket")
     val (dRows, cols) = readDeltas(spark, path, ids)
@@ -315,6 +446,43 @@ object Upsert {
         struct((spec.orderCols :+ "_pri").map(col): _*)).as("_w"))
       .select(col("_w.*"))
     merged.filter(col("op") =!= "D").drop("op")
+  }
+
+  /** Remove crash-orphaned work dirs around the table: `*.build-*`
+    * scratches (a killed [[graft.core.IndexStore]] replace on a
+    * bucket dir), hidden `.delta-build-*` scratches (a killed
+    * [[appendChanges]]) and `<table>.stage-*` staging dirs (a killed
+    * [[applyChanges]] before its finally) older than `graceMs`. The
+    * grace period is what makes this safe to run beside live writers —
+    * a scratch younger than the longest plausible write is left alone.
+    * `.old-*` aside dirs are NEVER touched: replace preserves one only
+    * when it is the sole surviving copy of the data (see
+    * IndexStore.replace's crash-recovery note) — reclaiming those is a
+    * human decision. Returns the number of dirs removed. */
+  def vacuum(spark: SparkSession, path: String,
+             graceMs: Long = 24L * 3600 * 1000): Long = {
+    readSpec(spark, path) // a vacuum target must be an upsert table
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val cutoff = System.currentTimeMillis() - graceMs
+    val orphan = "(\\.delta-build-[0-9a-f]{8}|.*\\.(build|stage)-[0-9a-f]{8})".r
+    def sweep(dir: Path, prefix: String): Long =
+      if (!f.exists(dir)) 0L
+      else f.listStatus(dir).toSeq.count { s =>
+        val name = s.getPath.getName
+        val isOrphan = s.isDirectory && name.startsWith(prefix) &&
+          orphan.pattern.matcher(name).matches() &&
+          s.getModificationTime < cutoff
+        if (isOrphan) f.delete(s.getPath, true)
+        isOrphan
+      }.toLong
+    // inside the root: bucket=i.build-*, delta=id.build-*
+    val inRoot = sweep(root, "")
+    // siblings of the root: <table>.stage-* (applyChanges staging) and
+    // <table>.build-* (a killed ensure over the table dir itself)
+    val beside = Option(root.getParent)
+      .map(sweep(_, root.getName + ".")).getOrElse(0L)
+    inRoot + beside
   }
 
   /** Drop persisted tombstones matching `expired` (a predicate over

@@ -133,7 +133,55 @@ object StatefulQueries extends QueryGroup {
     graft.ext.Upsert.readTable(spark, path).orderBy(col("user_id"))
   }
 
+  /** Shared T7/T8 fixture: the event stream split into base (first
+    * half) + two MOR delta appends (third and fourth quarter, 'error'
+    * events tombstoning), exercising the delta timeline the snapshot
+    * and feed reads run over. Idempotent per run: init resets the
+    * table and clears committed deltas. */
+  private def buildDeltaTable(spark: SparkSession, dir: String,
+                              kind: String): String = {
+    val ev = Tables(spark, dir).events
+    // 1-row driver collect: the split points, not data
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    val h1 = maxId / 2
+    val h2 = 3 * maxId / 4
+    val cols = Seq("user_id", "event_id", "ts_us", "event_type", "value")
+    val base = ev.filter(col("event_id") <= h1).select(cols.map(col): _*)
+    def chg(lo: Long, hi: Long) = ev
+      .filter(col("event_id") > lo && col("event_id") <= hi)
+      .select(cols.map(col): _*)
+      .withColumn("op",
+        when(col("event_type") === "error", "D").otherwise("U"))
+    val path = graft.core.IndexStore.pathFor(spark, kind, dir)
+    graft.ext.Upsert.init(base, path, "user_id", Seq("ts_us", "event_id"), 16)
+    graft.ext.Upsert.appendChanges(spark, path, chg(h1, h2), deltaId = Some(0L))
+    graft.ext.Upsert.appendChanges(spark, path, chg(h2, Long.MaxValue),
+      deltaId = Some(1L))
+    path
+  }
+
+  /** T7 — snapshot read off the merge-on-read delta timeline: the
+    * table AS OF delta 0 (base + third quarter applied, final quarter
+    * invisible). The oracle is the declarative equivalent — latest
+    * event per user with event_id <= 3/4·max, minus users whose
+    * latest is a second-delta-window error — so hash equality proves
+    * the snapshot merge excludes exactly the post-asOf delta. */
+  def upsertAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val path = buildDeltaTable(spark, dir, "upsert-tt")
+    graft.ext.Upsert.readTableAsOf(spark, path, 0L).orderBy(col("user_id"))
+  }
+
+  /** T8 — the incremental-consumer read: net per-key change across
+    * delta (0, 1] with the winning op attached, priced at the delta
+    * dirs alone (the base never enters the plan — PLANS.md). */
+  def upsertChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val path = buildDeltaTable(spark, dir, "upsert-cf")
+    graft.ext.Upsert.changeFeed(spark, path, 0L, 1L).orderBy(col("user_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t7_upsert_asof"       -> (upsertAsOf _),
+    "t8_upsert_changefeed" -> (upsertChangeFeed _),
     "t6_upsert_apply"  -> (upsertApply _),
     "t1_click_counter" -> (clickCounter _),
     "t2_event_list"    -> (eventList _),
@@ -143,6 +191,28 @@ object StatefulQueries extends QueryGroup {
   )
 
   def oracles: Map[String, String] = Map(
+    "t7_upsert_asof" ->
+      """SELECT user_id, event_id, ts_us, event_type, value FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE event_id <= (SELECT (3 * MAX(event_id)) // 4 FROM events)
+        |) WHERE rn = 1
+        |  AND NOT (event_type = 'error' AND
+        |           event_id > (SELECT MAX(event_id) // 2 FROM events))
+        |ORDER BY user_id""".stripMargin,
+    "t8_upsert_changefeed" ->
+      """SELECT user_id, event_id, ts_us, event_type, value,
+        |  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        |FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE event_id > (SELECT (3 * MAX(event_id)) // 4 FROM events)
+        |) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
     "t6_upsert_apply" ->
       """SELECT user_id, event_id, ts_us, event_type, value FROM (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,

@@ -1,6 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** The upsert table's streaming writer — the CDC loop closed end to
   * end: the change-detection stream (ref: TradeChangeDetectionJob
@@ -55,4 +57,41 @@ object StreamUpsert {
         deltaId = Some(batchId))
       ()
     }
+
+  /** Subscribe to the table's change feed as a STREAM: Spark's native
+    * file source over the committed `delta=*` dirs, surfacing each
+    * change row with its `op` and a `delta_id` column (the partition
+    * value — with streaming appends, the micro-batch id that produced
+    * it). No custom source: the delta commit is one atomic rename of a
+    * HIDDEN scratch (Upsert.appendChanges), so the glob lists a delta
+    * either not at all or complete — never torn, never twice. The file
+    * source's own seen-files log makes the subscription exactly-once
+    * across consumer restarts, and incremental listing + per-trigger
+    * admission (`maxFilesPerTrigger`) bound each micro-batch.
+    *
+    * The canonical consumer is a downstream REPLICA: init a table with
+    * the same key and `orderCols :+ "delta_id"` and drive
+    * [[changeApplier]] from this stream — the extra ordering column
+    * replays cross-delta ties to the upstream winner (upstream breaks
+    * them by delta id; content ordering alone could flip them).
+    * StreamUpsertSpec pins replica == source, deletes included.
+    *
+    * Retention contract (the Delta-CDF trade): `compactDeltas` DESTROYS
+    * the per-delta dirs it folds, so run compaction only after every
+    * subscriber has passed those ids — a consumer lagging behind a
+    * compact loses the folded window (batch readers get the loud
+    * horizon guard; a file stream cannot, its listing just comes up
+    * empty). */
+  def feed(spark: SparkSession, path: String): DataFrame = {
+    val up = graft.ext.Upsert.readRaw(spark, path)
+    val schema = up.drop("bucket").schema // data cols + op, as stored
+      .add("bucket", IntegerType)         // delta files carry bucket as data
+      .add("delta", LongType)             // the partition dir = the delta id
+    spark.readStream
+      .schema(schema)
+      .option("basePath", path)
+      .parquet(s"$path/delta=*")
+      .withColumnRenamed("delta", "delta_id")
+      .drop("bucket") // consumers hash their own layout
+  }
 }

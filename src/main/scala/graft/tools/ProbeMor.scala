@@ -56,6 +56,17 @@ object ProbeMor {
     val tReadMerge = timed {
       graft.ext.Upsert.readTable(spark, s"$tmp/mor").count()
     }
+    // snapshot mid-timeline: same merge shape over half the deltas
+    val tAsOf = timed {
+      graft.ext.Upsert.readTableAsOf(spark, s"$tmp/mor", batches / 2 - 1L).count()
+    }
+    // the incremental-consumer read: net change over the last half of
+    // the timeline — delta dirs only, the base never enters the plan,
+    // so this number should stay FLAT across replica decades
+    val tFeed = timed {
+      graft.ext.Upsert.changeFeed(spark, s"$tmp/mor",
+        batches / 2 - 1L, batches - 1L).count()
+    }
     val tCompact = timed {
       graft.ext.Upsert.compactDeltas(spark, s"$tmp/mor")
     }
@@ -64,7 +75,8 @@ object ProbeMor {
     }
     println(f"""{"rows":$rows,"buckets":$buckets,"batches":$batches,""" +
       f""""cow_apply_s":$tCow%.1f,"mor_append_s":$tMor%.1f,""" +
-      f""""mor_read_merge_s":$tReadMerge%.1f,"compact_s":$tCompact%.1f,""" +
+      f""""mor_read_merge_s":$tReadMerge%.1f,"asof_read_s":$tAsOf%.1f,""" +
+      f""""changefeed_s":$tFeed%.1f,"compact_s":$tCompact%.1f,""" +
       f""""read_after_compact_s":$tReadScan%.1f}""")
     spark.stop()
   }

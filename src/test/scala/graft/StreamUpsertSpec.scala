@@ -44,6 +44,58 @@ class StreamUpsertSpec extends SparkTestBase {
     assert(Upsert.readRaw(spark, p).filter(col("op") === "D").count() === 1)
   }
 
+  test("feed subscription maintains a replica: replica == source, deletes included") {
+    val src = mkTable()
+    // three appended deltas, the middle one a delete; the last two
+    // carry a same-(k,ts) tie that only delta order can break
+    Upsert.appendChanges(spark, src, Seq((1L, 10L, "a1", "U"))
+      .toDF("k", "ts", "v", "op"))
+    Upsert.appendChanges(spark, src, Seq((2L, 20L, "x", "D"), (1L, 30L, "tie-old", "U"))
+      .toDF("k", "ts", "v", "op"))
+    Upsert.appendChanges(spark, src, Seq((1L, 30L, "tie-new", "U"), (3L, 5L, "c1", "U"))
+      .toDF("k", "ts", "v", "op"))
+    // replica: same key, ordering extended by delta_id — the feed
+    // scaladoc's canonical consumer shape
+    val rep = Files.createTempDirectory("graft-replica").toString + "/t"
+    Upsert.init(Seq((1L, 0L, "seed1", -1L), (2L, 0L, "seed2", -1L))
+      .toDF("k", "ts", "v", "delta_id"), rep, "k", Seq("ts", "delta_id"), 4)
+    val ckpt = Files.createTempDirectory("graft-feed-ckpt").toString
+    val q = StreamUpsert.feed(spark, src).writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(StreamUpsert.changeApplier(rep))
+      .start()
+    q.processAllAvailable()
+    // a delta appended WHILE the subscription runs is picked up too
+    Upsert.appendChanges(spark, src, Seq((4L, 40L, "d1", "U"))
+      .toDF("k", "ts", "v", "op"))
+    q.processAllAvailable()
+    q.stop()
+    val srcState = Upsert.readTable(spark, src)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val repState = Upsert.readTable(spark, rep).drop("delta_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(srcState.exists(_._3 == "tie-new"), "upstream tie must go to the later delta")
+    assert(repState === srcState,
+      "the replica must equal the source table, tie resolution and deletes included")
+    // and an in-flight hidden delta scratch is invisible to the glob:
+    // junk under .delta-build-* must not reach a new subscriber
+    val f = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq((9L, 90L, "torn", "U", 0)).toDF("k", "ts", "v", "op", "bucket")
+      .write.parquet(src + "/.delta-build-00feed00")
+    val ckpt2 = Files.createTempDirectory("graft-feed-ckpt2").toString
+    val q2 = StreamUpsert.feed(spark, src).writeStream
+      .format("memory").queryName("feed_fresh")
+      .option("checkpointLocation", ckpt2).outputMode("append").start()
+    q2.processAllAvailable(); q2.stop()
+    val seen = spark.table("feed_fresh")
+    assert(seen.filter(col("v") === "torn").count() === 0,
+      "a mid-build scratch must be invisible to the feed")
+    assert(seen.count() === 6, "all six committed change rows replay to a fresh subscriber")
+    assert(seen.select("delta_id").distinct().count() === 4)
+    f.delete(new org.apache.hadoop.fs.Path(src + "/.delta-build-00feed00"), true)
+  }
+
   test("a crash-replayed batch converges: same table, no duplicates") {
     val p = mkTable()
     val ckpt = Files.createTempDirectory("graft-supsert-ckpt2").toString

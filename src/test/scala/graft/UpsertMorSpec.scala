@@ -122,6 +122,86 @@ class UpsertMorSpec extends SparkTestBase {
     assert(!state(p).exists(_._3 == "ghost"))
   }
 
+  test("readTableAsOf replays the table at each delta; -1 is the base alone") {
+    val p = mkTable() // k1=s1, k2=s2 at ts 0
+    Upsert.appendChanges(spark, p, Seq((1L, 10L, "a1", "U"), (3L, 10L, "c1", "U"))
+      .toDF("k", "ts", "v", "op"))                       // delta 0
+    Upsert.appendChanges(spark, p, Seq((2L, 20L, "x", "D"))
+      .toDF("k", "ts", "v", "op"))                       // delta 1
+    def asOf(id: Long) = Upsert.readTableAsOf(spark, p, id)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(asOf(-1L) === Set((1L, 0L, "s1"), (2L, 0L, "s2")))
+    assert(asOf(0L) === Set((1L, 10L, "a1"), (2L, 0L, "s2"), (3L, 10L, "c1")))
+    assert(asOf(1L) === state(p), "the head snapshot IS the current table")
+  }
+
+  test("a compacted snapshot is refused loud; the horizon survives and a reset clears it") {
+    val p = mkTable()
+    Upsert.appendChanges(spark, p, Seq((1L, 10L, "a1", "U")).toDF("k", "ts", "v", "op"))
+    Upsert.appendChanges(spark, p, Seq((1L, 20L, "a2", "U")).toDF("k", "ts", "v", "op"))
+    assert(Upsert.compactionHorizon(spark, p) === -1L)
+    Upsert.compactDeltas(spark, p)
+    assert(Upsert.compactionHorizon(spark, p) === 1L)
+    // at/below the fold: unreconstructable, must fail loud
+    intercept[IllegalArgumentException] { Upsert.readTableAsOf(spark, p, 0L) }
+    intercept[IllegalArgumentException] { Upsert.changeFeed(spark, p, 0L, 5L) }
+    // AT the horizon the base is exactly that snapshot — allowed
+    assert(Upsert.readTableAsOf(spark, p, 1L).count() === 2)
+    // post-fold appends are snapshot-able again
+    Upsert.appendChanges(spark, p, Seq((1L, 30L, "a3", "U")).toDF("k", "ts", "v", "op"))
+    assert(Upsert.readTableAsOf(spark, p, 2L)
+      .filter(col("k") === 1L).head().getString(2) === "a3")
+    Upsert.init(Seq((9L, 0L, "fresh")).toDF("k", "ts", "v"), p, "k", Seq("ts"), 4)
+    assert(Upsert.compactionHorizon(spark, p) === -1L,
+      "a reset table has no fold history")
+  }
+
+  test("changeFeed is the net per-key change over a delta range, ops attached") {
+    val p = mkTable()
+    Upsert.appendChanges(spark, p, Seq((1L, 10L, "a1", "U"))
+      .toDF("k", "ts", "v", "op"))                       // delta 0
+    Upsert.appendChanges(spark, p, Seq((1L, 20L, "a2", "U"), (2L, 20L, "x", "D"))
+      .toDF("k", "ts", "v", "op"))                       // delta 1
+    Upsert.appendChanges(spark, p, Seq((1L, 30L, "a3", "U"))
+      .toDF("k", "ts", "v", "op"))                       // delta 2
+    def feed(s: Long, u: Long) = Upsert.changeFeed(spark, p, s, u)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3))).toSet
+    // whole timeline: k1's three updates collapse to the delta-2 winner
+    assert(feed(-1L, 2L) === Set((1L, 30L, "a3", "U"), (2L, 20L, "x", "D")))
+    // a consumer caught up through delta 0 sees only the tail's net
+    assert(feed(0L, 1L) === Set((1L, 20L, "a2", "U"), (2L, 20L, "x", "D")))
+    // empty range: empty frame, change schema intact
+    val empty = Upsert.changeFeed(spark, p, 2L, 2L)
+    assert(empty.count() === 0 &&
+      empty.columns.toSeq === Seq("k", "ts", "v", "op"))
+    // applying the feed to the asOf base reproduces the head — the
+    // consumer contract the feed exists for
+    val cow = mkTable()
+    Upsert.applyChanges(spark, cow, Upsert.changeFeed(spark, p, -1L, 2L))
+    assert(state(cow) === state(p))
+  }
+
+  test("vacuum reclaims aged orphan scratch/stage dirs, never live or .old-* dirs") {
+    val p = mkTable()
+    val f = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    val orphans = Seq(new Path(p, "bucket=2.build-deadbee1"),
+      new Path(p, ".delta-build-deadbee2"),
+      new Path(p + ".stage-deadbee3"))
+    val keep = Seq(new Path(p, "bucket=1.build-00abcdef"), // young: inside grace
+      new Path(p + ".old-deadbee4"))
+    (orphans ++ keep).foreach(f.mkdirs)
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    (orphans :+ keep(1)).foreach(d => f.setTimes(d, old, -1))
+    // keep(0) stays YOUNG (now): inside grace, must survive
+    assert(Upsert.vacuum(spark, p) === 3L)
+    orphans.foreach(d => assert(!f.exists(d), s"orphan $d must be gone"))
+    keep.foreach(d => assert(f.exists(d), s"$d must survive"))
+    assert(state(p).nonEmpty, "live buckets untouched")
+    // grace 0 takes the young scratch too
+    assert(Upsert.vacuum(spark, p, graceMs = 0L) === 1L)
+  }
+
   test("streaming deltaAppender is exactly-once across a crash-replay") {
     val p = mkTable()
     val ckpt = Files.createTempDirectory("graft-mor-ckpt").toString
