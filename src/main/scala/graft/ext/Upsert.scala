@@ -74,6 +74,14 @@ import org.apache.spark.sql.functions._
   * serves the net per-key change across a delta range at delta-dir
   * cost — the incremental-consumer read. [[vacuum]] reclaims
   * crash-orphaned scratch/staging dirs under a grace period.
+  *
+  * Schema evolution: a change batch may ADD columns (they surface as
+  * null on pre-evolution rows — reads merge footers and union by
+  * name) or OMIT columns an old writer never knew (stored as null).
+  * Replacement is whole-row CDC semantics, never a per-column patch:
+  * the winning row's absent columns are null, not inherited from the
+  * row it replaced. The key and ordering columns are the spec's and
+  * cannot evolve.
   */
 object Upsert {
 
@@ -234,15 +242,23 @@ object Upsert {
       val touched = chg.select("bucket").distinct()
         .collect().map(_.getInt(0)).sorted
       if (touched.isEmpty) return
-      val dataCols = changes.columns.filterNot(_ == opCol).toSeq
       val f = fs(spark, new Path(path))
       val existing = touched.map(i => s"$path/bucket=$i")
         .filter(d => f.exists(new Path(d, "_SUCCESS")))
       val current =
         if (existing.isEmpty) chg.limit(0)
-        else spark.read.option("basePath", path).parquet(existing: _*)
+        else spark.read.option("mergeSchema", "true")
+          .option("basePath", path).parquet(existing: _*)
+      // schema evolution: the union is BY NAME with missing columns
+      // null-filled, so an evolved batch (new column) upgrades the
+      // touched buckets in place and an old-writer batch (missing
+      // column) stores null there — replacement is whole-row CDC
+      // semantics, never a per-column patch (spec-pinned)
       val all = current.withColumn("_pri", lit(0))
-        .unionByName(chg.withColumn("_pri", lit(1)))
+        .unionByName(chg.withColumn("_pri", lit(1)),
+          allowMissingColumns = true)
+      val dataCols = all.columns.toSeq
+        .filterNot(Seq("_pri", "bucket", "op").contains)
       val win = latest(all, spec, dataCols :+ "op" :+ "bucket")
       stageAndSwap(spark, path, win, touched.toSeq, dataCols :+ "op", spec)
     } finally chg.unpersist(false)
@@ -294,10 +310,22 @@ object Upsert {
           if (f.exists(scratch)) f.delete(scratch, true)
         }
       }
+      val horizon = compactionHorizon(spark, path)
       deltaId match {
-        case Some(id) => tryWrite(id); id
+        case Some(id) =>
+          // an id at or below the horizon WAS committed and then
+          // folded — a streaming crash-replay arriving after a compact
+          // must stay a no-op (the fold already consumed this batch),
+          // not mint a fresh delta under a consumed id
+          if (id > horizon) tryWrite(id)
+          id
         case None =>
-          var id = deltas(spark, path).lastOption.map(_ + 1).getOrElse(0L)
+          // allocation restarts ABOVE the horizon: compaction deletes
+          // the dirs, and a recycled id would be invisible to
+          // readTableAsOf/changeFeed guards that treat folded ids as
+          // history
+          var id = math.max(horizon + 1,
+            deltas(spark, path).lastOption.map(_ + 1).getOrElse(0L))
           var tries = 0
           while (!tryWrite(id)) {
             id += 1; tries += 1
@@ -361,7 +389,8 @@ object Upsert {
     * rank), plus the column list (dataCols incl. op) they carry. */
   private def readDeltas(spark: SparkSession, path: String,
                          ids: Seq[Long]): (DataFrame, Seq[String]) = {
-    val df = spark.read.option("basePath", path)
+    val df = spark.read.option("mergeSchema", "true")
+      .option("basePath", path)
       .parquet(ids.map(id => s"$path/delta=$id"): _*)
       .withColumn("_src", col("delta").cast("long") + 1L)
       .drop("delta")
@@ -437,9 +466,14 @@ object Upsert {
     val spec = readSpec(spark, path)
     if (ids.isEmpty)
       return readRaw(spark, path).filter(col("op") =!= "D").drop("op", "bucket")
-    val (dRows, cols) = readDeltas(spark, path, ids)
+    val (dRows, _) = readDeltas(spark, path, ids)
     val base = readRaw(spark, path).withColumn("_src", lit(0L))
-    val merged = base.unionByName(dRows)
+    // by-name union with null-fill: an evolved delta's new column
+    // surfaces with nulls on pre-evolution rows (schema evolution)
+    val all = base.unionByName(dRows, allowMissingColumns = true)
+    val cols = all.columns.toSeq
+      .filterNot(c => c == "_src" || c == "bucket")
+    val merged = all
       .withColumn("_pri", col("_src"))
       .groupBy(col(spec.keyCol))
       .agg(max_by(struct(cols.map(col): _*),
@@ -529,7 +563,12 @@ object Upsert {
         f.exists(new Path(s.getPath, "_SUCCESS")))
       .map(_.getPath.toString)
     require(committed.nonEmpty, s"upsert table at $path has no committed buckets")
-    spark.read.option("basePath", path).parquet(committed: _*)
+    // mergeSchema: after a schema evolution only the touched buckets
+    // carry the new column — a sampled-footer schema would silently
+    // DROP it from reads of the others; the merged footer union costs
+    // one planning-time footer pass, parallel across files
+    spark.read.option("mergeSchema", "true")
+      .option("basePath", path).parquet(committed: _*)
   }
 
   /** One staging write of `live` (already carrying its `bucket`

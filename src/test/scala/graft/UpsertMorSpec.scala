@@ -182,6 +182,61 @@ class UpsertMorSpec extends SparkTestBase {
     assert(state(cow) === state(p))
   }
 
+  test("compaction keeps exactly-once: folded ids replay as no-ops, auto ids never recycle") {
+    val p = mkTable()
+    Upsert.appendChanges(spark, p,
+      Seq((1L, 10L, "a1", "U")).toDF("k", "ts", "v", "op"), deltaId = Some(0L))
+    Upsert.appendChanges(spark, p,
+      Seq((1L, 20L, "a2", "U")).toDF("k", "ts", "v", "op"), deltaId = Some(1L))
+    Upsert.compactDeltas(spark, p)
+    val folded = state(p)
+    // a streaming crash-replay of batch 1 arrives AFTER the compact:
+    // the fold already consumed it — replay must not mint delta=1 again
+    Upsert.appendChanges(spark, p,
+      Seq((1L, 20L, "ghost", "U")).toDF("k", "ts", "v", "op"), deltaId = Some(1L))
+    assert(Upsert.deltas(spark, p).isEmpty && state(p) === folded,
+      "a folded delta id must replay as a no-op")
+    // auto allocation resumes ABOVE the horizon, never recycling 0/1
+    // (a recycled id would sit at/below the horizon, invisible to the
+    // feed and snapshot guards)
+    val id = Upsert.appendChanges(spark, p,
+      Seq((2L, 30L, "b1", "U")).toDF("k", "ts", "v", "op"))
+    assert(id === 2L, s"auto id must start past the horizon, got $id")
+    assert(Upsert.changeFeed(spark, p, 1L, 2L).count() === 1)
+  }
+
+  test("schema evolution: added columns null-fill old rows, across MOR, compact and COW") {
+    val p = mkTable() // (k, ts, v): k1=s1, k2=s2
+    // an evolved delta adds column w
+    Upsert.appendChanges(spark, p,
+      Seq((1L, 10L, "a1", 7.5, "U")).toDF("k", "ts", "v", "w", "op"))
+    def view(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        Option(r.getAs[Any]("w")))).toSet
+    val mor = view(Upsert.readTable(spark, p))
+    assert(mor === Set((1L, "a1", Some(7.5)), (2L, "s2", None)),
+      "pre-evolution rows must read the new column as null")
+    // the fold carries the evolved schema into the base (COW path),
+    // and only k1's bucket was rewritten — readRaw must still see w
+    // on every row via the footer merge
+    Upsert.compactDeltas(spark, p)
+    assert(view(Upsert.readTable(spark, p)) === mor,
+      "compaction must preserve the evolved view")
+    // whole-row replacement: an OLD-writer batch (no w) replacing k1
+    // stores null, never inherits the replaced row's 7.5
+    Upsert.applyChanges(spark, p,
+      Seq((1L, 20L, "a2", "U")).toDF("k", "ts", "v", "op"))
+    assert(view(Upsert.readTable(spark, p).filter(col("k") === 1L)) ===
+      Set((1L, "a2", None)),
+      "replacement is whole-row: absent columns are null")
+    // and the feed surfaces the evolved column too
+    Upsert.appendChanges(spark, p,
+      Seq((3L, 30L, "c1", 9.0, "U")).toDF("k", "ts", "v", "w", "op"))
+    val feed = Upsert.changeFeed(spark, p, 0L, Long.MaxValue)
+    assert(feed.columns.contains("w") &&
+      feed.filter(col("k") === 3L).head().getAs[Double]("w") === 9.0)
+  }
+
   test("vacuum reclaims aged orphan scratch/stage dirs, never live or .old-* dirs") {
     val p = mkTable()
     val f = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
