@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -245,6 +245,51 @@ object Curation {
     * (spec-asserted and oracle-checked). */
   def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig()): DataFrame =
     curateWith(docs, clusters(docs, cfg), cfg)
+
+  /** [[curateWith]] with FREE pipeline counters: three `observe`
+    * points (CollectMetrics nodes) whose aggregates are computed by
+    * the pass that was running anyway — where an ops dashboard would
+    * otherwise pay three recount jobs over a 100 TB input, these cost
+    * zero extra scans and no extra shuffle (observe aggregates merge
+    * map-side like any partial agg).
+    *
+    *  - `curate_in`:    docs, tokens — the corpus entering the gate
+    *  - `curate_dedup`: survivors, docs_represented — post-dedup
+    *    (drop = docs - survivors; represented counts absorbed dups)
+    *  - `curate_out`:   kept, tokens_kept — post quality gate, what
+    *    packing actually ships
+    *
+    * Read each [[org.apache.spark.sql.Observation]] AFTER one action
+    * on the returned frame (`Observation.get` blocks until then). The
+    * observe points sit on single-use plan branches — the `docs` scan
+    * itself is consumed twice (survivor join + token projection), so
+    * the input counter rides the token branch, which sees every doc
+    * exactly once. Streaming pipelines surface the same counters per
+    * micro-batch through `StreamingQueryProgress.observedMetrics`. */
+  def curateWithMetrics(docs: DataFrame, clusters: DataFrame,
+                        cfg: CurationConfig = CurationConfig())
+      : (DataFrame, Observation, Observation, Observation) = {
+    import graft.ext.{TextAnalysis => TA}
+    val oIn = Observation()
+    val oDedup = Observation()
+    val oOut = Observation()
+    val survivors = cfg.representative match {
+      case "best" => applyBest(docs, clusters)
+      case _      => applyCanonical(docs, clusters)
+    }
+    val toks = docs.select(col("doc_id"), TA.tokenCount(col("text")).as("n_tok"))
+      .observe(oIn, count(lit(1)).as("docs"), sum(col("n_tok")).as("tokens"))
+    val kept = survivors.join(toks, "doc_id")
+      .observe(oDedup, count(lit(1)).as("survivors"),
+        sum(col("n_merged")).as("docs_represented"))
+      .filter(col("n_tok").between(cfg.minTokens, cfg.maxTokens))
+      .observe(oOut, count(lit(1)).as("kept"),
+        sum(col("n_tok")).as("tokens_kept"))
+    val packed = packIntoSequences(kept, cfg.nShards, cfg.packBudget)
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("n_merged"),
+        col("seq_id"))
+    (packed, oIn, oDedup, oOut)
+  }
 
   /** The INCREMENTAL operational loop in one call — what an ingest
     * pipeline runs per batch instead of re-curating the corpus:

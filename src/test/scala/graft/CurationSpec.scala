@@ -32,6 +32,26 @@ class CurationSpec extends SparkTestBase {
     } finally cl.unpersist()
   }
 
+  test("curateWithMetrics: same output, and the free counters reconcile") {
+    val cl = Curation.clusters(docs).persist()
+    try {
+      val (observed, oIn, oDedup, oOut) = Curation.curateWithMetrics(docs, cl)
+      val got = rows(observed) // the ONE action the observations need
+      assert(got === rows(Curation.curateWith(docs, cl)),
+        "observe points must not change the result")
+      val in = oIn.get; val dd = oDedup.get; val out = oOut.get
+      assert(in("docs") === docs.count(), "input counter = the corpus")
+      assert(dd("survivors") === Curation.applyCanonical(docs, cl).count())
+      assert(out("kept") === got.size.toLong, "output counter = packed rows")
+      // conservation: dedup can only drop, the gate can only drop more
+      assert(in("docs").asInstanceOf[Long] >= dd("survivors").asInstanceOf[Long])
+      assert(dd("survivors").asInstanceOf[Long] >= out("kept").asInstanceOf[Long])
+      // survivors REPRESENT the whole deduped corpus (absorbed dups included)
+      assert(dd("docs_represented") === in("docs"))
+      assert(out("tokens_kept").asInstanceOf[Long] <= in("tokens").asInstanceOf[Long])
+    } finally cl.unpersist()
+  }
+
   test("salt-split skew mode is output-invariant through the WHOLE pipeline") {
     // maxBucket=2 forces real splitting at this sf (3-doc cluster
     // buckets get g=2 sub-buckets) — output must still equal unguarded
