@@ -25,11 +25,24 @@ object StreamCuration {
     * `delay`: a text re-appearing AFTER the watermark passes its first
     * sighting's horizon is re-admitted — the deliberate price of
     * bounded state at 100 TB (unbounded streaming dedup state grows
-    * with distinct-doc count forever; see StreamDedup). */
+    * with distinct-doc count forever; see StreamDedup).
+    *
+    * Every micro-batch also reports FREE pipeline counters through
+    * `StreamingQueryProgress.observedMetrics` — `curate_in` (docs
+    * entering), `curate_gated` (past the stateless quality gate),
+    * `curate_out` (admitted by the dedup, i.e. emitted — first-seen
+    * rows flow through `dropDuplicatesWithinWatermark` in their own
+    * batch, so the post-dedup observe counts emissions). Per-batch
+    * drop attribution (gate vs dup) comes with the progress event; no
+    * second subscription, no recount job — the batch twin's
+    * `curateWithMetrics` story at streaming cadence. (The String-name
+    * observe form, not an Observation handle: handles don't support
+    * streaming queries.) */
   def curate(stream: DataFrame, tsCol: String = "ts",
              delay: String = "10 minutes"): DataFrame = {
     val p = TA.langProfiles
     stream
+      .observe("curate_in", count(lit(1)).as("docs"))
       // stage the token array once (HOF lambdas re-evaluate inlined
       // subtrees — same discipline as the batch queries)
       .select(col("doc_id"), col("text"), col(tsCol),
@@ -44,9 +57,11 @@ object StreamCuration {
       .withColumn("pred_lang",
         TA.predictLang(col("s_en"), col("s_de"), col("s_fr"), col("s_es")))
       .filter(col("quality") >= 0.5 && col("n_tokens").between(20, 200))
+      .observe("curate_gated", count(lit(1)).as("docs"))
       .withColumn("text_md5", md5(col("text")))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("text_md5")
+      .observe("curate_out", count(lit(1)).as("docs"))
       .select(col("doc_id"), col("quality"), col("n_tokens"), col("pred_lang"))
   }
 }

@@ -43,6 +43,31 @@ class StreamCurationSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("observed metrics: per-batch in/gated/out counters reconcile with the data") {
+    val good = (1 to 120).map(i => s"word$i").mkString(" ")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamCuration
+      .curate(in.toDF().toDF("doc_id", "text", "ts"), "ts", "1 hour")
+      .writeStream.format("memory").queryName("cur_obs")
+      .outputMode("append").start()
+    // batch: 3 docs in, 1 gate-dropped (too short), of the 2 gated one
+    // is a dup of the other -> 1 out
+    in.addData((1L, good, new Timestamp(base)),
+      (2L, "too short", new Timestamp(base + 1)),
+      (3L, good, new Timestamp(base + 2)))
+    q.processAllAvailable()
+    q.stop()
+    val m = q.recentProgress.toSeq
+      .filter(_.observedMetrics.containsKey("curate_in"))
+      .map(p => (p.observedMetrics.get("curate_in").getAs[Long]("docs"),
+        p.observedMetrics.get("curate_gated").getAs[Long]("docs"),
+        p.observedMetrics.get("curate_out").getAs[Long]("docs")))
+      .filter(_._1 > 0)
+    assert(m === Seq((3L, 2L, 1L)),
+      s"per-batch counters must attribute the drops (gate 1, dup 1): $m")
+    assert(spark.table("cur_obs").count() === 1)
+  }
+
   test("watermark bounds the dedup state: a dup beyond the horizon is re-admitted") {
     // quality-passing text: quality = min(n,100)/100 * (1-stopword) *
     // (1-punct), so >= 100 clean non-stopword tokens scores ~1.0
