@@ -182,6 +182,31 @@ class UpsertMorSpec extends SparkTestBase {
     assert(state(cow) === state(p))
   }
 
+  test("plan pin: the feed never scans the base; a snapshot lists only its deltas") {
+    val p = mkTable()
+    Upsert.appendChanges(spark, p, Seq((1L, 10L, "a1", "U")).toDF("k", "ts", "v", "op"))
+    Upsert.appendChanges(spark, p, Seq((2L, 20L, "b1", "U")).toDF("k", "ts", "v", "op"))
+    def scanRoots(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      // sparkPlan, not executedPlan: AQE wraps the latter in a root
+      // AdaptiveSparkPlanExec whose leaves hide the scans until run
+      df.queryExecution.sparkPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.rootPaths.map(_.toString)
+      }.flatten
+    // the feed's scale claim IS this plan property: delta dirs in
+    // range only, the base never enters (ProbeMor's flat changefeed_s)
+    val feedRoots = scanRoots(Upsert.changeFeed(spark, p, 0L, 1L))
+    assert(feedRoots.nonEmpty && feedRoots.forall(_.contains("delta=1")),
+      s"feed must list exactly the in-range delta dirs, got $feedRoots")
+    assert(!feedRoots.exists(_.contains("bucket=")), "the base must not be scanned")
+    // the snapshot reads the base plus ONLY the deltas it includes
+    val snapRoots = scanRoots(Upsert.readTableAsOf(spark, p, 0L))
+    assert(snapRoots.exists(_.contains("bucket=")) &&
+      snapRoots.exists(_.contains("delta=0")) &&
+      !snapRoots.exists(_.contains("delta=1")),
+      s"snapshot at 0 must exclude delta=1 at LISTING time, got $snapRoots")
+  }
+
   test("compaction keeps exactly-once: folded ids replay as no-ops, auto ids never recycle") {
     val p = mkTable()
     Upsert.appendChanges(spark, p,
