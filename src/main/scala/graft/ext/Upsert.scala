@@ -550,6 +550,62 @@ object Upsert {
     nDead
   }
 
+  /** Re-hash the table into `newN` buckets — the capacity move a
+    * grown table needs (a 16-bucket table at 100× its design size has
+    * 100× the intended rewrite unit; the operating rule in BASELINE
+    * is ≳1 GB/bucket). One staging job re-partitions EVERY stored row
+    * — live and tombstone alike (an init-shaped rebuild from
+    * readTable would silently drop tombstones and re-open the
+    * late-straggler resurrection window) — then per-bucket swaps and
+    * a LAST-published spec rewrite, so a crash mid-rescale leaves the
+    * old spec describing the old (still committed, still complete)
+    * bucket set: every key still routes and reads consistently, and
+    * the rescale is re-runnable. Pending deltas must be compacted
+    * first (their rows carry old-spec bucket ids; folding them across
+    * a hash change would mis-route). Old dirs beyond the new count
+    * are removed after the spec flips. */
+  def rescale(spark: SparkSession, path: String, newN: Int): Unit = {
+    require(newN >= 1 && newN <= 4096, s"bucket count must be in [1,4096], got $newN")
+    val spec = readSpec(spark, path)
+    if (spec.n == newN) return
+    require(deltas(spark, path).isEmpty,
+      s"rescale at $path with pending deltas would mis-route their " +
+        "stored bucket ids - run compactDeltas first")
+    val newSpec = spec.copy(n = newN)
+    val horizon = compactionHorizon(spark, path)
+    val rows = readRaw(spark, path).drop("bucket")
+    // WHY a whole-root generation swap and not per-bucket swaps: with
+    // the hash changing under the rows, a crash between per-bucket
+    // swaps leaves a mix of old-hash and new-hash dirs that
+    // readRaw's list-everything union reads as duplicates AND losses.
+    // IndexStore.replace builds the complete new generation beside the
+    // table and publishes it by one root rename (aside-preserved on a
+    // failed swap), so readers see the old table, the new table, or a
+    // loud miss - never a blend.
+    graft.core.IndexStore.replace(spark, path) { scratch =>
+      rows.withColumn("bucket", bucketOf(newSpec))
+        .write.partitionBy("bucket").mode("overwrite").parquet(scratch)
+      val f = fs(spark, new Path(scratch))
+      // readRaw's contract: every live bucket dir carries its own
+      // marker; hash-empty buckets still get a committed empty dir
+      (0 until newN).foreach { i =>
+        val d = new Path(scratch, s"bucket=$i")
+        f.mkdirs(d)
+        val m = new Path(d, "_SUCCESS")
+        if (!f.exists(m)) f.create(m, false).close()
+      }
+      writeSpec(spark, scratch, newSpec)
+      // the horizon survives the rescale: resetting it would let
+      // appendChanges recycle folded ids - a replay double-apply
+      if (horizon >= 0) writeHorizon(spark, scratch, horizon)
+      // replace's commit contract: the scratch publishes marker-last
+      val rootM = new Path(scratch, "_SUCCESS")
+      if (!f.exists(rootM)) f.create(rootM, false).close()
+    }
+    require(readSpec(spark, path).n == newN,
+      s"rescale at $path published but the spec does not read back at $newN")
+  }
+
   /** As stored: live rows AND persisted tombstones, with `op` and
     * `bucket` — the maintenance/compaction view. */
   def readRaw(spark: SparkSession, path: String): DataFrame = {

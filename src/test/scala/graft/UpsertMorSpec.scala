@@ -262,6 +262,35 @@ class UpsertMorSpec extends SparkTestBase {
       feed.filter(col("k") === 3L).head().getAs[Double]("w") === 9.0)
   }
 
+  test("rescale re-hashes every stored row - tombstones and horizon included") {
+    val p = mkTable() // 4 buckets: k1=s1, k2=s2
+    // history: one folded delta sets the horizon; one persisted tombstone
+    Upsert.appendChanges(spark, p, Seq((1L, 10L, "a1", "U")).toDF("k", "ts", "v", "op"))
+    Upsert.compactDeltas(spark, p)
+    Upsert.applyChanges(spark, p, Seq((2L, 20L, "x", "D")).toDF("k", "ts", "v", "op"))
+    val before = state(p)
+    val horizonBefore = Upsert.compactionHorizon(spark, p)
+    assert(horizonBefore === 0L)
+    Upsert.rescale(spark, p, 16)
+    assert(Upsert.readSpec(spark, p).n === 16)
+    assert(state(p) === before, "the visible table must survive the re-hash")
+    assert(Upsert.readRaw(spark, p).filter(col("op") === "D").count() === 1,
+      "tombstones must ride the rescale - dropping them re-opens resurrection")
+    assert(Upsert.compactionHorizon(spark, p) === horizonBefore,
+      "a reset horizon would let replays recycle folded delta ids")
+    // the new hash routes: an update through the 16-bucket layout lands
+    Upsert.applyChanges(spark, p, Seq((1L, 30L, "a2", "U")).toDF("k", "ts", "v", "op"))
+    assert(state(p) === Set((1L, 30L, "a2")))
+    // downscale works too, and the tail dirs are gone from the listing
+    Upsert.rescale(spark, p, 2)
+    assert(Upsert.readSpec(spark, p).n === 2 && state(p) === Set((1L, 30L, "a2")))
+    assert(Upsert.readRaw(spark, p).select("bucket").distinct()
+      .collect().map(_.getInt(0)).forall(_ < 2))
+    // pending deltas carry old-hash bucket ids: refuse loud
+    Upsert.appendChanges(spark, p, Seq((3L, 40L, "c1", "U")).toDF("k", "ts", "v", "op"))
+    intercept[IllegalArgumentException] { Upsert.rescale(spark, p, 8) }
+  }
+
   test("vacuum reclaims aged orphan scratch/stage dirs, never live or .old-* dirs") {
     val p = mkTable()
     val f = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
