@@ -179,7 +179,39 @@ object StatefulQueries extends QueryGroup {
     graft.ext.Upsert.changeFeed(spark, path, 0L, 1L).orderBy(col("user_id"))
   }
 
+  /** T9 — temporal table join (Flink `FOR SYSTEM_TIME AS OF`, the
+    * flagship enrichment the reference's stack is known for): each
+    * probe event (final quarter of the stream) joins the versioned
+    * per-user row VISIBLE AT ITS EVENT TIME — the latest history row
+    * (base + both delta windows, t6/t7's timeline) with ts <= the
+    * probe's ts, dropped when that version is a tombstone. One
+    * shuffle of |probe|+|history| keyed rows via the union-sort-window
+    * as-of form ([[graft.ops.AsOf.lastRightRow]]) — no range join, no
+    * per-row probing, the a6 machinery generalized to carry the whole
+    * winning row. */
+  def temporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    val h1 = maxId / 2
+    val h2 = 3 * maxId / 4
+    val hist = ev.filter(col("event_id") <= h2)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"),
+        when(col("event_type") === "error" && col("event_id") > h1, "D")
+          .otherwise("U").as("op"))
+    val probe = ev.filter(col("event_id") > h2)
+      .select(col("user_id"), col("event_id").as("p_event"),
+        col("ts_us").as("p_ts"))
+    graft.ops.AsOf.lastRightRow(probe, hist, "user_id", "p_ts", "ts_us",
+        "event_id", "__v", Seq("p_event", "p_ts"),
+        Seq("event_id", "value", "op"))
+      .filter(col("__v").isNotNull && col("__v.op") =!= "D")
+      .select(col("user_id"), col("p_event"), col("p_ts"),
+        col("__v.event_id").as("h_event"), col("__v.value").as("h_value"))
+      .orderBy(col("user_id"), col("p_event"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t9_temporal_join"     -> (temporalJoin _),
     "t7_upsert_asof"       -> (upsertAsOf _),
     "t8_upsert_changefeed" -> (upsertChangeFeed _),
     "t6_upsert_apply"  -> (upsertApply _),
@@ -191,6 +223,29 @@ object StatefulQueries extends QueryGroup {
   )
 
   def oracles: Map[String, String] = Map(
+    "t9_temporal_join" ->
+      """WITH hist AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |    CASE WHEN event_type = 'error' AND
+        |              event_id > (SELECT MAX(event_id) // 2 FROM events)
+        |         THEN 'D' ELSE 'U' END AS op
+        |  FROM events
+        |  WHERE event_id <= (SELECT (3 * MAX(event_id)) // 4 FROM events)
+        |), probe AS (
+        |  SELECT user_id, event_id AS p_event, epoch_us(ts) AS p_ts
+        |  FROM events
+        |  WHERE event_id > (SELECT (3 * MAX(event_id)) // 4 FROM events)
+        |), cand AS (
+        |  SELECT p.user_id, p.p_event, p.p_ts,
+        |         h.event_id AS h_event, h.value AS h_value, h.op,
+        |         ROW_NUMBER() OVER (PARTITION BY p.user_id, p.p_event
+        |           ORDER BY h.ts_us DESC, h.event_id DESC) AS rn
+        |  FROM probe p JOIN hist h
+        |    ON p.user_id = h.user_id AND h.ts_us <= p.p_ts
+        |)
+        |SELECT user_id, p_event, p_ts, h_event, h_value
+        |FROM cand WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id, p_event""".stripMargin,
     "t7_upsert_asof" ->
       """SELECT user_id, event_id, ts_us, event_type, value FROM (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
