@@ -1,0 +1,129 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{StreamTemporal, TemporalProbe, TemporalVersion}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The event-time streaming temporal join: golden equality to the
+  * batch as-of form on replayed input, answers held until the
+  * watermark makes them final, bounded state via the dominance prune,
+  * and the deliberate watermark trade (a too-late version is
+  * answered-around, not waited for). */
+class StreamTemporalSpec extends SparkTestBase {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(ms: Long) = new Timestamp(ms)
+  private val Min = 60000L
+
+  // transformWithState's named states need column families → RocksDB
+  private def withRocksDB[A](f: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def drive(batches: Seq[(Seq[TemporalVersion], Seq[TemporalProbe])],
+                    delay: String = "1 minute"): Set[(Long, Long, Long, String)] = {
+    val vIn = MemoryStream[TemporalVersion]
+    val pIn = MemoryStream[TemporalProbe]
+    val q = StreamTemporal.join(vIn.toDS(), pIn.toDS(), delay)
+      .writeStream.format("memory").queryName("tj_out")
+      .outputMode("append").start()
+    try {
+      batches.foreach { case (vs, ps) =>
+        if (vs.nonEmpty) vIn.addData(vs)
+        if (ps.nonEmpty) pIn.addData(ps)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table("tj_out")
+      .select(col("key"), col("probeId"), col("versionId"), col("payload"))
+      .as[(Long, Long, Long, String)].collect().toSet
+  }
+
+  test("golden: streamed answers equal the batch as-of join on the same rows") {
+    // key 1: versions v1@1min, v2@5min; probes at 0.5, 1, 5, 9 min
+    // (at-version-ts probes take that version: <= semantics);
+    // key 2: probe with no version ever -> emits nothing
+    val versions = Seq(
+      TemporalVersion(1L, ts(1 * Min), 10L, "v1"),
+      TemporalVersion(1L, ts(5 * Min), 20L, "v2"))
+    val probes = Seq(
+      TemporalProbe(1L, ts(Min / 2), 100L), TemporalProbe(1L, ts(1 * Min), 101L),
+      TemporalProbe(1L, ts(5 * Min), 102L), TemporalProbe(1L, ts(9 * Min), 103L),
+      TemporalProbe(2L, ts(5 * Min), 200L))
+    // sentinel far past everything so the watermark releases all answers
+    val sentinel = Seq(TemporalVersion(9L, ts(1000 * Min), 0L, "s"))
+    val got = withRocksDB { drive(Seq(
+      (versions, probes),
+      (sentinel, Seq(TemporalProbe(9L, ts(1000 * Min), 900L))))) }
+      .filter(_._1 != 9L)
+    // the batch oracle: AsOf.lastRightRow over the same rows
+    val want = graft.ops.AsOf.lastRightRow(
+        probes.toDF().withColumn("tsMs", col("ts").cast("long") * 1000),
+        versions.toDF().withColumn("tsMs", col("ts").cast("long") * 1000),
+        "key", "tsMs", "tsMs", "versionId", "__v",
+        Seq("probeId"), Seq("versionId", "payload"))
+      .filter(col("__v").isNotNull)
+      .select(col("key"), col("probeId"),
+        col("__v.versionId"), col("__v.payload"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got === want)
+    assert(got === Set(
+      (1L, 101L, 10L, "v1"), (1L, 102L, 20L, "v2"), (1L, 103L, 20L, "v2")))
+  }
+
+  test("an answer is held until the watermark finalizes it") { withRocksDB {
+    val vIn = MemoryStream[TemporalVersion]
+    val pIn = MemoryStream[TemporalProbe]
+    val q = StreamTemporal.join(vIn.toDS(), pIn.toDS(), "1 minute")
+      .writeStream.format("memory").queryName("tj_hold")
+      .outputMode("append").start()
+    try {
+      vIn.addData(TemporalVersion(1L, ts(1 * Min), 10L, "v1"))
+      pIn.addData(TemporalProbe(1L, ts(2 * Min), 100L))
+      q.processAllAvailable()
+      // watermark is still behind the probe: nothing may be emitted,
+      // because a version at ts <= 2min could still arrive
+      assert(spark.table("tj_hold").isEmpty)
+      // ...and one does: a version BETWEEN v1 and the probe
+      vIn.addData(TemporalVersion(1L, ts(90 * 1000), 15L, "v1.5"))
+      q.processAllAvailable()
+      vIn.addData(TemporalVersion(9L, ts(100 * Min), 0L, "s")) // advance wm
+      q.processAllAvailable()
+      val got = spark.table("tj_hold")
+        .select(col("probeId"), col("payload")).as[(Long, String)].collect().toSet
+      assert(got === Set((100L, "v1.5")),
+        "the held answer must reflect the version that arrived before finalization")
+    } finally q.stop()
+  } }
+
+  test("the watermark trade: a version later than the delay is answered-around") { withRocksDB {
+    val vIn = MemoryStream[TemporalVersion]
+    val pIn = MemoryStream[TemporalProbe]
+    val q = StreamTemporal.join(vIn.toDS(), pIn.toDS(), "1 minute")
+      .writeStream.format("memory").queryName("tj_late")
+      .outputMode("append").start()
+    try {
+      vIn.addData(TemporalVersion(1L, ts(1 * Min), 10L, "v1"))
+      pIn.addData(TemporalProbe(1L, ts(3 * Min), 100L))
+      vIn.addData(TemporalVersion(9L, ts(100 * Min), 0L, "s")) // wm far ahead
+      q.processAllAvailable()
+      // this version WOULD have won (ts 2min <= probe 3min) but it is
+      // beyond the watermark: dropped, the answer stands at v1
+      vIn.addData(TemporalVersion(1L, ts(2 * Min), 15L, "too-late"))
+      q.processAllAvailable()
+      val got = spark.table("tj_late")
+        .select(col("probeId"), col("payload")).as[(Long, String)].collect().toSet
+      assert(got === Set((100L, "v1")))
+    } finally q.stop()
+  } }
+}
