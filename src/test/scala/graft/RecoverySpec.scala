@@ -307,6 +307,46 @@ class RecoverySpec extends SparkTestBase {
     graft.core.CacheScope.releaseAll()
   }
 
+  test("the temporal join resumes from checkpoint: buffered probe, versions AND the timer survive") {
+    import graft.streaming.{StreamTemporal, TemporalMatch, TemporalProbe, TemporalVersion}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = Files.createTempDirectory("graft-tj-ckpt").toString
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[TemporalMatch]()
+      val vIn = MemoryStream[TemporalVersion]
+      val pIn = MemoryStream[TemporalProbe]
+      val joined = StreamTemporal.join(vIn.toDS(), pIn.toDS(), "1 minute")
+      def start() = joined.writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[TemporalMatch], _: Long) =>
+          b.collect().foreach(got.add)
+        }.start()
+      val ms = (m: Long) => new java.sql.Timestamp(m * 60000L)
+      val q1 = start()
+      vIn.addData(TemporalVersion(1L, ms(1), 10L, "v1"))
+      pIn.addData(TemporalProbe(1L, ms(2), 100L))
+      q1.processAllAvailable()
+      q1.stop()
+      assert(got.isEmpty, "the answer is not final before the watermark — nothing may emit")
+      // restart: the buffered probe, its version list and the
+      // registered event-time timer all come back from the state store
+      val q2 = start()
+      vIn.addData(TemporalVersion(9L, ms(100), 0L, "s")) // advance the watermark
+      q2.processAllAvailable()
+      q2.stop()
+      val all = got.toArray(Array.empty[TemporalMatch]).toSeq
+      assert(all.map(m => (m.key, m.probeId, m.payload)) === Seq((1L, 100L, "v1")),
+        s"exactly one finalized answer after restart, got $all")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("kafka source wrapper fails with the connector-missing error (jar not bundled here)") {
     // The spark-sql-kafka connector isn't in /opt/spark/jars (zero-egress
     // container); assert the wrapper reaches Kafka source resolution so
