@@ -81,6 +81,47 @@ class StreamTemporalSpec extends SparkTestBase {
       (1L, 101L, 10L, "v1"), (1L, 102L, 20L, "v2"), (1L, 103L, 20L, "v2")))
   }
 
+  test("composition: the upsert CDC feed drives the temporal join as its version side") { withRocksDB {
+    import graft.ext.Upsert
+    import graft.streaming.StreamUpsert
+    // a versioned table: k1 gets v1@1min then v2@5min as CDC deltas
+    val p = java.nio.file.Files.createTempDirectory("graft-tj-feed").toString + "/t"
+    Upsert.init(Seq((1L, 0L, "v0")).toDF("k", "tsMs", "v"), p, "k", Seq("tsMs"), 4)
+    Upsert.appendChanges(spark, p,
+      Seq((1L, 1 * Min, "v1", "U")).toDF("k", "tsMs", "v", "op"))
+    Upsert.appendChanges(spark, p,
+      Seq((1L, 5 * Min, "v2", "U")).toDF("k", "tsMs", "v", "op"))
+    // the feed IS the version stream: change rows -> TemporalVersion
+    val versions = StreamUpsert.feed(spark, p)
+      .select(col("k").as("key"), timestamp_millis(col("tsMs")).as("ts"),
+        col("delta_id").as("versionId"), col("v").as("payload"))
+      .as[TemporalVersion]
+    val pIn = MemoryStream[TemporalProbe]
+    val q = StreamTemporal.join(versions, pIn.toDS(), "1 minute")
+      .writeStream.format("memory").queryName("tj_feed")
+      .outputMode("append").start()
+    try {
+      pIn.addData(TemporalProbe(1L, ts(2 * Min), 100L), // sees v1
+                  TemporalProbe(1L, ts(6 * Min), 101L)) // sees v2
+      q.processAllAvailable()
+      // a LIVE table change is picked up by the running subscription...
+      Upsert.appendChanges(spark, p,
+        Seq((1L, 7 * Min, "v3", "U")).toDF("k", "tsMs", "v", "op"))
+      pIn.addData(TemporalProbe(1L, ts(8 * Min), 102L)) // sees v3
+      q.processAllAvailable()
+      // ...and the sentinel finalizes every answer
+      pIn.addData(TemporalProbe(9L, ts(1000 * Min), 900L))
+      Upsert.appendChanges(spark, p,
+        Seq((9L, 1000 * Min, "s", "U")).toDF("k", "tsMs", "v", "op"))
+      q.processAllAvailable()
+      val got = spark.table("tj_feed")
+        .select(col("probeId"), col("payload")).as[(Long, String)]
+        .collect().toSet.filter(_._1 != 900L)
+      assert(got === Set((100L, "v1"), (101L, "v2"), (102L, "v3")),
+        "events must enrich against the table version visible at their event time")
+    } finally q.stop()
+  } }
+
   test("an answer is held until the watermark finalizes it") { withRocksDB {
     val vIn = MemoryStream[TemporalVersion]
     val pIn = MemoryStream[TemporalProbe]
