@@ -571,6 +571,22 @@ object Upsert {
     require(deltas(spark, path).isEmpty,
       s"rescale at $path with pending deltas would mis-route their " +
         "stored bucket ids - run compactDeltas first")
+    // Rescale is an OFFLINE move: an applyChanges overlapping the swap
+    // would rename old-hash bucket contents into the new generation —
+    // rows present twice, silently. A live apply announces itself by
+    // its `<table>.stage-*` staging dir; refuse while one exists. (A
+    // writer that read the old spec but has not yet staged slips this
+    // check — quiesce writers for the rescale window, the same
+    // contract as any offline re-bucketing.)
+    val rootP = new Path(path)
+    val fsr = fs(spark, rootP)
+    val liveStage = Option(rootP.getParent).toSeq
+      .flatMap(par => fsr.listStatus(par).toSeq)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(rootP.getName + ".stage-"))
+    require(liveStage.isEmpty,
+      s"rescale at $path while a change apply is staging (${liveStage.head}) " +
+        "- quiesce writers first (or vacuum if it is a crash orphan)")
     val newSpec = spec.copy(n = newN)
     val horizon = compactionHorizon(spark, path)
     val rows = readRaw(spark, path).drop("bucket")

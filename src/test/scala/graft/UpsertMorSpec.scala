@@ -289,6 +289,15 @@ class UpsertMorSpec extends SparkTestBase {
     // pending deltas carry old-hash bucket ids: refuse loud
     Upsert.appendChanges(spark, p, Seq((3L, 40L, "c1", "U")).toDF("k", "ts", "v", "op"))
     intercept[IllegalArgumentException] { Upsert.rescale(spark, p, 8) }
+    Upsert.compactDeltas(spark, p)
+    // a live applyChanges staging dir means a writer is mid-swap:
+    // rescaling under it would blend hash generations - refuse loud
+    val f = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    f.mkdirs(new Path(p + ".stage-feedc0de"))
+    intercept[IllegalArgumentException] { Upsert.rescale(spark, p, 8) }
+    f.delete(new Path(p + ".stage-feedc0de"), true)
+    Upsert.rescale(spark, p, 8)
+    assert(Upsert.readSpec(spark, p).n === 8)
   }
 
   test("vacuum reclaims aged orphan scratch/stage dirs, never live or .old-* dirs") {
