@@ -441,7 +441,41 @@ object DedupQueries extends QueryGroup {
   private[queries] def indexPathFor(spark: SparkSession, dir: String): String =
     graft.core.IndexStore.pathFor(spark, "neardup-index", dir)
 
+  /** D19 — corpus-level span dedup, the CCNet/RefinedWeb paragraph-
+    * dedup step adapted to the flat synthetic text (no newlines, so a
+    * "paragraph" is a fixed 20-token non-overlapping span — the same
+    * synthetic segmentation x_chunk_docs uses): every exact span
+    * keeps its corpus-FIRST occurrence (min doc_id, then span_id) and
+    * drops the rest, reported with its corpus-wide copy count.
+    *
+    * Scale shape: tokenize → explode spans (corpus-span-sized) →
+    * ONE hash aggregation keyed by span text (`min_by` + count — both
+    * partial-aggregable, so a boilerplate span repeated millions of
+    * times ships one candidate row per partition, never a pair join).
+    * No join back: the winner row IS the output. Reassembly of
+    * surviving text is a downstream per-doc sort-concat. */
+  def spanDedup(spark: SparkSession, dir: String, span: Int = 20): DataFrame = {
+    val spans = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), "\\s+").as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("span_id", explode(
+        sequence(lit(0L), expr(s"(__n + ${span - 1}) div $span") - 1)))
+      .select(col("doc_id"), col("span_id"),
+        concat_ws(" ",
+          slice(col("__toks"), (col("span_id") * span + 1).cast("int"),
+            lit(span))).as("__span"))
+    spans.groupBy(col("__span"))
+      .agg(
+        min_by(struct(col("doc_id"), col("span_id")),
+          struct(col("doc_id"), col("span_id"))).as("__w"),
+        count(lit(1)).as("n_copies"))
+      .select(col("__w.doc_id").as("doc_id"),
+        col("__w.span_id").as("span_id"), col("n_copies"))
+      .orderBy(col("doc_id"), col("span_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d19_span_dedup"   -> ((s: SparkSession, d: String) => spanDedup(s, d)),
     "d1_exact_dedup"   -> (exactDedup _),
     "d2_minhash_sigs"  -> (minhashSigs _),
     "d3_neardup_pairs" -> (neardupPairs _),
@@ -575,6 +609,25 @@ object DedupQueries extends QueryGroup {
        |ORDER BY batch_id, corpus_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "d19_span_dedup" ->
+      s"""WITH toked AS (
+         |  SELECT doc_id, $toksSql AS lst FROM documents
+         |), spans AS (
+         |  SELECT doc_id,
+         |    unnest(range((len(lst) + 19) // 20)) AS span_id, lst
+         |  FROM toked
+         |), texts AS (
+         |  SELECT doc_id, span_id,
+         |    array_to_string(lst[span_id * 20 + 1 : span_id * 20 + 20], ' ') AS span_text
+         |  FROM spans
+         |)
+         |SELECT doc_id, span_id, n_copies FROM (
+         |  SELECT doc_id, span_id,
+         |    COUNT(*) OVER (PARTITION BY span_text) AS n_copies,
+         |    ROW_NUMBER() OVER (PARTITION BY span_text
+         |      ORDER BY doc_id, span_id) AS rn
+         |  FROM texts
+         |) WHERE rn = 1 ORDER BY doc_id, span_id""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT doc_id, md5(text) AS text_md5,
         |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

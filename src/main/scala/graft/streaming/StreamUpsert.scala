@@ -51,10 +51,22 @@ object StreamUpsert {
     * [[graft.ext.Upsert.compactDeltas]] on a maintenance cadence to
     * fold deltas into the base before read-side merge cost
     * accumulates — the StreamSink.fold lesson applied to state. */
-  def deltaAppender(path: String, opCol: String = "op"): (DataFrame, Long) => Unit =
+  /** `compactEvery`: fold pending deltas into the base every N
+    * micro-batches — the cadence the measured per-delta read tax is
+    * sized against (BASELINE: ~0.03 s/pending delta on every read;
+    * 20-50 pending keeps reads sub-second). Safe under crash-replay
+    * BECAUSE of the compaction horizon: a replayed batch whose id the
+    * fold already consumed is a no-op, not a re-mint (UpsertMorSpec).
+    * Leave 0 when feed subscribers tail this table — compaction
+    * destroys the delta dirs they have not read yet (the retention
+    * contract on [[feed]]). */
+  def deltaAppender(path: String, opCol: String = "op",
+                    compactEvery: Long = 0L): (DataFrame, Long) => Unit =
     (df, batchId) => {
       graft.ext.Upsert.appendChanges(df.sparkSession, path, df, opCol,
         deltaId = Some(batchId))
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        graft.ext.Upsert.compactDeltas(df.sparkSession, path)
       ()
     }
 

@@ -96,6 +96,40 @@ class StreamUpsertSpec extends SparkTestBase {
     f.delete(new org.apache.hadoop.fs.Path(src + "/.delta-build-00feed00"), true)
   }
 
+  test("auto-compaction cadence: deltas stay bounded and a crash-replay across a fold converges") {
+    val p = mkTable()
+    val ckpt = Files.createTempDirectory("graft-supsert-ckpt3").toString
+    val in = MemoryStream[(Long, Long, String, String)]
+    val append = StreamUpsert.deltaAppender(p, compactEvery = 2L)
+    val dieOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def start() = in.toDS().toDF("k", "ts", "v", "op").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        append(df, id)
+        // die right after the fold at batch 2, before the offset
+        // commit: the replayed batch 2's id is AT the horizon — the
+        // no-op path the horizon exists for
+        if (id == 2L && dieOnce.getAndSet(false))
+          throw new RuntimeException("induced crash after compaction")
+      }.start()
+    val q1 = start()
+    in.addData((1L, 10L, "a1", "U")); q1.processAllAvailable()   // batch 0
+    in.addData((2L, 20L, "b1", "U")); q1.processAllAvailable()   // batch 1
+    in.addData((1L, 30L, "a2", "U"))                             // batch 2: append+fold+die
+    intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
+    q1.stop()
+    assert(Upsert.compactionHorizon(spark, p) === 2L)
+    val q2 = start() // replays batch 2 over the folded table
+    in.addData((3L, 40L, "c1", "U")); q2.processAllAvailable()   // batch 3
+    q2.stop()
+    assert(state(p) === Set((1L, 30L, "a2"), (2L, 20L, "b1"), (3L, 40L, "c1")),
+      "the replay across the fold must not re-apply or drop anything")
+    assert(Upsert.deltas(spark, p).size <= 2,
+      "the cadence must keep pending deltas bounded")
+    assert(Upsert.deltas(spark, p).forall(_ > 2L),
+      "no delta id at or below the horizon may be re-minted")
+  }
+
   test("a crash-replayed batch converges: same table, no duplicates") {
     val p = mkTable()
     val ckpt = Files.createTempDirectory("graft-supsert-ckpt2").toString
