@@ -93,7 +93,14 @@ object StreamUpsert {
     * subscriber has passed those ids — a consumer lagging behind a
     * compact loses the folded window (batch readers get the loud
     * horizon guard; a file stream cannot, its listing just comes up
-    * empty). */
+    * empty).
+    *
+    * The subscription's schema is a SNAPSHOT of the table's at
+    * construction: a delta that later ADDS a column (schema
+    * evolution) still flows, but the new column is absent from this
+    * stream's rows until the consumer resubscribes — the file
+    * source's fixed-schema contract, stated here rather than
+    * discovered. */
   def feed(spark: SparkSession, path: String): DataFrame = {
     val up = graft.ext.Upsert.readRaw(spark, path)
     val schema = up.drop("bucket").schema // data cols + op, as stored

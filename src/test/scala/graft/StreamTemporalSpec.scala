@@ -59,6 +59,9 @@ class StreamTemporalSpec extends SparkTestBase {
     val probes = Seq(
       TemporalProbe(1L, ts(Min / 2), 100L), TemporalProbe(1L, ts(1 * Min), 101L),
       TemporalProbe(1L, ts(5 * Min), 102L), TemporalProbe(1L, ts(9 * Min), 103L),
+      // same (key, ts) as 103: both probes register the same event-time
+      // timer — registration must be idempotent and BOTH must answer
+      TemporalProbe(1L, ts(9 * Min), 104L),
       TemporalProbe(2L, ts(5 * Min), 200L))
     // sentinel far past everything so the watermark releases all answers
     val sentinel = Seq(TemporalVersion(9L, ts(1000 * Min), 0L, "s"))
@@ -78,7 +81,8 @@ class StreamTemporalSpec extends SparkTestBase {
       .as[(Long, Long, Long, String)].collect().toSet
     assert(got === want)
     assert(got === Set(
-      (1L, 101L, 10L, "v1"), (1L, 102L, 20L, "v2"), (1L, 103L, 20L, "v2")))
+      (1L, 101L, 10L, "v1"), (1L, 102L, 20L, "v2"),
+      (1L, 103L, 20L, "v2"), (1L, 104L, 20L, "v2")))
   }
 
   test("composition: the upsert CDC feed drives the temporal join as its version side") { withRocksDB {
