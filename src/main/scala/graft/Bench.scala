@@ -25,6 +25,43 @@ object Bench {
     // first query
     spark.range(1000000).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
+    // untimed: the on-disk fixtures some registered queries READ (the
+    // t6/t7/t8 upsert tables) are built here so the measured window
+    // prices the read only — the fixture write is ProbeMor's job
+    SparkEntry.prepareFixtures(spark, sfDir)
+    val liRows = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // ---- canary gate (r9/r10 ask): a contended host has produced and
+    // COMMITTED bench artifacts up to 28x off the engine's real numbers.
+    // Before the suite runs, q1 (pure scan+agg, the IO-bound shape) is
+    // timed median-of-3; if its rows/s is >1.5x below the committed
+    // record's canary (BENCH_FULL.json), the run refuses to mint a
+    // record: it prints a one-line JSON with "degraded":true and exits
+    // nonzero so no harness can silently archive a garbage artifact.
+    // SPARK_GRAFT_CANARY=off skips the gate for deliberate debugging
+    // on a box known to be busy.
+    val canaryRecord: Option[Double] = {
+      val f = new java.io.File("BENCH_FULL.json")
+      if (!f.isFile) None
+      else """"q1_rows_per_sec":(\d+(\.\d+)?)""".r
+        .findFirstMatchIn(scala.io.Source.fromFile(f, "UTF-8").mkString)
+        .map(_.group(1).toDouble)
+    }
+    if (sys.env.getOrElse("SPARK_GRAFT_CANARY", "on") != "off") {
+      canaryRecord.filter(_ > 0).foreach { record =>
+        val q1 = SparkEntry.queries("q1_pricing_summary")
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          q1(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val rps = liRows / times.sorted.apply(1)
+        if (rps * 1.5 < record) {
+          println(s"""{"metric":"total","value":-1.0,"unit":"sec","degraded":true,"canary_rows_per_sec":${fmt(rps, "%.0f")},"record_rows_per_sec":${fmt(record, "%.0f")},"sf":"$sfDir","note":"host contended - q1 canary >1.5x below the committed record; no record minted"}""")
+          spark.stop()
+          sys.exit(3)
+        }
+      }
+    }
     // optional args = query names to time (iterating locally on one
     // query); the driver passes none and gets the full suite. The
     // xxh64 production twins (SparkEntry.prodVariants — same pipeline,
@@ -77,7 +114,6 @@ object Bench {
       case (k, v) if v >= 0 && SparkEntry.prodVariants.contains(k) => v }.sum
     // headline throughput: lineitem rows scanned per second on the
     // pricing-summary scan (pure scan+agg, the IO-bound shape)
-    val liRows = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val q1Sec = results.toMap.getOrElse("q1_pricing_summary", -1.0)
     val rps = if (q1Sec > 0) liRows / q1Sec else 0.0
     val trend = prevDelta(results)

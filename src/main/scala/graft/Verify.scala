@@ -24,6 +24,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // fixtures the t6/t7/t8 registrations read, built once up front
+    // (idempotent; a filtered run that skips them just wastes the build)
+    SparkEntry.prepareFixtures(spark, sfDir)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -55,36 +55,38 @@ object EventQueries extends QueryGroup {
     *
     * The global prefix-max is computed scale-safe: arrival order is cut
     * into fixed chunks, the prefix-max inside each chunk is a window
-    * PARTITIONED by chunk (parallel, no single-partition WindowExec),
-    * and each chunk's carry-in — the max over all earlier chunks — comes
-    * from a driver-side running max over the per-chunk maxima (one tiny
-    * row per chunk; at 10^12 rows and 2^20-row chunks that is ~10^6
-    * scalars), broadcast back. greatest(intra, carry) restores the exact
-    * global prefix-max. The streaming form (EventTimeOps.LateSplitter)
-    * tracks the watermark per micro-batch instead.
+    * PARTITIONED by chunk (parallel, no single-partition WindowExec over
+    * the events), and each chunk's carry-in — the max over all earlier
+    * chunks — is an EXCLUSIVE running max over the per-chunk maxima,
+    * itself a window over the chunk-level frame (one row per chunk;
+    * at 10^12 rows and 2^20-row chunks that is ~10^6 rows in one small
+    * executor-side partition — never a driver collect), broadcast-joined
+    * back. greatest(intra, carry) restores the exact global prefix-max.
+    * The streaming form (EventTimeOps.LateSplitter) tracks the watermark
+    * per micro-batch instead.
     *
-    * `chunkSize` bounds the driver-side carry-in at n/chunkSize rows:
-    * the production default 2^20 collects ~10^6 scalars at 10^12 rows.
-    * The result is chunk-size-invariant (spec-asserted) — the registered
+    * `chunkSize` bounds the chunk-level frame at n/chunkSize rows: the
+    * production default 2^20 leaves ~10^6 rows at 10^12 events. The
+    * result is chunk-size-invariant (spec-asserted) — the registered
     * sf-scale query passes 2^10 explicitly so oracle runs still span
     * many chunks. */
   def lateDataAudit(spark: SparkSession, dir: String,
                     chunkSize: Long = 1L << 20): DataFrame = {
-    import spark.implicits._
     require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
     val ev = Tables(spark, dir).events
       .select(col("event_id"), col("ts_us"),
         expr(s"event_id div $chunkSize").cast("long").as("chunk"))
     val wIntra = Window.partitionBy(col("chunk")).orderBy(col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // carry-in per chunk: running max of chunk maxima, exclusive
-    val chunkMax = ev.groupBy(col("chunk"))
+    // carry-in per chunk: running max of chunk maxima, EXCLUSIVE (null
+    // for the first chunk — no earlier chunk exists). The global-order
+    // window runs single-partition by construction, but over the
+    // chunk-level frame only — bounded by chunkSize, executor-side.
+    val wCarry = Window.orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryDf = ev.groupBy(col("chunk"))
       .agg(max(col("ts_us")).cast("long").as("m"))
-      .orderBy(col("chunk")).as[(Long, Long)].collect()
-    val carry = chunkMax.scanLeft((Long.MinValue, Option.empty[Long])) {
-      case ((_, prev), (c, m)) => (c, Some(prev.fold(m)(math.max(_, m))))
-    }.sliding(2).collect { case Array((_, prev), (c, _)) => (c, prev) }.toSeq
-    val carryDf = carry.toDF("chunk", "carry_max")
+      .select(col("chunk"), max(col("m")).over(wCarry).as("carry_max"))
     ev.join(broadcast(carryDf), Seq("chunk"), "left")
       .select(col("event_id"), col("ts_us"),
         (greatest(max(col("ts_us")).over(wIntra), col("carry_max")) - 5 * S)

@@ -49,9 +49,13 @@ object RelationalQueries extends QueryGroup {
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** TPC-H Q3-style shipping priority: 3-way join + agg + top-10.
-    * customer is broadcast (small dim); orders⋈lineitem shuffles on
-    * orderkey; top-k is a partial TakeOrderedAndProject, not a global
-    * sort. Ties broken by o_orderkey for determinism. */
+    * The mktsegment slice of customer is UNHINTED — customer scales
+    * with the corpus (a fifth of it is still corpus-sized), so AQE
+    * broadcasts the slice while it fits and shuffle-joins beyond, per
+    * the file-header rule (r10 flagged a forced broadcast here);
+    * orders⋈lineitem shuffles on orderkey; top-k is a partial
+    * TakeOrderedAndProject, not a global sort. Ties broken by
+    * o_orderkey for determinism. */
   def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val cutoff = "1998-01-01"
@@ -62,7 +66,7 @@ object RelationalQueries extends QueryGroup {
     val li = t.lineitem.filter(col("l_shipdate") > lit(cutoff))
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(dsumProd(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
       .select(col("o_orderkey"),

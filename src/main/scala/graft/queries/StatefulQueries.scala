@@ -107,67 +107,104 @@ object StatefulQueries extends QueryGroup {
         col("old_value"), col("new_value"))
   }
 
+  /** Fixture memo: the upsert tables t6/t7/t8 read are deterministic
+    * functions of the events table, so each is built ONCE per JVM per
+    * sf dir and the registered queries time/verify only the READ — the
+    * thing a 100 TB consumer pays per query. As timed in r10, the
+    * registered forms re-ran init + appends (table-sized WRITES) on
+    * every rep, so the bench rows priced the fixture, not the operator
+    * (VERDICT r10 item 3; ProbeMor owns the isolated write/read costs).
+    * [[prepareFixtures]] is the untimed entry Bench/Verify call before
+    * the measured window; a cold call from inside a query is still
+    * correct (the memo just builds on first touch). */
+  private val fixtureMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def memo(key: String)(build: => String): String =
+    fixtureMemo.computeIfAbsent(key, _ => build)
+
+  /** Build every upsert fixture this group's registered queries read —
+    * called by Bench (untimed, after warmup) and Verify (before the
+    * dump loop). Idempotent per (JVM, sf dir). */
+  def prepareFixtures(spark: SparkSession, dir: String): Unit = {
+    ensureApplied(spark, dir)
+    ensureDelta(spark, dir, "upsert-tt")
+    ensureDelta(spark, dir, "upsert-cf")
+  }
+
+  /** T6's fixture: seed an [[graft.ext.Upsert]] table from the first
+    * half of the event stream (latest row per user), apply the second
+    * half as a COW change batch ('error' events tombstone the user). */
+  private def ensureApplied(spark: SparkSession, dir: String): String =
+    memo(s"apply|$dir") {
+      val ev = Tables(spark, dir).events
+      // 1-row driver collect: the base/change split point, not data
+      val half = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+      val cols = Seq("user_id", "event_id", "ts_us", "event_type", "value")
+      val base = ev.filter(col("event_id") <= half).select(cols.map(col): _*)
+      val changes = ev.filter(col("event_id") > half).select(cols.map(col): _*)
+        .withColumn("op",
+          when(col("event_type") === "error", "D").otherwise("U"))
+      val path = graft.core.IndexStore.pathFor(spark, "upsert", dir)
+      graft.ext.Upsert.init(base, path, "user_id", Seq("ts_us", "event_id"), 16)
+      graft.ext.Upsert.applyChanges(spark, path, changes)
+      path
+    }
+
   /** T6 — the CDC MATERIALIZATION the reference's change-detection
     * job stops short of (TradeChangeDetectionJob.java emits changes;
-    * applying them is the user's next step): seed an
-    * [[graft.ext.Upsert]] table from the first half of the event
-    * stream (latest row per user), apply the second half as a change
-    * batch ('error' events tombstone the user), read the merged
-    * table back. The oracle is the declarative equivalent — latest
-    * event per user over the WHOLE stream, minus users whose latest
-    * event is a second-half error — so hash equality here proves the
-    * bucket-selective merge machinery (hash layout, per-bucket swap,
-    * delete semantics) reproduces the one-shot answer. */
+    * applying them is the user's next step): read the merged table
+    * back off [[ensureApplied]]'s fixture. The oracle is the
+    * declarative equivalent — latest event per user over the WHOLE
+    * stream, minus users whose latest event is a second-half error —
+    * so hash equality here proves the bucket-selective merge machinery
+    * (hash layout, per-bucket swap, delete semantics) reproduces the
+    * one-shot answer. The registered form times the READ (a plain
+    * committed-bucket scan, the COW fast path); the apply itself is
+    * priced by tools/ProbeMor and ProbeUpsert. */
   def upsertApply(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir).events
-    // 1-row driver collect: the base/change split point, not data
-    val half = ev.agg(max(col("event_id"))).head().getLong(0) / 2
-    val cols = Seq("user_id", "event_id", "ts_us", "event_type", "value")
-    val base = ev.filter(col("event_id") <= half).select(cols.map(col): _*)
-    val changes = ev.filter(col("event_id") > half).select(cols.map(col): _*)
-      .withColumn("op",
-        when(col("event_type") === "error", "D").otherwise("U"))
-    val path = graft.core.IndexStore.pathFor(spark, "upsert", dir)
-    graft.ext.Upsert.init(base, path, "user_id", Seq("ts_us", "event_id"), 16)
-    graft.ext.Upsert.applyChanges(spark, path, changes)
+    val path = ensureApplied(spark, dir)
     graft.ext.Upsert.readTable(spark, path).orderBy(col("user_id"))
   }
 
   /** Shared T7/T8 fixture: the event stream split into base (first
     * half) + two MOR delta appends (third and fourth quarter, 'error'
     * events tombstoning), exercising the delta timeline the snapshot
-    * and feed reads run over. Idempotent per run: init resets the
-    * table and clears committed deltas. */
-  private def buildDeltaTable(spark: SparkSession, dir: String,
-                              kind: String): String = {
-    val ev = Tables(spark, dir).events
-    // 1-row driver collect: the split points, not data
-    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
-    val h1 = maxId / 2
-    val h2 = 3 * maxId / 4
-    val cols = Seq("user_id", "event_id", "ts_us", "event_type", "value")
-    val base = ev.filter(col("event_id") <= h1).select(cols.map(col): _*)
-    def chg(lo: Long, hi: Long) = ev
-      .filter(col("event_id") > lo && col("event_id") <= hi)
-      .select(cols.map(col): _*)
-      .withColumn("op",
-        when(col("event_type") === "error", "D").otherwise("U"))
-    val path = graft.core.IndexStore.pathFor(spark, kind, dir)
-    graft.ext.Upsert.init(base, path, "user_id", Seq("ts_us", "event_id"), 16)
-    graft.ext.Upsert.appendChanges(spark, path, chg(h1, h2), deltaId = Some(0L))
-    graft.ext.Upsert.appendChanges(spark, path, chg(h2, Long.MaxValue),
-      deltaId = Some(1L))
-    path
-  }
+    * and feed reads run over. Built once per (JVM, sf dir) via the
+    * fixture memo; a rebuild is idempotent anyway (init resets the
+    * table and clears committed deltas). */
+  private def ensureDelta(spark: SparkSession, dir: String,
+                          kind: String): String =
+    memo(s"$kind|$dir") {
+      val ev = Tables(spark, dir).events
+      // 1-row driver collect: the split points, not data
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val h1 = maxId / 2
+      val h2 = 3 * maxId / 4
+      val cols = Seq("user_id", "event_id", "ts_us", "event_type", "value")
+      val base = ev.filter(col("event_id") <= h1).select(cols.map(col): _*)
+      def chg(lo: Long, hi: Long) = ev
+        .filter(col("event_id") > lo && col("event_id") <= hi)
+        .select(cols.map(col): _*)
+        .withColumn("op",
+          when(col("event_type") === "error", "D").otherwise("U"))
+      val path = graft.core.IndexStore.pathFor(spark, kind, dir)
+      graft.ext.Upsert.init(base, path, "user_id", Seq("ts_us", "event_id"), 16)
+      graft.ext.Upsert.appendChanges(spark, path, chg(h1, h2), deltaId = Some(0L))
+      graft.ext.Upsert.appendChanges(spark, path, chg(h2, Long.MaxValue),
+        deltaId = Some(1L))
+      path
+    }
 
   /** T7 — snapshot read off the merge-on-read delta timeline: the
     * table AS OF delta 0 (base + third quarter applied, final quarter
     * invisible). The oracle is the declarative equivalent — latest
     * event per user with event_id <= 3/4·max, minus users whose
     * latest is a second-delta-window error — so hash equality proves
-    * the snapshot merge excludes exactly the post-asOf delta. */
+    * the snapshot merge excludes exactly the post-asOf delta. Timed
+    * as the READ alone (base + one delta merged per key), what a
+    * snapshot consumer pays at any scale. */
   def upsertAsOf(spark: SparkSession, dir: String): DataFrame = {
-    val path = buildDeltaTable(spark, dir, "upsert-tt")
+    val path = ensureDelta(spark, dir, "upsert-tt")
     graft.ext.Upsert.readTableAsOf(spark, path, 0L).orderBy(col("user_id"))
   }
 
@@ -175,7 +212,7 @@ object StatefulQueries extends QueryGroup {
     * delta (0, 1] with the winning op attached, priced at the delta
     * dirs alone (the base never enters the plan — PLANS.md). */
   def upsertChangeFeed(spark: SparkSession, dir: String): DataFrame = {
-    val path = buildDeltaTable(spark, dir, "upsert-cf")
+    val path = ensureDelta(spark, dir, "upsert-cf")
     graft.ext.Upsert.changeFeed(spark, path, 0L, 1L).orderBy(col("user_id"))
   }
 

@@ -8,10 +8,13 @@ package graft
   */
 class PlanQualitySpec extends SparkTestBase {
 
-  private lazy val plans: Map[String, String] =
+  private lazy val qes: Map[String, org.apache.spark.sql.execution.QueryExecution] =
     SparkEntry.queries.map { case (name, fn) =>
-      name -> fn(spark, sf()).queryExecution.executedPlan.toString
+      name -> fn(spark, sf()).queryExecution
     }
+
+  private lazy val plans: Map[String, String] =
+    qes.map { case (name, qe) => name -> qe.executedPlan.toString }
 
   /** Pairwise scans that intentionally broadcast a small side into a
     * non-equi join — plus x_tfidf_topk, whose "nested loop" is a 1-row
@@ -56,11 +59,17 @@ class PlanQualitySpec extends SparkTestBase {
   }
 
   test("w5 audit windows are partitioned (no single-partition WindowExec)") {
-    // the chunked prefix-max keeps every window PARTITION BY chunk; a
-    // regression to the global form would show a windowspecdefinition
-    // whose partition spec is empty
+    // the chunked prefix-max keeps the EVENT-level window PARTITION BY
+    // chunk (the carry window over the chunk-level frame is global by
+    // construction, but bounded at n/chunkSize rows)
     val w = plans("w5_late_data_audit")
     assert(w.contains("chunk"), "w5 lost its chunked window")
+    // the carry-in is computed executor-side (a window over the
+    // chunk-level frame), never collected to the driver — a regression
+    // to the collect+scanLeft form shows up as a LocalTableScan of
+    // driver-built rows
+    assert(!w.contains("LocalTableScan"),
+      "w5 carry regressed to a driver-side collect (LocalTableScan)")
   }
 
   test("q_topk_per_key plans with the custom exec, not a rank window") {
@@ -78,5 +87,81 @@ class PlanQualitySpec extends SparkTestBase {
   test("top-k queries use TakeOrderedAndProject, not a global sort+limit") {
     for (q <- Seq("q3_shipping_priority", "q_top_customers"))
       assert(plans(q).contains("TakeOrderedAndProject"), s"$q lost top-k")
+  }
+
+  /** The file-header rule of RelationalQueries, encoded: a FORCED
+    * broadcast (an explicit `broadcast()` hint surviving into the
+    * optimized plan) whose subtree scans a corpus-scaled table RAW —
+    * no aggregate/limit/sample collapsing its cardinality between the
+    * scan and the hint — is a multi-GB driver-side build at 100x and
+    * the exact anti-pattern r9 purged from q5/q8/q9 and r10 found
+    * reintroduced in q3. Size-CHOSEN broadcasts (AQE / stats at small
+    * SF) are fine and not flagged: only the hint forces the plan at
+    * every scale. region/nation are true dimensions and always
+    * allowed. */
+  private def forcedCorpusBroadcasts(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    // the five corpus-scaled TPC-H carriers (the verdict's list).
+    // events/documents/embeddings are deliberately NOT here: the
+    // pairwise similarity registrations broadcast fixed-cardinality
+    // probe SLICES of them (vec_id < 16 — bounded at any corpus size),
+    // which a path-level detector cannot tell from a scaling slice;
+    // those plans are individually adjudicated in intendedBnlj above.
+    val corpus = Set("customer", "orders", "lineitem", "part", "supplier")
+    def rawCorpusScan(p: LogicalPlan): Option[String] = {
+      val shrunk = p.exists {
+        case _: Aggregate | _: GlobalLimit | _: Sample => true
+        case _ => false
+      }
+      if (shrunk) None
+      else p.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case r: HadoopFsRelation => r.location.rootPaths.toSeq.flatMap(rp =>
+            corpus.find(t => rp.getName == s"$t.parquet" ||
+              rp.toString.contains(s"/$t.parquet")))
+          case _ => Nil
+        }
+      }.flatten.headOption
+    }
+    plan.collect {
+      case j: Join =>
+        val sides = Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right)
+        sides.flatMap { case (h, side) =>
+          if (h.exists(_.strategy.contains(BROADCAST))) rawCorpusScan(side)
+          else None
+        }
+    }.flatten
+  }
+
+  test("no registered plan force-broadcasts a corpus-scaled table") {
+    val offenders = qes.toSeq.flatMap { case (name, qe) =>
+      forcedCorpusBroadcasts(qe.optimizedPlan).map(t => s"$name($t)")
+    }
+    assert(offenders.isEmpty,
+      s"forced corpus-table broadcasts (file-header rule): $offenders")
+  }
+
+  test("the forced-broadcast detector rejects a deliberately hinted probe") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val t = graft.sources.Tables(spark, sf())
+    // capture each accessor once: every Tables call builds a fresh plan
+    val (li, cust, nat, reg) = (t.lineitem, t.customer, t.nation, t.region)
+    val bad = li.join(
+      broadcast(cust.filter(col("c_mktsegment") === "BUILDING")),
+      li("l_orderkey") === cust("c_custkey"))
+    assert(forcedCorpusBroadcasts(bad.queryExecution.optimizedPlan)
+        .contains("customer"),
+      "detector missed a forced broadcast of a filtered customer slice")
+    // and the allowed shapes stay allowed: a broadcast 1-row aggregate
+    val okAgg = li.join(broadcast(cust.groupBy().count()))
+    assert(forcedCorpusBroadcasts(okAgg.queryExecution.optimizedPlan).isEmpty,
+      "detector flagged a 1-row aggregate broadcast")
+    // ...and a broadcast true dimension
+    val okDim = nat.join(broadcast(reg),
+      nat("n_regionkey") === reg("r_regionkey"))
+    assert(forcedCorpusBroadcasts(okDim.queryExecution.optimizedPlan).isEmpty,
+      "detector flagged a region/nation dimension broadcast")
   }
 }
