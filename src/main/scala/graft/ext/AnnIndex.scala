@@ -186,6 +186,61 @@ object AnnIndex {
       .select(lit("v").as("kind"), col("vec_id").as("id"),
         col("sv"), col("nrm"), col("cell"))
       .write.mode("append").parquet(path)
+    writePending(spark, path, pendingAppends(spark, path) + 1)
+  }
+
+  /** Batches appended since the quantizer was last (re)built — the
+    * cadence counter [[appendAndMaybeCompact]] compacts against.
+    * Sidecar-stored (underscore-prefixed, scan-invisible), absent = 0:
+    * [[write]]/[[compact]] produce a fresh artifact with no counter,
+    * which IS the reset. Single-maintainer like the rest of the
+    * maintenance API; a torn counter degrades to 0 (one delayed
+    * compaction), never to a wrong query answer. */
+  private val PendingFile = "_graft_ann_pending"
+  def pendingAppends(spark: SparkSession, path: String): Int = {
+    val f = new org.apache.hadoop.fs.Path(path, PendingFile)
+    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(f)) 0
+    else {
+      val in = fs.open(f)
+      val raw = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+        finally in.close()
+      scala.util.Try(raw.toInt).getOrElse(0)
+    }
+  }
+  private def writePending(spark: SparkSession, path: String, n: Int): Unit = {
+    val f = new org.apache.hadoop.fs.Path(path, PendingFile)
+    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(f, true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** [[append]] with the MEASURED maintenance cadence built in — the
+    * policy the upsert table's deltaAppender already has
+    * ([[graft.streaming.StreamUpsert]]): append the batch, and once
+    * `compactEvery` batches have accumulated since the last quantizer
+    * build, run [[compact]]. Returns true when this call compacted.
+    *
+    * Sizing (tools/ProbeAnnCadence, BASELINE.md round-11): an appended
+    * batch costs the index nothing at query time until occupancy
+    * drifts — the tax is RECALL decay plus cell imbalance, not
+    * per-file seconds (contrast the upsert table's flat ~0.03 s/delta
+    * read tax) — so the cadence is sized from the probe's recall
+    * ladder, not a latency target. Callers holding a RUNNING
+    * [[graft.streaming.StreamAnn]] screen: a cadence compaction
+    * changes the quantizer generation and fails that stream loud at
+    * its next batch (by design — restart to adopt the new quantizer);
+    * pick compactEvery to align with planned restarts, or 0 to keep
+    * maintenance fully manual. */
+  def appendAndMaybeCompact(emb: DataFrame, path: String,
+                            compactEvery: Int, lloydIters: Int = 1): Boolean = {
+    require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
+    append(emb, path)
+    val spark = emb.sparkSession
+    val due = compactEvery > 0 && pendingAppends(spark, path) >= compactEvery
+    if (due) compact(spark, path, lloydIters)
+    due
   }
 
   /** The centroid-drift rewrite: re-run the quantizer over the index's

@@ -226,9 +226,32 @@ object Upsert {
   /** Apply one change batch: `changes` carries the table's data
     * columns plus `opCol` ("U" upsert / "D" delete). Only the buckets
     * the change keys hash into are read or rewritten; winning
-    * tombstones are stored (see the class doc's revive note). */
+    * tombstones are stored (see the class doc's revive note).
+    *
+    * REFUSED while merge-on-read deltas are pending (the same guard
+    * [[rescale]] applies): the merged read ranks base at _src=0 and
+    * deltas above it, so a COW write under standing deltas is SHADOWED
+    * by any delta row on ordering ties — and the write mutates the
+    * base without moving the compaction horizon, so a still-allowed
+    * [[readTableAsOf]] would silently serve post-snapshot state as
+    * history. Fold the deltas first ([[compactDeltas]]) or stay in
+    * one write mode per table epoch. */
   def applyChanges(spark: SparkSession, path: String, changes: DataFrame,
                    opCol: String = "op"): Unit = {
+    require(deltas(spark, path).isEmpty,
+      s"applyChanges at $path with pending merge-on-read deltas would be " +
+        "shadowed by delta rows on ordering ties and would corrupt asOf " +
+        "snapshots - run compactDeltas first (COW and MOR writes do not mix)")
+    applyChangesUnchecked(spark, path, changes, opCol)
+  }
+
+  /** [[compactDeltas]]' entry: the fold itself runs while the delta
+    * dirs still exist (they are removed after), which is exactly the
+    * state the public guard refuses. package-private so the crash-window
+    * spec (UpsertMorSpec) can induce fold-done-deletes-pending by hand. */
+  private[graft] def applyChangesUnchecked(spark: SparkSession, path: String,
+                                           changes: DataFrame,
+                                           opCol: String = "op"): Unit = {
     val spec = readSpec(spark, path)
     // persisted: the batch feeds TWO actions (bucket discovery, then
     // the staging write), and a nondeterministic source recomputed
@@ -238,9 +261,16 @@ object Upsert {
       .withColumn("bucket", bucketOf(spec))
       .persist()
     try {
-      // bounded driver collect: at most n bucket ids (n <= 4096)
-      val touched = chg.select("bucket").distinct()
-        .collect().map(_.getInt(0)).sorted
+      // bounded driver collect: at most n bucket ids (n <= 4096).
+      // A NULL key hashes to a NULL bucket — without the loud check it
+      // would land in Hive's default-partition dir and either NPE the
+      // getInt below or silently fall out of the swap set.
+      val touchedRows = chg.select("bucket").distinct().collect()
+      require(!touchedRows.exists(_.isNullAt(0)),
+        s"change batch for $path carries NULL values in key column " +
+          s"'${spec.keyCol}' - null keys are unroutable (no bucket) and " +
+          "refused rather than silently dropped")
+      val touched = touchedRows.map(_.getInt(0)).sorted
       if (touched.isEmpty) return
       val f = fs(spark, new Path(path))
       val existing = touched.map(i => s"$path/bucket=$i")
@@ -280,6 +310,12 @@ object Upsert {
       .withColumn("bucket", bucketOf(spec))
       .persist() // one logical batch even if the commit below retries
     try {
+      // same null-key contract as applyChanges, enforced at WRITE time:
+      // a null key stored in a delta would surface as an unroutable row
+      // in every later merge/fold. One limit-1 probe on the cached batch.
+      require(chg.filter(col(spec.keyCol).isNull).isEmpty,
+        s"change batch for $path carries NULL values in key column " +
+          s"'${spec.keyCol}' - null keys are unroutable and refused")
       // Deltas get their own commit instead of IndexStore.ensure, for
       // one reason: ensure's scratch is the VISIBLE sibling
       // `delta=<id>.build-*`, which a `delta=*` glob consumer
@@ -378,7 +414,7 @@ object Upsert {
       .agg(max_by(struct(cols.map(col): _*),
         struct((spec.orderCols :+ "_pri").map(col): _*)).as("_w"))
       .select(col("_w.*"))
-    applyChanges(spark, path, winners)
+    applyChangesUnchecked(spark, path, winners, "op")
     val f = fs(spark, new Path(path))
     ids.foreach(id => f.delete(new Path(s"$path/delta=$id"), true))
     spark.catalog.refreshByPath(path)
@@ -485,8 +521,11 @@ object Upsert {
   /** Remove crash-orphaned work dirs around the table: `*.build-*`
     * scratches (a killed [[graft.core.IndexStore]] replace on a
     * bucket dir), hidden `.delta-build-*` scratches (a killed
-    * [[appendChanges]]) and `<table>.stage-*` staging dirs (a killed
-    * [[applyChanges]] before its finally) older than `graceMs`. The
+    * [[appendChanges]]), `<table>.stage-*` staging dirs (a killed
+    * [[applyChanges]] before its finally) and `*.stale-*` asides (a
+    * killed `IndexStore.ensure` between renaming a marker-less
+    * partial aside and deleting it — by construction an UNCOMMITTED
+    * partial, unlike `.old-*`) older than `graceMs`. The
     * grace period is what makes this safe to run beside live writers —
     * a scratch younger than the longest plausible write is left alone.
     * `.old-*` aside dirs are NEVER touched: replace preserves one only
@@ -499,7 +538,7 @@ object Upsert {
     val root = new Path(path)
     val f = fs(spark, root)
     val cutoff = System.currentTimeMillis() - graceMs
-    val orphan = "(\\.delta-build-[0-9a-f]{8}|.*\\.(build|stage)-[0-9a-f]{8})".r
+    val orphan = "(\\.delta-build-[0-9a-f]{8}|.*\\.(build|stage|stale)-[0-9a-f]{8})".r
     def sweep(dir: Path, prefix: String): Long =
       if (!f.exists(dir)) 0L
       else f.listStatus(dir).toSeq.count { s =>

@@ -35,20 +35,31 @@ object StreamRules {
     * marked); a trigger landing inside it must WAIT, not kill the
     * stream — a loud fail here terminates the whole query and stops
     * alerting until a manual restart, the opposite of the module's
-    * no-restart contract. Bounded by the same session conf as
+    * no-restart contract. The RETRY wraps the read itself, not a
+    * pre-poll: an isCommitted probe that succeeds and then a read — the
+    * first cut here — leaves a TOCTOU window where a swap landing
+    * between the two still killed the query, the exact failure the
+    * grace exists to absorb. Bounded by the same session conf as
     * IndexStore's publish grace; loud only if no committed rule set
     * appears within it (genuinely missing ≠ mid-swap). */
   def currentRules(spark: SparkSession, rulesPath: String): DataFrame = {
     val graceMs = spark.conf
       .get("spark.graft.index.publishGraceMs", "2000").toLong
     val deadline = System.currentTimeMillis() + graceMs
-    while (!graft.core.IndexStore.isCommitted(spark, rulesPath) &&
-           System.currentTimeMillis() < deadline) {
-      Thread.sleep(50)
+    while (true) {
+      spark.catalog.refreshByPath(rulesPath)
+      try {
+        return graft.core.IndexStore.read(spark, rulesPath, "rule set",
+          "IndexStore.replace (see StreamRules)")
+      } catch {
+        case e: IllegalArgumentException =>
+          // uncommitted (mid-swap or genuinely missing): re-poll until
+          // the deadline, then propagate the loud failure as-is
+          if (System.currentTimeMillis() >= deadline) throw e
+          Thread.sleep(50)
+      }
     }
-    spark.catalog.refreshByPath(rulesPath)
-    graft.core.IndexStore.read(spark, rulesPath, "rule set",
-      "IndexStore.replace (see StreamRules)")
+    throw new IllegalStateException("unreachable")
   }
 
   /** Flag the rows of `batch` that meet or exceed their key's

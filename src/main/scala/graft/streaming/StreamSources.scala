@@ -27,6 +27,25 @@ object StreamSources {
     else
       ("kafka", Map("kafka.bootstrap.servers" -> bootstrap))
 
+  /** The COMPLETE (format, reader options) a [[kafkaRecords]] call
+    * resolves to — the swap-in contract with the reference's source
+    * builder (TradeChangeDetectionJob.java:30-37: setBootstrapServers /
+    * setTopics / setGroupId / OffsetsInitializer.earliest), exposed so
+    * `KafkaContractSpec` can pin the REAL-broker branch as an
+    * option-map golden. The spark-sql-kafka jar cannot resolve in this
+    * container (zero egress), so the one thing a test can verify about
+    * that branch is that the options handed to
+    * `readStream.format("kafka")` are exactly the documented mapping —
+    * pinned by a spec instead of trusted to a comment. */
+  private[graft] def kafkaPlan(bootstrap: String, topic: String,
+      groupId: Option[String] = None): (String, Map[String, String]) = {
+    val (fmt, opts) = kafkaFormat(bootstrap)
+    val base = opts +
+      ("subscribe" -> topic) +
+      ("startingOffsets" -> "earliest")
+    (fmt, groupId.fold(base)(g => base + ("kafka.group.id" -> g)))
+  }
+
   /** S4 — Kafka topic values as UTF-8 strings from earliest offset
     * (ref KafkaSource builder, TradeChangeDetectionJob.java:31-41).
     * One Spark input partition per Kafka partition; offsets are tracked
@@ -40,11 +59,8 @@ object StreamSources {
     * basis for stateful folds downstream. */
   def kafkaRecords(spark: SparkSession, bootstrap: String, topic: String,
                    groupId: Option[String] = None): DataFrame = {
-    val (fmt, opts) = kafkaFormat(bootstrap)
-    val base = spark.readStream.format(fmt).options(opts)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-    groupId.fold(base)(g => base.option("kafka.group.id", g))
+    val (fmt, opts) = kafkaPlan(bootstrap, topic, groupId)
+    spark.readStream.format(fmt).options(opts)
       .load()
       .selectExpr("CAST(value AS STRING) AS value", "partition", "offset")
   }

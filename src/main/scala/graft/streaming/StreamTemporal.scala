@@ -58,6 +58,10 @@ private[streaming] final case class PendingProbe(probeId: Long, tsMs: Long)
   * drop), so any older version is beaten by that newest-visible one
   * for every probe still to come. Per key the steady state is one
   * version plus the in-horizon churn, never the version history.
+  * The prune runs from BOTH sides' timers: probe timers, and a
+  * cleanup timer registered on version arrival — so a key that only
+  * ever receives versions (no probes) still converges to its one
+  * dominant version instead of hoarding history.
   */
 object StreamTemporal {
 
@@ -75,16 +79,27 @@ object StreamTemporal {
 
     override def handleInputRows(key: Long, rows: Iterator[TemporalIn],
                                  timers: TimerValues): Iterator[TemporalMatch] = {
+      var maxVersionTs = Long.MinValue
       rows.foreach { r =>
-        if (r.isVersion)
+        if (r.isVersion) {
           versions.appendValue(VersionRec(r.ts.getTime, r.versionId, r.payload))
-        else {
+          maxVersionTs = math.max(maxVersionTs, r.ts.getTime)
+        } else {
           pending.appendValue(PendingProbe(r.probeId, r.ts.getTime))
           // fires once the watermark passes the probe's time — at that
           // point no version with ts <= probe.ts can still arrive
           getHandle.registerTimer(r.ts.getTime + 1)
         }
       }
+      // cleanup timer for VERSION-ONLY keys (one per batch, at the
+      // batch's newest version ts): without it the dominance prune in
+      // handleExpiredTimer never runs for a key that receives versions
+      // but no probes, and that key would accumulate its entire version
+      // history — the unbounded-state hole the class doc's bound must
+      // actually hold against. Probe timers already cover mixed keys;
+      // a duplicate expiry timestamp is a no-op in the timer registry.
+      if (maxVersionTs != Long.MinValue)
+        getHandle.registerTimer(maxVersionTs + 1)
       Iterator.empty
     }
 

@@ -80,6 +80,42 @@ class AnnIndexSpec extends SparkTestBase {
     graft.core.CacheScope.releaseAll()
   }
 
+  test("appendAndMaybeCompact fires the rebuild exactly at the cadence and resets the counter") {
+    val path = freshPath()
+    val slices = (0 to 3).map(i => emb.filter(col("vec_id") % 4 === i))
+    AnnIndex.write(slices(0), path)
+    val gen0 = AnnIndex.generation(spark, path)
+    assert(AnnIndex.pendingAppends(spark, path) === 0,
+      "a fresh build starts with no pending appends")
+    // below the cadence: plain appends — counter advances, quantizer
+    // generation untouched (consumers holding centroids stay valid)
+    assert(!AnnIndex.appendAndMaybeCompact(slices(1), path, compactEvery = 3))
+    assert(!AnnIndex.appendAndMaybeCompact(slices(2), path, compactEvery = 3))
+    assert(AnnIndex.pendingAppends(spark, path) === 2)
+    assert(AnnIndex.generation(spark, path) === gen0,
+      "sub-cadence appends must not bump the generation")
+    // at the cadence: the append lands AND the quantizer rebuilds —
+    // fresh generation, counter reset (absent sidecar = 0)
+    assert(AnnIndex.appendAndMaybeCompact(slices(3), path, compactEvery = 3))
+    assert(AnnIndex.pendingAppends(spark, path) === 0,
+      "compaction must reset the cadence counter")
+    assert(AnnIndex.generation(spark, path) !== gen0,
+      "the cadence compaction must commit a new quantizer generation")
+    // and the auto-compacted artifact IS the from-scratch build over
+    // everything ingested (quantizer determinism — recall after the
+    // cadence rebuild is exactly the designed-index recall, the
+    // drift-bound the maintenance exists to enforce)
+    val fresh = freshPath()
+    AnnIndex.write(emb, fresh)
+    assertSameIndex(AnnIndex.read(spark, path), AnnIndex.read(spark, fresh))
+    // compactEvery = 0 keeps maintenance fully manual
+    AnnIndex.appendAndMaybeCompact(
+      emb.filter(col("vec_id") % 50 === 0).limit(3)
+        .withColumn("vec_id", -col("vec_id") - 1), path, compactEvery = 0)
+    assert(AnnIndex.pendingAppends(spark, path) === 1)
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("nprobe widens the scan monotonically; nprobe = k IS brute force") {
     import graft.ext.Similarity
     import graft.queries.SimilarityQueries.snapped

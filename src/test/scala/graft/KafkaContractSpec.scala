@@ -146,4 +146,34 @@ class KafkaContractSpec extends SparkTestBase {
     assert(o.json() === """{"trades":{"0":12,"1":7}}""")
     assert(KafkaMock.parseOffsets(o.json()) === Map(0 -> 12L, 1 -> 7L))
   }
+
+  test("real-broker branch resolves the exact reference option map (swap-in golden)") {
+    // TradeChangeDetectionJob.java:30-37 builds its source with
+    // setBootstrapServers("broker:29092") / setTopics("trades") /
+    // setGroupId("trade-change-detector") / OffsetsInitializer
+    // .earliest(). The spark-sql-kafka jar cannot load here (zero
+    // egress), so the swap-in claim is pinned where it CAN be: the
+    // (format, options) kafkaRecords hands readStream must be exactly
+    // the documented mapping of that builder.
+    val (fmt, opts) = graft.streaming.StreamSources.kafkaPlan(
+      "broker:29092", "trades", Some("trade-change-detector"))
+    assert(fmt === "kafka")
+    assert(opts === Map(
+      "kafka.bootstrap.servers" -> "broker:29092",
+      "subscribe"               -> "trades",
+      "startingOffsets"         -> "earliest",
+      "kafka.group.id"          -> "trade-change-detector"))
+    // without a group id the option is absent, not empty
+    val (_, noGroup) = graft.streaming.StreamSources.kafkaPlan(
+      "broker:29092", "trades")
+    assert(!noGroup.contains("kafka.group.id"))
+    // and the mock branch routes to the in-repo DSv2 broker with the
+    // same subscribe/offset options, so topology downstream is shared
+    val (mockFmt, mockOpts) = graft.streaming.StreamSources.kafkaPlan(
+      "mock:/tmp/broker", "trades")
+    assert(mockFmt === "graft-kafka")
+    assert(mockOpts(KafkaMock.BrokerDirKey) === "/tmp/broker")
+    assert(mockOpts("subscribe") === "trades")
+    assert(mockOpts("startingOffsets") === "earliest")
+  }
 }

@@ -130,6 +130,37 @@ class StreamAnnSpec extends SparkTestBase {
       "restarted stream must equal the batch screen over the new index")
   }
 
+  test("a cadence compaction under maintained ingest: restarted screen equals a from-scratch consumer") {
+    // the maintenance loop a production ingest runs: appendAndMaybeCompact
+    // per batch, cadence sized from ProbeAnnCadence's recall ladder
+    // (BASELINE.md round-11). The claim a stream consumer cares about:
+    // after the cadence fires and the query is restarted (the generation
+    // guard forces that restart — spec above), the screen is
+    // INDISTINGUISHABLE from one running against a from-scratch index
+    // over everything ingested; recall is the designed-index recall,
+    // not a drifted artifact's.
+    val path = freshPath()
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+    AnnIndex.write(emb.filter(col("vec_id") % 2 === 0), path)
+    val batches = (0 to 2).map(i => odd.filter(col("vec_id") % 3 === i))
+    assert(!AnnIndex.appendAndMaybeCompact(batches(0), path, compactEvery = 3))
+    assert(!AnnIndex.appendAndMaybeCompact(batches(1), path, compactEvery = 3))
+    assert(AnnIndex.appendAndMaybeCompact(batches(2), path, compactEvery = 3),
+      "third batch must fire the cadence")
+    val probeRows = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq.take(24)
+    val maintained = runStream(probeRows, path, 0.2, 1)
+    graft.core.CacheScope.releaseAll()
+    val fresh = freshPath()
+    AnnIndex.write(emb, fresh)
+    val scratchBuilt = runStream(probeRows, fresh, 0.2, 1)
+    graft.core.CacheScope.releaseAll()
+    assert(maintained === scratchBuilt,
+      "maintained index must serve exactly the from-scratch screen")
+    assert(maintained.nonEmpty, "degenerate fixture")
+  }
+
   test("nprobe widens the emitted candidate set monotonically") {
     val path = freshPath()
     AnnIndex.write(emb.filter(col("vec_id") % 5 =!= 0), path)

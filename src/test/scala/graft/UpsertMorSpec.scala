@@ -70,9 +70,17 @@ class UpsertMorSpec extends SparkTestBase {
     Upsert.appendChanges(spark, p, Seq((1L, 10L, "a1", "U"), (3L, 10L, "c1", "U"))
       .toDF("k", "ts", "v", "op"))
     val before = state(p)
+    // the PUBLIC apply refuses while deltas are pending (a COW write
+    // under standing deltas is shadowed on ordering ties and corrupts
+    // asOf reads) — the crash window below must go through the
+    // internal entry compactDeltas itself uses
+    intercept[IllegalArgumentException] {
+      Upsert.applyChanges(spark, p, Seq((1L, 10L, "a1", "U"))
+        .toDF("k", "ts", "v", "op"))
+    }
     // induce the crash window by hand: fold into the base exactly as
     // compactDeltas does, but leave the delta dirs in place
-    Upsert.applyChanges(spark, p, Seq((1L, 10L, "a1", "U"), (3L, 10L, "c1", "U"))
+    Upsert.applyChangesUnchecked(spark, p, Seq((1L, 10L, "a1", "U"), (3L, 10L, "c1", "U"))
       .toDF("k", "ts", "v", "op"))
     assert(Upsert.deltas(spark, p).nonEmpty, "window: base folded, deltas remain")
     assert(state(p) === before, "deltas over the folded base must re-merge to the same table")
