@@ -1,0 +1,184 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraints over a table, verified in ONE
+  * aggregation pass — the validation gate a training-data pipeline
+  * runs before a corpus snapshot is allowed anywhere near a tokenizer
+  * (the Deequ/expectations pattern, re-expressed Spark-first).
+  *
+  * Design rules, in scale order:
+  *  - ONE job for the whole check set. Every constraint compiles to an
+  *    aggregate expression over the same scan; N constraints never
+  *    cost N passes. (Uniqueness constraints add Catalyst's
+  *    multi-distinct Expand to that one pass — rows multiply by the
+  *    distinct-column count +1, but the table is still read once.)
+  *  - INTEGER verdict math. A constraint's threshold is per-mille
+  *    (`minPerMille`), and pass = ok*1000 >= minPerMille*total in
+  *    BIGINT arithmetic — no float ratio ever computed, so the same
+  *    report hashes identically in any engine (a 0.95*total double
+  *    threshold rounds differently across engines at some counts).
+  *  - Row-level constraints double as STREAMING counters: the same
+  *    ok-expressions ride `observe()` on a live stream, so a
+  *    micro-batch's quality surfaces in StreamingQueryProgress with
+  *    zero extra jobs ([[observed]]).
+  *
+  * The check vocabulary (all BIGINT ok-counts over non-null semantics
+  * stated per check):
+  *  - complete(c): rows where c IS NOT NULL
+  *  - unique(c): distinct values of c (pass compares against total —
+  *    a fully-unique column has ok == total; nulls are not counted,
+  *    in both engines)
+  *  - bounds(c, lo, hi): rows with c between lo and hi (nulls fail)
+  *  - inSet(c, allowed): rows whose c is one of allowed (nulls fail)
+  *  - matches(c, regex): rows whose c rlike regex (nulls fail; keep
+  *    the regex in the POSIX-ish common core — Spark is java.util
+  *    .regex, DuckDB is RE2, and exotic syntax diverges)
+  *  - minLength(c, n): rows with length(c) >= n (nulls fail)
+  *
+  * Output schema (one row per check, deterministic order by
+  * (check, col_name) for the oracle): check STRING, col_name STRING,
+  * min_per_mille BIGINT, ok BIGINT, total BIGINT, pass BOOLEAN.
+  */
+object Quality {
+
+  /** One declarative constraint: `okExpr` must be an aggregate Column
+    * counting the rows (or distinct values) that satisfy it, and
+    * `sql` its DuckDB-exact twin — carried together so the oracle can
+    * never drift from the plan ([[profileSql]] assembles it). */
+  final case class DqCheck(kind: String, column: String,
+                           minPerMille: Int, okExpr: Column, sql: String,
+                           rowLevel: Option[Column]) {
+    require(minPerMille >= 0 && minPerMille <= 1000,
+      s"minPerMille must be in [0,1000], got $minPerMille")
+  }
+
+  def complete(c: String, minPerMille: Int = 1000): DqCheck =
+    DqCheck("complete", c, minPerMille,
+      count(col(c)),
+      s"COUNT($c)",
+      Some(col(c).isNotNull))
+
+  def unique(c: String, minPerMille: Int = 1000): DqCheck =
+    DqCheck("unique", c, minPerMille,
+      countDistinct(col(c)),
+      s"COUNT(DISTINCT $c)",
+      None) // global property — no row-level form
+
+  def bounds(c: String, lo: Long, hi: Long, minPerMille: Int = 1000): DqCheck =
+    DqCheck("bounds", c, minPerMille,
+      count(when(col(c).between(lo, hi), 1)),
+      s"COUNT(*) FILTER ($c BETWEEN $lo AND $hi)",
+      Some(col(c).between(lo, hi)))
+
+  def inSet(c: String, allowed: Seq[String], minPerMille: Int = 1000): DqCheck = {
+    val quoted = allowed.map(v => "'" + v.replace("'", "''") + "'")
+    DqCheck("in_set", c, minPerMille,
+      count(when(col(c).isin(allowed: _*), 1)),
+      s"COUNT(*) FILTER ($c IN (${quoted.mkString(", ")}))",
+      Some(col(c).isin(allowed: _*)))
+  }
+
+  def matches(c: String, regex: String, minPerMille: Int = 1000): DqCheck =
+    DqCheck("matches", c, minPerMille,
+      count(when(col(c).rlike(regex), 1)),
+      s"COUNT(*) FILTER (regexp_matches($c, '$regex'))",
+      Some(col(c).rlike(regex)))
+
+  def minLength(c: String, n: Int, minPerMille: Int = 1000): DqCheck =
+    DqCheck("min_length", c, minPerMille,
+      count(when(length(col(c)) >= n, 1)),
+      s"COUNT(*) FILTER (LENGTH($c) >= $n)",
+      Some(length(col(c)) >= n))
+
+  /** The quality report: one aggregation pass over `df`, one output
+    * row per check. Sorted by (check, col_name) so the report is a
+    * deterministic, oracle-hashable table (presentation sort over
+    * |checks| rows — nothing corpus-sized is ever ordered). */
+  def profile(df: DataFrame, checks: Seq[DqCheck]): DataFrame = {
+    require(checks.nonEmpty, "empty check set")
+    val aggs = count(lit(1)).cast("long").as("__total") +:
+      checks.zipWithIndex.map { case (c, i) =>
+        c.okExpr.cast("long").as(s"__ok$i") }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    row.select(
+        posexplode(array(checks.indices.map(i => col(s"__ok$i")): _*))
+          .as(Seq("__pos", "ok")),
+        col("__total").as("total"))
+      .select(
+        element_at(typedlit(checks.map(_.kind)), col("__pos") + 1)
+          .as("check"),
+        element_at(typedlit(checks.map(_.column)), col("__pos") + 1)
+          .as("col_name"),
+        element_at(typedlit(checks.map(_.minPerMille.toLong)), col("__pos") + 1)
+          .as("min_per_mille"),
+        col("ok"), col("total"),
+        (col("ok") * 1000 >=
+          element_at(typedlit(checks.map(_.minPerMille.toLong)), col("__pos") + 1)
+            * col("total")).as("pass"))
+      .orderBy(col("check"), col("col_name"))
+  }
+
+  /** The DuckDB twin of [[profile]] over table `table`, assembled from
+    * the SAME check list so plan and oracle cannot drift. */
+  def profileSql(table: String, checks: Seq[DqCheck]): String = {
+    val okCols = checks.zipWithIndex
+      .map { case (c, i) => s"${c.sql} AS ok$i" }.mkString(",\n    ")
+    // "check" must be quoted: it is a reserved word in DuckDB
+    val rows = checks.zipWithIndex.map { case (c, i) =>
+      s"""SELECT '${c.kind}' AS "check", '${c.column}' AS col_name, """ +
+        s"CAST(${c.minPerMille} AS BIGINT) AS min_per_mille, " +
+        s"CAST(ok$i AS BIGINT) AS ok, total, " +
+        s"ok$i * 1000 >= ${c.minPerMille} * total AS pass FROM t"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+       |    $okCols
+       |  FROM $table
+       |)
+       |$rows
+       |ORDER BY "check", col_name""".stripMargin
+  }
+
+  /** Row-level violations with reasons — the quarantine feed: every
+    * row failing at least one row-level check (global checks like
+    * `unique` have no row form and are skipped), with the failed
+    * check kinds as a deterministic comma-joined string. A pure
+    * projection + filter over the scan: no shuffle, no aggregation —
+    * the shape that lets a 100 TB validation write its quarantine
+    * split in the same pass that reads the corpus. */
+  def violations(df: DataFrame, checks: Seq[DqCheck],
+                 keyCols: Seq[String]): DataFrame = {
+    val rowChecks = checks.flatMap(c => c.rowLevel.map(p => (c, p)))
+    require(rowChecks.nonEmpty, "no row-level checks in the set")
+    val reasons = array(rowChecks.map { case (c, p) =>
+      when(!coalesce(p, lit(false)), s"${c.kind}(${c.column})")
+    }: _*)
+    df.select(keyCols.map(col) :+
+        array_compact(reasons).as("__reasons"): _*)
+      .filter(size(col("__reasons")) > 0)
+      .withColumn("reasons", array_join(array_sort(col("__reasons")), ","))
+      .drop("__reasons")
+  }
+
+  /** The STREAMING face: the same row-level ok-counts as free
+    * `observe()` counters on a live frame — per micro-batch via
+    * `StreamingQueryProgress.observedMetrics(name)`, zero extra jobs.
+    * Metric names are `ok_<kind>_<column>` plus `total`. NAME-based
+    * observe, not an [[Observation]] handle: Observation refuses
+    * streaming Datasets by design (one handle, many micro-batches) —
+    * the progress event is the per-batch channel. Global checks
+    * (unique) are skipped: observe() forbids distinct aggregates, and
+    * a per-batch distinct is not the constraint anyway — run
+    * [[profile]] on the materialized table for those. */
+  def observed(df: DataFrame, checks: Seq[DqCheck],
+               name: String = "dq"): DataFrame = {
+    val rowChecks = checks.flatMap(c => c.rowLevel.map(p => (c, p)))
+    require(rowChecks.nonEmpty, "no row-level checks to observe")
+    val metrics = count(lit(1)).cast("long").as("total") +:
+      rowChecks.map { case (c, p) =>
+        count(when(p, 1)).cast("long").as(s"ok_${c.kind}_${c.column}") }
+    df.observe(name, metrics.head, metrics.tail: _*)
+  }
+}

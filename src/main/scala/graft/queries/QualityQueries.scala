@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ext.Quality
+import graft.sources.Tables
+
+/** The data-quality gate over the documents corpus (ext/Quality): a
+  * declarative check set verified in one aggregation pass, plus the
+  * row-level quarantine feed. The check set deliberately mixes passing
+  * and failing constraints on the synthetic corpus (zh is ~15% of docs,
+  * so the 900‰ in_set gate fails; a tail of docs exceeds 500 chars, so
+  * the bounds row reports real misses) — a report where every row
+  * passes would pin nothing about the verdict math. */
+object QualityQueries extends QueryGroup {
+
+  /** The registered check set. Oracle SQL is GENERATED from this same
+    * list (Quality.profileSql), so the two can never drift. */
+  private[graft] val docChecks = Seq(
+    Quality.complete("text"),
+    Quality.complete("lang"),
+    Quality.unique("doc_id"),
+    Quality.bounds("n_chars", 1L, 500L, 950),
+    Quality.inSet("lang", Seq("en", "es", "de", "fr"), 900),
+    Quality.matches("lang", "^[a-z][a-z]$"),
+    Quality.minLength("text", 50, 990)
+  )
+
+  def dqProfile(spark: SparkSession, dir: String): DataFrame =
+    Quality.profile(Tables(spark, dir).documents, docChecks)
+
+  def dqViolations(spark: SparkSession, dir: String): DataFrame =
+    Quality.violations(Tables(spark, dir).documents, docChecks, Seq("doc_id"))
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dq_profile"    -> (dqProfile _),
+    "x_dq_violations" -> (dqViolations _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "x_dq_profile" -> Quality.profileSql("documents", docChecks),
+    // the quarantine feed's oracle: CASE expressions listed in the
+    // lexicographic label order Spark's array_sort produces, joined by
+    // concat_ws (both engines skip NULL arguments)
+    "x_dq_violations" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    concat_ws(',',
+        |      CASE WHEN NOT coalesce(n_chars BETWEEN 1 AND 500, false)
+        |           THEN 'bounds(n_chars)' END,
+        |      CASE WHEN lang IS NULL THEN 'complete(lang)' END,
+        |      CASE WHEN text IS NULL THEN 'complete(text)' END,
+        |      CASE WHEN NOT coalesce(lang IN ('en','es','de','fr'), false)
+        |           THEN 'in_set(lang)' END,
+        |      CASE WHEN NOT coalesce(regexp_matches(lang, '^[a-z][a-z]$'), false)
+        |           THEN 'matches(lang)' END,
+        |      CASE WHEN NOT coalesce(LENGTH(text) >= 50, false)
+        |           THEN 'min_length(text)' END) AS reasons
+        |  FROM documents
+        |)
+        |SELECT doc_id, reasons FROM v WHERE reasons <> ''""".stripMargin
+  )
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.ext.Quality
+import graft.queries.QualityQueries
+import graft.sources.Tables
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The data-quality tier (ext/Quality): one-pass profiling, integer
+  * verdict math, the violations/profile reconciliation, and the
+  * streaming observe() face. */
+class QualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Tables(spark, sf()).documents
+  private val checks = QualityQueries.docChecks
+
+  test("the whole check set costs ONE scan of the table") {
+    val plan = Quality.profile(docs, checks)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans === 1,
+      s"N checks must compile into one pass, found $scans scans")
+  }
+
+  test("verdict math is integer per-mille, reconciled against hand counts") {
+    val report = Quality.profile(docs, checks)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    val total = docs.count()
+    // complete(text): no nulls in the synthetic corpus — ok == total, pass
+    val (_, okC, totC, passC) = report(("complete", "text"))
+    assert(okC === total && totC === total && passC)
+    // unique(doc_id): primary key — distinct == total
+    val (_, okU, _, passU) = report(("unique", "doc_id"))
+    assert(okU === total && passU)
+    // in_set(lang): zh is excluded from the allowed set, so ok < total,
+    // and the 900 per-mille gate decides by INTEGER comparison
+    val (mpmS, okS, totS, passS) = report(("in_set", "lang"))
+    val handOk = docs.filter(col("lang").isin("en", "es", "de", "fr")).count()
+    assert(okS === handOk && okS < totS)
+    assert(passS === (okS * 1000 >= mpmS * totS),
+      "pass must be the integer per-mille comparison, nothing else")
+    // bounds(n_chars): hand count again — the report is just counts
+    val (_, okB, _, _) = report(("bounds", "n_chars"))
+    assert(okB === docs.filter(col("n_chars").between(1, 500)).count())
+  }
+
+  test("violations reconcile with the profile: misses per check match total - ok") {
+    val report = Quality.profile(docs, checks)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    val v = Quality.violations(docs, checks, Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // every row-level check's miss count equals its profile complement
+    for (c <- checks if c.rowLevel.nonEmpty) {
+      val (ok, total) = report((c.kind, c.column))
+      val label = s"${c.kind}(${c.column})"
+      val misses = v.count(_._2.split(',').contains(label))
+      assert(misses === total - ok,
+        s"$label: quarantine says $misses, profile says ${total - ok}")
+    }
+    // reasons are sorted and deduplicated by construction
+    assert(v.forall { case (_, rs) =>
+      val parts = rs.split(',').toSeq
+      parts == parts.sorted && parts.distinct == parts
+    })
+  }
+
+  test("the quarantine feed is a pure projection: no shuffle, no aggregation") {
+    val plan = Quality.violations(docs, checks, Seq("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "violations must not shuffle")
+    assert(!plan.contains("HashAggregate"), "violations must not aggregate")
+  }
+
+  test("observed(): the same row-level counters ride a stream for free") {
+    implicit val sq = spark.sqlContext
+    val rows = docs.select(col("doc_id"), col("text"), col("lang"),
+        col("n_chars"))
+      .as[(Long, String, String, Long)].collect().toSeq
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val observedDf = Quality.observed(
+      mem.toDF().toDF("doc_id", "text", "lang", "n_chars"), checks)
+    val q = observedDf.writeStream.format("noop").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      // per-micro-batch channel: the progress event's observedMetrics
+      val m = q.recentProgress.flatMap(p =>
+          Option(p.observedMetrics.get("dq")))
+        .lastOption.getOrElse(fail("no dq metrics in any progress event"))
+      assert(m.getAs[Long]("total") === rows.size.toLong)
+      // cross-check two counters against the batch profile
+      val report = Quality.profile(docs, checks)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3))
+        .toMap
+      assert(m.getAs[Long]("ok_in_set_lang") === report(("in_set", "lang")))
+      assert(m.getAs[Long]("ok_min_length_text") === report(("min_length", "text")))
+    } finally q.stop()
+  }
+}
