@@ -96,49 +96,69 @@ object Quality {
     * row per check. Sorted by (check, col_name) so the report is a
     * deterministic, oracle-hashable table (presentation sort over
     * |checks| rows — nothing corpus-sized is ever ordered). */
-  def profile(df: DataFrame, checks: Seq[DqCheck]): DataFrame = {
+  def profile(df: DataFrame, checks: Seq[DqCheck]): DataFrame =
+    profileBy(df, Seq.empty, checks)
+
+  /** The GROUPED report — per-source/per-shard data health, the shape
+    * a 100 TB ingest actually tracks (one global pass says "the corpus
+    * is 96% complete"; the grouped pass says WHICH source is shipping
+    * the nulls). Still one aggregation job: the same ok-expressions
+    * under a groupBy, so cost is the global profile's plus one keyed
+    * exchange of |groups| × |checks|-wide partial rows. Output adds the
+    * group columns in front; each group's verdicts use ITS total. */
+  def profileBy(df: DataFrame, groupCols: Seq[String],
+                checks: Seq[DqCheck]): DataFrame = {
     require(checks.nonEmpty, "empty check set")
     val aggs = count(lit(1)).cast("long").as("__total") +:
       checks.zipWithIndex.map { case (c, i) =>
         c.okExpr.cast("long").as(s"__ok$i") }
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    row.select(
+    val row =
+      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val mpm = element_at(typedlit(checks.map(_.minPerMille.toLong)),
+      col("__pos") + 1)
+    row.select(groupCols.map(col) ++ Seq(
         posexplode(array(checks.indices.map(i => col(s"__ok$i")): _*))
           .as(Seq("__pos", "ok")),
-        col("__total").as("total"))
-      .select(
+        col("__total").as("total")): _*)
+      .select(groupCols.map(col) ++ Seq(
         element_at(typedlit(checks.map(_.kind)), col("__pos") + 1)
           .as("check"),
         element_at(typedlit(checks.map(_.column)), col("__pos") + 1)
           .as("col_name"),
-        element_at(typedlit(checks.map(_.minPerMille.toLong)), col("__pos") + 1)
-          .as("min_per_mille"),
+        mpm.as("min_per_mille"),
         col("ok"), col("total"),
-        (col("ok") * 1000 >=
-          element_at(typedlit(checks.map(_.minPerMille.toLong)), col("__pos") + 1)
-            * col("total")).as("pass"))
-      .orderBy(col("check"), col("col_name"))
+        (col("ok") * 1000 >= mpm * col("total")).as("pass")): _*)
+      .orderBy((groupCols :+ "check" :+ "col_name").map(col): _*)
   }
 
   /** The DuckDB twin of [[profile]] over table `table`, assembled from
     * the SAME check list so plan and oracle cannot drift. */
-  def profileSql(table: String, checks: Seq[DqCheck]): String = {
+  def profileSql(table: String, checks: Seq[DqCheck]): String =
+    profileBySql(table, Seq.empty, checks)
+
+  /** The DuckDB twin of [[profileBy]]. */
+  def profileBySql(table: String, groupCols: Seq[String],
+                   checks: Seq[DqCheck]): String = {
     val okCols = checks.zipWithIndex
       .map { case (c, i) => s"${c.sql} AS ok$i" }.mkString(",\n    ")
+    val gSel = groupCols.map(g => s"$g, ").mkString
+    val gBy = if (groupCols.isEmpty) ""
+              else groupCols.mkString("\n  GROUP BY ", ", ", "")
     // "check" must be quoted: it is a reserved word in DuckDB
     val rows = checks.zipWithIndex.map { case (c, i) =>
-      s"""SELECT '${c.kind}' AS "check", '${c.column}' AS col_name, """ +
+      s"""SELECT $gSel'${c.kind}' AS "check", '${c.column}' AS col_name, """ +
         s"CAST(${c.minPerMille} AS BIGINT) AS min_per_mille, " +
         s"CAST(ok$i AS BIGINT) AS ok, total, " +
         s"ok$i * 1000 >= ${c.minPerMille} * total AS pass FROM t"
     }.mkString("\nUNION ALL\n")
     s"""WITH t AS (
-       |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+       |  SELECT ${gSel}CAST(COUNT(*) AS BIGINT) AS total,
        |    $okCols
-       |  FROM $table
+       |  FROM $table$gBy
        |)
        |$rows
-       |ORDER BY "check", col_name""".stripMargin
+       |ORDER BY ${groupCols.map(_ + ", ").mkString}"check", col_name""".stripMargin
   }
 
   /** Row-level violations with reasons — the quarantine feed: every

@@ -31,13 +31,22 @@ object QualityQueries extends QueryGroup {
   def dqViolations(spark: SparkSession, dir: String): DataFrame =
     Quality.violations(Tables(spark, dir).documents, docChecks, Seq("doc_id"))
 
+  /** The grouped report: per-SOURCE data health — which source is
+    * shipping the nulls/outliers, the question a multi-source ingest
+    * asks before it asks anything else. */
+  def dqBySource(spark: SparkSession, dir: String): DataFrame =
+    Quality.profileBy(Tables(spark, dir).documents, Seq("source"), docChecks)
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dq_profile"    -> (dqProfile _),
-    "x_dq_violations" -> (dqViolations _)
+    "x_dq_violations" -> (dqViolations _),
+    "x_dq_by_source"  -> (dqBySource _)
   )
 
   def oracles: Map[String, String] = Map(
     "x_dq_profile" -> Quality.profileSql("documents", docChecks),
+    "x_dq_by_source" ->
+      Quality.profileBySql("documents", Seq("source"), docChecks),
     // the quarantine feed's oracle: CASE expressions listed in the
     // lexicographic label order Spark's array_sort produces, joined by
     // concat_ws (both engines skip NULL arguments)

@@ -67,6 +67,29 @@ class QualitySpec extends SparkTestBase {
     })
   }
 
+  test("grouped report: per-source verdicts use per-source totals and sum to the global row") {
+    val bySource = Quality.profileBy(docs, Seq("source"), checks).collect()
+    val global = Quality.profile(docs, checks)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    val nSources = docs.select("source").distinct().count()
+    assert(bySource.length === nSources * checks.size)
+    // counting checks (everything except unique) slice the global row
+    // exactly; unique is NOT additive across groups (a value can repeat
+    // across sources) and only bounds it from above
+    for (((kind, cn), (okG, totG)) <- global) {
+      val grp = bySource.filter(r =>
+        r.getString(1) == kind && r.getString(2) == cn)
+      val (okSum, totSum) = (grp.map(_.getLong(4)).sum, grp.map(_.getLong(5)).sum)
+      assert(totSum === totG, s"$kind($cn): group totals must partition")
+      if (kind == "unique") assert(okSum >= okG)
+      else assert(okSum === okG, s"$kind($cn): group oks must partition")
+    }
+    // and each group's pass is its OWN per-mille verdict
+    assert(bySource.forall(r =>
+      r.getBoolean(6) == (r.getLong(4) * 1000 >= r.getLong(3) * r.getLong(5))))
+  }
+
   test("the quarantine feed is a pure projection: no shuffle, no aggregation") {
     val plan = Quality.violations(docs, checks, Seq("doc_id"))
       .queryExecution.executedPlan.toString
