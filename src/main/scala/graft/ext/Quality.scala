@@ -182,6 +182,34 @@ object Quality {
       .drop("__reasons")
   }
 
+  /** The GATED WRITE — both splits in one pass: every row lands at
+    * `path` under its row-level verdict (`dq=clean|quarantine`
+    * partition dirs — STRING labels, not booleans: partition-value
+    * inference reads booleans back as strings anyway, so the label is
+    * the honest type and the readers' equality filters prune), so the
+    * corpus is read ONCE and both the training split and the
+    * quarantine split are materialized by the same job — at 100 TB
+    * the alternative (filter twice) doubles the scan. Readers
+    * partition-prune: [[readClean]]/[[readQuarantine]] touch only
+    * their own dir (spec-pinned PartitionFilters). Global checks
+    * (unique) are not row predicates and do not gate; run [[profile]]
+    * on the clean split for those. */
+  def writeGated(df: DataFrame, checks: Seq[DqCheck], path: String): Unit = {
+    val rowChecks = checks.flatMap(_.rowLevel)
+    require(rowChecks.nonEmpty, "no row-level checks to gate on")
+    val pass = rowChecks.map(p => coalesce(p, lit(false))).reduce(_ && _)
+    df.withColumn("dq", when(pass, "clean").otherwise("quarantine"))
+      .write.partitionBy("dq").mode("overwrite").parquet(path)
+  }
+
+  def readClean(spark: org.apache.spark.sql.SparkSession,
+                path: String): DataFrame =
+    spark.read.parquet(path).filter(col("dq") === "clean").drop("dq")
+
+  def readQuarantine(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame =
+    spark.read.parquet(path).filter(col("dq") === "quarantine").drop("dq")
+
   /** The STREAMING face: the same row-level ok-counts as free
     * `observe()` counters on a live frame — per micro-batch via
     * `StreamingQueryProgress.observedMetrics(name)`, zero extra jobs.

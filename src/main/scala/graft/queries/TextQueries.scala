@@ -67,12 +67,27 @@ object TextQueries extends QueryGroup {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
 
+  /** P7 through Spark 4's VARIANT type: parse once to the shredded
+    * binary encoding, extract through `variant_get` — the path a
+    * pipeline takes when it touches MORE than one field per document
+    * (get_json_object re-parses the string per call; a variant parses
+    * once and every extraction is an O(log fields) binary probe).
+    * Same answer as p7 by construction — same oracle — so the pair
+    * also pins that the variant path is semantics-identical, not just
+    * faster at multi-key access (measured: BASELINE.md round 11). */
+  def jsonKeyExtractVariant(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(
+        col("event_id"),
+        variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_normalize"          -> (normalizeDocs _),
     "p2_wordcount"          -> (wordCount _),
     "p3_advanced_wordcount" -> (advancedWordCount _),
     "p5_csv_parse"          -> (csvParse _),
-    "p7_json_key"           -> (jsonKeyExtract _)
+    "p7_json_key"           -> (jsonKeyExtract _),
+    "p7_json_key_variant"   -> (jsonKeyExtractVariant _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -99,6 +114,10 @@ object TextQueries extends QueryGroup {
         |  SELECT event_id, epoch_us(ts) || ', ' || event_type AS line FROM events
         |) ORDER BY event_id""".stripMargin,
     "p7_json_key" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    // the variant twin answers identically by construction
+    "p7_json_key_variant" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin
   )

@@ -97,6 +97,28 @@ class QualitySpec extends SparkTestBase {
     assert(!plan.contains("HashAggregate"), "violations must not aggregate")
   }
 
+  test("gated write: one job materializes both splits; readers partition-prune") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-dq-gate").toString + "/corpus"
+    Quality.writeGated(docs, checks, path)
+    val clean = Quality.readClean(spark, path)
+    val quarantine = Quality.readQuarantine(spark, path)
+    // the split is exactly the violations partition
+    val nViol = Quality.violations(docs, checks, Seq("doc_id")).count()
+    assert(quarantine.count() === nViol)
+    assert(clean.count() === docs.count() - nViol)
+    // quarantined rows are precisely the ones with a violation reason
+    val vIds = Quality.violations(docs, checks, Seq("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(quarantine.select("doc_id").as[Long].collect().toSet === vIds)
+    // the clean reader prunes to its partition — the quarantine dir is
+    // never listed into the scan
+    val plan = clean.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+        "PartitionFilters:[^\\]]*dq#\\d+ = clean".r.findFirstIn(plan).nonEmpty,
+      s"clean read must partition-prune on dq:\n$plan")
+  }
+
   test("observed(): the same row-level counters ride a stream for free") {
     implicit val sq = spark.sqlContext
     val rows = docs.select(col("doc_id"), col("text"), col("lang"),
