@@ -119,6 +119,36 @@ class QualitySpec extends SparkTestBase {
       s"clean read must partition-prune on dq:\n$plan")
   }
 
+  test("composition: quality counters ride the upsert CDC subscription per delta batch") {
+    // the operational loop: a table's change feed is SUBSCRIBED
+    // (StreamUpsert.feed) and every incoming delta batch reports its
+    // own data health through the free observe() counters — the
+    // validation a replica runs BEFORE applying upstream changes.
+    import graft.ext.Upsert
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-dq-feed").toString + "/t"
+    Upsert.init(Seq((1L, 0L, "seed")).toDF("k", "ts", "v"),
+      p, "k", Seq("ts"), 4)
+    Upsert.appendChanges(spark, p,
+      Seq((2L, 1L, "ok", "U"), (3L, 1L, null.asInstanceOf[String], "U"))
+        .toDF("k", "ts", "v", "op"), deltaId = Some(0L))
+    val feedChecks = Seq(Quality.complete("v"),
+      Quality.inSet("op", Seq("U", "D")))
+    val gated = Quality.observed(
+      graft.streaming.StreamUpsert.feed(spark, p), feedChecks, "feed_dq")
+    val q = gated.writeStream.format("noop").start()
+    try {
+      q.processAllAvailable()
+      val m = q.recentProgress.flatMap(pr =>
+          Option(pr.observedMetrics.get("feed_dq")))
+        .lastOption.getOrElse(fail("no feed_dq metrics"))
+      assert(m.getAs[Long]("total") === 2L)
+      assert(m.getAs[Long]("ok_complete_v") === 1L,
+        "the null-payload change must be counted out by the feed gate")
+      assert(m.getAs[Long]("ok_in_set_op") === 2L)
+    } finally q.stop()
+  }
+
   test("observed(): the same row-level counters ride a stream for free") {
     implicit val sq = spark.sqlContext
     val rows = docs.select(col("doc_id"), col("text"), col("lang"),
