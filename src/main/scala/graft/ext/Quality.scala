@@ -182,6 +182,33 @@ object Quality {
       .drop("__reasons")
   }
 
+  /** DRIFT between two quality reports — the monitoring read: has a
+    * metric moved between the reference snapshot (last week's corpus,
+    * the upstream table) and the current one by more than
+    * `tolerancePerMille`? Joined on (check, col_name); each side's
+    * ratio is reduced to integer per-mille FIRST (ok*1000/total —
+    * BIGINT division, deterministic in any engine) and the delta
+    * compared in that space. Deliberately NOT cross-multiplied
+    * (|cur_ok*ref_total - ref_ok*cur_total|): exact, but overflows
+    * i64 at ~1e12-row snapshots — per-mille granularity is what the
+    * tolerance means anyway. Output one row per check:
+    * (check, col_name, cur_pm, ref_pm, drift_pm, drifted). */
+  def drift(current: DataFrame, reference: DataFrame,
+            tolerancePerMille: Int): DataFrame = {
+    require(tolerancePerMille >= 0 && tolerancePerMille <= 1000,
+      s"tolerancePerMille must be in [0,1000], got $tolerancePerMille")
+    // div, not `/`: Column `/` is FLOAT division, and doubles lose
+    // integer exactness past 2^53 — ok*1000 crosses that at ~9e12 rows
+    def pm(side: DataFrame, name: String) = side.select(
+      col("check"), col("col_name"),
+      expr("ok * 1000 div total").as(name))
+    pm(current, "cur_pm")
+      .join(pm(reference, "ref_pm"), Seq("check", "col_name"))
+      .withColumn("drift_pm", abs(col("cur_pm") - col("ref_pm")))
+      .withColumn("drifted", col("drift_pm") > tolerancePerMille)
+      .orderBy(col("check"), col("col_name"))
+  }
+
   /** The GATED WRITE — both splits in one pass: every row lands at
     * `path` under its row-level verdict (`dq=clean|quarantine`
     * partition dirs — STRING labels, not booleans: partition-value

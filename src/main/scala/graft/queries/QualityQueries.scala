@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.ext.Quality
 import graft.sources.Tables
 
@@ -37,14 +38,41 @@ object QualityQueries extends QueryGroup {
   def dqBySource(spark: SparkSession, dir: String): DataFrame =
     Quality.profileBy(Tables(spark, dir).documents, Seq("source"), docChecks)
 
+  /** Drift between two corpus snapshots — registered over the even/odd
+    * doc_id halves of the same table (two genuinely different samples
+    * of the same distribution: language mix and length tails differ by
+    * a few per-mille, so the report carries real nonzero drift_pm rows
+    * under a 10 per-mille tolerance). */
+  def dqDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Quality.drift(
+      Quality.profile(docs.filter(col("doc_id") % 2 === 1), docChecks),
+      Quality.profile(docs.filter(col("doc_id") % 2 === 0), docChecks),
+      tolerancePerMille = 10)
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dq_profile"    -> (dqProfile _),
     "x_dq_violations" -> (dqViolations _),
-    "x_dq_by_source"  -> (dqBySource _)
+    "x_dq_by_source"  -> (dqBySource _),
+    "x_dq_drift"      -> (dqDrift _)
   )
+
+  private def halfSql(parity: Int): String = Quality.profileSql(
+    s"(SELECT * FROM documents WHERE doc_id % 2 = $parity)", docChecks)
 
   def oracles: Map[String, String] = Map(
     "x_dq_profile" -> Quality.profileSql("documents", docChecks),
+    "x_dq_drift" ->
+      s"""WITH cur AS (${halfSql(1)}), ref AS (${halfSql(0)})
+         |SELECT cur."check", cur.col_name,
+         |  cur.ok * 1000 // cur.total AS cur_pm,
+         |  ref.ok * 1000 // ref.total AS ref_pm,
+         |  abs(cur.ok * 1000 // cur.total - ref.ok * 1000 // ref.total) AS drift_pm,
+         |  abs(cur.ok * 1000 // cur.total - ref.ok * 1000 // ref.total) > 10 AS drifted
+         |FROM cur JOIN ref
+         |  ON cur."check" = ref."check" AND cur.col_name = ref.col_name
+         |ORDER BY cur."check", cur.col_name""".stripMargin,
     "x_dq_by_source" ->
       Quality.profileBySql("documents", Seq("source"), docChecks),
     // the quarantine feed's oracle: CASE expressions listed in the

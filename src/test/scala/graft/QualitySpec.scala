@@ -119,6 +119,23 @@ class QualitySpec extends SparkTestBase {
       s"clean read must partition-prune on dq:\n$plan")
   }
 
+  test("drift: identical snapshots report zero; a shifted one trips exactly the moved checks") {
+    val prof = Quality.profile(docs, checks)
+    // self-drift is identically zero at any tolerance
+    val self = Quality.drift(prof, prof, 0).collect()
+    assert(self.nonEmpty && self.forall(r =>
+      r.getLong(4) === 0L && !r.getBoolean(5)))
+    // shift the distribution: drop every zh doc from the current side —
+    // in_set(lang) must drift (zh was failing it); complete(text) must not
+    val cur = Quality.profile(docs.filter(col("lang") =!= "zh"), checks)
+    val d = Quality.drift(cur, prof, 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(4), r.getBoolean(5))).toMap
+    assert(d(("in_set", "lang"))._2, "removing zh must trip the in_set gate")
+    assert(d(("complete", "text")) === ((0L, false)),
+      "an unmoved metric must not drift")
+  }
+
   test("composition: quality counters ride the upsert CDC subscription per delta batch") {
     // the operational loop: a table's change feed is SUBSCRIBED
     // (StreamUpsert.feed) and every incoming delta batch reports its
