@@ -92,6 +92,43 @@ object Quality {
       s"COUNT(*) FILTER (LENGTH($c) >= $n)",
       Some(length(col(c)) >= n))
 
+  /** Vector (embedding-column) checks — what a vector ingest gates on
+    * before anything touches an index. Same (ok, total) shape, same
+    * one-pass compilation. */
+
+  /** Every row's array has exactly `d` components (null arrays fail). */
+  def vecDims(c: String, d: Int, minPerMille: Int = 1000): DqCheck =
+    DqCheck("vec_dims", c, minPerMille,
+      count(when(size(col(c)) === d, 1)),
+      s"COUNT(*) FILTER (len($c) = $d)",
+      Some(size(col(c)) === d))
+
+  /** No NaN and no null component (null arrays fail — exists() over a
+    * null array is null on both engines and counts out). */
+  def vecFinite(c: String, minPerMille: Int = 1000): DqCheck =
+    DqCheck("vec_finite", c, minPerMille,
+      count(when(!exists(col(c), x => isnan(x) || x.isNull), 1)),
+      s"COUNT(*) FILTER (len(list_filter($c, x -> isnan(x) OR x IS NULL)) = 0)",
+      Some(!exists(col(c), x => isnan(x) || x.isNull)))
+
+  /** Squared norm within [loQ, hiQ] in QUANTIZED units — the snapped
+    * int64 convention the whole similarity tier runs on (component ×
+    * 1e6, so a unit vector's normSq is ~1e12): exact integer math on
+    * both engines, no float-sum ordering anywhere. Assumes finite
+    * components — gate [[vecFinite]] ahead of it (a NaN component
+    * casts engine-dependently). */
+  def vecNormQ(c: String, loQ: Long, hiQ: Long,
+               minPerMille: Int = 1000): DqCheck = {
+    val sv = Similarity.snapVec(col(c))
+    val normSq = Similarity.dotLong(sv, sv)
+    val snapSql = "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+    DqCheck("vec_norm", c, minPerMille,
+      count(when(normSq.between(loQ, hiQ), 1)),
+      s"COUNT(*) FILTER (list_aggregate(list_transform($c, " +
+        s"x -> $snapSql * $snapSql), 'sum') BETWEEN $loQ AND $hiQ)",
+      Some(normSq.between(loQ, hiQ)))
+  }
+
   /** The quality report: one aggregation pass over `df`, one output
     * row per check. Sorted by (check, col_name) so the report is a
     * deterministic, oracle-hashable table (presentation sort over

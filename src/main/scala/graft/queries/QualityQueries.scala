@@ -51,11 +51,29 @@ object QualityQueries extends QueryGroup {
       tolerancePerMille = 10)
   }
 
+  /** The vector-ingest gate over the embeddings table: dimension
+    * consistency, finiteness, key uniqueness, and quantized-norm
+    * bounds (exact int64, the similarity tier's snap convention).
+    * hiQ is pinned at exactly 1e12 — the synthetic vectors are
+    * unit-normalized with quantized normSq a few ppm either side, so
+    * the check carries a REAL mixed verdict instead of a vacuous
+    * all-pass. */
+  private[graft] val vecChecks = Seq(
+    Quality.unique("vec_id"),
+    Quality.vecDims("embedding", 64),
+    Quality.vecFinite("embedding"),
+    Quality.vecNormQ("embedding", 999000000000L, 1000000000000L, 500)
+  )
+
+  def dqEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    Quality.profile(Tables(spark, dir).embeddings, vecChecks)
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dq_profile"    -> (dqProfile _),
     "x_dq_violations" -> (dqViolations _),
     "x_dq_by_source"  -> (dqBySource _),
-    "x_dq_drift"      -> (dqDrift _)
+    "x_dq_drift"      -> (dqDrift _),
+    "x_dq_embeddings" -> (dqEmbeddings _)
   )
 
   private def halfSql(parity: Int): String = Quality.profileSql(
@@ -63,6 +81,7 @@ object QualityQueries extends QueryGroup {
 
   def oracles: Map[String, String] = Map(
     "x_dq_profile" -> Quality.profileSql("documents", docChecks),
+    "x_dq_embeddings" -> Quality.profileSql("embeddings", vecChecks),
     "x_dq_drift" ->
       s"""WITH cur AS (${halfSql(1)}), ref AS (${halfSql(0)})
          |SELECT cur."check", cur.col_name,

@@ -119,6 +119,34 @@ class QualitySpec extends SparkTestBase {
       s"clean read must partition-prune on dq:\n$plan")
   }
 
+  test("vector checks: dims/finite/norm verdicts reconcile; poisoned rows fail the right checks") {
+    import graft.queries.QualityQueries.vecChecks
+    val emb = Tables(spark, sf()).embeddings
+    val report = Quality.profile(emb, vecChecks)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    val total = emb.count()
+    // the synthetic vectors are 64-dim, finite, unique-keyed
+    assert(report(("vec_dims", "embedding")) === ((total, total)))
+    assert(report(("vec_finite", "embedding")) === ((total, total)))
+    assert(report(("unique", "vec_id")) === ((total, total)))
+    // the 1e12 norm cap splits the corpus for real (mixed verdict)
+    val (okN, _) = report(("vec_norm", "embedding"))
+    assert(okN > 0 && okN < total, s"norm check must mix, got $okN/$total")
+    // poison two rows: wrong dims, and a NaN component — each fails
+    // exactly its own check
+    val poisoned = emb.limit(2).select(col("vec_id") + 100000L,
+        when(col("vec_id") % 2 === 0, slice(col("embedding"), 1, 3))
+          .otherwise(concat(slice(col("embedding"), 1, 63),
+            array(lit(Float.NaN)))).as("embedding"))
+      .toDF("vec_id", "embedding")
+    val v = Quality.violations(poisoned, vecChecks, Seq("vec_id"))
+      .collect().map(r => r.getString(1))
+    assert(v.length === 2)
+    assert(v.exists(_.contains("vec_dims(embedding)")))
+    assert(v.exists(_.contains("vec_finite(embedding)")))
+  }
+
   test("drift: identical snapshots report zero; a shifted one trips exactly the moved checks") {
     val prof = Quality.profile(docs, checks)
     // self-drift is identically zero at any tolerance
