@@ -194,6 +194,40 @@ class QualitySpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming gated split equals the batch writeGated split, exactly-once roots") {
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-dq-sgate").toString
+    val rows = docs.select(col("doc_id"), col("text"), col("lang"),
+        col("n_chars")).as[(Long, String, String, Long)].collect().toSeq
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val ckpt = s"$base/ckpt"
+    val q = mem.toDF().toDF("doc_id", "text", "lang", "n_chars")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(graft.streaming.StreamQuality.gatedApplier(
+        checks, s"$base/clean", s"$base/quarantine", ckpt))
+      .start()
+    try {
+      val (a, b) = rows.splitAt(rows.size / 2)
+      mem.addData(a: _*); q.processAllAvailable()
+      mem.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    val clean = graft.streaming.StreamSink
+      .readCommitted(spark, s"$base/clean").drop("batch")
+    val quarantine = graft.streaming.StreamSink
+      .readCommitted(spark, s"$base/quarantine").drop("batch")
+    // the stream's split == the batch gate's split over the same rows
+    // (the batch form runs on the 4-column projection the stream saw)
+    val gatePath = s"$base/batch-gate"
+    Quality.writeGated(docs.select(col("doc_id"), col("text"), col("lang"),
+      col("n_chars")), checks, gatePath)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    assert(ids(clean) === ids(Quality.readClean(spark, gatePath)))
+    assert(ids(quarantine) === ids(Quality.readQuarantine(spark, gatePath)))
+    assert(clean.count() + quarantine.count() === rows.size.toLong)
+  }
+
   test("observed(): the same row-level counters ride a stream for free") {
     implicit val sq = spark.sqlContext
     val rows = docs.select(col("doc_id"), col("text"), col("lang"),
