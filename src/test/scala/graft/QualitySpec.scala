@@ -16,11 +16,14 @@ class QualitySpec extends SparkTestBase {
   private val checks = QualityQueries.docChecks
 
   test("the whole check set costs ONE scan of the table") {
-    val plan = Quality.profile(docs, checks)
-      .queryExecution.executedPlan.toString
-    val scans = "Scan parquet".r.findAllIn(plan).size
-    assert(scans === 1,
-      s"N checks must compile into one pass, found $scans scans")
+    def scans(df: org.apache.spark.sql.DataFrame) =
+      "Scan parquet".r.findAllIn(
+        df.queryExecution.executedPlan.toString).size
+    assert(scans(Quality.profile(docs, checks)) === 1,
+      "N checks must compile into one pass")
+    // the grouped form too: same aggs under a groupBy, still one scan
+    assert(scans(Quality.profileBy(docs, Seq("source"), checks)) === 1,
+      "the grouped report must not add a scan")
   }
 
   test("verdict math is integer per-mille, reconciled against hand counts") {
