@@ -166,4 +166,54 @@ class PropertySpec extends SparkTestBase {
       .map(a => (a.userId, a.timestamp, a.recentCount)).sortBy(a => (a._1, a._2)).toSeq
     assert(got === expected)
   }
+
+  test("property: quality profile equals hand counts on random frames and random check sets") {
+    // guards the ok-vector plumbing (posexplode + element_at 1-based
+    // indexing): any off-by-one between a check's position and its
+    // (kind, column, threshold) metadata mislabels EVERY report row.
+    import graft.ext.Quality
+    val rnd = new Random(7)
+    for (round <- 1 to 5) {
+      val n = 20 + rnd.nextInt(200)
+      val rows = (1 to n).map { i =>
+        (i.toLong,
+         if (rnd.nextInt(10) == 0) null
+         else rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString,
+         rnd.nextInt(100).toLong)
+      }
+      val df = rows.toDF("id", "s", "v")
+      // a shuffled check set with duplicate kinds on different dials,
+      // so positional mixups cannot cancel out
+      val checks = rnd.shuffle(Seq(
+        Quality.complete("s", 800 + rnd.nextInt(200)),
+        Quality.unique("s"),
+        Quality.bounds("v", 10, 20 + rnd.nextInt(60), rnd.nextInt(1000)),
+        Quality.bounds("v", 0, rnd.nextInt(100), rnd.nextInt(1000)),
+        Quality.minLength("s", 1 + rnd.nextInt(10), rnd.nextInt(1000))))
+      val got = Quality.profile(df, checks).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+          (r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+      // hand recomputation, straight off the rows
+      def okOf(c: Quality.DqCheck): Long = c.kind match {
+        case "complete"   => rows.count(_._2 != null).toLong
+        case "unique"     => rows.flatMap(r => Option(r._2)).distinct.size.toLong
+        case "bounds"     =>
+          val (lo, hi) = (c.sql.split("BETWEEN ")(1).split(" AND ").map(_.trim))
+            match { case Array(a, b) => (a.toLong, b.takeWhile(_.isDigit).toLong) }
+          rows.count(r => r._3 >= lo && r._3 <= hi).toLong
+        case "min_length" =>
+          val k = c.sql.split(">= ")(1).takeWhile(_.isDigit).toInt
+          rows.count(r => r._2 != null && r._2.length >= k).toLong
+      }
+      val want = checks.map { c =>
+        val ok = okOf(c)
+        (c.kind, c.column, c.minPerMille.toLong) ->
+          (ok, n.toLong, ok * 1000 >= c.minPerMille.toLong * n)
+      }.sortBy { case ((k, cn, _), _) => (k, cn) }
+      // the two bounds checks share (kind, column) — compare as sorted
+      // multisets of full rows so neither dial can absorb the other
+      assert(got.sortBy(r => (r._1, r._2)) === want.sortBy(r => (r._1, r._2)),
+        s"round $round mismatch")
+    }
+  }
 }
