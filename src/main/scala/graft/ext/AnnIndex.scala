@@ -78,8 +78,19 @@ object AnnIndex {
     * resolves the same filesystem the driver wrote through). */
   private[graft] def readGeneration(
       path: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[String] =
+    readSidecar(path, GenFile, conf)
+
+  private def writeGeneration(spark: SparkSession, path: String): Unit =
+    writeSidecar(spark, path, GenFile, java.util.UUID.randomUUID().toString)
+
+  /** Shared sidecar read/write — the one Hadoop-FS protocol both the
+    * generation id and the pending-append counter speak (underscore-
+    * prefixed small files beside the data, scan-invisible; read is
+    * conf-explicit so executors can probe with a shipped conf). */
+  private def readSidecar(path: String, name: String,
       conf: org.apache.hadoop.conf.Configuration): Option[String] = {
-    val f = new org.apache.hadoop.fs.Path(path, GenFile)
+    val f = new org.apache.hadoop.fs.Path(path, name)
     val fs = f.getFileSystem(conf)
     if (!fs.exists(f)) None
     else {
@@ -89,13 +100,12 @@ object AnnIndex {
       finally in.close()
     }
   }
-
-  private def writeGeneration(spark: SparkSession, path: String): Unit = {
-    val f = new org.apache.hadoop.fs.Path(path, GenFile)
+  private def writeSidecar(spark: SparkSession, path: String,
+                           name: String, value: String): Unit = {
+    val f = new org.apache.hadoop.fs.Path(path, name)
     val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(f, true)
-    try out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
-    finally out.close()
+    try out.write(value.getBytes("UTF-8")) finally out.close()
   }
 
   /** Vector rows of a read index: (vec_id, sv, nrm, cell). */
@@ -197,24 +207,12 @@ object AnnIndex {
     * maintenance API; a torn counter degrades to 0 (one delayed
     * compaction), never to a wrong query answer. */
   private val PendingFile = "_graft_ann_pending"
-  def pendingAppends(spark: SparkSession, path: String): Int = {
-    val f = new org.apache.hadoop.fs.Path(path, PendingFile)
-    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(f)) 0
-    else {
-      val in = fs.open(f)
-      val raw = try new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
-        finally in.close()
-      scala.util.Try(raw.toInt).getOrElse(0)
-    }
-  }
-  private def writePending(spark: SparkSession, path: String, n: Int): Unit = {
-    val f = new org.apache.hadoop.fs.Path(path, PendingFile)
-    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(f, true)
-    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
-  }
+  def pendingAppends(spark: SparkSession, path: String): Int =
+    readSidecar(path, PendingFile, spark.sessionState.newHadoopConf())
+      .flatMap(raw => scala.util.Try(raw.toInt).toOption)
+      .getOrElse(0)
+  private def writePending(spark: SparkSession, path: String, n: Int): Unit =
+    writeSidecar(spark, path, PendingFile, n.toString)
 
   /** [[append]] with the MEASURED maintenance cadence built in — the
     * policy the upsert table's deltaAppender already has

@@ -258,13 +258,22 @@ object Quality {
     * their own dir (spec-pinned PartitionFilters). Global checks
     * (unique) are not row predicates and do not gate; run [[profile]]
     * on the clean split for those. */
-  def writeGated(df: DataFrame, checks: Seq[DqCheck], path: String): Unit = {
+  /** The row-level verdict — every row-level check holds, null-safe
+    * (a null predicate fails). ONE definition, shared by the batch
+    * gate ([[writeGated]]) and the streaming gate
+    * ([[graft.streaming.StreamQuality.gatedApplier]]), whose splits a
+    * spec pins row-for-row identical — two copies of this expression
+    * would let a null-semantics tweak desynchronize them silently. */
+  def passExpr(checks: Seq[DqCheck]): Column = {
     val rowChecks = checks.flatMap(_.rowLevel)
     require(rowChecks.nonEmpty, "no row-level checks to gate on")
-    val pass = rowChecks.map(p => coalesce(p, lit(false))).reduce(_ && _)
-    df.withColumn("dq", when(pass, "clean").otherwise("quarantine"))
-      .write.partitionBy("dq").mode("overwrite").parquet(path)
+    rowChecks.map(p => coalesce(p, lit(false))).reduce(_ && _)
   }
+
+  def writeGated(df: DataFrame, checks: Seq[DqCheck], path: String): Unit =
+    df.withColumn("dq",
+        when(passExpr(checks), "clean").otherwise("quarantine"))
+      .write.partitionBy("dq").mode("overwrite").parquet(path)
 
   def readClean(spark: org.apache.spark.sql.SparkSession,
                 path: String): DataFrame =

@@ -261,16 +261,19 @@ object Upsert {
       .withColumn("bucket", bucketOf(spec))
       .persist()
     try {
-      // bounded driver collect: at most n bucket ids (n <= 4096).
-      // A NULL key hashes to a NULL bucket — without the loud check it
-      // would land in Hive's default-partition dir and either NPE the
-      // getInt below or silently fall out of the swap set.
-      val touchedRows = chg.select("bucket").distinct().collect()
-      require(!touchedRows.exists(_.isNullAt(0)),
+      // NULL keys are refused LOUD, by an explicit probe: xxhash64(NULL)
+      // is NOT null (HashExpression is nullable=false — a null input
+      // leaves the seed untouched), so a null key would silently hash
+      // to a real bucket and merge as a phantom group. The first cut
+      // here checked the collected bucket list for nulls — dead code
+      // for exactly that reason (review r11).
+      require(chg.filter(col(spec.keyCol).isNull).isEmpty,
         s"change batch for $path carries NULL values in key column " +
-          s"'${spec.keyCol}' - null keys are unroutable (no bucket) and " +
-          "refused rather than silently dropped")
-      val touched = touchedRows.map(_.getInt(0)).sorted
+          s"'${spec.keyCol}' - null keys are refused rather than merged " +
+          "as a phantom hash group")
+      // bounded driver collect: at most n bucket ids (n <= 4096)
+      val touched = chg.select("bucket").distinct()
+        .collect().map(_.getInt(0)).sorted
       if (touched.isEmpty) return
       val f = fs(spark, new Path(path))
       val existing = touched.map(i => s"$path/bucket=$i")
@@ -311,11 +314,13 @@ object Upsert {
       .persist() // one logical batch even if the commit below retries
     try {
       // same null-key contract as applyChanges, enforced at WRITE time:
-      // a null key stored in a delta would surface as an unroutable row
-      // in every later merge/fold. One limit-1 probe on the cached batch.
+      // a null key stored in a delta would merge as a phantom hash
+      // group in every later read/fold (xxhash64(NULL) is non-null).
+      // One limit-1 probe on the cached batch.
       require(chg.filter(col(spec.keyCol).isNull).isEmpty,
         s"change batch for $path carries NULL values in key column " +
-          s"'${spec.keyCol}' - null keys are unroutable and refused")
+          s"'${spec.keyCol}' - null keys are refused rather than merged " +
+          "as a phantom hash group")
       // Deltas get their own commit instead of IndexStore.ensure, for
       // one reason: ensure's scratch is the VISIBLE sibling
       // `delta=<id>.build-*`, which a `delta=*` glob consumer

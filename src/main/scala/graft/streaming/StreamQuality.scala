@@ -27,12 +27,10 @@ object StreamQuality {
   def gatedApplier(checks: Seq[Quality.DqCheck], cleanRoot: String,
                    quarantineRoot: String,
                    streamId: String): (DataFrame, Long) => Unit = {
-    val rowChecks = checks.flatMap(_.rowLevel)
-    require(rowChecks.nonEmpty, "no row-level checks to gate on")
+    val pass = Quality.passExpr(checks) // shared with the batch gate
     val cleanSink = StreamSink.parquetAppender(cleanRoot, streamId)
     val quarantineSink = StreamSink.parquetAppender(quarantineRoot, streamId)
     (df, batchId) => {
-      val pass = rowChecks.map(p => coalesce(p, lit(false))).reduce(_ && _)
       val cached = df.withColumn("__dq_pass", pass).persist()
       try {
         cleanSink(cached.filter(col("__dq_pass")).drop("__dq_pass"), batchId)

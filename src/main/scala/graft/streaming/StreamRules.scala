@@ -52,9 +52,14 @@ object StreamRules {
         return graft.core.IndexStore.read(spark, rulesPath, "rule set",
           "IndexStore.replace (see StreamRules)")
       } catch {
-        case e: IllegalArgumentException =>
-          // uncommitted (mid-swap or genuinely missing): re-poll until
-          // the deadline, then propagate the loud failure as-is
+        // BOTH mid-swap faces: the require inside IndexStore.read
+        // (marker missing -> IllegalArgumentException) AND the parquet
+        // load itself (replace renames the target ASIDE before the
+        // scratch renames in, so a read landing in that gap throws
+        // PATH_NOT_FOUND as an AnalysisException). Re-poll either until
+        // the deadline, then propagate the loud failure as-is.
+        case e @ (_: IllegalArgumentException |
+                  _: org.apache.spark.sql.AnalysisException) =>
           if (System.currentTimeMillis() >= deadline) throw e
           Thread.sleep(50)
       }

@@ -25,6 +25,28 @@ class UpsertSpec extends SparkTestBase {
     Upsert.readTable(spark, path)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
 
+  test("null keys are refused LOUD on both write paths, never merged as a phantom group") {
+    // xxhash64(NULL) is NOT null in Spark (HashExpression is
+    // nullable=false) — a null key silently hashes to a real bucket, so
+    // the refusal must be an explicit null probe, not a null-bucket
+    // check (the first cut checked the bucket list and was dead code).
+    val p = mkPath()
+    Upsert.init(Seq(row(1, 10, "a")).toDF("k", "ts", "v"), p, "k", Seq("ts"), 4)
+    val nullKeyed = Seq((Some(2L), 20L, "b", "U"), (None, 20L, "x", "U"))
+      .toDF("k", "ts", "v", "op")
+    val eCow = intercept[IllegalArgumentException] {
+      Upsert.applyChanges(spark, p, nullKeyed)
+    }
+    assert(eCow.getMessage.contains("NULL values in key column"))
+    val eMor = intercept[IllegalArgumentException] {
+      Upsert.appendChanges(spark, p, nullKeyed)
+    }
+    assert(eMor.getMessage.contains("NULL values in key column"))
+    // nothing landed: the table still serves exactly the base
+    assert(table(p) === Set((1L, 10L, "a")))
+    assert(Upsert.deltas(spark, p).isEmpty)
+  }
+
   test("init keeps the latest row per key; apply merges changes in") {
     val p = mkPath()
     val base = Seq(row(1, 10, "a0"), row(1, 20, "a1"),
