@@ -49,6 +49,46 @@ class StreamTemporalSpec extends SparkTestBase {
       .as[(Long, Long, Long, String)].collect().toSet
   }
 
+  test("version-only keys prune to one dominant version (state bounded without probes)") { withRocksDB {
+    // the r11 advice hole: the dominance prune ran only in
+    // handleExpiredTimer, which fired only for keys that receive
+    // PROBES — a version-only key hoarded its whole history. The fix
+    // registers a cleanup timer on version arrival; this reads the
+    // checkpoint's actual state store to prove the list converges.
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-tj-prune").toString
+    val vIn = MemoryStream[TemporalVersion]
+    val pIn = MemoryStream[TemporalProbe]
+    val q = StreamTemporal.join(vIn.toDS(), pIn.toDS(), "1 minute")
+      .writeStream.format("memory").queryName("tj_prune")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      // key 1 receives versions ONLY — no probe ever touches it
+      vIn.addData(Seq(
+        TemporalVersion(1L, ts(1 * Min), 10L, "v1"),
+        TemporalVersion(1L, ts(2 * Min), 11L, "v2"),
+        TemporalVersion(1L, ts(3 * Min), 12L, "v3")))
+      q.processAllAvailable()
+      // advance the watermark far past key 1 via another key...
+      vIn.addData(Seq(TemporalVersion(9L, ts(100 * Min), 0L, "s")))
+      q.processAllAvailable()
+      // ...and one more batch so the expired cleanup timer FIRES
+      vIn.addData(Seq(TemporalVersion(9L, ts(101 * Min), 1L, "s2")))
+      q.processAllAvailable()
+    } finally q.stop()
+    // no probes for key 1 -> nothing emitted for it
+    assert(spark.table("tj_prune").filter(col("key") === 1L).count() === 0)
+    // the state store itself: key 1's version list pruned to the single
+    // dominant version (newest at or below the watermark)
+    val state = spark.read.format("statestore")
+      .option("path", ckpt).option("stateVarName", "versions").load()
+    val key1 = state.filter(col("key.value") === 1L)
+      .select(col("list_element.versionId")).as[Long].collect().toSeq
+    assert(key1 === Seq(12L),
+      s"version-only key must hold exactly its dominant version, got $key1")
+  }}
+
   test("golden: streamed answers equal the batch as-of join on the same rows") {
     // key 1: versions v1@1min, v2@5min; probes at 0.5, 1, 5, 9 min
     // (at-version-ts probes take that version: <= semantics);
