@@ -350,6 +350,59 @@ object SimilarityQueries extends QueryGroup {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** y16 — IVF recall audit: d17's audit discipline applied to the
+    * vector side. Ground truth is the BRUTE-FORCE top-3 over the same
+    * stored rows (quadratic BY DESIGN, so the registration slices to
+    * vec_id % 2 — the scale contract is the d17 one: production runs
+    * this on a ~1e-4 hash sample of the corpus, never the corpus);
+    * the measured side is the y4 IVF query at nprobe=1 (argmin cell
+    * only). recall@3 = |truth ∩ ivf| / |truth| — exactly what the
+    * nprobe dial loses to cell boundaries, the number ProbeAnnCadence
+    * sizes the compaction cadence against, now oracle-checked
+    * cross-engine per round instead of probe-only. Both top-3 sets
+    * tie-break (cos desc, neighbor_id) so the intersection is
+    * deterministic; the ratio is a small-int IEEE division, identical
+    * in both engines (the d17 precedent). */
+  def ivfRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val emb = Tables(spark, dir).embeddings.filter(col("vec_id") % 2 === 0)
+    val vecs = snapped(emb, "vec_id", "sv", "nrm")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val assigned = graft.core.CacheScope.track(
+      assignToCells(vecs, lloydRefine(
+        assignToCells(vecs, seedCentroids(vecs, 16), 16)), 16).persist())
+    assigned.count() // materialize, then release the projection eagerly
+    vecs.unpersist()
+    val probes = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("sv").as("pv"),
+        col("nrm").as("pn"), col("cell").as("p_cell"))
+    val corpus = assigned.select(col("vec_id").as("neighbor_id"),
+      col("sv").as("nv"), col("nrm").as("nn"), col("cell"))
+    def top3(joined: DataFrame) = graft.ops.TopK.perKey(
+      joined.withColumn("cos", Similarity.cosineFromSnapped(
+          col("pv"), col("nv"), col("pn"), col("nn")))
+        .select(col("probe_id"), col("neighbor_id"), col("cos")),
+      Seq("probe_id"), Seq("cos" -> true, "neighbor_id" -> false), 3)
+      .select(col("probe_id"), col("neighbor_id"))
+    val ivf = graft.core.CacheScope.track(top3(
+      corpus.join(broadcast(probes),
+        col("cell") === col("p_cell") &&
+        col("probe_id") =!= col("neighbor_id"))).persist())
+    val truth = graft.core.CacheScope.track(top3(
+      corpus.join(broadcast(probes),
+        col("probe_id") =!= col("neighbor_id"))).persist())
+    val found = truth.join(ivf, Seq("probe_id", "neighbor_id"))
+    // 1-row aggregates crossJoined, the d17 audit-report shape
+    assigned.agg(count(lit(1)).cast("long").as("n_vecs"))
+      .crossJoin(probes.agg(count(lit(1)).cast("long").as("n_probes")))
+      .crossJoin(truth.agg(count(lit(1)).cast("long").as("n_true")))
+      .crossJoin(found.agg(count(lit(1)).cast("long").as("n_found")))
+      .withColumn("recall_at_3",
+        when(col("n_true") > 0,
+          col("n_found").cast("double") / col("n_true").cast("double"))
+          .otherwise(1.0))
+  }
+
   /** Incremental ANN — d9's shape on the vector side: answer NEW
     * vectors' top-3 neighbors against a persisted bucket index instead
     * of re-projecting the corpus per query. The index stores each
@@ -842,7 +895,8 @@ object SimilarityQueries extends QueryGroup {
       annScreen(s, d, nprobe = 2)),
     "y13_cell_balanced_sample" -> ((s: SparkSession, d: String) =>
       cellBalancedSample(s, d)),
-    "y15_ivfpq_refine" -> ((s: SparkSession, d: String) => ivfPqRefine(s, d))
+    "y15_ivfpq_refine" -> ((s: SparkSession, d: String) => ivfPqRefine(s, d)),
+    "y16_ivf_recall_audit" -> (ivfRecallAudit _)
   )
 
   // ---- DuckDB oracles ----
@@ -1111,6 +1165,48 @@ object SimilarityQueries extends QueryGroup {
     // cost only — the shared brute-force oracle is the cross-engine
     // proof of that 100%-recall claim at both settings
     "y2_embed_neardup_k64" -> y2OracleSql,
+    // the IVF recall audit on the vec_id % 2 slice: quantizer = the y4
+    // CTE rebased onto the slice; ivf = cell-bounded top-3; truth =
+    // brute-force top-3 over the same rows; recall = |truth ∩ ivf| /
+    // |truth| (small-int IEEE division, the d17 guard on empties)
+    "y16_ivf_recall_audit" ->
+      s"""${kmeansCteFor(" WHERE vec_id % 2 = 0")}, probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe, cell AS p_cell
+         |  FROM assigned WHERE vec_id % 50 = 0
+         |), ivf AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT p.probe_id, a.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+         |        ORDER BY ${cosSql("p.pe", "a.embedding")} DESC, a.vec_id) AS rn
+         |    FROM probes p JOIN assigned a
+         |      ON a.cell = p.p_cell AND p.probe_id <> a.vec_id
+         |  ) WHERE rn <= 3
+         |), truth AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT p.probe_id, a.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+         |        ORDER BY ${cosSql("p.pe", "a.embedding")} DESC, a.vec_id) AS rn
+         |    FROM probes p JOIN assigned a ON p.probe_id <> a.vec_id
+         |  ) WHERE rn <= 3
+         |), found AS (
+         |  SELECT t.probe_id FROM truth t
+         |  JOIN ivf c ON t.probe_id = c.probe_id
+         |             AND t.neighbor_id = c.neighbor_id
+         |), agg AS (
+         |  SELECT
+         |    (SELECT COUNT(*) FROM assigned) AS n_vecs,
+         |    (SELECT COUNT(*) FROM probes) AS n_probes,
+         |    (SELECT COUNT(*) FROM truth) AS n_true,
+         |    (SELECT COUNT(*) FROM found) AS n_found
+         |)
+         |SELECT CAST(n_vecs AS BIGINT) AS n_vecs,
+         |  CAST(n_probes AS BIGINT) AS n_probes,
+         |  CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_found AS BIGINT) AS n_found,
+         |  CASE WHEN n_true > 0
+         |    THEN CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE)
+         |    ELSE CAST(1.0 AS DOUBLE) END AS recall_at_3
+         |FROM agg""".stripMargin,
     "y4_ann_ivf" ->
       s"""$kmeansAssignedCte, probes AS (
          |  SELECT vec_id AS probe_id, embedding AS pe, cell AS p_cell
