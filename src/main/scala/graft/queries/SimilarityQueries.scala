@@ -363,19 +363,36 @@ object SimilarityQueries extends QueryGroup {
     * tie-break (cos desc, neighbor_id) so the intersection is
     * deterministic; the ratio is a small-int IEEE division, identical
     * in both engines (the d17 precedent). */
-  def ivfRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+  def ivfRecallAudit(spark: SparkSession, dir: String): DataFrame =
+    ivfRecallAudit(spark, dir, nprobe = 1)
+  def ivfRecallAudit(spark: SparkSession, dir: String,
+                     nprobe: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val emb = Tables(spark, dir).embeddings.filter(col("vec_id") % 2 === 0)
     val vecs = snapped(emb, "vec_id", "sv", "nrm")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val cents = graft.core.CacheScope.track(lloydRefine(
+      assignToCells(vecs, seedCentroids(vecs, 16), 16)).persist())
     val assigned = graft.core.CacheScope.track(
-      assignToCells(vecs, lloydRefine(
-        assignToCells(vecs, seedCentroids(vecs, 16), 16)), 16).persist())
+      assignToCells(vecs, cents, 16).persist())
     assigned.count() // materialize, then release the projection eagerly
     vecs.unpersist()
-    val probes = assigned.filter(col("vec_id") % 50 === 0)
+    // one row per probe (the truth side and the counters key off this)
+    val probeBase = assigned.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("probe_id"), col("sv").as("pv"),
-        col("nrm").as("pn"), col("cell").as("p_cell"))
+        col("nrm").as("pn"))
+    // the probe's nprobe nearest refined centroids — probeCells' exact
+    // int64 (dist, cell) rule; at nprobe=1 this IS the probe's own
+    // assignment, and the oracle hash pins that equivalence
+    val l2 = graft.functions.L2DistanceLong.l2_long(col("pv"), col("cv"))
+    val pcells = graft.ops.TopK.perKey(
+      probeBase.withColumn("c_id", explode(sequence(lit(0L), lit(15L))))
+        .join(broadcast(cents), "c_id")
+        .withColumn("dist", l2)
+        .select(col("probe_id"), col("pv"), col("pn"),
+          col("c_id").as("p_cell"), col("dist")),
+      Seq("probe_id"), Seq("dist" -> false, "p_cell" -> false), nprobe)
+      .select(col("probe_id"), col("pv"), col("pn"), col("p_cell"))
     val corpus = assigned.select(col("vec_id").as("neighbor_id"),
       col("sv").as("nv"), col("nrm").as("nn"), col("cell"))
     def top3(joined: DataFrame) = graft.ops.TopK.perKey(
@@ -384,17 +401,19 @@ object SimilarityQueries extends QueryGroup {
         .select(col("probe_id"), col("neighbor_id"), col("cos")),
       Seq("probe_id"), Seq("cos" -> true, "neighbor_id" -> false), 3)
       .select(col("probe_id"), col("neighbor_id"))
+    // a neighbor lives in exactly one cell, so the nprobe fan-out can
+    // never produce a duplicate (probe, neighbor) candidate
     val ivf = graft.core.CacheScope.track(top3(
-      corpus.join(broadcast(probes),
+      corpus.join(broadcast(pcells),
         col("cell") === col("p_cell") &&
         col("probe_id") =!= col("neighbor_id"))).persist())
     val truth = graft.core.CacheScope.track(top3(
-      corpus.join(broadcast(probes),
+      corpus.join(broadcast(probeBase),
         col("probe_id") =!= col("neighbor_id"))).persist())
     val found = truth.join(ivf, Seq("probe_id", "neighbor_id"))
     // 1-row aggregates crossJoined, the d17 audit-report shape
     assigned.agg(count(lit(1)).cast("long").as("n_vecs"))
-      .crossJoin(probes.agg(count(lit(1)).cast("long").as("n_probes")))
+      .crossJoin(probeBase.agg(count(lit(1)).cast("long").as("n_probes")))
       .crossJoin(truth.agg(count(lit(1)).cast("long").as("n_true")))
       .crossJoin(found.agg(count(lit(1)).cast("long").as("n_found")))
       .withColumn("recall_at_3",
@@ -896,7 +915,10 @@ object SimilarityQueries extends QueryGroup {
     "y13_cell_balanced_sample" -> ((s: SparkSession, d: String) =>
       cellBalancedSample(s, d)),
     "y15_ivfpq_refine" -> ((s: SparkSession, d: String) => ivfPqRefine(s, d)),
-    "y16_ivf_recall_audit" -> (ivfRecallAudit _)
+    "y16_ivf_recall_audit" -> ((s: SparkSession, d: String) =>
+      ivfRecallAudit(s, d)),
+    "y16_ivf_recall_np2"   -> ((s: SparkSession, d: String) =>
+      ivfRecallAudit(s, d, nprobe = 2))
   )
 
   // ---- DuckDB oracles ----
@@ -1166,47 +1188,12 @@ object SimilarityQueries extends QueryGroup {
     // proof of that 100%-recall claim at both settings
     "y2_embed_neardup_k64" -> y2OracleSql,
     // the IVF recall audit on the vec_id % 2 slice: quantizer = the y4
-    // CTE rebased onto the slice; ivf = cell-bounded top-3; truth =
-    // brute-force top-3 over the same rows; recall = |truth ∩ ivf| /
-    // |truth| (small-int IEEE division, the d17 guard on empties)
-    "y16_ivf_recall_audit" ->
-      s"""${kmeansCteFor(" WHERE vec_id % 2 = 0")}, probes AS (
-         |  SELECT vec_id AS probe_id, embedding AS pe, cell AS p_cell
-         |  FROM assigned WHERE vec_id % 50 = 0
-         |), ivf AS (
-         |  SELECT probe_id, neighbor_id FROM (
-         |    SELECT p.probe_id, a.vec_id AS neighbor_id,
-         |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
-         |        ORDER BY ${cosSql("p.pe", "a.embedding")} DESC, a.vec_id) AS rn
-         |    FROM probes p JOIN assigned a
-         |      ON a.cell = p.p_cell AND p.probe_id <> a.vec_id
-         |  ) WHERE rn <= 3
-         |), truth AS (
-         |  SELECT probe_id, neighbor_id FROM (
-         |    SELECT p.probe_id, a.vec_id AS neighbor_id,
-         |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
-         |        ORDER BY ${cosSql("p.pe", "a.embedding")} DESC, a.vec_id) AS rn
-         |    FROM probes p JOIN assigned a ON p.probe_id <> a.vec_id
-         |  ) WHERE rn <= 3
-         |), found AS (
-         |  SELECT t.probe_id FROM truth t
-         |  JOIN ivf c ON t.probe_id = c.probe_id
-         |             AND t.neighbor_id = c.neighbor_id
-         |), agg AS (
-         |  SELECT
-         |    (SELECT COUNT(*) FROM assigned) AS n_vecs,
-         |    (SELECT COUNT(*) FROM probes) AS n_probes,
-         |    (SELECT COUNT(*) FROM truth) AS n_true,
-         |    (SELECT COUNT(*) FROM found) AS n_found
-         |)
-         |SELECT CAST(n_vecs AS BIGINT) AS n_vecs,
-         |  CAST(n_probes AS BIGINT) AS n_probes,
-         |  CAST(n_true AS BIGINT) AS n_true,
-         |  CAST(n_found AS BIGINT) AS n_found,
-         |  CASE WHEN n_true > 0
-         |    THEN CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE)
-         |    ELSE CAST(1.0 AS DOUBLE) END AS recall_at_3
-         |FROM agg""".stripMargin,
+    // CTE rebased onto the slice; ivf = top-3 over the probe's nprobe
+    // nearest cells; truth = brute-force top-3 over the same rows;
+    // recall = |truth ∩ ivf| / |truth| (small-int IEEE division, the
+    // d17 guard on empties)
+    "y16_ivf_recall_audit" -> ivfRecallAuditSql(1),
+    "y16_ivf_recall_np2"   -> ivfRecallAuditSql(2),
     "y4_ann_ivf" ->
       s"""$kmeansAssignedCte, probes AS (
          |  SELECT vec_id AS probe_id, embedding AS pe, cell AS p_cell
@@ -1396,6 +1383,59 @@ object SimilarityQueries extends QueryGroup {
     * centroids), probes snapped separately and ranked against the kept
     * centroids by exact int64 L2 with the (dist, c_id) tie-break —
     * AnnIndex.probeCells' ordering — taking the top nprobe cells. */
+  /** The y16 audit as SQL, parameterized by nprobe: probe cells are
+    * the nprobe nearest refined `cents` by exact int64 L2 (dist, c_id
+    * order — probeCells' rule; nprobe=1 reproduces the probe's own
+    * assignment, which the shared hash pins), truth is keyed off the
+    * UN-fanned probe set so nprobe never duplicates truth rows. */
+  private def ivfRecallAuditSql(nprobe: Int): String =
+    s"""${kmeansCteFor(" WHERE vec_id % 2 = 0")}, psv AS (
+       |  SELECT vec_id, embedding, s FROM sv WHERE vec_id % 50 = 0
+       |), pd AS (
+       |  SELECT p.vec_id, p.embedding, c.c_id,
+       |    list_aggregate(list_transform(list_zip(p.s, c.cs),
+       |      q -> (q[1] - q[2]) * (q[1] - q[2])), 'sum') AS dist
+       |  FROM psv p CROSS JOIN cents c
+       |), probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pe, c_id AS p_cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, c_id) AS rn FROM pd
+       |  ) WHERE rn <= $nprobe
+       |), ivf AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT p.probe_id, a.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+       |        ORDER BY ${cosSql("p.pe", "a.embedding")} DESC, a.vec_id) AS rn
+       |    FROM probes p JOIN assigned a
+       |      ON a.cell = p.p_cell AND p.probe_id <> a.vec_id
+       |  ) WHERE rn <= 3
+       |), truth AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT p.vec_id AS probe_id, a.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${cosSql("p.embedding", "a.embedding")} DESC, a.vec_id) AS rn
+       |    FROM psv p JOIN assigned a ON p.vec_id <> a.vec_id
+       |  ) WHERE rn <= 3
+       |), found AS (
+       |  SELECT t.probe_id FROM truth t
+       |  JOIN ivf c ON t.probe_id = c.probe_id
+       |             AND t.neighbor_id = c.neighbor_id
+       |), agg AS (
+       |  SELECT
+       |    (SELECT COUNT(*) FROM assigned) AS n_vecs,
+       |    (SELECT COUNT(*) FROM psv) AS n_probes,
+       |    (SELECT COUNT(*) FROM truth) AS n_true,
+       |    (SELECT COUNT(*) FROM found) AS n_found
+       |)
+       |SELECT CAST(n_vecs AS BIGINT) AS n_vecs,
+       |  CAST(n_probes AS BIGINT) AS n_probes,
+       |  CAST(n_true AS BIGINT) AS n_true,
+       |  CAST(n_found AS BIGINT) AS n_found,
+       |  CASE WHEN n_true > 0
+       |    THEN CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE)
+       |    ELSE CAST(1.0 AS DOUBLE) END AS recall_at_3
+       |FROM agg""".stripMargin
+
   private def annScreenSql(nprobe: Int): String =
     s"""${kmeansCteFor(" WHERE vec_id % 5 <> 0")}, kept AS (
        |  SELECT DISTINCT cell FROM assigned

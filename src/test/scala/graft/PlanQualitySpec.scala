@@ -29,7 +29,7 @@ class PlanQualitySpec extends SparkTestBase {
       "x_dsir_weights",     // 1-row target/raw-totals broadcast
       "d17_lsh_recall_audit", // four 1-row audit counters crossJoined
       "y16_ivf_recall_audit", // its truth side is a deliberate broadcast
-                              // pairwise scan on the audit slice (y1's
+      "y16_ivf_recall_np2",   // pairwise scan on the audit slice (y1's
                               // shape) + the d17 counter crossJoins
       "q22_dormant_customers", // 1-row positive-balance-average broadcast
       "q11_important_stock") // 1-row total/count scalar broadcast (q22 shape)
