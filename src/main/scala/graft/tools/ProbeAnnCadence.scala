@@ -26,7 +26,16 @@ import org.apache.spark.sql.functions._
   *   query_s   — wall seconds for the nprobe=1 top-3 query
   * then compacts and reports the same row (the buy-back).
   *
-  * Usage: runMain graft.tools.ProbeAnnCadence [sfDir] [nBatches]
+  * Two ingest regimes, because the cadence only matters under one:
+  *   stationary — appended batches are drawn from the SAME distribution
+  *     as the built corpus (odd-id slices). Expected: recall flat,
+  *     compaction buys only cell balance.
+  *   drifted — appended vectors are the corpus SHIFTED by a constant
+  *     (+0.5 per dim, ids negated): new mass piles into the cells
+  *     nearest the shift, the stale quantizer's boundaries stop
+  *     describing the data, and the compaction visibly rebalances.
+  *
+  * Usage: runMain graft.tools.ProbeAnnCadence [sfDir] [nBatches] [regime]
   */
 object ProbeAnnCadence {
   def main(args: Array[String]): Unit = {
@@ -34,11 +43,22 @@ object ProbeAnnCadence {
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(8)
+    val regime = args.lift(2).getOrElse("stationary")
     val emb = Tables(spark, dir).embeddings
     val path = java.nio.file.Files
       .createTempDirectory("graft-ann-cadence").toString + "/ivf"
 
-    // initial corpus: even ids; append mass: odd ids in nBatches slices
+    // append mass: odd ids in nBatches round-robin slices (div 2 so
+    // every slice is non-empty regardless of nBatches' parity), shifted
+    // out of distribution in the drifted regime
+    val appendMass = regime match {
+      case "stationary" => emb.filter(col("vec_id") % 2 === 1)
+      case "drifted" => emb.filter(col("vec_id") % 2 === 1)
+        .select((-col("vec_id") - 1).as("vec_id"),
+          expr("transform(embedding, x -> x + 0.5F)").as("embedding"))
+      case other => sys.error(s"unknown regime $other")
+    }
+    // initial corpus: even ids
     AnnIndex.write(emb.filter(col("vec_id") % 2 === 0), path)
     val probes = emb.filter(col("vec_id") % 25 === 0).persist()
     val nProbes = probes.count()
@@ -75,9 +95,12 @@ object ProbeAnnCadence {
 
     measure("built", 0)
     (0 until nBatches).foreach { i =>
+      // div, not `/`: the Column `/` is FLOAT division, and a fractional
+      // residue never equals the integer batch index — every slice
+      // silently empty (the first cut of this probe did exactly that)
       AnnIndex.append(
-        emb.filter(col("vec_id") % 2 === 1 &&
-          col("vec_id") % nBatches === i), path)
+        appendMass.filter(expr(s"(abs(vec_id) div 2) % $nBatches") === i),
+        path)
       measure("appended", i + 1)
     }
     AnnIndex.compact(spark, path)
