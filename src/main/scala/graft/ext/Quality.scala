@@ -52,6 +52,11 @@ object Quality {
                            rowLevel: Option[Column]) {
     require(minPerMille >= 0 && minPerMille <= 1000,
       s"minPerMille must be in [0,1000], got $minPerMille")
+    // column names are interpolated unquoted into the DuckDB twin
+    // ([[profileSql]]) — restrict them to plain identifiers so a quoted
+    // or spaced name can never assemble broken / injected oracle SQL
+    require(column.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"column must be a plain identifier, got '$column'")
   }
 
   def complete(c: String, minPerMille: Int = 1000): DqCheck =
@@ -80,11 +85,15 @@ object Quality {
       Some(col(c).isin(allowed: _*)))
   }
 
-  def matches(c: String, regex: String, minPerMille: Int = 1000): DqCheck =
+  def matches(c: String, regex: String, minPerMille: Int = 1000): DqCheck = {
+    // same '' escaping as inSet: a regex containing a single quote must
+    // not break (or redirect) the single-quoted DuckDB twin
+    val esc = regex.replace("'", "''")
     DqCheck("matches", c, minPerMille,
       count(when(col(c).rlike(regex), 1)),
-      s"COUNT(*) FILTER (regexp_matches($c, '$regex'))",
+      s"COUNT(*) FILTER (regexp_matches($c, '$esc'))",
       Some(col(c).rlike(regex)))
+  }
 
   def minLength(c: String, n: Int, minPerMille: Int = 1000): DqCheck =
     DqCheck("min_length", c, minPerMille,
@@ -114,19 +123,34 @@ object Quality {
   /** Squared norm within [loQ, hiQ] in QUANTIZED units — the snapped
     * int64 convention the whole similarity tier runs on (component ×
     * 1e6, so a unit vector's normSq is ~1e12): exact integer math on
-    * both engines, no float-sum ordering anywhere. Assumes finite
-    * components — gate [[vecFinite]] ahead of it (a NaN component
-    * casts engine-dependently). */
+    * both engines, no float-sum ordering anywhere.
+    *
+    * Null/NaN-SAFE: a null array, null component, or NaN component
+    * FAILS the check rather than crashing the one-pass job.
+    * `Similarity.snapVec` (SnapVecLong) throws on a null component and
+    * floor(NaN).toLong silently yields 0, so the norm expression is
+    * only reached behind a finiteness guard — CaseWhen branches are
+    * lazily evaluated (codegen and interpreted), so the guard actually
+    * protects. The DuckDB twin needs the same guard for different
+    * failure modes: list_aggregate 'sum' silently SKIPS null components
+    * (divergent verdict) and a NaN errors the BIGINT cast — the twin
+    * uses the same CASE guard plus TRY_CAST so it cannot error even if
+    * the engine evaluated the THEN arm eagerly. */
   def vecNormQ(c: String, loQ: Long, hiQ: Long,
                minPerMille: Int = 1000): DqCheck = {
     val sv = Similarity.snapVec(col(c))
     val normSq = Similarity.dotLong(sv, sv)
-    val snapSql = "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+    val clean = !exists(col(c), x => x.isNull || isnan(x))
+    val ok = when(clean, normSq.between(loQ, hiQ)).otherwise(false)
+    val snapSql = "TRY_CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+    val guardSql = s"len(list_filter($c, x -> x IS NULL OR isnan(x))) = 0"
     DqCheck("vec_norm", c, minPerMille,
-      count(when(normSq.between(loQ, hiQ), 1)),
-      s"COUNT(*) FILTER (list_aggregate(list_transform($c, " +
-        s"x -> $snapSql * $snapSql), 'sum') BETWEEN $loQ AND $hiQ)",
-      Some(normSq.between(loQ, hiQ)))
+      count(when(ok, 1)),
+      s"COUNT(*) FILTER (CASE WHEN $guardSql THEN " +
+        s"list_aggregate(list_transform($c, " +
+        s"x -> $snapSql * $snapSql), 'sum') BETWEEN $loQ AND $hiQ " +
+        s"ELSE false END)",
+      Some(ok))
   }
 
   /** The quality report: one aggregation pass over `df`, one output
@@ -228,7 +252,11 @@ object Quality {
     * compared in that space. Deliberately NOT cross-multiplied
     * (|cur_ok*ref_total - ref_ok*cur_total|): exact, but overflows
     * i64 at ~1e12-row snapshots — per-mille granularity is what the
-    * tolerance means anyway. Output one row per check:
+    * tolerance means anyway. FULL OUTER on the check key: a check
+    * present in only one snapshot (a newly added constraint, a renamed
+    * column) surfaces as a row with a null pm on the missing side and
+    * `drifted = true` — a monitoring read must never silently drop the
+    * very change it exists to catch. Output one row per check:
     * (check, col_name, cur_pm, ref_pm, drift_pm, drifted). */
   def drift(current: DataFrame, reference: DataFrame,
             tolerancePerMille: Int): DataFrame = {
@@ -239,10 +267,14 @@ object Quality {
     def pm(side: DataFrame, name: String) = side.select(
       col("check"), col("col_name"),
       expr("ok * 1000 div total").as(name))
+    // USING-column full outer coalesces the key columns, so one-sided
+    // rows keep their (check, col_name); drift_pm stays null there and
+    // `drifted` coalesces to true — appearance/disappearance IS drift
     pm(current, "cur_pm")
-      .join(pm(reference, "ref_pm"), Seq("check", "col_name"))
+      .join(pm(reference, "ref_pm"), Seq("check", "col_name"), "full_outer")
       .withColumn("drift_pm", abs(col("cur_pm") - col("ref_pm")))
-      .withColumn("drifted", col("drift_pm") > tolerancePerMille)
+      .withColumn("drifted",
+        coalesce(col("drift_pm") > tolerancePerMille, lit(true)))
       .orderBy(col("check"), col("col_name"))
   }
 

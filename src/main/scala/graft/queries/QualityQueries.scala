@@ -82,16 +82,22 @@ object QualityQueries extends QueryGroup {
   def oracles: Map[String, String] = Map(
     "x_dq_profile" -> Quality.profileSql("documents", docChecks),
     "x_dq_embeddings" -> Quality.profileSql("embeddings", vecChecks),
+    // FULL JOIN mirrors Quality.drift's full-outer semantics (a check
+    // on only one side surfaces as drifted=true, not a dropped row);
+    // both sides here share the check set so the join kind doesn't
+    // change this query's rows — it keeps oracle and code aligned
     "x_dq_drift" ->
       s"""WITH cur AS (${halfSql(1)}), ref AS (${halfSql(0)})
-         |SELECT cur."check", cur.col_name,
+         |SELECT coalesce(cur."check", ref."check") AS "check",
+         |  coalesce(cur.col_name, ref.col_name) AS col_name,
          |  cur.ok * 1000 // cur.total AS cur_pm,
          |  ref.ok * 1000 // ref.total AS ref_pm,
          |  abs(cur.ok * 1000 // cur.total - ref.ok * 1000 // ref.total) AS drift_pm,
-         |  abs(cur.ok * 1000 // cur.total - ref.ok * 1000 // ref.total) > 10 AS drifted
-         |FROM cur JOIN ref
+         |  coalesce(abs(cur.ok * 1000 // cur.total - ref.ok * 1000 // ref.total) > 10,
+         |           true) AS drifted
+         |FROM cur FULL JOIN ref
          |  ON cur."check" = ref."check" AND cur.col_name = ref.col_name
-         |ORDER BY cur."check", cur.col_name""".stripMargin,
+         |ORDER BY 1, 2""".stripMargin,
     "x_dq_by_source" ->
       Quality.profileBySql("documents", Seq("source"), docChecks),
     // the quarantine feed's oracle: CASE expressions listed in the

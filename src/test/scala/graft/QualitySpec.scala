@@ -150,6 +150,51 @@ class QualitySpec extends SparkTestBase {
     assert(v.exists(_.contains("vec_finite(embedding)")))
   }
 
+  test("vecNormQ is null/NaN-safe: dirty vectors FAIL instead of crashing the pass") {
+    // 1: exact unit norm (snapped 600000²+800000² = 1e12) → pass;
+    // 2: NaN component; 3: null array; 4: norm out of bounds;
+    // 5: null component (pre-fix this crashed SnapVecLong)
+    val vecs = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, array(CAST(0.6 AS FLOAT), CAST(0.8 AS FLOAT))),
+        |  (2L, array(CAST(1.0 AS FLOAT), CAST('NaN' AS FLOAT))),
+        |  (3L, CAST(NULL AS ARRAY<FLOAT>)),
+        |  (4L, array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))),
+        |  (5L, array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)))
+        |AS t(vec_id, embedding)""".stripMargin)
+    val checkSet = Seq(
+      Quality.vecNormQ("embedding", 999000000000L, 1000000000000L))
+    val rep = Quality.profile(vecs, checkSet).collect().head
+    assert(rep.getLong(3) === 1L && rep.getLong(4) === 5L,
+      "only the clean unit vector may pass; dirty rows count as failures")
+    // the row-level form quarantines the dirty rows rather than crashing
+    val v = Quality.violations(vecs, checkSet, Seq("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(v === Set(2L, 3L, 4L, 5L))
+  }
+
+  test("oracle assembly: quoted regexes escape; non-identifier columns are rejected") {
+    val c = Quality.matches("lang", "^[a-z']+$")
+    assert(c.sql.contains("'^[a-z'']+$'"),
+      "a single quote in the regex must be '' -escaped in the SQL twin")
+    intercept[IllegalArgumentException] { Quality.complete("bad name") }
+    intercept[IllegalArgumentException] { Quality.complete("x; DROP") }
+  }
+
+  test("drift surfaces a check present in only ONE snapshot as drifted, not dropped") {
+    val cur = Quality.profile(docs, checks)
+    val refChecks = checks :+ Quality.minLength("lang", 2)
+    val ref = Quality.profile(docs, refChecks)
+    val d = Quality.drift(cur, ref, 10).collect()
+    assert(d.length === refChecks.size, "one-sided checks must not vanish")
+    val row = d.find(r => r.getString(0) == "min_length" &&
+      r.getString(1) == "lang").getOrElse(fail("one-sided row dropped"))
+    assert(row.isNullAt(2) && !row.isNullAt(3),
+      "cur_pm null (missing side), ref_pm present")
+    assert(row.isNullAt(4) && row.getBoolean(5),
+      "drift_pm null, drifted=true — appearance IS drift")
+  }
+
   test("drift: identical snapshots report zero; a shifted one trips exactly the moved checks") {
     val prof = Quality.profile(docs, checks)
     // self-drift is identically zero at any tolerance
