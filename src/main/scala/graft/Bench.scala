@@ -29,51 +29,56 @@ object Bench {
     // t6/t7/t8 upsert tables) are built here so the measured window
     // prices the read only — the fixture write is ProbeMor's job.
     // Gated on the request: a single-query dev iteration (explicit
-    // args touching none of t6/t7/t8) must not pay three table builds.
+    // args touching none of the fixture readers) must not pay the
+    // table builds.
     val needsFixtures = args.isEmpty ||
-      args.exists(Set("t6_upsert_apply", "t7_upsert_asof",
-        "t8_upsert_changefeed"))
+      args.exists(SparkEntry.fixtureReaders)
     if (needsFixtures) SparkEntry.prepareFixtures(spark, sfDir)
     val liRows = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    // ---- canary gate (r9/r10 ask): a contended host has produced and
-    // COMMITTED bench artifacts up to 28x off the engine's real numbers.
-    // Before a FULL-suite run (args empty — the only shape that mints a
-    // record), q1 (pure scan+agg, the IO-bound shape) is timed
-    // median-of-3; if its rows/s is >1.5x below the committed record's
-    // canary (BENCH_FULL.json), the run refuses to mint: it prints a
-    // one-line JSON with "degraded":true and exits nonzero so no
-    // harness can silently archive a garbage artifact. The record's
-    // canary only applies at ITS scale factor (q1 rows/s at sf0.001 is
-    // fixed-overhead-dominated and would spuriously trip a gate sized
-    // at sf0.1), so the gate requires the record's "sf" to match.
+    val docRows = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    // ---- canary gate (r9-r11 asks): a contended host has produced and
+    // COMMITTED bench artifacts up to 28x off the engine's real numbers
+    // — and r11 proved a single lineitem canary is not enough: the
+    // driver's BENCH_r11.json passed q1 at 669k rows/s while the
+    // DOCUMENTS-tier rows ran up to 9.5x high (d4_simhash 7.18s vs a
+    // judge-measured 0.76s) — page-cache/IO contention is per-corpus.
+    // So before a FULL-suite run (args empty — the only shape that
+    // mints a record), TWO canaries run median-of-3:
+    //   q1_pricing_summary        — lineitem scan+agg (IO-bound shape)
+    //   d2_minhash_sigs_xxh64     — documents shingle+hash projection
+    //                               (the doc-corpus CPU+IO shape, no
+    //                               DuckDB-tax noise)
+    // If either canary's rows/s is >1.5x below the committed record's
+    // (BENCH_FULL.json), the run refuses to mint: one JSON line with
+    // "degraded":true, exit 3, so no harness can silently archive a
+    // garbage artifact. A record value only applies at ITS scale
+    // factor; a record predating the doc canary gates on q1 alone.
     // SPARK_GRAFT_CANARY=off skips the gate for deliberate debugging
     // on a box known to be busy.
-    val canaryRecord: Option[Double] = {
-      val f = new java.io.File("BENCH_FULL.json")
-      if (!f.isFile) None
-      else {
-        val text = scala.io.Source.fromFile(f, "UTF-8").mkString
-        val sameSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(text)
-          .exists(_.group(1) == sfDir)
-        if (!sameSf) None
-        else """"q1_rows_per_sec":(\d+(\.\d+)?)""".r
-          .findFirstMatchIn(text).map(_.group(1).toDouble)
+    val record = recordCanaries(sfDir)
+    def canaryRps(name: String, rows: Long): Double = {
+      val q = SparkEntry.queries.getOrElse(name, SparkEntry.prodVariants(name))
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        q(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
       }
+      rows / times.sorted.apply(1)
     }
     if (args.isEmpty &&
         sys.env.getOrElse("SPARK_GRAFT_CANARY", "on") != "off") {
-      canaryRecord.filter(_ > 0).foreach { record =>
-        val q1 = SparkEntry.queries("q1_pricing_summary")
-        val times = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          q1(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        }
-        val rps = liRows / times.sorted.apply(1)
-        if (rps * 1.5 < record) {
-          println(s"""{"metric":"total","value":-1.0,"unit":"sec","degraded":true,"canary_rows_per_sec":${fmt(rps, "%.0f")},"record_rows_per_sec":${fmt(record, "%.0f")},"sf":"$sfDir","note":"host contended - q1 canary >1.5x below the committed record; no record minted"}""")
-          spark.stop()
-          sys.exit(3)
+      val checks = Seq(
+        ("q1", "q1_pricing_summary", liRows, record.get("q1_rows_per_sec")),
+        ("docs", "d2_minhash_sigs_xxh64", docRows,
+          record.get("docs_rows_per_sec")))
+      checks.foreach { case (tier, name, rows, rec) =>
+        rec.filter(_ > 0).foreach { r =>
+          val rps = canaryRps(name, rows)
+          if (rps * 1.5 < r) {
+            println(s"""{"metric":"total","value":-1.0,"unit":"sec","degraded":true,"canary":"$tier","canary_rows_per_sec":${fmt(rps, "%.0f")},"record_rows_per_sec":${fmt(r, "%.0f")},"sf":"$sfDir","note":"host contended - $tier canary >1.5x below the committed record; no record minted"}""")
+            spark.stop()
+            sys.exit(3)
+          }
         }
       }
     }
@@ -99,8 +104,18 @@ object Bench {
     // unpersist cost (large for the CC-heavy queries) isn't billed to
     // the query.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // self-healing records (r11 ask #1b): per-query medians that land
+    // far off the previous committed record are re-measured up to
+    // `healReps` more times IN the same session and the median over ALL
+    // collected reps kept — a transient page-cache eviction or GC storm
+    // on one query stops polluting round-over-round deltas. Threshold:
+    // |median - prev| > max(0.5s, 50% of prev). Healing only widens the
+    // sample; a genuine regression survives it (all reps agree).
+    val healReps = sys.env.getOrElse("SPARK_GRAFT_HEAL_REPS", "2").toInt
+    val prev: Map[String, Double] = loadPrevMap(sfDir)
+    var healed = 0
     val results = wanted.map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
+      def timeOnce(): Option[Double] = {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -115,8 +130,19 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) Some(elapsed) else None
       }
+      def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
+      var times = (1 to reps).flatMap(_ => timeOnce())
+      if (times.nonEmpty) prev.get(name).filter(_ >= 0).foreach { p =>
+        var extra = 0
+        while (extra < healReps &&
+               math.abs(median(times) - p) > math.max(0.5, 0.5 * p)) {
+          times = times ++ timeOnce().toSeq
+          extra += 1
+          healed += 1
+        }
+      }
       // failed queries report -1 so they're distinguishable in the JSON
-      name -> (if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2))
+      name -> (if (times.isEmpty) -1.0 else median(times))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
       .mkString("{", ",", "}")
@@ -127,12 +153,21 @@ object Bench {
       case (k, v) if v >= 0 && SparkEntry.queries.contains(k) => v }.sum
     val prodTotal = results.collect {
       case (k, v) if v >= 0 && SparkEntry.prodVariants.contains(k) => v }.sum
-    // headline throughput: lineitem rows scanned per second on the
-    // pricing-summary scan (pure scan+agg, the IO-bound shape)
-    val q1Sec = results.toMap.getOrElse("q1_pricing_summary", -1.0)
+    // headline throughput: rows scanned per second on each canary's
+    // corpus — q1 (lineitem) and d2_xxh64 (documents); both ride the
+    // summary so the NEXT run's gate can see both tiers
+    val resMap = results.toMap
+    val q1Sec = resMap.getOrElse("q1_pricing_summary", -1.0)
     val rps = if (q1Sec > 0) liRows / q1Sec else 0.0
-    val trend = prevDelta(results)
-    val summary = s""""unit":"sec","sf":"$sfDir","lineitem_rows":$liRows,"q1_rows_per_sec":${fmt(rps, "%.0f")},"prod_variants_total":${fmt3(prodTotal)}"""
+    val d2Sec = resMap.getOrElse("d2_minhash_sigs_xxh64", -1.0)
+    val docsRps = if (d2Sec > 0) docRows / d2Sec else 0.0
+    val trend = prevDelta(results, prev)
+    // KEY-ORDER CONTRACT (parsed by recordCanaries/loadPrevMap): the
+    // summary scalars — "sf", "q1_rows_per_sec", "docs_rows_per_sec" —
+    // are emitted BEFORE the "queries" map, and the gate parser only
+    // reads the prefix up to "queries": so a nested key can never
+    // shadow a top-level one.
+    val summary = s""""unit":"sec","sf":"$sfDir","lineitem_rows":$liRows,"documents_rows":$docRows,"q1_rows_per_sec":${fmt(rps, "%.0f")},"docs_rows_per_sec":${fmt(docsRps, "%.0f")},"healed_reps":$healed,"prod_variants_total":${fmt3(prodTotal)}"""
     val fullLine =
       s"""{"metric":"total","value":${fmt3(total)},$summary,"queries":$qs$trend}"""
     // The gate harness stores only the LAST ~2000 chars of stdout, and
@@ -168,47 +203,84 @@ object Bench {
     try w.write(text) finally w.close()
   }
 
-  /** Per-query regression signal: seconds vs the previous run's full map
-    * (BENCH_FULL.json, written by every Bench run and committed each
-    * round) or, when that file doesn't exist yet, the latest
-    * driver-written BENCH_r{N}.json tail. Emits
-    * `"prev_round":N,"prev_delta":{q:cur-prev,...}` or nothing when no
-    * prior record exists. Deltas only cover queries present in both. */
-  private def prevDelta(results: Seq[(String, Double)]): String = {
+  /** The committed record's summary section — ONLY the prefix before
+    * the "queries" map is parsed, per the key-order contract at the
+    * writer, so a query named e.g. `sf` or a nested "q1_rows_per_sec"
+    * inside prev_delta can never mis-bind a gate value. Empty map when
+    * no record exists or it was minted at a different scale factor. */
+  private def recordCanaries(sfDir: String): Map[String, Double] = {
+    val f = new java.io.File("BENCH_FULL.json")
+    if (!f.isFile) return Map.empty
+    val text = scala.io.Source.fromFile(f, "UTF-8").mkString
+    val head = text.indexOf("\"queries\":") match {
+      case -1 => text
+      case i  => text.substring(0, i)
+    }
+    val sameSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(head)
+      .exists(_.group(1) == sfDir)
+    if (!sameSf) Map.empty
+    else Seq("q1_rows_per_sec", "docs_rows_per_sec").flatMap { k =>
+      (s""""$k":(\\d+(\\.\\d+)?)""").r.findFirstMatchIn(head)
+        .map(m => k -> m.group(1).toDouble)
+    }.toMap
+  }
+
+  /** The previous record's per-query seconds map: BENCH_FULL.json
+    * (written by every Bench run and committed each round) or, when
+    * that file doesn't exist yet, the latest driver-written
+    * BENCH_r{N}.json tail. Used both for the self-healing re-run
+    * trigger and the prev_delta trend line — and therefore SF-GATED: a
+    * record minted at a different scale factor returns the empty map
+    * (an sf0.1 record would otherwise trigger spurious healing reps on
+    * every query of an sf0.001 dev drive). A record with no "sf" key
+    * is kept, conservatively. */
+  private def loadPrevMap(sfDir: String): Map[String, Double] = prevSource.fold(
+    Map.empty[String, Double]) { case (_, file) =>
+    // the driver may embed the bench line inside a log-tail string
+    // with escaped quotes — unescape so the queries map matches either
+    // way
+    val text = scala.io.Source.fromFile(file, "UTF-8").mkString
+      .replace("\\\"", "\"")
+    val sfMismatch = """"sf":"([^"]+)"""".r.findFirstMatchIn(text)
+      .exists(_.group(1) != sfDir)
+    // the queries map is flat "name":secs — extract pairs by regex so
+    // no JSON dependency is needed
+    val pairRe = """"([a-z0-9_]+)":(-?\d+\.?\d*)""".r
+    val inQueries = text.indexOf("\"queries\":")
+    if (sfMismatch || inQueries < 0) Map.empty
+    else {
+      val tail = text.substring(inQueries)
+      val end = tail.indexOf('}')
+      pairRe.findAllMatchIn(tail.substring(0, math.max(end, 0)))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  private def prevSource: Option[(Int, java.io.File)] = {
     val benchRe = """BENCH_r(\d+)\.json""".r
     val full = new java.io.File("BENCH_FULL.json")
-    val prior =
-      if (full.isFile) Some(0 -> full)
-      else Option(new java.io.File(".").listFiles()).toSeq.flatten
-        .flatMap(f => f.getName match {
-          case benchRe(n) => Some(n.toInt -> f)
-          case _ => None
-        }).sortBy(_._1).lastOption
-    prior.fold("") { case (round, file) =>
-      // the driver may embed the bench line inside a log-tail string
-      // with escaped quotes — unescape so the queries map matches either
-      // way
-      val text = scala.io.Source.fromFile(file, "UTF-8").mkString
-        .replace("\\\"", "\"")
-      // the queries map is flat "name":secs — extract pairs by regex so
-      // no JSON dependency is needed
-      val pairRe = """"([a-z0-9_]+)":(-?\d+\.?\d*)""".r
-      val inQueries = text.indexOf("\"queries\":")
-      val prev: Map[String, Double] =
-        if (inQueries < 0) Map.empty
-        else {
-          val tail = text.substring(inQueries)
-          val end = tail.indexOf('}')
-          pairRe.findAllMatchIn(tail.substring(0, math.max(end, 0)))
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }
-      val deltas = results.collect {
-        case (name, cur) if cur >= 0 && prev.get(name).exists(_ >= 0) =>
-          "\"" + name + "\":" + fmt3(cur - prev(name))
-      }
-      val src = if (round == 0) "\"BENCH_FULL.json\"" else round.toString
-      if (deltas.isEmpty) ""
-      else s""","prev_round":$src,"prev_delta":${deltas.mkString("{", ",", "}")}"""
+    if (full.isFile) Some(0 -> full)
+    else Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .flatMap(f => f.getName match {
+        case benchRe(n) => Some(n.toInt -> f)
+        case _ => None
+      }).sortBy(_._1).lastOption
+  }
+
+  /** Per-query regression signal: seconds vs the previous run's full
+    * map. Emits `"prev_round":N,"prev_delta":{q:cur-prev,...}` or
+    * nothing when no prior record exists. Deltas only cover queries
+    * present in both. */
+  private def prevDelta(results: Seq[(String, Double)],
+                        prev: Map[String, Double]): String = {
+    val deltas = results.collect {
+      case (name, cur) if cur >= 0 && prev.get(name).exists(_ >= 0) =>
+        "\"" + name + "\":" + fmt3(cur - prev(name))
     }
+    val src = prevSource.map { case (round, _) =>
+      if (round == 0) "\"BENCH_FULL.json\"" else round.toString
+    }.getOrElse("null")
+    if (deltas.isEmpty) ""
+    else s""","prev_round":$src,"prev_delta":${deltas.mkString("{", ",", "}")}"""
   }
 }

@@ -46,6 +46,14 @@ object SparkEntry {
   def prepareFixtures(spark: SparkSession, sfDir: String): Unit =
     StatefulQueries.prepareFixtures(spark, sfDir)
 
+  /** Registered queries that READ an on-disk fixture built by
+    * [[prepareFixtures]]: a harness timing any of these must call
+    * prepareFixtures first so the fixture build isn't billed to the
+    * measured window (a query called cold still builds its own fixture
+    * on first touch — correctness never depends on the pre-build). */
+  def fixtureReaders: Set[String] =
+    Set("t6_upsert_apply", "t7_upsert_asof", "t8_upsert_changefeed")
+
   /** Production-hash twins of the md5-priced queries: identical pipeline
     * topology with `hashMode = "xxh64"` (codegen-native 64-bit hashes —
     * no hex strings in projections or shuffles). Deliberately NOT in
