@@ -1,0 +1,195 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PackBytesLong, UnpackBytesLong}
+import graft.queries.SimilarityQueries.{pqCodebook, pqEncode, pqSubs}
+
+/** Persisted QUANTIZED-VECTOR indexes in their production storage form:
+  * codes byte-packed into a BinaryType column, quantization stats
+  * riding in the artifact itself — never recomputed by a reader, never
+  * torn from the codes they quantized (the [[AnnIndex]] sidecar/commit
+  * discipline, applied to the compression tier).
+  *
+  * Why packing is the 100 TB shape (the y14 scaladoc's own note, made
+  * real): the corpus-side scan of an ADC query touches ONLY the codes
+  * column. Stored as ARRAY<BIGINT>, a 64-dim SQ8 vector costs 512 B of
+  * scan; packed it is 64 B — the 8× payload cut IS the query-cost cut
+  * at scale, and parquet's byte-array encoding keeps it that size on
+  * disk. PQ codes shrink further: nSub bytes per vector (4 B at
+  * nSub=4), a 128× cut vs snapped vectors.
+  *
+  * Decode cost: [[graft.functions.UnpackBytesLong]] is a native
+  * codegen'd loop (no per-element lambda), so unpacking rides inside
+  * whole-stage codegen on the read path.
+  *
+  * Determinism: both encoders are exact int64 (SQ8: (v−mn)·255 div
+  * span; PQ: argmin over exact subvector L2), so a packed index equals
+  * the inline pipeline bit-for-bit and the DuckDB oracles that rebuild
+  * the quantization relationally stay hash-green against readers of
+  * the packed form (CORRECTNESS: y9/y10/y14).
+  *
+  * Maintenance: like the IVF centroids ([[AnnIndex.compact]]), the
+  * stats/codebook are what a compaction recomputes — append-grown
+  * corpora drift away from the stored min/max (SQ8) or codebook (PQ),
+  * degrading quantization error, not correctness of what is stored.
+  * These artifacts are rebuilt via [[graft.core.IndexStore.replace]]
+  * on the same cadence policy as AnnIndex (a full re-encode is a
+  * corpus-wide job by nature — codes are functions of the stats). */
+object CodesIndex {
+
+  private[graft] def pack(codes: Column): Column =
+    PackBytesLong.pack_bytes(codes)
+  private[graft] def unpack(bin: Column): Column =
+    UnpackBytesLong.unpack_bytes(bin)
+
+  // ---- shared sidecar plumbing (AnnIndex's underscore-file protocol) --
+
+  private def writeSidecar(spark: SparkSession, path: String,
+                           name: String, value: String): Unit = {
+    val f = new org.apache.hadoop.fs.Path(path, name)
+    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(f, true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+  }
+  private def readSidecar(spark: SparkSession, path: String,
+                          name: String): String = {
+    val f = new org.apache.hadoop.fs.Path(path, name)
+    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(f),
+      s"no $name sidecar at $path — not a committed codes index")
+    val in = fs.open(f)
+    try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+    finally in.close()
+  }
+
+  // ======================= SQ8 =======================================
+
+  /** Stats sidecar: per-dimension min and span as two CSV lines —
+    * 64+64 longs (~1 KB), the whole quantizer. Underscore-prefixed so
+    * the parquet scan never sees it; travels with the directory
+    * through IndexStore's atomic publish, so stats and codes can never
+    * be torn. */
+  private val Sq8StatsFile = "_graft_sq8_stats"
+
+  final case class Sq8Stats(mn: Array[Long], span: Array[Long])
+
+  /** Build the packed SQ8 index at `path`: per-dimension corpus
+    * min/span (one posexplode + dims-row agg), every vector encoded
+    * code_i = (v_i − mn_i)·255 div span_i and byte-packed —
+    * (vec_id, codes BINARY) plus the stats sidecar. Callers wanting
+    * race-safe build-if-absent go through IndexStore.ensure. */
+  def writeSq8(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    val sv = graft.core.CacheScope.track(
+      emb.select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
+        .persist())
+    val dims = sv.select(posexplode(col("sv")).as(Seq("p", "v")))
+      .groupBy(col("p")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy(col("p")).collect()
+    val mn = dims.map(_.getLong(1))
+    val span = dims.map(r => math.max(r.getLong(2) - r.getLong(1), 1L))
+    sv.select(col("vec_id"),
+        lit(mn).as("__mn"), lit(span).as("__sp"), col("sv"))
+      .select(col("vec_id"),
+        pack(expr("""transform(sv, (x, i) ->
+                    |  (x - element_at(__mn, i + 1)) * CAST(255 AS BIGINT)
+                    |    div element_at(__sp, i + 1))""".stripMargin))
+          .as("codes"))
+      .write.mode("overwrite").parquet(path)
+    writeSidecar(spark, path, Sq8StatsFile,
+      mn.mkString(",") + "\n" + span.mkString(","))
+    sv.unpersist()
+  }
+
+  /** The committed quantizer — stats ride the index, readers never
+    * recompute them (an independently recomputed min/max over an
+    * APPENDED corpus would silently disagree with the stored codes). */
+  def sq8Stats(spark: SparkSession, path: String): Sq8Stats = {
+    val lines = readSidecar(spark, path, Sq8StatsFile).split("\n")
+    require(lines.length == 2, s"malformed $Sq8StatsFile at $path")
+    Sq8Stats(lines(0).split(",").map(_.toLong),
+             lines(1).split(",").map(_.toLong))
+  }
+
+  /** Read + decode: (vec_id, dv) with dv_i = mn_i + code_i·span_i div
+    * 255 — the dequantized corpus an asymmetric (ADC-style) query
+    * ranks against. The scan reads vec_id + the packed BINARY column
+    * only, and unpack+dequantize is ONE fused native loop
+    * ([[graft.functions.Sq8DecodeLong]] — the HOF-transform form paid
+    * per-component lambda interpretation; measured in ProbePacked). */
+  def sq8Dequantized(spark: SparkSession, path: String): DataFrame = {
+    val st = sq8Stats(spark, path)
+    graft.core.IndexStore.read(spark, path, "SQ8 codes index", "CodesIndex.writeSq8")
+      .select(col("vec_id"),
+        graft.functions.Sq8DecodeLong.sq8_decode(
+          col("codes"), lit(st.mn), lit(st.span)).as("dv"))
+  }
+
+  // ======================= PQ ========================================
+
+  /** PQ meta sidecar: nSub,k,subDim — the shape a reader needs to
+    * interpret the packed codes without guessing. */
+  private val PqMetaFile = "_graft_pq_meta"
+
+  final case class PqMeta(nSub: Int, k: Int, subDim: Int)
+
+  /** Build the packed PQ index at `path`: the y9 encoder (subvector
+    * split → broadcast codebook argmin, exact int64), codes packed
+    * sub-order into an nSub-byte BINARY per vector. The CODEBOOK rides
+    * as rows in the same artifact under a `kind` discriminator (the
+    * AnnIndex centroid convention — the quantizer that produced the
+    * codes commits in the same atomic publish):
+    *   kind='v':  (id=vec_id, codes BINARY, sub/code/cv null)
+    *   kind='cb': (id=code, sub, cv=codebook subvector)
+    * Requires k <= 256 (a code must fit its byte). */
+  def writePq(emb: DataFrame, path: String, nSub: Int = 4, k: Int = 16): Unit = {
+    require(k <= 256, s"PQ codes are byte-packed: k must be <= 256, got $k")
+    require(64 % nSub == 0, s"nSub must divide 64, got $nSub")
+    val spark = emb.sparkSession
+    val subDim = 64 / nSub
+    val subs = graft.core.CacheScope.track(pqSubs(emb, nSub, subDim).persist())
+    val cb = pqCodebook(subs, k)
+    // pack in subspace order: collect per-vector (sub, code) pairs,
+    // array_sort orders by sub (struct order, sub first), project codes
+    val packed = pqEncode(subs, cb)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code"))))
+        .as("sc"))
+      .select(col("vec_id"), pack(expr("transform(sc, p -> p.code)")).as("codes"))
+    packed.select(lit("v").as("kind"), col("vec_id").as("id"),
+        col("codes"), lit(null).cast("long").as("sub"),
+        lit(null).cast("long").as("code"),
+        lit(null).cast("array<long>").as("cv"))
+      .unionByName(cb.select(lit("cb").as("kind"), col("code").as("id"),
+        lit(null).cast("binary").as("codes"), col("sub"),
+        col("code"), col("cv")))
+      .write.mode("overwrite").parquet(path)
+    writeSidecar(spark, path, PqMetaFile, s"$nSub,$k,$subDim")
+    subs.unpersist()
+  }
+
+  def pqMeta(spark: SparkSession, path: String): PqMeta = {
+    val parts = readSidecar(spark, path, PqMetaFile).split(",")
+    require(parts.length == 3, s"malformed $PqMetaFile at $path")
+    PqMeta(parts(0).toInt, parts(1).toInt, parts(2).toInt)
+  }
+
+  private def readPq(spark: SparkSession, path: String): DataFrame =
+    graft.core.IndexStore.read(spark, path, "PQ codes index", "CodesIndex.writePq")
+
+  /** Codebook rows of a committed PQ index: (sub, code, cv). */
+  def pqCodebookOf(spark: SparkSession, path: String): DataFrame =
+    readPq(spark, path).filter(col("kind") === "cb")
+      .select(col("sub"), col("code"), col("cv"))
+
+  /** Unpacked code rows: (vec_id, sub, code) — posexplode over the
+    * decoded BINARY, so the scan still reads only (id, codes). */
+  def pqCodesOf(spark: SparkSession, path: String): DataFrame =
+    readPq(spark, path).filter(col("kind") === "v")
+      .select(col("id").as("vec_id"), unpack(col("codes")).as("c"))
+      .select(col("vec_id"), posexplode(col("c")).as(Seq("sub", "code")))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
+}

@@ -607,7 +607,7 @@ object SimilarityQueries extends QueryGroup {
     * assignment machinery is shared, so that extension is more of the
     * identical rounds, per subspace. */
   /** (vec_id, sub, ssv): every vector's `nSub` snapped subvectors. */
-  private def pqSubs(emb: DataFrame, nSub: Int, subDim: Int): DataFrame =
+  private[graft] def pqSubs(emb: DataFrame, nSub: Int, subDim: Int): DataFrame =
     emb.select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
       .select(col("vec_id"), col("sv"),
         explode(sequence(lit(0L), lit(nSub - 1L))).as("sub"))
@@ -617,18 +617,18 @@ object SimilarityQueries extends QueryGroup {
   /** Exact int64 subvector L2, shared by the encode and the ADC table —
     * the native codegen loop (L2DistanceLong scaladoc; was an
     * interpreted aggregate(zip_with) lambda pair). */
-  private def pqL2(a: Column, b: Column): Column =
+  private[graft] def pqL2(a: Column, b: Column): Column =
     graft.functions.L2DistanceLong.l2_long(a, b)
 
   /** First k vectors' subvectors as the per-subspace codebook. */
-  private def pqCodebook(subs: DataFrame, k: Int): DataFrame =
+  private[graft] def pqCodebook(subs: DataFrame, k: Int): DataFrame =
     subs.filter(col("vec_id") < k)
       .select(col("sub"), col("vec_id").as("code"), col("ssv").as("cv"))
 
   /** The argmin encode over a (vec_id, sub, ssv) frame: broadcast
     * codebook equi-join on the subspace id, min_by collapse with
     * map-side partials. */
-  private def pqEncode(subs: DataFrame, cb: DataFrame): DataFrame =
+  private[graft] def pqEncode(subs: DataFrame, cb: DataFrame): DataFrame =
     subs.join(broadcast(cb), "sub")
       .withColumn("dist", pqL2(col("ssv"), col("cv")))
       .groupBy(col("vec_id"), col("sub"))
@@ -636,12 +636,35 @@ object SimilarityQueries extends QueryGroup {
       .select(col("vec_id"), col("sub"),
         col("m.code").as("code"), col("m.dist").as("qdist"))
 
+  /** Per-sf-dir packed PQ codes artifact (CodesIndex.writePq), keyed by
+    * its (nSub, k) dials so differently-shaped requests can never read
+    * each other's codes. */
+  private def pqIndexPathFor(spark: SparkSession, dir: String,
+                             nSub: Int, k: Int): String =
+    graft.core.IndexStore.pathFor(spark, s"pq-index-s${nSub}k$k", dir)
+
+  /** y9 — now a READER of the packed artifact (r11 ask #2): codes come
+    * FROM the BinaryType column (built-if-absent via IndexStore.ensure,
+    * nSub bytes/vector — the form a 100 TB corpus materializes once and
+    * every ADC consumer scans), and qdist is re-derived per (vector,
+    * subspace) as one exact L2 against the STORED codebook row — a
+    * single lookup join, not the k-way argmin fan-out the encode paid.
+    * Output identical to the inline encode (codes are deterministic),
+    * so the original relational oracle stays hash-green. */
   def pqCodes(spark: SparkSession, dir: String,
               nSub: Int = 4, k: Int = 16): DataFrame = {
-    val subs = pqSubs(Tables(spark, dir).embeddings, nSub, 64 / nSub)
-    pqEncode(subs, pqCodebook(subs, k))
-      .select(col("vec_id"), col("sub").as("subspace"),
-        col("code"), col("qdist"))
+    val emb = Tables(spark, dir).embeddings
+    val idx = graft.core.IndexStore.ensure(spark,
+        pqIndexPathFor(spark, dir, nSub, k)) {
+      scratch => graft.ext.CodesIndex.writePq(emb, scratch, nSub, k)
+    }
+    val codes = graft.ext.CodesIndex.pqCodesOf(spark, idx)
+    val cb = graft.ext.CodesIndex.pqCodebookOf(spark, idx)
+    val subs = pqSubs(emb, nSub, 64 / nSub)
+    codes.join(subs, Seq("vec_id", "sub"))
+      .join(broadcast(cb), Seq("sub", "code"))
+      .select(col("vec_id"), col("sub").as("subspace"), col("code"),
+        pqL2(col("ssv"), col("cv")).as("qdist"))
   }
 
   /** PQ-ADC ANN — the query path PQ compression exists for: probes are
@@ -663,12 +686,22 @@ object SimilarityQueries extends QueryGroup {
     * int64, so ranks never flap. */
   def pqAdc(spark: SparkSession, dir: String,
             nSub: Int = 4, k: Int = 16): DataFrame = {
-    val subs = graft.core.CacheScope.track(
-      pqSubs(Tables(spark, dir).embeddings, nSub, 64 / nSub).persist())
-    val cb = pqCodebook(subs, k)
-    val codes = pqEncode(subs, cb).filter(col("vec_id") >= 16)
+    // corpus side reads the PACKED artifact (r11 ask #2): the scan
+    // touches (id, codes BINARY) — nSub bytes of payload per vector,
+    // the 128x cut the encode bought, now realized in storage. Probe
+    // subvectors stay raw (the asymmetric-distance convention) and are
+    // a 16-row projection — no persist needed now that the corpus-side
+    // encode is gone from this plan.
+    val emb = Tables(spark, dir).embeddings
+    val idx = graft.core.IndexStore.ensure(spark,
+        pqIndexPathFor(spark, dir, nSub, k)) {
+      scratch => graft.ext.CodesIndex.writePq(emb, scratch, nSub, k)
+    }
+    val cb = graft.ext.CodesIndex.pqCodebookOf(spark, idx)
+    val codes = graft.ext.CodesIndex.pqCodesOf(spark, idx)
+      .filter(col("vec_id") >= 16)
       .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
-    val dt = subs.filter(col("vec_id") < 16)
+    val dt = pqSubs(emb.filter(col("vec_id") < 16), nSub, 64 / nSub)
       .select(col("vec_id").as("probe_id"), col("sub"), col("ssv").as("pv"))
       .join(broadcast(cb), "sub")
       .select(col("probe_id"), col("sub"), col("code"),
@@ -846,37 +879,31 @@ object SimilarityQueries extends QueryGroup {
     * engines agree bit-for-bit, queries are ADC-style asymmetric (probe
     * exact, corpus dequantized), and the ranking is deterministic.
     *
-    * Plan shape: one posexplode + 64-row min/max agg for the dimension
-    * stats, COLLECTED into two array literals (1 KB — the
-    * scoreProjected/Bloom budget) so quantize+dequantize is a pure
-    * per-row projection via an index-lambda transform — no join, no
-    * shuffle on the corpus side beyond the broadcast-probe scan. At
-    * 100 TB the codes column is what you'd PERSIST (8 bits/dim = 64 B
-    * per 64-dim vector vs 512 B snapped; pack into a BinaryType column
-    * at write time) and the dimension stats ride in the index metadata;
-    * recompute on compaction like the IVF centroids. Recall vs exact
-    * cosine is spec-asserted (`Sq8Spec`); the oracle hash-checks the
-    * full quantize→dequantize→rank pipeline. */
+    * Storage form (round 12): the codes are PERSISTED byte-packed —
+    * [[graft.ext.CodesIndex.writeSq8]] builds (vec_id, codes BINARY)
+    * once per corpus (8 bits/dim = 64 B per 64-dim vector vs 512 B
+    * snapped, the 8× scan-payload cut) with the per-dimension min/span
+    * stats riding in the artifact's own sidecar, recomputed on
+    * compaction like the IVF centroids. This query READS that artifact
+    * (built-if-absent via IndexStore.ensure): unpack + dequantize is
+    * one codegen'd projection, no join, no corpus-side shuffle beyond
+    * the broadcast-probe scan. Recall vs exact cosine and the packed/
+    * inline equality are spec-asserted (`Sq8Spec`); the oracle
+    * hash-checks the full quantize→dequantize→rank pipeline. */
   def sq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    // corpus side reads the PACKED artifact (r11 ask #2): 64 B of codes
+    // per vector off the scan (vs 512 B snapped — the 8x cut this
+    // storage form exists for), dequantized dv_i = mn_i + code_i*span_i
+    // div 255 in one codegen'd projection with the stats coming from
+    // the index's OWN sidecar — a reader recomputing min/max over an
+    // appended corpus would silently disagree with the stored codes.
     val emb = Tables(spark, dir).embeddings
-    val sv = graft.core.CacheScope.track(
-      emb.select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
-        .persist())
-    val dims = sv.select(posexplode(col("sv")).as(Seq("p", "v")))
-      .groupBy(col("p")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-      .orderBy(col("p")).collect()
-    val mn = dims.map(_.getLong(1))
-    val span = dims.map(r => math.max(r.getLong(2) - r.getLong(1), 1L))
-    val (mnA, spanA) = (lit(mn), lit(span))
-    // dequantized corpus: dv_i = mn_i + ((v_i - mn_i)*255 div span_i)*span_i div 255
-    val dq = sv.select(col("vec_id").as("neighbor_id"),
-        mnA.as("__mn"), spanA.as("__sp"), col("sv"))
-      .select(col("neighbor_id"),
-        expr("""transform(sv, (x, i) ->
-               |  element_at(__mn, i + 1) +
-               |  ((x - element_at(__mn, i + 1)) * CAST(255 AS BIGINT)
-               |     div element_at(__sp, i + 1)) * element_at(__sp, i + 1)
-               |     div CAST(255 AS BIGINT))""".stripMargin).as("dv"))
+    val idx = graft.core.IndexStore.ensure(spark,
+        graft.core.IndexStore.pathFor(spark, "sq8-index", dir)) {
+      scratch => graft.ext.CodesIndex.writeSq8(emb, scratch)
+    }
+    val dq = graft.ext.CodesIndex.sq8Dequantized(spark, idx)
+      .select(col("vec_id").as("neighbor_id"), col("dv"))
       .withColumn("dn", Similarity.normSnapped(col("dv")))
     val probes = snapped(emb.filter(col("vec_id") < 16), "probe_id", "pv", "pn")
     val scored = dq.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))

@@ -1,16 +1,98 @@
 package graft
 
+import graft.ext.{CodesIndex, Similarity}
 import graft.queries.SimilarityQueries
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
 
 /** SQ8 quantization quality: the asymmetric-dequantized ranking must
   * agree with exact cosine almost everywhere — 8 bits per dimension
   * against per-dim corpus range keeps relative component error ≤
-  * 1/255, far under the fixture's neighbor separation. */
+  * 1/255, far under the fixture's neighbor separation. Round 12: the
+  * codes are byte-PACKED into a persisted BinaryType artifact
+  * (CodesIndex) — the pack/unpack identity, the packed-vs-inline
+  * dequantization equality, and the 8× payload cut are pinned here. */
 class Sq8Spec extends SparkTestBase {
 
   private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("probe_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("pack/unpack is the identity on valid codes; invalid codes fail loud") {
+    import graft.functions.{PackBytesLong, UnpackBytesLong}
+    val codes = spark.sql(
+      "SELECT array(0L, 1L, 127L, 128L, 255L) AS c")
+    val rt = codes.select(UnpackBytesLong.unpack_bytes(
+        PackBytesLong.pack_bytes(col("c"))).as("r"))
+      .head().getSeq[Long](0)
+    assert(rt === Seq(0L, 1L, 127L, 128L, 255L),
+      "bytes must round-trip UNSIGNED (128/255 would go negative signed)")
+    // payload is exactly one byte per code
+    assert(codes.select(length(PackBytesLong.pack_bytes(col("c"))))
+      .head().getInt(0) === 5)
+    // out-of-range codes must never truncate silently
+    val bad = spark.sql("SELECT array(0L, 256L) AS c")
+      .select(PackBytesLong.pack_bytes(col("c")))
+    val e = intercept[Exception] { bad.collect() }
+    assert(e.getMessage != null)
+  }
+
+  test("packed SQ8 artifact: 64 B/vector (8x cut vs snapped int64), stats ride the index") {
+    val emb = Tables(spark, sf()).embeddings
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-sq8-spec").toString + "/idx"
+    graft.core.IndexStore.ensure(spark, path) { s =>
+      CodesIndex.writeSq8(emb, s) }
+    // every packed row is exactly dims bytes — the 8x cut vs 8 B/dim
+    val lens = spark.read.parquet(path)
+      .select(length(col("codes")).as("n")).distinct().collect()
+    assert(lens.map(_.getInt(0)).toSeq === Seq(64))
+    // stats come from the artifact, not a recompute, and have dims entries
+    val st = CodesIndex.sq8Stats(spark, path)
+    assert(st.mn.length === 64 && st.span.length === 64)
+    assert(st.span.forall(_ >= 1L), "span is floored at 1 (div-safe)")
+    // the packed read's dequantization == the inline formula over raw
+    val inline = emb
+      .select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
+      .select(col("vec_id"), lit(st.mn).as("__mn"), lit(st.span).as("__sp"),
+        col("sv"))
+      .selectExpr("vec_id",
+        """transform(sv, (x, i) ->
+          |  element_at(__mn, i + 1) +
+          |  ((x - element_at(__mn, i + 1)) * CAST(255 AS BIGINT)
+          |     div element_at(__sp, i + 1)) * element_at(__sp, i + 1)
+          |     div CAST(255 AS BIGINT)) AS dv""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val packed = CodesIndex.sq8Dequantized(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(packed === inline,
+      "decode of the packed artifact must equal the inline dequantization")
+  }
+
+  test("packed PQ artifact: codes/codebook read back equal the inline encode") {
+    val emb = Tables(spark, sf()).embeddings
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-pq-spec").toString + "/idx"
+    graft.core.IndexStore.ensure(spark, path) { s =>
+      CodesIndex.writePq(emb, s, nSub = 4, k = 16) }
+    val meta = CodesIndex.pqMeta(spark, path)
+    assert(meta === CodesIndex.PqMeta(4, 16, 16))
+    // nSub bytes per vector on the scan
+    val lens = spark.read.parquet(path).filter(col("kind") === "v")
+      .select(length(col("codes")).as("n")).distinct().collect()
+    assert(lens.map(_.getInt(0)).toSeq === Seq(4))
+    // unpacked codes == the inline encoder's codes, row for row
+    val subs = SimilarityQueries.pqSubs(emb, 4, 16)
+    val inline = SimilarityQueries
+      .pqEncode(subs, SimilarityQueries.pqCodebook(subs, 16))
+      .select("vec_id", "sub", "code").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val packed = CodesIndex.pqCodesOf(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(packed === inline)
+    // codebook rows committed with the codes
+    assert(CodesIndex.pqCodebookOf(spark, path).count() === 4L * 16L)
+  }
 
   test("SQ8 top-10 recall vs exact cosine") {
     val exact = pairs(SimilarityQueries.cosineTopK(spark, sf()))
