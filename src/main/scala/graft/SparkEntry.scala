@@ -43,8 +43,10 @@ object SparkEntry {
     * t6/t7/t8 upsert tables) so harnesses can pay the build outside
     * any measured window. Idempotent per (JVM, sf dir); a query called
     * cold still builds its own fixture on first touch. */
-  def prepareFixtures(spark: SparkSession, sfDir: String): Unit =
+  def prepareFixtures(spark: SparkSession, sfDir: String): Unit = {
     StatefulQueries.prepareFixtures(spark, sfDir)
+    SimilarityQueries.prepareFixtures(spark, sfDir)
+  }
 
   /** Registered queries that READ an on-disk fixture built by
     * [[prepareFixtures]]: a harness timing any of these must call
@@ -52,7 +54,8 @@ object SparkEntry {
     * measured window (a query called cold still builds its own fixture
     * on first touch — correctness never depends on the pre-build). */
   def fixtureReaders: Set[String] =
-    Set("t6_upsert_apply", "t7_upsert_asof", "t8_upsert_changefeed")
+    Set("t6_upsert_apply", "t7_upsert_asof", "t8_upsert_changefeed",
+      "y16_ivf_recall_clustered")
 
   /** Production-hash twins of the md5-priced queries: identical pipeline
     * topology with `hashMode = "xxh64"` (codegen-native 64-bit hashes —

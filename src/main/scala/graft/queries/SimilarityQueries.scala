@@ -366,11 +366,19 @@ object SimilarityQueries extends QueryGroup {
   def ivfRecallAudit(spark: SparkSession, dir: String): DataFrame =
     ivfRecallAudit(spark, dir, nprobe = 1)
   def ivfRecallAudit(spark: SparkSession, dir: String,
-                     nprobe: Int): DataFrame = {
+                     nprobe: Int): DataFrame =
+    ivfRecallFrom(snapped(
+      Tables(spark, dir).embeddings.filter(col("vec_id") % 2 === 0),
+      "vec_id", "sv", "nrm"), nprobe)
+
+  /** The audit core over an arbitrary snapped (vec_id, sv, nrm) corpus —
+    * shared by the uniform registration (worst case: no cluster
+    * structure, only nprobe buys recall) and the clustered-replica one
+    * (the production shape — see [[clusteredVecs]]). Probes are the
+    * vec_id % 50 slice of the corpus. */
+  private def ivfRecallFrom(corpusVecs: DataFrame, nprobe: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val emb = Tables(spark, dir).embeddings.filter(col("vec_id") % 2 === 0)
-    val vecs = snapped(emb, "vec_id", "sv", "nrm")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vecs = corpusVecs.persist(StorageLevel.MEMORY_AND_DISK)
     val cents = graft.core.CacheScope.track(lloydRefine(
       assignToCells(vecs, seedCentroids(vecs, 16), 16)).persist())
     val assigned = graft.core.CacheScope.track(
@@ -420,6 +428,49 @@ object SimilarityQueries extends QueryGroup {
         when(col("n_true") > 0,
           col("n_found").cast("double") / col("n_true").cast("double"))
           .otherwise(1.0))
+  }
+
+  /** The CLUSTERED-replica audit corpus (r11 ask #4): 4 perturbed
+    * replicas of every even-id embedding, built entirely in the SNAPPED
+    * int64 domain so fixture and oracle agree bit-for-bit with zero
+    * float-arithmetic parity risk — replica r of base vector v is
+    * sv + c·1⃗ with c = ((vec_id·7 + r·13) % 21) − 10 snapped units
+    * (≤ 1e-5 of a unit component: replicas sit at cos ≈ 1−1e-8 of
+    * their base, far above any inter-base cosine, so a vector's true
+    * top-3 are its own siblings — the near-duplicate structure real
+    * embedding corpora carry, and IVF's BEST case: siblings quantize
+    * into the same cell, nprobe=1 is already complete. The r11 probe
+    * measured recall 1.000 here vs 0.233 uniform; registering it makes
+    * the production operating point hash-checked, not probe-only).
+    * Persisted once per sf dir via [[prepareFixtures]] (the t6/t7
+    * fixture-memo pattern — the registered query times the audit, not
+    * the fixture write); the oracle rebuilds the same rows in SQL from
+    * the embeddings view. */
+  private def clusteredPathFor(spark: SparkSession, dir: String): String =
+    graft.core.IndexStore.pathFor(spark, "y16-clustered", dir)
+
+  private def ensureClustered(spark: SparkSession, dir: String): String =
+    graft.core.IndexStore.ensure(spark, clusteredPathFor(spark, dir)) {
+      scratch =>
+        Tables(spark, dir).embeddings.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv0"))
+          .withColumn("r", explode(sequence(lit(0L), lit(3L))))
+          .select((col("vec_id") + col("r") * 100000L).as("vec_id"),
+            expr("transform(sv0, x -> x + (vec_id * 7 + r * 13) % 21 - 10)")
+              .as("sv"))
+          .write.mode("overwrite").parquet(scratch)
+    }
+
+  /** Build the similarity-tier fixtures registered queries read —
+    * chained from [[graft.SparkEntry.prepareFixtures]] so Bench/Verify
+    * pay the write outside any measured window. */
+  def prepareFixtures(spark: SparkSession, dir: String): Unit =
+    ensureClustered(spark, dir)
+
+  def ivfRecallClustered(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = spark.read.parquet(ensureClustered(spark, dir))
+      .withColumn("nrm", Similarity.normSnapped(col("sv")))
+    ivfRecallFrom(vecs, nprobe = 1)
   }
 
   /** Incremental ANN — d9's shape on the vector side: answer NEW
@@ -945,7 +996,8 @@ object SimilarityQueries extends QueryGroup {
     "y16_ivf_recall_audit" -> ((s: SparkSession, d: String) =>
       ivfRecallAudit(s, d)),
     "y16_ivf_recall_np2"   -> ((s: SparkSession, d: String) =>
-      ivfRecallAudit(s, d, nprobe = 2))
+      ivfRecallAudit(s, d, nprobe = 2)),
+    "y16_ivf_recall_clustered" -> (ivfRecallClustered _)
   )
 
   // ---- DuckDB oracles ----
@@ -1221,6 +1273,7 @@ object SimilarityQueries extends QueryGroup {
     // d17 guard on empties)
     "y16_ivf_recall_audit" -> ivfRecallAuditSql(1),
     "y16_ivf_recall_np2"   -> ivfRecallAuditSql(2),
+    "y16_ivf_recall_clustered" -> ivfRecallClusteredSql,
     "y4_ann_ivf" ->
       s"""$kmeansAssignedCte, probes AS (
          |  SELECT vec_id AS probe_id, embedding AS pe, cell AS p_cell
@@ -1441,6 +1494,109 @@ object SimilarityQueries extends QueryGroup {
        |    SELECT p.vec_id AS probe_id, a.vec_id AS neighbor_id,
        |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
        |        ORDER BY ${cosSql("p.embedding", "a.embedding")} DESC, a.vec_id) AS rn
+       |    FROM psv p JOIN assigned a ON p.vec_id <> a.vec_id
+       |  ) WHERE rn <= 3
+       |), found AS (
+       |  SELECT t.probe_id FROM truth t
+       |  JOIN ivf c ON t.probe_id = c.probe_id
+       |             AND t.neighbor_id = c.neighbor_id
+       |), agg AS (
+       |  SELECT
+       |    (SELECT COUNT(*) FROM assigned) AS n_vecs,
+       |    (SELECT COUNT(*) FROM psv) AS n_probes,
+       |    (SELECT COUNT(*) FROM truth) AS n_true,
+       |    (SELECT COUNT(*) FROM found) AS n_found
+       |)
+       |SELECT CAST(n_vecs AS BIGINT) AS n_vecs,
+       |  CAST(n_probes AS BIGINT) AS n_probes,
+       |  CAST(n_true AS BIGINT) AS n_true,
+       |  CAST(n_found AS BIGINT) AS n_found,
+       |  CASE WHEN n_true > 0
+       |    THEN CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE)
+       |    ELSE CAST(1.0 AS DOUBLE) END AS recall_at_3
+       |FROM agg""".stripMargin
+
+  /** Snapped-domain dot/cos — the clustered audit's corpus is BUILT in
+    * snapped int64 units (no float re-snap), so its SQL runs on the
+    * integer lists directly. */
+  private def dotSnapSql(a: String, b: String): String =
+    s"""CAST(list_aggregate(list_transform(list_zip($a, $b),
+       |  p -> p[1] * p[2]), 'sum') AS DOUBLE)""".stripMargin
+  private def cosSnapSql(a: String, b: String): String =
+    s"(${dotSnapSql(a, b)} / (sqrt(${dotSnapSql(a, a)}) * sqrt(${dotSnapSql(b, b)})))"
+
+  /** The clustered-replica y16 twin: the fixture's rows rebuilt
+    * relationally (4 replicas of every even-id vector, +c·1⃗ jitter in
+    * snapped units — Spark and DuckDB compute the identical int64
+    * list, no float-arithmetic parity risk), then the same quantizer →
+    * nprobe=1 audit as ivfRecallAuditSql, with cosines on the snapped
+    * lists. */
+  private val ivfRecallClusteredSql: String =
+    s"""WITH sv AS (
+       |  SELECT e.vec_id + r.r * 100000 AS vec_id,
+       |    list_transform(
+       |      list_transform(e.embedding,
+       |        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)),
+       |      x -> x + (e.vec_id * 7 + r.r * 13) % 21 - 10) AS s
+       |  FROM embeddings e CROSS JOIN (VALUES (0),(1),(2),(3)) r(r)
+       |  WHERE e.vec_id % 2 = 0
+       |), cents0 AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS c_id, cs FROM (
+       |    SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, s AS cs
+       |    FROM sv ORDER BY h, vec_id LIMIT 16)
+       |), dists0 AS (
+       |  SELECT v.vec_id, v.s, c.c_id,
+       |    list_aggregate(list_transform(list_zip(v.s, c.cs),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS dist
+       |  FROM sv v CROSS JOIN cents0 c
+       |), assigned0 AS (
+       |  SELECT vec_id, s, c_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
+       |    FROM dists0) WHERE rn = 1
+       |), comp AS (
+       |  SELECT cell, unnest(list_transform(range(1, len(s) + 1),
+       |    i -> struct_pack(d := i, v := s[i]))) AS u
+       |  FROM assigned0
+       |), means AS (
+       |  SELECT cell, u.d AS d,
+       |    CAST(floor(CAST(SUM(u.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+       |  FROM comp GROUP BY cell, u.d
+       |), cents AS (
+       |  SELECT cell AS c_id, list(cm ORDER BY d) AS cs FROM means GROUP BY cell
+       |), dists AS (
+       |  SELECT v.vec_id, v.s, c.c_id,
+       |    list_aggregate(list_transform(list_zip(v.s, c.cs),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS dist
+       |  FROM sv v CROSS JOIN cents c
+       |), assigned AS (
+       |  SELECT vec_id, s, c_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
+       |    FROM dists) WHERE rn = 1
+       |), psv AS (
+       |  SELECT vec_id, s FROM sv WHERE vec_id % 50 = 0
+       |), pd AS (
+       |  SELECT p.vec_id, p.s, c.c_id,
+       |    list_aggregate(list_transform(list_zip(p.s, c.cs),
+       |      q -> (q[1] - q[2]) * (q[1] - q[2])), 'sum') AS dist
+       |  FROM psv p CROSS JOIN cents c
+       |), probes AS (
+       |  SELECT vec_id AS probe_id, s AS ps, c_id AS p_cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, c_id) AS rn FROM pd
+       |  ) WHERE rn <= 1
+       |), ivf AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT p.probe_id, a.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+       |        ORDER BY ${cosSnapSql("p.ps", "a.s")} DESC, a.vec_id) AS rn
+       |    FROM probes p JOIN assigned a
+       |      ON a.cell = p.p_cell AND p.probe_id <> a.vec_id
+       |  ) WHERE rn <= 3
+       |), truth AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT p.vec_id AS probe_id, a.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${cosSnapSql("p.s", "a.s")} DESC, a.vec_id) AS rn
        |    FROM psv p JOIN assigned a ON p.vec_id <> a.vec_id
        |  ) WHERE rn <= 3
        |), found AS (
