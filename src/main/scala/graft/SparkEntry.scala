@@ -46,6 +46,7 @@ object SparkEntry {
   def prepareFixtures(spark: SparkSession, sfDir: String): Unit = {
     StatefulQueries.prepareFixtures(spark, sfDir)
     SimilarityQueries.prepareFixtures(spark, sfDir)
+    DedupQueries.prepareFixtures(spark, sfDir)
   }
 
   /** Registered queries that READ an on-disk fixture built by
@@ -55,7 +56,8 @@ object SparkEntry {
     * on first touch — correctness never depends on the pre-build). */
   def fixtureReaders: Set[String] =
     Set("t6_upsert_apply", "t7_upsert_asof", "t8_upsert_changefeed",
-      "y16_ivf_recall_clustered")
+      "y16_ivf_recall_clustered",
+      "d8b_dedup_apply_pre", "d13b_apply_best_pre", "d18b_cross_source_pre")
 
   /** Production-hash twins of the md5-priced queries: identical pipeline
     * topology with `hashMode = "xxh64"` (codegen-native 64-bit hashes —

@@ -378,6 +378,49 @@ object DedupQueries extends QueryGroup {
     graft.ext.Curation.clusterBySource(docs, dupClusters(spark, dir), prio)
   }
 
+  /** PRECOMPUTED-cluster consumers (r11 ask #5): at 100 TB the
+    * shingle→band→verify→CC pipeline runs ONCE and its (doc_id,
+    * cluster_id) frame is materialized for every downstream consumer —
+    * d8/d13/d18 recompute it per query only because each gate query
+    * must be self-contained. These registrations price the CONSUMER:
+    * the cluster frame is a parquet fixture built untimed (d7's output
+    * via [[dupClusters]], IndexStore-committed once per sf dir through
+    * [[prepareFixtures]]), and each query is the library composition
+    * form over that read. Clusters are a deterministic function of the
+    * corpus, so each b-form shares its parent's oracle VERBATIM — the
+    * fixture path is hash-checked against the full relational rebuild
+    * every round (the d9_salted shared-oracle precedent). */
+  private def clustersPathFor(spark: SparkSession, dir: String): String =
+    graft.core.IndexStore.pathFor(spark, "dup-clusters", dir)
+
+  private def ensureClusters(spark: SparkSession, dir: String): String =
+    graft.core.IndexStore.ensure(spark, clustersPathFor(spark, dir)) {
+      scratch => dupClusters(spark, dir).write.mode("overwrite").parquet(scratch)
+    }
+
+  /** Build the dedup-tier fixtures the b-form consumers read — chained
+    * from [[graft.SparkEntry.prepareFixtures]]. */
+  def prepareFixtures(spark: SparkSession, dir: String): Unit =
+    ensureClusters(spark, dir)
+
+  private def storedClusters(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(ensureClusters(spark, dir))
+
+  def dedupApplyPre(spark: SparkSession, dir: String): DataFrame =
+    dedupApplyOn(Tables(spark, dir).documents, storedClusters(spark, dir))
+
+  def dedupApplyBestPre(spark: SparkSession, dir: String): DataFrame =
+    dedupApplyBestOn(Tables(spark, dir).documents, storedClusters(spark, dir))
+
+  def crossSourceDedupPre(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val prio = docs.select(col("source")).distinct()
+      .withColumn("prio", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("source")))
+        .cast("long"))
+    graft.ext.Curation.clusterBySource(docs, storedClusters(spark, dir), prio)
+  }
+
   /** Containment near-dup: pairs where the SMALLER doc's shingle set is
     * >= 90% contained in the other — doc-inside-doc duplication that
     * symmetric Jaccard (d3) misses. Same LSH candidate machinery as d3
@@ -498,7 +541,10 @@ object DedupQueries extends QueryGroup {
     "d15_winnow_capped" -> (winnowSpansCapped _),
     "d16_winnow_extents" -> (winnowExtents _),
     "d17_lsh_recall_audit" -> (lshRecallAudit _),
-    "d18_cross_source_dedup" -> (crossSourceDedup _)
+    "d18_cross_source_dedup" -> (crossSourceDedup _),
+    "d8b_dedup_apply_pre"    -> (dedupApplyPre _),
+    "d13b_apply_best_pre"    -> (dedupApplyBestPre _),
+    "d18b_cross_source_pre"  -> (crossSourceDedupPre _)
   )
 
   // ---- DuckDB oracles ----
@@ -608,7 +654,8 @@ object DedupQueries extends QueryGroup {
        |WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.8
        |ORDER BY batch_id, corpus_id""".stripMargin
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = {
+    val base = Map(
     "d19_span_dedup" ->
       s"""WITH toked AS (
          |  SELECT doc_id, $toksSql AS lst FROM documents
@@ -908,7 +955,16 @@ object DedupQueries extends QueryGroup {
          |    THEN CAST(n_found AS DOUBLE) / CAST(n_candidates AS DOUBLE)
          |    ELSE 1.0 END AS precision
          |FROM agg""".stripMargin
-  )
+    )
+    // the b-form consumers share their parents' oracles VERBATIM: the
+    // precomputed cluster fixture is a deterministic function of the
+    // corpus, so applying it must reproduce the self-contained query's
+    // answer bit-for-bit (the d9_incremental_salted precedent)
+    base ++ Map(
+      "d8b_dedup_apply_pre"   -> base("d8_dedup_apply"),
+      "d13b_apply_best_pre"   -> base("d13_dedup_apply_best"),
+      "d18b_cross_source_pre" -> base("d18_cross_source_dedup"))
+  }
 
   /** The shared toks -> kg -> winnowed-selection -> fp CTE chain of the
     * d15/d16 oracles (k = 4, w = 4, unguarded). */
