@@ -969,9 +969,53 @@ object SimilarityQueries extends QueryGroup {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** y17 — IVF × SQ8, the two dials COMPOSED the way a production ANN
+    * index deploys them when PQ's aggressive compression isn't wanted
+    * (FAISS `IVF<K>,SQ8`): the coarse quantizer prunes the search to
+    * the probe's cell, and what remains is ranked against DEQUANTIZED
+    * SQ8 codes read from the PACKED artifact — the corpus-side scan
+    * touches (vec_id, codes BINARY), 64 B/vector, decoded by the fused
+    * native loop, never the raw vectors. Probes stay exact (the
+    * asymmetric convention y10/y14 share). Completes the compression×
+    * index matrix: y4 IVF-raw, y11 IVF-PQ, y14 flat-SQ8, y17 IVF-SQ8.
+    * Shares y14's committed SQ8 artifact (same IndexStore path — one
+    * build serves both) and the y-tier probe convention (vec_id < 16
+    * probe, >= 16 corpus). Everything through the quantizers is exact
+    * int64, so ranks are engine-deterministic; the oracle rebuilds
+    * quantizer + SQ8 relationally and must hash-match the packed read. */
+  def ivfSq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val (assigned, _) = coarseModel(emb)
+    val idx = graft.core.IndexStore.ensure(spark,
+        graft.core.IndexStore.pathFor(spark, "sq8-index", dir)) {
+      scratch => graft.ext.CodesIndex.writeSq8(emb, scratch)
+    }
+    val corpus = graft.ext.CodesIndex.sq8Dequantized(spark, idx)
+      .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+      .filter(col("vec_id") >= 16)
+      .select(col("vec_id").as("neighbor_id"), col("dv"), col("cell"))
+      .withColumn("dn", Similarity.normSnapped(col("dv")))
+    val probes = assigned.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("probe_id"), col("sv").as("pv"),
+        col("nrm").as("pn"), col("cell").as("p_cell"))
+    val scored = corpus.join(broadcast(probes),
+        col("cell") === col("p_cell") &&
+        col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", Similarity.cosineFromSnapped(
+        col("pv"), col("dv"), col("pn"), col("dn")))
+      .select(col("probe_id"), col("neighbor_id"), col("cos"))
+    graft.ops.TopK.perKey(scored, Seq("probe_id"),
+        Seq("cos" -> true, "neighbor_id" -> false), 3)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cos"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "y1_cosine_topk"   -> (cosineTopK _),
     "y14_sq8_topk"     -> (sq8TopK _),
+    "y17_ivf_sq8"      -> (ivfSq8TopK _),
     "y2_embed_neardup" -> (embedNearDup _),
     "y2_embed_neardup_k64" -> ((s: SparkSession, d: String) => embedNearDup(s, d, 64)),
     "y3_ann_lsh"       -> ((s: SparkSession, d: String) => annLsh(s, d)),
@@ -1274,6 +1318,60 @@ object SimilarityQueries extends QueryGroup {
     "y16_ivf_recall_audit" -> ivfRecallAuditSql(1),
     "y16_ivf_recall_np2"   -> ivfRecallAuditSql(2),
     "y16_ivf_recall_clustered" -> ivfRecallClusteredSql,
+    // y17: the y4 quantizer CTEs (assigned/cells) composed with y14's
+    // relational SQ8 (dims stats -> quantize -> dequantize over the
+    // SAME snapped list `s`); probes exact, corpus dequantized,
+    // candidates restricted to the probe's cell before ranking
+    "y17_ivf_sq8" ->
+      s"""${kmeansCteFor("")}, ex AS (
+         |  SELECT vec_id, unnest(list_transform(range(1, len(s) + 1),
+         |    i -> struct_pack(p := i, v := s[i]))) AS e
+         |  FROM sv
+         |), dims AS (
+         |  SELECT e.p AS p, MIN(e.v) AS mn,
+         |    GREATEST(MAX(e.v) - MIN(e.v), 1) AS sp
+         |  FROM ex GROUP BY 1
+         |), dq AS (
+         |  SELECT x.vec_id, x.e.p AS p,
+         |    d.mn + ((x.e.v - d.mn) * 255 // d.sp) * d.sp // 255 AS dv
+         |  FROM ex x JOIN dims d ON x.e.p = d.p
+         |), dn AS (
+         |  SELECT vec_id, sqrt(CAST(CAST(SUM(dv * dv) AS BIGINT) AS DOUBLE)) AS dn
+         |  FROM dq GROUP BY 1
+         |), pex AS (
+         |  SELECT vec_id AS probe_id, e FROM ex WHERE vec_id < 16
+         |), pn AS (
+         |  SELECT probe_id,
+         |    sqrt(CAST(CAST(SUM(e.v * e.v) AS BIGINT) AS DOUBLE)) AS pn
+         |  FROM pex GROUP BY 1
+         |), pcell AS (
+         |  SELECT vec_id AS probe_id, cell AS p_cell FROM assigned
+         |  WHERE vec_id < 16
+         |), ncell AS (
+         |  SELECT vec_id AS neighbor_id, cell FROM assigned
+         |  WHERE vec_id >= 16
+         |), dots AS (
+         |  SELECT px.probe_id, q.vec_id AS neighbor_id,
+         |    CAST(CAST(SUM(px.e.v * q.dv) AS BIGINT) AS DOUBLE) AS dot
+         |  FROM pex px JOIN dq q ON q.p = px.e.p AND q.vec_id <> px.probe_id
+         |  WHERE q.vec_id >= 16
+         |  GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT d.probe_id, d.neighbor_id, d.dot / (pn.pn * dn.dn) AS cos
+         |  FROM dots d
+         |  JOIN pn ON pn.probe_id = d.probe_id
+         |  JOIN dn ON dn.vec_id = d.neighbor_id
+         |  JOIN pcell pc ON pc.probe_id = d.probe_id
+         |  JOIN ncell nc ON nc.neighbor_id = d.neighbor_id
+         |               AND nc.cell = pc.p_cell
+         |), ranked AS (
+         |  SELECT probe_id, neighbor_id, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored
+         |)
+         |SELECT probe_id, neighbor_id, rank, cos FROM ranked
+         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
     "y4_ann_ivf" ->
       s"""$kmeansAssignedCte, probes AS (
          |  SELECT vec_id AS probe_id, embedding AS pe, cell AS p_cell

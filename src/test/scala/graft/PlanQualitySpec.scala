@@ -31,6 +31,8 @@ class PlanQualitySpec extends SparkTestBase {
       "y16_ivf_recall_audit", // its truth side is a deliberate broadcast
       "y16_ivf_recall_np2",   // pairwise scan on the audit slice (y1's
                               // shape) + the d17 counter crossJoins
+      "y16_ivf_recall_clustered", // same audit core over the clustered
+                                  // fixture — same deliberate truth scan
       "q22_dormant_customers", // 1-row positive-balance-average broadcast
       "q11_important_stock") // 1-row total/count scalar broadcast (q22 shape)
 
