@@ -53,17 +53,22 @@ object CodesIndex {
     val out = fs.create(f, true)
     try out.write(value.getBytes("UTF-8")) finally out.close()
   }
-  private def readSidecar(spark: SparkSession, path: String,
-                          name: String): String = {
+  private def readSidecarOpt(spark: SparkSession, path: String,
+                             name: String): Option[String] = {
     val f = new org.apache.hadoop.fs.Path(path, name)
     val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(f),
-      s"no $name sidecar at $path — not a committed codes index")
-    val in = fs.open(f)
-    try new String(
-      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
-    finally in.close()
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
   }
+  private def readSidecar(spark: SparkSession, path: String,
+                          name: String): String =
+    readSidecarOpt(spark, path, name).getOrElse(sys.error(
+      s"no $name sidecar at $path — not a committed codes index"))
 
   // ======================= SQ8 =======================================
 
@@ -81,27 +86,99 @@ object CodesIndex {
     * code_i = (v_i − mn_i)·255 div span_i and byte-packed —
     * (vec_id, codes BINARY) plus the stats sidecar. Callers wanting
     * race-safe build-if-absent go through IndexStore.ensure. */
+  /** Encode snapped (vec_id, sv) rows against GIVEN stats, CLAMPED to
+    * [0, 255]. At build time the stats are the exact corpus min/max so
+    * the clamp is a no-op (every code lands in range by construction —
+    * the relational oracles encode unclamped and still hash-match); on
+    * the APPEND path it is the saturation a production SQ8 index
+    * applies to out-of-distribution components — the value is pinned
+    * to the range edge, carrying bounded error until the cadence
+    * rebuild re-fits the stats (the drift story, same shape as
+    * AnnIndex's recall decay). Without the clamp an out-of-range
+    * component would fail PackBytesLong loudly — correct for a build,
+    * wrong for ingest under drift. */
+  private def sq8Encode(sv: DataFrame, mn: Array[Long],
+                        span: Array[Long]): DataFrame =
+    sv.select(col("vec_id"),
+        lit(mn).as("__mn"), lit(span).as("__sp"), col("sv"))
+      .select(col("vec_id"),
+        pack(expr("""transform(sv, (x, i) ->
+                    |  greatest(CAST(0 AS BIGINT), least(CAST(255 AS BIGINT),
+                    |    (x - element_at(__mn, i + 1)) * CAST(255 AS BIGINT)
+                    |      div element_at(__sp, i + 1))))""".stripMargin))
+          .as("codes"))
+
+  private def snappedIds(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
+
   def writeSq8(emb: DataFrame, path: String): Unit = {
     val spark = emb.sparkSession
-    val sv = graft.core.CacheScope.track(
-      emb.select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
-        .persist())
+    val sv = graft.core.CacheScope.track(snappedIds(emb).persist())
     val dims = sv.select(posexplode(col("sv")).as(Seq("p", "v")))
       .groupBy(col("p")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
       .orderBy(col("p")).collect()
     val mn = dims.map(_.getLong(1))
     val span = dims.map(r => math.max(r.getLong(2) - r.getLong(1), 1L))
-    sv.select(col("vec_id"),
-        lit(mn).as("__mn"), lit(span).as("__sp"), col("sv"))
-      .select(col("vec_id"),
-        pack(expr("""transform(sv, (x, i) ->
-                    |  (x - element_at(__mn, i + 1)) * CAST(255 AS BIGINT)
-                    |    div element_at(__sp, i + 1))""".stripMargin))
-          .as("codes"))
-      .write.mode("overwrite").parquet(path)
+    sq8Encode(sv, mn, span).write.mode("overwrite").parquet(path)
     writeSidecar(spark, path, Sq8StatsFile,
       mn.mkString(",") + "\n" + span.mkString(","))
     sv.unpersist()
+  }
+
+  // ---- SQ8 maintenance lifecycle (the AnnIndex append/compact policy
+  // on the compression tier) ------------------------------------------
+
+  /** Batches appended since the stats were last (re)fitted — sidecar-
+    * stored, absent = 0 (a rebuild produces a fresh artifact with no
+    * counter, which IS the reset). Single-maintainer contract as
+    * documented on AnnIndex.pendingAppends. */
+  private val Sq8PendingFile = "_graft_sq8_pending"
+  def sq8Pending(spark: SparkSession, path: String): Int =
+    readSidecarOpt(spark, path, Sq8PendingFile)
+      .flatMap(raw => scala.util.Try(raw.toInt).toOption).getOrElse(0)
+
+  /** Per-ingest maintenance: encode `emb`'s vectors against the
+    * STANDING stats (never recomputed — a reader mixing codes from two
+    * stats generations would decode garbage silently) and append the
+    * packed rows. Out-of-range components saturate (see [[sq8Encode]]);
+    * the stats are deliberately NOT updated — that is [[rebuildSq8]]'s
+    * job, on a cadence. */
+  def appendSq8(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    val st = sq8Stats(spark, path)
+    sq8Encode(snappedIds(emb), st.mn, st.span)
+      .write.mode("append").parquet(path)
+    writeSidecar(spark, path, Sq8PendingFile,
+      (sq8Pending(spark, path) + 1).toString)
+  }
+
+  /** The stats-drift rewrite: re-fit min/span and re-encode from
+    * `source` — the CURRENT full corpus — and republish atomically via
+    * IndexStore.replace (old artifact readable throughout). Unlike
+    * [[AnnIndex.compact]], which rebuilds from the index's own rows
+    * (it stores exact snapped vectors), SQ8 codes are LOSSY: re-fitting
+    * stats from dequantized codes would compound quantization error, so
+    * the rebuild re-reads the source corpus — which is also what a
+    * production SQ8 refit does. */
+  def rebuildSq8(spark: SparkSession, path: String, source: DataFrame): Unit =
+    graft.core.IndexStore.replace(spark, path) { scratch =>
+      writeSq8(source, scratch)
+    }
+
+  /** [[appendSq8]] with the cadence built in: once `rebuildEvery`
+    * batches have accumulated since the last stats fit, [[rebuildSq8]]
+    * runs over `source` (the caller's current-corpus frame — typically
+    * base ∪ all appends). Returns true when this call rebuilt.
+    * rebuildEvery = 0 keeps maintenance fully manual. */
+  def appendAndMaybeRebuildSq8(emb: DataFrame, path: String,
+                               source: => DataFrame,
+                               rebuildEvery: Int): Boolean = {
+    require(rebuildEvery >= 0, s"rebuildEvery must be >= 0, got $rebuildEvery")
+    appendSq8(emb, path)
+    val spark = emb.sparkSession
+    val due = rebuildEvery > 0 && sq8Pending(spark, path) >= rebuildEvery
+    if (due) rebuildSq8(spark, path, source)
+    due
   }
 
   /** The committed quantizer — stats ride the index, readers never

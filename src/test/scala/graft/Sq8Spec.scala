@@ -94,6 +94,62 @@ class Sq8Spec extends SparkTestBase {
     assert(CodesIndex.pqCodebookOf(spark, path).count() === 4L * 16L)
   }
 
+  test("SQ8 lifecycle: append uses STANDING stats; cadence rebuild equals a fresh write") {
+    val emb = Tables(spark, sf()).embeddings
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch1 = emb.filter(col("vec_id") % 10 === 0)
+    val batch2 = emb.filter(col("vec_id") % 10 === 5)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sq8-life").toString
+    val path = s"$root/idx"
+    CodesIndex.writeSq8(base, path)
+    val st0 = CodesIndex.sq8Stats(spark, path)
+    assert(CodesIndex.sq8Pending(spark, path) === 0)
+    // append encodes against the standing stats and does NOT refit them
+    assert(!CodesIndex.appendAndMaybeRebuildSq8(batch1, path, emb,
+      rebuildEvery = 2))
+    assert(CodesIndex.sq8Pending(spark, path) === 1)
+    val st1 = CodesIndex.sq8Stats(spark, path)
+    assert(st1.mn.toSeq === st0.mn.toSeq && st1.span.toSeq === st0.span.toSeq)
+    assert(spark.read.parquet(path).count() === base.count() + batch1.count())
+    // second append crosses the cadence: rebuild over the full corpus
+    assert(CodesIndex.appendAndMaybeRebuildSq8(batch2, path, emb,
+      rebuildEvery = 2))
+    assert(CodesIndex.sq8Pending(spark, path) === 0, "rebuild resets pending")
+    // the rebuilt artifact equals a from-scratch write over the corpus
+    val fresh = s"$root/fresh"
+    CodesIndex.writeSq8(emb, fresh)
+    def rows(p: String) = spark.read.parquet(p).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(rows(path) === rows(fresh))
+    val (stR, stF) = (CodesIndex.sq8Stats(spark, path),
+      CodesIndex.sq8Stats(spark, fresh))
+    assert(stR.mn.toSeq === stF.mn.toSeq && stR.span.toSeq === stF.span.toSeq)
+  }
+
+  test("SQ8 append saturates out-of-range components instead of failing the ingest") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sq8-sat").toString
+    val path = s"$root/idx"
+    val base = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, array(CAST(0.1 AS FLOAT), CAST(0.2 AS FLOAT))),
+        |  (2L, array(CAST(0.3 AS FLOAT), CAST(0.4 AS FLOAT)))
+        |AS t(vec_id, embedding)""".stripMargin)
+    CodesIndex.writeSq8(base, path)
+    // one vector far outside the fitted range on both dims
+    CodesIndex.appendSq8(spark.sql(
+      """SELECT * FROM VALUES
+        |  (3L, array(CAST(9.9 AS FLOAT), CAST(-9.9 AS FLOAT)))
+        |AS t(vec_id, embedding)""".stripMargin), path)
+    val dv = CodesIndex.sq8Dequantized(spark, path)
+      .filter(col("vec_id") === 3L).head().getSeq[Long](1)
+    // clamped to the standing range edges: dim0 -> mx (0.3 snapped),
+    // dim1 -> mn (0.2 snapped) — bounded error until the cadence refit
+    assert(dv === Seq(300000L, 200000L),
+      s"out-of-range components must saturate at the range edge, got $dv")
+  }
+
   test("SQ8 top-10 recall vs exact cosine") {
     val exact = pairs(SimilarityQueries.cosineTopK(spark, sf()))
     val sq8 = pairs(SimilarityQueries.sq8TopK(spark, sf()))
