@@ -222,6 +222,19 @@ object CodesIndex {
     *   kind='v':  (id=vec_id, codes BINARY, sub/code/cv null)
     *   kind='cb': (id=code, sub, cv=codebook subvector)
     * Requires k <= 256 (a code must fit its byte). */
+  /** Pack an encoded (vec_id, sub, code) frame into one BINARY row per
+    * vector, codes in subspace order (array_sort on the (sub, code)
+    * struct orders by sub first), shaped as kind='v' artifact rows. */
+  private def packedVectorRows(encoded: DataFrame): DataFrame =
+    encoded.groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code"))))
+        .as("sc"))
+      .select(col("vec_id"), pack(expr("transform(sc, p -> p.code)")).as("codes"))
+      .select(lit("v").as("kind"), col("vec_id").as("id"),
+        col("codes"), lit(null).cast("long").as("sub"),
+        lit(null).cast("long").as("code"),
+        lit(null).cast("array<long>").as("cv"))
+
   def writePq(emb: DataFrame, path: String, nSub: Int = 4, k: Int = 16): Unit = {
     require(k <= 256, s"PQ codes are byte-packed: k must be <= 256, got $k")
     require(64 % nSub == 0, s"nSub must divide 64, got $nSub")
@@ -229,23 +242,55 @@ object CodesIndex {
     val subDim = 64 / nSub
     val subs = graft.core.CacheScope.track(pqSubs(emb, nSub, subDim).persist())
     val cb = pqCodebook(subs, k)
-    // pack in subspace order: collect per-vector (sub, code) pairs,
-    // array_sort orders by sub (struct order, sub first), project codes
-    val packed = pqEncode(subs, cb)
-      .groupBy(col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("sub"), col("code"))))
-        .as("sc"))
-      .select(col("vec_id"), pack(expr("transform(sc, p -> p.code)")).as("codes"))
-    packed.select(lit("v").as("kind"), col("vec_id").as("id"),
-        col("codes"), lit(null).cast("long").as("sub"),
-        lit(null).cast("long").as("code"),
-        lit(null).cast("array<long>").as("cv"))
+    packedVectorRows(pqEncode(subs, cb))
       .unionByName(cb.select(lit("cb").as("kind"), col("code").as("id"),
         lit(null).cast("binary").as("codes"), col("sub"),
         col("code"), col("cv")))
       .write.mode("overwrite").parquet(path)
     writeSidecar(spark, path, PqMetaFile, s"$nSub,$k,$subDim")
     subs.unpersist()
+  }
+
+  /** PQ maintenance lifecycle — same policy as the SQ8 one above, with
+    * one structural difference worth stating: an out-of-distribution
+    * vector needs NO saturation here (the argmin over the standing
+    * codebook always yields a valid code; drift shows up as growing
+    * quantization distance, not a range violation), and the cadence
+    * rebuild re-trains the codebook from the source corpus for the same
+    * lossy-codes reason as SQ8's refit. */
+  private val PqPendingFile = "_graft_pq_pending"
+  def pqPending(spark: SparkSession, path: String): Int =
+    readSidecarOpt(spark, path, PqPendingFile)
+      .flatMap(raw => scala.util.Try(raw.toInt).toOption).getOrElse(0)
+
+  /** Encode `emb`'s vectors against the STANDING codebook and append
+    * the packed rows; the codebook is deliberately not re-trained. */
+  def appendPq(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    val meta = pqMeta(spark, path)
+    val cb = pqCodebookOf(spark, path)
+    packedVectorRows(pqEncode(pqSubs(emb, meta.nSub, meta.subDim), cb))
+      .write.mode("append").parquet(path)
+    writeSidecar(spark, path, PqPendingFile,
+      (pqPending(spark, path) + 1).toString)
+  }
+
+  def rebuildPq(spark: SparkSession, path: String, source: DataFrame): Unit = {
+    val meta = pqMeta(spark, path) // read BEFORE replace swaps the dir
+    graft.core.IndexStore.replace(spark, path) { scratch =>
+      writePq(source, scratch, meta.nSub, meta.k)
+    }
+  }
+
+  def appendAndMaybeRebuildPq(emb: DataFrame, path: String,
+                              source: => DataFrame,
+                              rebuildEvery: Int): Boolean = {
+    require(rebuildEvery >= 0, s"rebuildEvery must be >= 0, got $rebuildEvery")
+    appendPq(emb, path)
+    val spark = emb.sparkSession
+    val due = rebuildEvery > 0 && pqPending(spark, path) >= rebuildEvery
+    if (due) rebuildPq(spark, path, source)
+    due
   }
 
   def pqMeta(spark: SparkSession, path: String): PqMeta = {

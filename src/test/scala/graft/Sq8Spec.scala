@@ -127,6 +127,46 @@ class Sq8Spec extends SparkTestBase {
     assert(stR.mn.toSeq === stF.mn.toSeq && stR.span.toSeq === stF.span.toSeq)
   }
 
+  test("PQ lifecycle: append encodes against the STANDING codebook; rebuild equals a fresh write") {
+    val emb = Tables(spark, sf()).embeddings
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch1 = emb.filter(col("vec_id") % 10 === 0)
+    val batch2 = emb.filter(col("vec_id") % 10 === 5)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-pq-life").toString
+    val path = s"$root/idx"
+    CodesIndex.writePq(base, path, nSub = 4, k = 16)
+    val cb0 = CodesIndex.pqCodebookOf(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    assert(CodesIndex.pqPending(spark, path) === 0)
+    // append: codes for the batch equal the inline encode against the
+    // STANDING codebook (not a re-trained one)
+    assert(!CodesIndex.appendAndMaybeRebuildPq(batch1, path, emb,
+      rebuildEvery = 2))
+    assert(CodesIndex.pqPending(spark, path) === 1)
+    val cb1 = CodesIndex.pqCodebookOf(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    assert(cb1 === cb0, "append must not re-train the codebook")
+    val batchIds = batch1.select("vec_id").collect().map(_.getLong(0)).toSet
+    val appended = CodesIndex.pqCodesOf(spark, path)
+      .filter(col("vec_id").isin(batchIds.toSeq: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val inline = SimilarityQueries.pqEncode(
+        SimilarityQueries.pqSubs(batch1, 4, 16),
+        CodesIndex.pqCodebookOf(spark, path)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(appended === inline)
+    // cadence rebuild re-trains from the source == a fresh write
+    assert(CodesIndex.appendAndMaybeRebuildPq(batch2, path, emb,
+      rebuildEvery = 2))
+    assert(CodesIndex.pqPending(spark, path) === 0)
+    val fresh = s"$root/fresh"
+    CodesIndex.writePq(emb, fresh, nSub = 4, k = 16)
+    def codes(p: String) = CodesIndex.pqCodesOf(spark, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(codes(path) === codes(fresh))
+  }
+
   test("SQ8 append saturates out-of-range components instead of failing the ingest") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-sq8-sat").toString
