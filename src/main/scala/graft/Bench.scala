@@ -210,8 +210,17 @@ object Bench {
     * no record exists or it was minted at a different scale factor. */
   private def recordCanaries(sfDir: String): Map[String, Double] = {
     val f = new java.io.File("BENCH_FULL.json")
-    if (!f.isFile) return Map.empty
-    val text = scala.io.Source.fromFile(f, "UTF-8").mkString
+    if (!f.isFile) Map.empty
+    else parseCanaries(scala.io.Source.fromFile(f, "UTF-8").mkString, sfDir)
+  }
+
+  /** Pure parsing half of [[recordCanaries]], spec-testable: reads the
+    * gate keys ONLY from the summary prefix before the "queries" map
+    * (the writer's key-order contract), so a query named like a gate
+    * key or a nested prev_delta entry can never shadow a record value;
+    * returns empty for a record minted at a different scale factor. */
+  private[graft] def parseCanaries(text: String,
+                                   sfDir: String): Map[String, Double] = {
     val head = text.indexOf("\"queries\":") match {
       case -1 => text
       case i  => text.substring(0, i)
@@ -236,11 +245,16 @@ object Bench {
     * is kept, conservatively. */
   private def loadPrevMap(sfDir: String): Map[String, Double] = prevSource.fold(
     Map.empty[String, Double]) { case (_, file) =>
+    parsePrevMap(scala.io.Source.fromFile(file, "UTF-8").mkString, sfDir)
+  }
+
+  /** Pure parsing half of [[loadPrevMap]], spec-testable. */
+  private[graft] def parsePrevMap(raw: String,
+                                  sfDir: String): Map[String, Double] = {
     // the driver may embed the bench line inside a log-tail string
     // with escaped quotes — unescape so the queries map matches either
     // way
-    val text = scala.io.Source.fromFile(file, "UTF-8").mkString
-      .replace("\\\"", "\"")
+    val text = raw.replace("\\\"", "\"")
     val sfMismatch = """"sf":"([^"]+)"""".r.findFirstMatchIn(text)
       .exists(_.group(1) != sfDir)
     // the queries map is flat "name":secs — extract pairs by regex so

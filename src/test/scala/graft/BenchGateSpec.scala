@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench gate's record parsing — the regression class the r11
+  * advisor flagged (first-occurrence regex binding) and the r12 fix
+  * (key-order contract: gate keys parsed only from the summary prefix
+  * before the "queries" map; sf-gated). Pure-function specs, no Spark. */
+class BenchGateSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.1"
+  private def record(qs: String, extra: String = ""): String =
+    s"""{"metric":"total","value":120.0,"unit":"sec","sf":"$sf",""" +
+      s""""lineitem_rows":600000,"documents_rows":5000,""" +
+      s""""q1_rows_per_sec":597551,"docs_rows_per_sec":10578,""" +
+      s""""healed_reps":0,"prod_variants_total":9.0,""" +
+      s""""queries":$qs$extra}"""
+
+  test("canaries parse from the summary prefix only") {
+    val r = record("""{"q1_pricing_summary":1.0,"d4_simhash":0.7}""")
+    assert(Bench.parseCanaries(r, sf) ===
+      Map("q1_rows_per_sec" -> 597551.0, "docs_rows_per_sec" -> 10578.0))
+  }
+
+  test("a nested or query-named gate key cannot shadow the record value") {
+    // a hostile-but-conceivable map: a query literally named like a gate
+    // key, plus a prev_delta echoing one — neither may bind
+    val r = record(
+      """{"q1_rows_per_sec":1.0,"docs_rows_per_sec":2.0}""",
+      ""","prev_delta":{"q1_rows_per_sec":-4.0}""")
+    assert(Bench.parseCanaries(r, sf)("q1_rows_per_sec") === 597551.0)
+    assert(Bench.parseCanaries(r, sf)("docs_rows_per_sec") === 10578.0)
+  }
+
+  test("a record at a different scale factor gates nothing and heals nothing") {
+    val r = record("""{"q1_pricing_summary":1.0}""")
+    assert(Bench.parseCanaries(r, "/root/testdata/sf0.001") === Map.empty)
+    assert(Bench.parsePrevMap(r, "/root/testdata/sf0.001") === Map.empty)
+  }
+
+  test("a record predating the docs canary gates on q1 alone") {
+    val legacy = s"""{"metric":"total","value":119.4,"sf":"$sf",""" +
+      s""""q1_rows_per_sec":504900,"queries":{"q1_pricing_summary":0.9}}"""
+    assert(Bench.parseCanaries(legacy, sf) ===
+      Map("q1_rows_per_sec" -> 504900.0))
+  }
+
+  test("prev map parses the flat queries pairs, including driver-escaped quotes") {
+    val r = record("""{"q18_large_orders":0.94,"x_lm_score":1.39}""")
+    assert(Bench.parsePrevMap(r, sf) ===
+      Map("q18_large_orders" -> 0.94, "x_lm_score" -> 1.39))
+    // the driver may embed the line in a log tail with \" escapes
+    val escaped = r.replace("\"", "\\\"")
+    assert(Bench.parsePrevMap(escaped, sf)("x_lm_score") === 1.39)
+  }
+}
