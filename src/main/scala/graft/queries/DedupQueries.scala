@@ -399,9 +399,10 @@ object DedupQueries extends QueryGroup {
     }
 
   /** Build the dedup-tier fixtures the b-form consumers read — chained
-    * from [[graft.SparkEntry.prepareFixtures]]. */
+    * from [[graft.SparkEntry.prepareFixtures]]. Skips quietly on dirs
+    * without a documents table (partial scale replicas). */
   def prepareFixtures(spark: SparkSession, dir: String): Unit =
-    ensureClusters(spark, dir)
+    if (Tables.exists(spark, dir, "documents")) ensureClusters(spark, dir)
 
   private def storedClusters(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(ensureClusters(spark, dir))

@@ -463,9 +463,12 @@ object SimilarityQueries extends QueryGroup {
 
   /** Build the similarity-tier fixtures registered queries read —
     * chained from [[graft.SparkEntry.prepareFixtures]] so Bench/Verify
-    * pay the write outside any measured window. */
+    * pay the write outside any measured window. Skips quietly when the
+    * dir carries no embeddings table (partial scale replicas — e.g.
+    * /tmp/graft-sf10 ships documents+events+lineitem only); a query
+    * that actually needs the fixture still fails loudly on its own. */
   def prepareFixtures(spark: SparkSession, dir: String): Unit =
-    ensureClustered(spark, dir)
+    if (Tables.exists(spark, dir, "embeddings")) ensureClustered(spark, dir)
 
   def ivfRecallClustered(spark: SparkSession, dir: String): DataFrame = {
     val vecs = spark.read.parquet(ensureClustered(spark, dir))

@@ -125,11 +125,14 @@ object StatefulQueries extends QueryGroup {
   /** Build every upsert fixture this group's registered queries read —
     * called by Bench (untimed, after warmup) and Verify (before the
     * dump loop). Idempotent per (JVM, sf dir). */
-  def prepareFixtures(spark: SparkSession, dir: String): Unit = {
-    ensureApplied(spark, dir)
-    ensureDelta(spark, dir, "upsert-tt")
-    ensureDelta(spark, dir, "upsert-cf")
-  }
+  def prepareFixtures(spark: SparkSession, dir: String): Unit =
+    // skip quietly on dirs without an events table (partial scale
+    // replicas); a t6/t7/t8 call against such a dir fails loudly itself
+    if (Tables.exists(spark, dir, "events")) {
+      ensureApplied(spark, dir)
+      ensureDelta(spark, dir, "upsert-tt")
+      ensureDelta(spark, dir, "upsert-cf")
+    }
 
   /** T6's fixture: seed an [[graft.ext.Upsert]] table from the first
     * half of the event stream (latest row per user), apply the second

@@ -63,3 +63,15 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }
+
+object Tables {
+  /** True iff `dir` carries the named table — fixture pre-builds use
+    * this to skip quietly on PARTIAL scale replicas (a probe dir may
+    * ship only documents+events); any query that truly needs the
+    * table still fails loudly on its own read. Hadoop-FS addressed,
+    * like the index stores. */
+  def exists(spark: SparkSession, dir: String, name: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+}
