@@ -152,6 +152,32 @@ object CodesIndex {
       (sq8Pending(spark, path) + 1).toString)
   }
 
+  /** One micro-batch's append for the STREAMING ingest
+    * ([[graft.streaming.StreamCodes.sq8Appender]] — semantics and crash
+    * windows documented there): encode against the standing stats into
+    * `scratch` (hidden, one coalesced part file) and commit by a single
+    * atomic rename to `batch<id>-<part>` inside the artifact dir. */
+  private[graft] def appendSq8Batch(emb: DataFrame, path: String,
+                                    scratch: org.apache.hadoop.fs.Path,
+                                    batchId: Long): Unit = {
+    val spark = emb.sparkSession
+    val st = sq8Stats(spark, path)
+    sq8Encode(snappedIds(emb), st.mn, st.span)
+      .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val fs = scratch.getFileSystem(spark.sessionState.newHadoopConf())
+    val part = fs.listStatus(scratch).map(_.getPath)
+      .filter(_.getName.startsWith("part-")) match {
+        case Array(p) => p
+        case other => sys.error(
+          s"expected exactly one part file in $scratch, got ${other.length}")
+      }
+    fs.rename(part, new org.apache.hadoop.fs.Path(path,
+      s"batch$batchId-${part.getName}"))
+    fs.delete(scratch, true)
+    writeSidecar(spark, path, Sq8PendingFile,
+      (sq8Pending(spark, path) + 1).toString)
+  }
+
   /** The stats-drift rewrite: re-fit min/span and re-encode from
     * `source` — the CURRENT full corpus — and republish atomically via
     * IndexStore.replace (old artifact readable throughout). Unlike

@@ -1,0 +1,59 @@
+package graft
+
+import graft.ext.CodesIndex
+import graft.sources.Tables
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming SQ8 ingest (StreamCodes.sq8Appender): the stream's
+  * artifact equals the batch append path's, replays are exactly-once,
+  * and the pending counter tracks unique batches. */
+class StreamCodesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streamed appends equal batch appends; crash replay is exactly-once") {
+    implicit val sq = spark.sqlContext
+    val emb = Tables(spark, sf()).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-streamcodes").toString
+    val (sPath, bPath) = (s"$root/stream", s"$root/batch")
+    CodesIndex.writeSq8(base, sPath)
+    CodesIndex.writeSq8(base, bPath)
+
+    val rows = emb.filter(col("vec_id") % 5 === 0)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(graft.streaming.StreamCodes.sq8Appender(sPath))
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // the batch path over the same two slices
+    CodesIndex.appendSq8(emb.filter(col("vec_id") % 5 === 0)
+      .filter(col("vec_id").isin(b1.map(_._1): _*)), bPath)
+    CodesIndex.appendSq8(emb.filter(col("vec_id") % 5 === 0)
+      .filter(col("vec_id").isin(b2.map(_._1): _*)), bPath)
+
+    def decoded(p: String) = CodesIndex.sq8Dequantized(spark, p).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(decoded(sPath) === decoded(bPath),
+      "stream and batch ingest must land identical codes")
+    assert(CodesIndex.sq8Pending(spark, sPath) === 2)
+
+    // crash replay: re-invoking an already-committed batch id is a no-op
+    val before = spark.read.parquet(sPath).count()
+    graft.streaming.StreamCodes.sq8Appender(sPath)(
+      emb.filter(col("vec_id") % 5 === 0), 1L)
+    assert(spark.read.parquet(sPath).count() === before,
+      "a replayed batch must not duplicate rows")
+    assert(CodesIndex.sq8Pending(spark, sPath) === 2,
+      "a replayed batch must not bump pending")
+  }
+}
