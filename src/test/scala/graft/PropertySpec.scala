@@ -13,6 +13,39 @@ class PropertySpec extends SparkTestBase {
   import spark.implicits._
   implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
+  test("property: pack/unpack round-trips arbitrary code arrays; decode equals the HOF formula") {
+    import graft.functions.{PackBytesLong, Sq8DecodeLong, UnpackBytesLong}
+    val rnd = new Random(7)
+    val cases = (1 to 30).map { _ =>
+      val n = 1 + rnd.nextInt(80)
+      (Seq.fill(n)(rnd.nextInt(256).toLong),          // codes 0..255
+       Seq.fill(n)(rnd.nextLong() % 2000000L),        // mn, any sign
+       Seq.fill(n)(1L + rnd.nextInt(2000000)))        // span >= 1
+    }
+    val df = cases.toDF("c", "mn", "sp")
+    // round-trip identity on every random array, in one plan
+    val rt = df.select(col("c"),
+        UnpackBytesLong.unpack_bytes(PackBytesLong.pack_bytes(col("c")))
+          .as("r"))
+      .collect()
+    assert(rt.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // the fused native decode == the dequantization HOF, component-wise
+    val both = df.select(
+        Sq8DecodeLong.sq8_decode(PackBytesLong.pack_bytes(col("c")),
+          col("mn"), col("sp")).as("fused"),
+        expr("""transform(c, (x, i) ->
+               |  element_at(mn, i + 1) +
+               |  x * element_at(sp, i + 1) div CAST(255 AS BIGINT))"""
+          .stripMargin).as("hof"))
+      .collect()
+    assert(both.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)),
+      "Sq8DecodeLong must equal the transform formula on random inputs")
+    // out-of-range codes always refuse, never truncate
+    val bad = Seq(Seq(256L), Seq(-1L)).toDF("c")
+      .select(PackBytesLong.pack_bytes(col("c")))
+    intercept[Exception] { bad.collect() }
+  }
+
   test("property: tokenizer never yields empty tokens") {
     val rnd = new Random(42)
     val chars = "ab  c\t d\n e!#  "
