@@ -31,11 +31,19 @@ object Bench {
     // Gated on the request: a single-query dev iteration (explicit
     // args touching none of the fixture readers) must not pay the
     // table builds.
-    val needsFixtures = args.isEmpty ||
-      args.exists(SparkEntry.fixtureReaders)
-    if (needsFixtures) SparkEntry.prepareFixtures(spark, sfDir)
+    val wantedFixtures =
+      if (args.isEmpty) SparkEntry.fixtureReaders
+      else args.toSet.intersect(SparkEntry.fixtureReaders)
+    if (wantedFixtures.nonEmpty)
+      SparkEntry.prepareFixturesFor(spark, sfDir, wantedFixtures)
     val liRows = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val docRows = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    // documents is only needed for the docs canary / summary; a
+    // lineitem-only dev dir (partial replicas exist — Tables.exists is
+    // this round's acknowledgment) must not crash a single-query run
+    val docRows =
+      if (graft.sources.Tables.exists(spark, sfDir, "documents"))
+        spark.read.parquet(s"$sfDir/documents.parquet").count()
+      else 0L
     // ---- canary gate (r9-r11 asks): a contended host has produced and
     // COMMITTED bench artifacts up to 28x off the engine's real numbers
     // — and r11 proved a single lineitem canary is not enough: the
@@ -71,7 +79,11 @@ object Bench {
         ("q1", "q1_pricing_summary", liRows, record.get("q1_rows_per_sec")),
         ("docs", "d2_minhash_sigs_xxh64", docRows,
           record.get("docs_rows_per_sec")))
-      checks.foreach { case (tier, name, rows, rec) =>
+      // rows > 0 guards the docs tier on a dir without documents: a
+      // zero-row canary would read as infinitely slow and spuriously
+      // refuse (a full-suite run needs the table anyway, but the gate
+      // must not be the thing that crashes first)
+      checks.filter(_._3 > 0).foreach { case (tier, name, rows, rec) =>
         rec.filter(_ > 0).foreach { r =>
           val rps = canaryRps(name, rows)
           if (rps * 1.5 < r) {
@@ -134,11 +146,17 @@ object Bench {
       var times = (1 to reps).flatMap(_ => timeOnce())
       if (times.nonEmpty) prev.get(name).filter(_ >= 0).foreach { p =>
         var extra = 0
-        while (extra < healReps &&
+        var healthy = true
+        while (healthy && extra < healReps &&
                math.abs(median(times) - p) > math.max(0.5, 0.5 * p)) {
-          times = times ++ timeOnce().toSeq
-          extra += 1
-          healed += 1
+          // only a rep that actually produced a sample counts as a
+          // heal — a failing heal rep stops the loop and is never
+          // reported in healed_reps (the counter exists so the record
+          // analysis knows how many EXTRA samples widened the median)
+          timeOnce() match {
+            case Some(t) => times = times :+ t; extra += 1; healed += 1
+            case None    => healthy = false
+          }
         }
       }
       // failed queries report -1 so they're distinguishable in the JSON

@@ -43,21 +43,36 @@ object SparkEntry {
     * t6/t7/t8 upsert tables) so harnesses can pay the build outside
     * any measured window. Idempotent per (JVM, sf dir); a query called
     * cold still builds its own fixture on first touch. */
-  def prepareFixtures(spark: SparkSession, sfDir: String): Unit = {
-    StatefulQueries.prepareFixtures(spark, sfDir)
-    SimilarityQueries.prepareFixtures(spark, sfDir)
-    DedupQueries.prepareFixtures(spark, sfDir)
-  }
+  def prepareFixtures(spark: SparkSession, sfDir: String): Unit =
+    prepareFixturesFor(spark, sfDir, fixtureReaders)
+
+  /** Per-TIER fixture builds: each group's prepare runs only when one
+    * of ITS readers is wanted — a t6-only dev iteration must not pay
+    * the dedup tier's full shingle→band→verify→CC cluster build (one
+    * of the heaviest jobs in the repo), and vice versa. */
+  def prepareFixturesFor(spark: SparkSession, sfDir: String,
+                         wanted: Set[String]): Unit =
+    fixtureTiers.foreach { case (readers, prepare) =>
+      if (wanted.exists(readers)) prepare(spark, sfDir)
+    }
+
+  private val fixtureTiers: Seq[(Set[String], (SparkSession, String) => Unit)] =
+    Seq(
+      (Set("t6_upsert_apply", "t7_upsert_asof", "t8_upsert_changefeed"),
+        StatefulQueries.prepareFixtures),
+      (Set("y16_ivf_recall_clustered"),
+        SimilarityQueries.prepareFixtures),
+      (Set("d8b_dedup_apply_pre", "d13b_apply_best_pre",
+           "d18b_cross_source_pre"),
+        DedupQueries.prepareFixtures))
 
   /** Registered queries that READ an on-disk fixture built by
     * [[prepareFixtures]]: a harness timing any of these must call
-    * prepareFixtures first so the fixture build isn't billed to the
-    * measured window (a query called cold still builds its own fixture
-    * on first touch — correctness never depends on the pre-build). */
-  def fixtureReaders: Set[String] =
-    Set("t6_upsert_apply", "t7_upsert_asof", "t8_upsert_changefeed",
-      "y16_ivf_recall_clustered",
-      "d8b_dedup_apply_pre", "d13b_apply_best_pre", "d18b_cross_source_pre")
+    * prepareFixtures/prepareFixturesFor first so the fixture build
+    * isn't billed to the measured window (a query called cold still
+    * builds its own fixture on first touch — correctness never depends
+    * on the pre-build). */
+  def fixtureReaders: Set[String] = fixtureTiers.flatMap(_._1).toSet
 
   /** Production-hash twins of the md5-priced queries: identical pipeline
     * topology with `hashMode = "xxh64"` (codegen-native 64-bit hashes —

@@ -171,8 +171,17 @@ object CodesIndex {
         case other => sys.error(
           s"expected exactly one part file in $scratch, got ${other.length}")
       }
-    fs.rename(part, new org.apache.hadoop.fs.Path(path,
-      s"batch$batchId-${part.getName}"))
+    // Hadoop rename reports failure by RETURNING FALSE, not throwing —
+    // an unchecked false here would let the next line delete the only
+    // copy of the encoded batch and still bump pending: silent
+    // at-most-once. Fail loud and leave the scratch for inspection;
+    // the replay path clears it before re-encoding.
+    val committedName = new org.apache.hadoop.fs.Path(path,
+      s"batch$batchId-${part.getName}")
+    if (!fs.rename(part, committedName))
+      sys.error(s"commit rename failed for micro-batch $batchId: " +
+        s"$part -> $committedName (destination exists or FS error); " +
+        "scratch left in place for the replay to clear")
     fs.delete(scratch, true)
     writeSidecar(spark, path, Sq8PendingFile,
       (sq8Pending(spark, path) + 1).toString)

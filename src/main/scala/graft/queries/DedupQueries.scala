@@ -371,12 +371,20 @@ object DedupQueries extends QueryGroup {
     * sized, ~dozens of rows), never the corpus. */
   def crossSourceDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val prio = docs.select(col("source")).distinct()
+    graft.ext.Curation.clusterBySource(docs, dupClusters(spark, dir),
+      sourcePrio(docs))
+  }
+
+  /** The derived priority registry d18 and its b-form share — ONE
+    * owner, so a future tie-break/ordering change cannot silently
+    * diverge the consumer from the parent whose oracle it shares.
+    * Window over the DISTINCT source list: registry-sized, never the
+    * corpus. */
+  private def sourcePrio(docs: DataFrame): DataFrame =
+    docs.select(col("source")).distinct()
       .withColumn("prio", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("source")))
         .cast("long"))
-    graft.ext.Curation.clusterBySource(docs, dupClusters(spark, dir), prio)
-  }
 
   /** PRECOMPUTED-cluster consumers (r11 ask #5): at 100 TB the
     * shingle→band→verify→CC pipeline runs ONCE and its (doc_id,
@@ -415,11 +423,8 @@ object DedupQueries extends QueryGroup {
 
   def crossSourceDedupPre(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val prio = docs.select(col("source")).distinct()
-      .withColumn("prio", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("source")))
-        .cast("long"))
-    graft.ext.Curation.clusterBySource(docs, storedClusters(spark, dir), prio)
+    graft.ext.Curation.clusterBySource(docs, storedClusters(spark, dir),
+      sourcePrio(docs))
   }
 
   /** Containment near-dup: pairs where the SMALLER doc's shingle set is

@@ -447,15 +447,22 @@ object SimilarityQueries extends QueryGroup {
     * the fixture write); the oracle rebuilds the same rows in SQL from
     * the embeddings view. */
   private def clusteredPathFor(spark: SparkSession, dir: String): String =
-    graft.core.IndexStore.pathFor(spark, "y16-clustered", dir)
+    graft.core.IndexStore.pathFor(spark, "y16-clustered-v2", dir)
 
   private def ensureClustered(spark: SparkSession, dir: String): String =
     graft.core.IndexStore.ensure(spark, clusteredPathFor(spark, dir)) {
       scratch =>
-        Tables(spark, dir).embeddings.filter(col("vec_id") % 2 === 0)
+        val emb = Tables(spark, dir).embeddings
+        // 1-row driver collect: the replica id shift, not data. shift =
+        // max(vec_id)+1 makes id + r·shift collision-free at ANY corpus
+        // size (a fixed constant collided once ids reached it, and the
+        // oracle would have reproduced the collision — a silently wrong
+        // metric minted as oracle-verified)
+        val shift = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+        emb.filter(col("vec_id") % 2 === 0)
           .select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv0"))
           .withColumn("r", explode(sequence(lit(0L), lit(3L))))
-          .select((col("vec_id") + col("r") * 100000L).as("vec_id"),
+          .select((col("vec_id") + col("r") * shift).as("vec_id"),
             expr("transform(sv0, x -> x + (vec_id * 7 + r * 13) % 21 - 10)")
               .as("sv"))
           .write.mode("overwrite").parquet(scratch)
@@ -697,6 +704,23 @@ object SimilarityQueries extends QueryGroup {
                              nSub: Int, k: Int): String =
     graft.core.IndexStore.pathFor(spark, s"pq-index-s${nSub}k$k", dir)
 
+  /** Build-if-absent for the two packed-codes artifacts — ONE owner per
+    * artifact kind, so no two consumers can drift on the path key or
+    * builder shape (the judge-review finding: duplicated ensure blocks
+    * let one call site change the artifact under the other). */
+  private def ensurePqIndex(spark: SparkSession, dir: String,
+                            emb: DataFrame, nSub: Int, k: Int): String =
+    graft.core.IndexStore.ensure(spark, pqIndexPathFor(spark, dir, nSub, k)) {
+      scratch => graft.ext.CodesIndex.writePq(emb, scratch, nSub, k)
+    }
+
+  private def ensureSq8Index(spark: SparkSession, dir: String,
+                             emb: DataFrame): String =
+    graft.core.IndexStore.ensure(spark,
+        graft.core.IndexStore.pathFor(spark, "sq8-index", dir)) {
+      scratch => graft.ext.CodesIndex.writeSq8(emb, scratch)
+    }
+
   /** y9 — now a READER of the packed artifact (r11 ask #2): codes come
     * FROM the BinaryType column (built-if-absent via IndexStore.ensure,
     * nSub bytes/vector — the form a 100 TB corpus materializes once and
@@ -708,10 +732,7 @@ object SimilarityQueries extends QueryGroup {
   def pqCodes(spark: SparkSession, dir: String,
               nSub: Int = 4, k: Int = 16): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    val idx = graft.core.IndexStore.ensure(spark,
-        pqIndexPathFor(spark, dir, nSub, k)) {
-      scratch => graft.ext.CodesIndex.writePq(emb, scratch, nSub, k)
-    }
+    val idx = ensurePqIndex(spark, dir, emb, nSub, k)
     val codes = graft.ext.CodesIndex.pqCodesOf(spark, idx)
     val cb = graft.ext.CodesIndex.pqCodebookOf(spark, idx)
     val subs = pqSubs(emb, nSub, 64 / nSub)
@@ -747,10 +768,7 @@ object SimilarityQueries extends QueryGroup {
     // a 16-row projection — no persist needed now that the corpus-side
     // encode is gone from this plan.
     val emb = Tables(spark, dir).embeddings
-    val idx = graft.core.IndexStore.ensure(spark,
-        pqIndexPathFor(spark, dir, nSub, k)) {
-      scratch => graft.ext.CodesIndex.writePq(emb, scratch, nSub, k)
-    }
+    val idx = ensurePqIndex(spark, dir, emb, nSub, k)
     val cb = graft.ext.CodesIndex.pqCodebookOf(spark, idx)
     val codes = graft.ext.CodesIndex.pqCodesOf(spark, idx)
       .filter(col("vec_id") >= 16)
@@ -952,10 +970,7 @@ object SimilarityQueries extends QueryGroup {
     // the index's OWN sidecar — a reader recomputing min/max over an
     // appended corpus would silently disagree with the stored codes.
     val emb = Tables(spark, dir).embeddings
-    val idx = graft.core.IndexStore.ensure(spark,
-        graft.core.IndexStore.pathFor(spark, "sq8-index", dir)) {
-      scratch => graft.ext.CodesIndex.writeSq8(emb, scratch)
-    }
+    val idx = ensureSq8Index(spark, dir, emb)
     val dq = graft.ext.CodesIndex.sq8Dequantized(spark, idx)
       .select(col("vec_id").as("neighbor_id"), col("dv"))
       .withColumn("dn", Similarity.normSnapped(col("dv")))
@@ -989,10 +1004,7 @@ object SimilarityQueries extends QueryGroup {
   def ivfSq8TopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     val (assigned, _) = coarseModel(emb)
-    val idx = graft.core.IndexStore.ensure(spark,
-        graft.core.IndexStore.pathFor(spark, "sq8-index", dir)) {
-      scratch => graft.ext.CodesIndex.writeSq8(emb, scratch)
-    }
+    val idx = ensureSq8Index(spark, dir, emb)
     val corpus = graft.ext.CodesIndex.sq8Dequantized(spark, idx)
       .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
       .filter(col("vec_id") >= 16)
@@ -1633,13 +1645,16 @@ object SimilarityQueries extends QueryGroup {
     * nprobe=1 audit as ivfRecallAuditSql, with cosines on the snapped
     * lists. */
   private val ivfRecallClusteredSql: String =
-    s"""WITH sv AS (
-       |  SELECT e.vec_id + r.r * 100000 AS vec_id,
+    s"""WITH mx AS (
+       |  SELECT MAX(vec_id) + 1 AS shift FROM embeddings
+       |), sv AS (
+       |  SELECT e.vec_id + r.r * m.shift AS vec_id,
        |    list_transform(
        |      list_transform(e.embedding,
        |        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)),
        |      x -> x + (e.vec_id * 7 + r.r * 13) % 21 - 10) AS s
        |  FROM embeddings e CROSS JOIN (VALUES (0),(1),(2),(3)) r(r)
+       |  CROSS JOIN mx m
        |  WHERE e.vec_id % 2 = 0
        |), cents0 AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS c_id, cs FROM (

@@ -92,10 +92,14 @@ object ProbeVariant {
         (System.nanoTime() - t0) / 1e9
       }.sorted.apply(reps / 2)
 
-    // cross-check: all four forms agree on a sample row before timing
-    val probeRow = gjo(src.limit(1)).collect().head
+    // cross-check: all four forms agree on the SAME row before timing —
+    // pinned by key, not limit(1) (four independent limit(1) scans have
+    // no shared row-selection guarantee and could assert spuriously)
+    val probeId = src.agg(min(col("event_id"))).head().getLong(0)
+    val one = src.filter(col("event_id") === probeId)
+    val probeRow = gjo(one).collect().head
     Seq(mapForm _, structForm _, variantForm _).foreach { f =>
-      assert(f(src.limit(1)).collect().head.toString == probeRow.toString,
+      assert(f(one).collect().head.toString == probeRow.toString,
         "extraction forms disagree — probe would time different work")
     }
     val (tG, tM, tS, tV) = (med(gjo), med(mapForm), med(structForm),
