@@ -820,11 +820,15 @@ object SimilarityQueries extends QueryGroup {
     val (assigned, cents) = coarseModel(emb)
     val cells = assigned
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
-    // fine codes: the y9 encoder verbatim
-    val subs = graft.core.CacheScope.track(
-      pqSubs(emb, nSub, 64 / nSub).persist())
-    val cb = pqCodebook(subs, k)
-    val codes = pqEncode(subs, cb).filter(col("vec_id") >= 16)
+    // fine codes: read from the PACKED artifact (round 12 — the same
+    // committed index y9/y10 consume; every ADC consumer now scans
+    // nSub bytes/vector instead of re-running the encode per query).
+    // The probe-side subvector projection below is 16 rows, so the
+    // persist the inline encode needed is gone with it.
+    val idx = ensurePqIndex(spark, dir, emb, nSub, k)
+    val cb = graft.ext.CodesIndex.pqCodebookOf(spark, idx)
+    val codes = graft.ext.CodesIndex.pqCodesOf(spark, idx)
+      .filter(col("vec_id") >= 16)
       .join(cells, "vec_id")
       .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"),
         col("cell"))
@@ -850,7 +854,7 @@ object SimilarityQueries extends QueryGroup {
             .orderBy(col("cdist"), col("c_id"))))
           .filter(col("rk") <= nProbeCells)
           .select(col("probe_id"), col("c_id").cast("long").as("p_cell"))
-    val dt = subs.filter(col("vec_id") < 16)
+    val dt = pqSubs(emb.filter(col("vec_id") < 16), nSub, 64 / nSub)
       .select(col("vec_id").as("probe_id"), col("sub"), col("ssv").as("pv"))
       .join(broadcast(cb), "sub")
       .select(col("probe_id"), col("sub"), col("code"),
