@@ -63,7 +63,8 @@ object SparkEntry {
       (Set("y16_ivf_recall_clustered"),
         SimilarityQueries.prepareFixtures),
       (Set("d8b_dedup_apply_pre", "d13b_apply_best_pre",
-           "d18b_cross_source_pre"),
+           "d18b_cross_source_pre", "d10b_cluster_best_pre",
+           "d14b_merge_pre"),
         DedupQueries.prepareFixtures))
 
   /** Registered queries that READ an on-disk fixture built by
