@@ -44,6 +44,10 @@ object Bench {
       if (graft.sources.Tables.exists(spark, sfDir, "documents"))
         spark.read.parquet(s"$sfDir/documents.parquet").count()
       else 0L
+    val embRows =
+      if (graft.sources.Tables.exists(spark, sfDir, "embeddings"))
+        spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+      else 0L
     // ---- canary gate (r9-r11 asks): a contended host has produced and
     // COMMITTED bench artifacts up to 28x off the engine's real numbers
     // — and r11 proved a single lineitem canary is not enough: the
@@ -56,13 +60,23 @@ object Bench {
     //   d2_minhash_sigs_xxh64     — documents shingle+hash projection
     //                               (the doc-corpus CPU+IO shape, no
     //                               DuckDB-tax noise)
-    // If either canary's rows/s is >1.5x below the committed record's
+    //   y14_sq8_topk              — embeddings corpus + the /tmp packed
+    //                               codes artifact the 26-entry y-tier
+    //                               reads (r12's last corpus blind
+    //                               spot: a cold or contended artifact
+    //                               dir was invisible to both other
+    //                               canaries). Its first rep may pay
+    //                               the one-time artifact build — the
+    //                               median-of-3 discards that rep AND
+    //                               leaves the artifact warm for the
+    //                               suite.
+    // If any canary's rows/s is >1.5x below the committed record's
     // (BENCH_FULL.json), the run refuses to mint: one JSON line with
     // "degraded":true, exit 3, so no harness can silently archive a
     // garbage artifact. A record value only applies at ITS scale
-    // factor; a record predating the doc canary gates on q1 alone.
-    // SPARK_GRAFT_CANARY=off skips the gate for deliberate debugging
-    // on a box known to be busy.
+    // factor; a record predating a canary's key gates on the keys it
+    // has. SPARK_GRAFT_CANARY=off skips the gate for deliberate
+    // debugging on a box known to be busy.
     val record = recordCanaries(sfDir)
     def canaryRps(name: String, rows: Long): Double = {
       val q = SparkEntry.queries.getOrElse(name, SparkEntry.prodVariants(name))
@@ -78,7 +92,9 @@ object Bench {
       val checks = Seq(
         ("q1", "q1_pricing_summary", liRows, record.get("q1_rows_per_sec")),
         ("docs", "d2_minhash_sigs_xxh64", docRows,
-          record.get("docs_rows_per_sec")))
+          record.get("docs_rows_per_sec")),
+        ("emb", "y14_sq8_topk", embRows,
+          record.get("emb_rows_per_sec")))
       // rows > 0 guards the docs tier on a dir without documents: a
       // zero-row canary would read as infinitely slow and spuriously
       // refuse (a full-suite run needs the table anyway, but the gate
@@ -126,6 +142,10 @@ object Bench {
     val healReps = sys.env.getOrElse("SPARK_GRAFT_HEAL_REPS", "2").toInt
     val prev: Map[String, Double] = loadPrevMap(sfDir)
     var healed = 0
+    // per-query heal audit (r12 advisor): WHICH queries took extra reps
+    // rides the record, so a smoothed step regression is visible in the
+    // artifact instead of hiding inside one global counter
+    val healedBy = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val results = wanted.map { case (name, fn) =>
       def timeOnce(): Option[Double] = {
         val t0 = System.nanoTime()
@@ -154,7 +174,9 @@ object Bench {
           // reported in healed_reps (the counter exists so the record
           // analysis knows how many EXTRA samples widened the median)
           timeOnce() match {
-            case Some(t) => times = times :+ t; extra += 1; healed += 1
+            case Some(t) =>
+              times = times :+ t; extra += 1; healed += 1
+              healedBy(name) = healedBy.getOrElse(name, 0) + 1
             case None    => healthy = false
           }
         }
@@ -179,13 +201,17 @@ object Bench {
     val rps = if (q1Sec > 0) liRows / q1Sec else 0.0
     val d2Sec = resMap.getOrElse("d2_minhash_sigs_xxh64", -1.0)
     val docsRps = if (d2Sec > 0) docRows / d2Sec else 0.0
+    val y14Sec = resMap.getOrElse("y14_sq8_topk", -1.0)
+    val embRps = if (y14Sec > 0) embRows / y14Sec else 0.0
     val trend = prevDelta(results, prev)
     // KEY-ORDER CONTRACT (parsed by recordCanaries/loadPrevMap): the
-    // summary scalars — "sf", "q1_rows_per_sec", "docs_rows_per_sec" —
-    // are emitted BEFORE the "queries" map, and the gate parser only
-    // reads the prefix up to "queries": so a nested key can never
-    // shadow a top-level one.
-    val summary = s""""unit":"sec","sf":"$sfDir","lineitem_rows":$liRows,"documents_rows":$docRows,"q1_rows_per_sec":${fmt(rps, "%.0f")},"docs_rows_per_sec":${fmt(docsRps, "%.0f")},"healed_reps":$healed,"prod_variants_total":${fmt3(prodTotal)}"""
+    // summary scalars — "sf", "q1_rows_per_sec", "docs_rows_per_sec",
+    // "emb_rows_per_sec" — are emitted BEFORE the "queries" map, and
+    // the gate parser only reads the prefix up to "queries": so a
+    // nested key can never shadow a top-level one.
+    val summary = s""""unit":"sec","sf":"$sfDir","lineitem_rows":$liRows,"documents_rows":$docRows,"embeddings_rows":$embRows,"q1_rows_per_sec":${fmt(rps, "%.0f")},"docs_rows_per_sec":${fmt(docsRps, "%.0f")},"emb_rows_per_sec":${fmt(embRps, "%.0f")},"healed_reps":$healed,"healed_queries":${
+      healedBy.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")},"prod_variants_total":${fmt3(prodTotal)}"""
     val fullLine =
       s"""{"metric":"total","value":${fmt3(total)},$summary,"queries":$qs$trend}"""
     // The gate harness stores only the LAST ~2000 chars of stdout, and
@@ -246,7 +272,8 @@ object Bench {
     val sameSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(head)
       .exists(_.group(1) == sfDir)
     if (!sameSf) Map.empty
-    else Seq("q1_rows_per_sec", "docs_rows_per_sec").flatMap { k =>
+    else Seq("q1_rows_per_sec", "docs_rows_per_sec",
+             "emb_rows_per_sec").flatMap { k =>
       (s""""$k":(\\d+(\\.\\d+)?)""").r.findFirstMatchIn(head)
         .map(m => k -> m.group(1).toDouble)
     }.toMap

@@ -225,17 +225,82 @@ object IndexStore {
     path
   }
 
+  // ---- sidecar protocol -----------------------------------------------
+
+  /** Sidecar files are the metadata half of the commit protocol: small
+    * underscore-prefixed files beside the data (scan-invisible to
+    * parquet), travelling WITH the directory through [[ensure]]'s and
+    * [[replace]]'s atomic publish — so metadata and the rows it
+    * describes can never be torn apart ([[graft.ext.AnnIndex]]'s
+    * quantizer generation, [[graft.ext.CodesIndex]]'s quantization
+    * stats/codebook meta, both tiers' pending-append counters). This is
+    * the ONE implementation of that protocol; the read half is
+    * conf-explicit so executors can probe with a shipped Hadoop conf
+    * (a stream guard re-reading the generation per micro-batch). */
+  def writeSidecar(spark: SparkSession, path: String,
+                   name: String, value: String): Unit = {
+    val f = new Path(path, name)
+    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(f, true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readSidecarOpt(path: String, name: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[String] = {
+    val f = new Path(path, name)
+    val fs = f.getFileSystem(conf)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  def readSidecarOpt(spark: SparkSession, path: String,
+                     name: String): Option[String] =
+    readSidecarOpt(path, name, spark.sessionState.newHadoopConf())
+
+  /** Loud-fail read for sidecars a committed artifact MUST carry (the
+    * quantizer stats without which packed codes are undecodable). */
+  def readSidecar(spark: SparkSession, path: String, name: String): String =
+    readSidecarOpt(spark, path, name).getOrElse(sys.error(
+      s"no $name sidecar at $path — not a committed index artifact"))
+
   /** Canonical per-dataset index location: `<base>/graft-<kind>-<md5
-    * of dataDir>` — stable across calls (artifact reuse is the point)
-    * yet collision-free across scale factors / datasets. The base is
-    * caller-supplied via `spark.graft.index.dir` (any Hadoop-FS URI);
-    * driver-local java.io.tmpdir is the standalone-sandbox fallback.
-    * The ONE copy of a derivation that had grown five verbatim twins
-    * across the query registries — keying-scheme changes happen here,
-    * nowhere else. */
+    * of the dataDir FINGERPRINT>` — stable across calls while the
+    * source data is unchanged (artifact reuse is the point), FRESH as
+    * soon as it isn't: the fingerprint folds in every file's (relative
+    * path, length, mtime) under a driver-local dataDir, so regenerating
+    * testdata at the same path can never silently serve codes/labels
+    * built from the old corpus (the failure would otherwise surface
+    * only as an oracle hash mismatch at the next verify). The listing
+    * is driver-side metadata only — no data scan, microseconds — and
+    * runs per pathFor call. For a non-local dataDir (hdfs://, s3a://)
+    * the fingerprint degrades to the bare path string: production
+    * corpora are append-managed, not regenerated in place, and their
+    * index maintenance goes through [[replace]] anyway.
+    * The base is caller-supplied via `spark.graft.index.dir` (any
+    * Hadoop-FS URI); driver-local java.io.tmpdir is the standalone-
+    * sandbox fallback. The ONE copy of a derivation that had grown five
+    * verbatim twins across the query registries — keying-scheme changes
+    * happen here, nowhere else. */
   def pathFor(spark: SparkSession, kind: String, dataDir: String): String = {
+    val sig = new StringBuilder(dataDir)
+    def walk(f: java.io.File, rel: String): Unit =
+      Option(f.listFiles()).map(_.sortBy(_.getName)).getOrElse(Array.empty)
+        .foreach { k =>
+          if (k.isDirectory) walk(k, s"$rel${k.getName}/")
+          else if (!k.getName.startsWith(".")) sig.append('|')
+            .append(rel).append(k.getName).append(':')
+            .append(k.length).append(':').append(k.lastModified)
+        }
+    val root = new java.io.File(dataDir)
+    if (root.isDirectory) walk(root, "")
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dataDir.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      .digest(sig.toString.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
     val base = spark.conf.get("spark.graft.index.dir",
       sys.props("java.io.tmpdir"))
     s"${base.stripSuffix("/")}/graft-$kind-$digest"

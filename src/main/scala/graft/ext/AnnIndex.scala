@@ -84,29 +84,16 @@ object AnnIndex {
   private def writeGeneration(spark: SparkSession, path: String): Unit =
     writeSidecar(spark, path, GenFile, java.util.UUID.randomUUID().toString)
 
-  /** Shared sidecar read/write — the one Hadoop-FS protocol both the
-    * generation id and the pending-append counter speak (underscore-
-    * prefixed small files beside the data, scan-invisible; read is
-    * conf-explicit so executors can probe with a shipped conf). */
+  /** Sidecar read/write — the underscore-file protocol is owned by
+    * [[graft.core.IndexStore]] (one implementation for the ANN and
+    * codes tiers); these are thin local names for the two shapes this
+    * file speaks. */
   private def readSidecar(path: String, name: String,
-      conf: org.apache.hadoop.conf.Configuration): Option[String] = {
-    val f = new org.apache.hadoop.fs.Path(path, name)
-    val fs = f.getFileSystem(conf)
-    if (!fs.exists(f)) None
-    else {
-      val in = fs.open(f)
-      try Some(new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim)
-      finally in.close()
-    }
-  }
+      conf: org.apache.hadoop.conf.Configuration): Option[String] =
+    graft.core.IndexStore.readSidecarOpt(path, name, conf)
   private def writeSidecar(spark: SparkSession, path: String,
-                           name: String, value: String): Unit = {
-    val f = new org.apache.hadoop.fs.Path(path, name)
-    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(f, true)
-    try out.write(value.getBytes("UTF-8")) finally out.close()
-  }
+                           name: String, value: String): Unit =
+    graft.core.IndexStore.writeSidecar(spark, path, name, value)
 
   /** Vector rows of a read index: (vec_id, sv, nrm, cell). */
   def vectors(index: DataFrame): DataFrame =

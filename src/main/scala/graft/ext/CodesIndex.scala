@@ -44,31 +44,17 @@ object CodesIndex {
   private[graft] def unpack(bin: Column): Column =
     UnpackBytesLong.unpack_bytes(bin)
 
-  // ---- shared sidecar plumbing (AnnIndex's underscore-file protocol) --
+  // ---- sidecar plumbing: one owner, graft.core.IndexStore -------------
 
   private def writeSidecar(spark: SparkSession, path: String,
-                           name: String, value: String): Unit = {
-    val f = new org.apache.hadoop.fs.Path(path, name)
-    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(f, true)
-    try out.write(value.getBytes("UTF-8")) finally out.close()
-  }
+                           name: String, value: String): Unit =
+    graft.core.IndexStore.writeSidecar(spark, path, name, value)
   private def readSidecarOpt(spark: SparkSession, path: String,
-                             name: String): Option[String] = {
-    val f = new org.apache.hadoop.fs.Path(path, name)
-    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(f)) None
-    else {
-      val in = fs.open(f)
-      try Some(new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim)
-      finally in.close()
-    }
-  }
+                             name: String): Option[String] =
+    graft.core.IndexStore.readSidecarOpt(spark, path, name)
   private def readSidecar(spark: SparkSession, path: String,
                           name: String): String =
-    readSidecarOpt(spark, path, name).getOrElse(sys.error(
-      s"no $name sidecar at $path — not a committed codes index"))
+    graft.core.IndexStore.readSidecar(spark, path, name)
 
   // ======================= SQ8 =======================================
 
@@ -128,21 +114,36 @@ object CodesIndex {
   // ---- SQ8 maintenance lifecycle (the AnnIndex append/compact policy
   // on the compression tier) ------------------------------------------
 
-  /** Batches appended since the stats were last (re)fitted — sidecar-
-    * stored, absent = 0 (a rebuild produces a fresh artifact with no
-    * counter, which IS the reset). Single-maintainer contract as
-    * documented on AnnIndex.pendingAppends. */
+  /** Batches appended since the stats were last (re)fitted: the BATCH
+    * path's sidecar counter (single-maintainer contract as documented
+    * on AnnIndex.pendingAppends) PLUS the streaming path's committed
+    * `batch<id>-*` files ([[streamedBatches]] — listing-derived, so
+    * that path has no lost-increment window at all). A rebuild
+    * produces a fresh artifact with neither counter nor batch files,
+    * which IS the reset. */
   private val Sq8PendingFile = "_graft_sq8_pending"
   def sq8Pending(spark: SparkSession, path: String): Int =
     readSidecarOpt(spark, path, Sq8PendingFile)
-      .flatMap(raw => scala.util.Try(raw.toInt).toOption).getOrElse(0)
+      .flatMap(raw => scala.util.Try(raw.toInt).toOption).getOrElse(0) +
+      streamedBatches(spark, path)
 
   /** Per-ingest maintenance: encode `emb`'s vectors against the
     * STANDING stats (never recomputed — a reader mixing codes from two
     * stats generations would decode garbage silently) and append the
     * packed rows. Out-of-range components saturate (see [[sq8Encode]]);
     * the stats are deliberately NOT updated — that is [[rebuildSq8]]'s
-    * job, on a cadence. */
+    * job, on a cadence.
+    *
+    * Concurrency contract (weaker than the streaming path's, stated):
+    * this is a multi-file `mode(append)` parquet write plus a sidecar
+    * counter bump — a scan running CONCURRENTLY with the append can
+    * observe a torn batch (some part files visible, some not), and two
+    * concurrent appenders can lose a counter increment. Single-writer,
+    * no-concurrent-scan — the discipline of a scheduled batch ingest
+    * job. An ingest that must be readable mid-append is what
+    * [[appendSq8Batch]] / [[graft.streaming.StreamCodes]] exist for:
+    * one file per batch, atomic-rename commit, pending derived from
+    * the committed listing. */
   def appendSq8(emb: DataFrame, path: String): Unit = {
     val spark = emb.sparkSession
     val st = sq8Stats(spark, path)
@@ -156,14 +157,43 @@ object CodesIndex {
     * ([[graft.streaming.StreamCodes.sq8Appender]] — semantics and crash
     * windows documented there): encode against the standing stats into
     * `scratch` (hidden, one coalesced part file) and commit by a single
-    * atomic rename to `batch<id>-<part>` inside the artifact dir. */
+    * atomic rename to `batch<id>-<part>` inside the artifact dir.
+    * Pending is NOT counter-bumped here — the committed `batch<id>-*`
+    * file IS the increment ([[streamedBatches]] derives the count from
+    * the listing), so there is no commit-to-count crash window and no
+    * read-modify-write to lose. */
   private[graft] def appendSq8Batch(emb: DataFrame, path: String,
                                     scratch: org.apache.hadoop.fs.Path,
                                     batchId: Long): Unit = {
     val spark = emb.sparkSession
     val st = sq8Stats(spark, path)
-    sq8Encode(snappedIds(emb), st.mn, st.span)
-      .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    commitOneFileBatch(sq8Encode(snappedIds(emb), st.mn, st.span),
+      path, scratch, batchId)
+  }
+
+  /** PQ twin of [[appendSq8Batch]]: encode against the STANDING
+    * codebook (kind='v' rows only — the codebook is already committed
+    * in the artifact) and rename-commit the one-file batch. */
+  private[graft] def appendPqBatch(emb: DataFrame, path: String,
+                                   scratch: org.apache.hadoop.fs.Path,
+                                   batchId: Long): Unit = {
+    val spark = emb.sparkSession
+    val meta = pqMeta(spark, path)
+    val cb = pqCodebookOf(spark, path)
+    commitOneFileBatch(
+      packedVectorRows(pqEncode(pqSubs(emb, meta.nSub, meta.subDim), cb)),
+      path, scratch, batchId)
+  }
+
+  /** The shared rename-commit: write `encoded` as ONE part file under
+    * `scratch` (hidden from scans of `path`), then move it into the
+    * artifact as `batch<id>-<part>` with a single atomic rename — a
+    * scan sees the micro-batch either not at all or complete. */
+  private def commitOneFileBatch(encoded: DataFrame, path: String,
+                                 scratch: org.apache.hadoop.fs.Path,
+                                 batchId: Long): Unit = {
+    val spark = encoded.sparkSession
+    encoded.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
     val fs = scratch.getFileSystem(spark.sessionState.newHadoopConf())
     val part = fs.listStatus(scratch).map(_.getPath)
       .filter(_.getName.startsWith("part-")) match {
@@ -173,9 +203,9 @@ object CodesIndex {
       }
     // Hadoop rename reports failure by RETURNING FALSE, not throwing —
     // an unchecked false here would let the next line delete the only
-    // copy of the encoded batch and still bump pending: silent
-    // at-most-once. Fail loud and leave the scratch for inspection;
-    // the replay path clears it before re-encoding.
+    // copy of the encoded batch: silent at-most-once. Fail loud and
+    // leave the scratch for inspection; the replay path clears it
+    // before re-encoding.
     val committedName = new org.apache.hadoop.fs.Path(path,
       s"batch$batchId-${part.getName}")
     if (!fs.rename(part, committedName))
@@ -183,8 +213,22 @@ object CodesIndex {
         s"$part -> $committedName (destination exists or FS error); " +
         "scratch left in place for the replay to clear")
     fs.delete(scratch, true)
-    writeSidecar(spark, path, Sq8PendingFile,
-      (sq8Pending(spark, path) + 1).toString)
+  }
+
+  /** Distinct micro-batches the STREAMING ingest has committed since
+    * the artifact was last (re)built — derived from the `batch<id>-*`
+    * listing, never a counter: the committed file is its own record,
+    * so concurrent appenders cannot lose an increment and a crash
+    * between commit and count cannot exist. A rebuild publishes a
+    * fresh directory with no batch files, which IS the reset. */
+  private[graft] def streamedBatches(spark: SparkSession,
+                                     path: String): Int = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) 0
+    else Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(dir, "batch*-*"))).toSeq.flatten
+      .map(_.getPath.getName.takeWhile(_ != '-')).distinct.size
   }
 
   /** The stats-drift rewrite: re-fit min/span and re-encode from
@@ -296,10 +340,14 @@ object CodesIndex {
   private val PqPendingFile = "_graft_pq_pending"
   def pqPending(spark: SparkSession, path: String): Int =
     readSidecarOpt(spark, path, PqPendingFile)
-      .flatMap(raw => scala.util.Try(raw.toInt).toOption).getOrElse(0)
+      .flatMap(raw => scala.util.Try(raw.toInt).toOption).getOrElse(0) +
+      streamedBatches(spark, path)
 
   /** Encode `emb`'s vectors against the STANDING codebook and append
-    * the packed rows; the codebook is deliberately not re-trained. */
+    * the packed rows; the codebook is deliberately not re-trained.
+    * Same single-writer/no-concurrent-scan contract as [[appendSq8]]
+    * (multi-file append + counter bump); the readable-mid-ingest form
+    * is [[appendPqBatch]] / [[graft.streaming.StreamCodes.pqAppender]]. */
   def appendPq(emb: DataFrame, path: String): Unit = {
     val spark = emb.sparkSession
     val meta = pqMeta(spark, path)

@@ -23,11 +23,11 @@ import graft.ext.CodesIndex
   * Micro-batches are ingest-sized, so the coalesce(1) is the natural
   * shape, not a bottleneck.
   *
-  * Crash windows, stated: a crash after the rename but before the
-  * pending-counter bump undercounts pending (a DELAYED rebuild — the
-  * AnnIndex sidecar contract, never a wrong answer); a leftover
-  * scratch from a crash mid-write is hidden from scans and cleared by
-  * the replay before it re-encodes.
+  * Crash windows, stated: the pending count is DERIVED from the
+  * committed `batch<id>-*` listing (the file is its own record —
+  * [[CodesIndex.streamedBatches]]), so there is no commit-to-count
+  * window at all; a leftover scratch from a crash mid-write is hidden
+  * from scans and cleared by the replay before it re-encodes.
   *
   * Maintenance composition: the appender deliberately does NOT drive
   * [[CodesIndex.rebuildSq8]] on a cadence — the rebuild re-encodes
@@ -45,6 +45,20 @@ object StreamCodes {
     * `path` must hold a committed SQ8 artifact ([[CodesIndex.writeSq8]]
     * — the stats the encode needs ride in its sidecar). */
   def sq8Appender(path: String): (DataFrame, Long) => Unit =
+    appender(path, CodesIndex.appendSq8Batch)
+
+  /** PQ twin: the batch encodes against the artifact's STANDING
+    * codebook ([[CodesIndex.appendPqBatch]]) — same rename commit,
+    * same replay discipline, same listing-derived pending. `path` must
+    * hold a committed PQ artifact ([[CodesIndex.writePq]]). */
+  def pqAppender(path: String): (DataFrame, Long) => Unit =
+    appender(path, CodesIndex.appendPqBatch)
+
+  /** Shared replay/commit wrapper: skip a batch id whose committed
+    * file already exists (crash replay), clear any crashed scratch,
+    * delegate the encode+rename to the tier's batch append. */
+  private def appender(path: String,
+      append: (DataFrame, String, Path, Long) => Unit): (DataFrame, Long) => Unit =
     (df, batchId) => {
       val spark = df.sparkSession
       val dir = new Path(path)
@@ -54,7 +68,7 @@ object StreamCodes {
       val scratch = new Path(dir, s".batch$batchId-scratch")
       if (fs.exists(scratch)) fs.delete(scratch, true) // crashed attempt
       if (committed.isEmpty) {
-        CodesIndex.appendSq8Batch(df, path, scratch, batchId)
+        append(df, path, scratch, batchId)
       }
       ()
     }

@@ -12,14 +12,18 @@ class BenchGateSpec extends AnyFunSuite {
   private def record(qs: String, extra: String = ""): String =
     s"""{"metric":"total","value":120.0,"unit":"sec","sf":"$sf",""" +
       s""""lineitem_rows":600000,"documents_rows":5000,""" +
+      s""""embeddings_rows":20000,""" +
       s""""q1_rows_per_sec":597551,"docs_rows_per_sec":10578,""" +
-      s""""healed_reps":0,"prod_variants_total":9.0,""" +
+      s""""emb_rows_per_sec":40123,""" +
+      s""""healed_reps":3,"healed_queries":{"d14_incremental_clusters":2,""" +
+      s""""d7_dup_clusters":1},"prod_variants_total":9.0,""" +
       s""""queries":$qs$extra}"""
 
   test("canaries parse from the summary prefix only") {
     val r = record("""{"q1_pricing_summary":1.0,"d4_simhash":0.7}""")
     assert(Bench.parseCanaries(r, sf) ===
-      Map("q1_rows_per_sec" -> 597551.0, "docs_rows_per_sec" -> 10578.0))
+      Map("q1_rows_per_sec" -> 597551.0, "docs_rows_per_sec" -> 10578.0,
+          "emb_rows_per_sec" -> 40123.0))
   }
 
   test("a nested or query-named gate key cannot shadow the record value") {
@@ -38,11 +42,19 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.parsePrevMap(r, "/root/testdata/sf0.001") === Map.empty)
   }
 
-  test("a record predating the docs canary gates on q1 alone") {
+  test("a record predating the docs/emb canaries gates on q1 alone") {
     val legacy = s"""{"metric":"total","value":119.4,"sf":"$sf",""" +
       s""""q1_rows_per_sec":504900,"queries":{"q1_pricing_summary":0.9}}"""
     assert(Bench.parseCanaries(legacy, sf) ===
       Map("q1_rows_per_sec" -> 504900.0))
+  }
+
+  test("an r12 record (no emb key) gates on q1 + docs alone") {
+    val r12 = s"""{"metric":"total","value":115.1,"sf":"$sf",""" +
+      s""""q1_rows_per_sec":533915,"docs_rows_per_sec":10385,""" +
+      s""""queries":{"q1_pricing_summary":0.9}}"""
+    assert(Bench.parseCanaries(r12, sf) ===
+      Map("q1_rows_per_sec" -> 533915.0, "docs_rows_per_sec" -> 10385.0))
   }
 
   test("prev map parses the flat queries pairs, including driver-escaped quotes") {

@@ -238,4 +238,27 @@ class IndexStoreSpec extends SparkTestBase {
       Dedup.readNeardupIndex(spark, freshDir() + "/nope")
     }
   }
+
+  test("pathFor is stable while the source data is unchanged and fresh " +
+       "after an in-place regeneration") {
+    val dataDir = freshDir()
+    spark.range(10).write.mode("overwrite")
+      .parquet(s"$dataDir/t.parquet")
+    val p1 = IndexStore.pathFor(spark, "spec", dataDir)
+    assert(p1 === IndexStore.pathFor(spark, "spec", dataDir),
+      "same data, same artifact path — reuse is the point")
+    // regenerate the table at the SAME path (different contents, so
+    // different file sizes/mtimes): stale committed artifacts must not
+    // be findable under the old key
+    Thread.sleep(5) // mtime granularity guard
+    spark.range(1000).write.mode("overwrite")
+      .parquet(s"$dataDir/t.parquet")
+    val p2 = IndexStore.pathFor(spark, "spec", dataDir)
+    assert(p2 !== p1,
+      "regenerated source data must key a FRESH artifact path")
+    // a non-existent dataDir (remote-URI degradation path) still yields
+    // a deterministic path
+    assert(IndexStore.pathFor(spark, "spec", "hdfs://nn/corpus") ===
+      IndexStore.pathFor(spark, "spec", "hdfs://nn/corpus"))
+  }
 }

@@ -55,5 +55,61 @@ class StreamCodesSpec extends SparkTestBase {
       "a replayed batch must not duplicate rows")
     assert(CodesIndex.sq8Pending(spark, sPath) === 2,
       "a replayed batch must not bump pending")
+    // the streaming pending is DERIVED from the committed batch-file
+    // listing — no counter sidecar exists to lose an increment through
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(sPath, "_graft_sq8_pending")),
+      "streamed batches must not write the read-modify-write counter")
+  }
+
+  test("streamed PQ appends equal batch appends; replay exactly-once; " +
+       "pending derived from the committed listing") {
+    implicit val sq = spark.sqlContext
+    val emb = Tables(spark, sf()).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-streamcodes-pq").toString
+    val (sPath, bPath) = (s"$root/stream", s"$root/batch")
+    CodesIndex.writePq(base, sPath)
+    CodesIndex.writePq(base, bPath)
+
+    val rows = emb.filter(col("vec_id") % 5 === 0)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(graft.streaming.StreamCodes.pqAppender(sPath))
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    CodesIndex.appendPq(emb.filter(col("vec_id").isin(b1.map(_._1): _*)), bPath)
+    CodesIndex.appendPq(emb.filter(col("vec_id").isin(b2.map(_._1): _*)), bPath)
+
+    // identical codes through the packed readers, and the codebook rows
+    // (committed with the base artifact) are untouched by ingest
+    def codes(p: String) = CodesIndex.pqCodesOf(spark, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(codes(sPath) === codes(bPath),
+      "stream and batch PQ ingest must land identical codes")
+    def cb(p: String) = CodesIndex.pqCodebookOf(spark, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    assert(cb(sPath) === cb(bPath))
+    assert(CodesIndex.pqPending(spark, sPath) === 2)
+
+    // crash replay is a no-op and the listing-derived pending holds
+    val before = spark.read.parquet(sPath).count()
+    graft.streaming.StreamCodes.pqAppender(sPath)(
+      emb.filter(col("vec_id") % 5 === 0), 1L)
+    assert(spark.read.parquet(sPath).count() === before,
+      "a replayed PQ batch must not duplicate rows")
+    assert(CodesIndex.pqPending(spark, sPath) === 2)
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(sPath, "_graft_pq_pending")),
+      "streamed PQ batches must not write the read-modify-write counter")
   }
 }
