@@ -60,7 +60,7 @@ object SparkEntry {
     Seq(
       (Set("t6_upsert_apply", "t7_upsert_asof", "t8_upsert_changefeed"),
         StatefulQueries.prepareFixtures),
-      (Set("y16_ivf_recall_clustered"),
+      (Set("y16_ivf_recall_clustered", "x_media_ann"),
         SimilarityQueries.prepareFixtures),
       (Set("d8b_dedup_apply_pre", "d13b_apply_best_pre",
            "d18b_cross_source_pre", "d10b_cluster_best_pre",

@@ -113,7 +113,7 @@ object AnalysisQueries extends QueryGroup {
   /** The media frame: true parquet BINARY where a fixture exists
     * (ScaleUp replicas), documents-text-as-payload on the driver dirs
     * (which is what the DuckDB oracles mirror via encode(text)). */
-  private def mediaSource(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def mediaSource(spark: SparkSession, dir: String): DataFrame = {
     val mediaPath = s"$dir/media.parquet"
     if (new java.io.File(mediaPath).exists()) spark.read.parquet(mediaPath)
     else Tables(spark, dir).documents

@@ -474,8 +474,65 @@ object SimilarityQueries extends QueryGroup {
     * dir carries no embeddings table (partial scale replicas — e.g.
     * /tmp/graft-sf10 ships documents+events+lineitem only); a query
     * that actually needs the fixture still fails loudly on its own. */
-  def prepareFixtures(spark: SparkSession, dir: String): Unit =
+  def prepareFixtures(spark: SparkSession, dir: String): Unit = {
     if (Tables.exists(spark, dir, "embeddings")) ensureClustered(spark, dir)
+    if (Tables.exists(spark, dir, "documents")) ensureMediaSq8(spark, dir)
+  }
+
+  // ---- x_media_ann: the multimodal -> ANN composed path ---------------
+
+  /** The media-corpus embedding frame both the fixture build and the
+    * probe side featurize through: binary payloads -> fixed-dim content
+    * features ([[graft.ext.Multimodal.features]] — partition-wise, the
+    * container's deterministic stand-in for a vision encoder), shaped
+    * (vec_id, embedding) for the codes tier. */
+  private def mediaEmbeddings(media: DataFrame): DataFrame =
+    graft.ext.Multimodal.features(media)
+      .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+
+  private def mediaSq8PathFor(spark: SparkSession, dir: String): String =
+    graft.core.IndexStore.pathFor(spark, "media-sq8", dir)
+
+  private def ensureMediaSq8(spark: SparkSession, dir: String): String =
+    graft.core.IndexStore.ensure(spark, mediaSq8PathFor(spark, dir)) {
+      scratch => graft.ext.CodesIndex.writeSq8(
+        mediaEmbeddings(AnalysisQueries.mediaSource(spark, dir)), scratch)
+    }
+
+  /** x_media_ann — the COMPOSED pipeline a multimodal corpus runs end
+    * to end (r12 ask #7): media payloads -> partition-wise features ->
+    * packed SQ8 codes artifact (built once per sf dir, untimed, via
+    * [[prepareFixtures]]) -> asymmetric top-k over the dequantized
+    * corpus, exact snapped probes (the y14 convention). The registered
+    * query prices the steady state of a media-similarity service:
+    * featurize only the PROBE set (doc_id < 16 — the filter reaches
+    * the scan before the mapPartitions decode), scan (vec_id, codes
+    * BINARY) off the artifact — FeatureDims bytes of codes per doc —
+    * fused decode, rank. The oracle rebuilds the whole chain
+    * relationally: byte-offset featurizer, snap, SQ8 quantize/
+    * dequantize, cosine, rank — so the binary->feature->codes->top-k
+    * hand-off is hash-checked cross-engine, not spec-only. */
+  def mediaAnn(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ensureMediaSq8(spark, dir)
+    val dq = graft.ext.CodesIndex.sq8Dequantized(spark, idx)
+      .select(col("vec_id").as("neighbor_id"), col("dv"))
+      .withColumn("dn", Similarity.normSnapped(col("dv")))
+    val probes = mediaEmbeddings(
+        AnalysisQueries.mediaSource(spark, dir).filter(col("doc_id") < 16))
+      .select(col("vec_id").as("probe_id"),
+        Similarity.snapVec(col("embedding")).as("pv"))
+      .withColumn("pn", Similarity.normSnapped(col("pv")))
+    val scored = dq.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", Similarity.cosineFromSnapped(
+        col("pv"), col("dv"), col("pn"), col("dn")))
+      .select(col("probe_id"), col("neighbor_id"), col("cos"))
+    graft.ops.TopK.perKey(scored, Seq("probe_id"),
+        Seq("cos" -> true, "neighbor_id" -> false), 10)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cos"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
 
   def ivfRecallClustered(spark: SparkSession, dir: String): DataFrame = {
     val vecs = spark.read.parquet(ensureClustered(spark, dir))
@@ -1060,7 +1117,8 @@ object SimilarityQueries extends QueryGroup {
       ivfRecallAudit(s, d)),
     "y16_ivf_recall_np2"   -> ((s: SparkSession, d: String) =>
       ivfRecallAudit(s, d, nprobe = 2)),
-    "y16_ivf_recall_clustered" -> (ivfRecallClustered _)
+    "y16_ivf_recall_clustered" -> (ivfRecallClustered _),
+    "x_media_ann"      -> (mediaAnn _)
   )
 
   // ---- DuckDB oracles ----
@@ -1257,56 +1315,78 @@ object SimilarityQueries extends QueryGroup {
        |  AND ${cosSql("p.va", "e.embedding")} >= 0.4
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** The SQ8 quantize→dequantize→asymmetric-rank pipeline relationally
+    * — snap, per-dim min/span, quantize+dequantize in exact int64
+    * (nonneg operands, so DuckDB's floor-div // and Spark's truncating
+    * div agree), asymmetric cosine, rank. Positions are 1-based here,
+    * 0-based in the Spark transform — internal to each side, never
+    * compared. Shared by y14 (embeddings corpus) and x_media_ann
+    * (featurized media corpus): the caller supplies the `sv` CTE body
+    * producing (vec_id, sv) snapped-int64 list rows. */
+  private def sq8TopKSqlFrom(svCteBody: String, k: Int): String =
+    s"""WITH sv AS (
+       |$svCteBody
+       |), ex AS (
+       |  SELECT vec_id, unnest(list_transform(range(1, len(sv) + 1),
+       |    i -> struct_pack(p := i, v := sv[i]))) AS e
+       |  FROM sv
+       |), dims AS (
+       |  SELECT e.p AS p, MIN(e.v) AS mn,
+       |    GREATEST(MAX(e.v) - MIN(e.v), 1) AS sp
+       |  FROM ex GROUP BY 1
+       |), dq AS (
+       |  SELECT x.vec_id, x.e.p AS p,
+       |    d.mn + ((x.e.v - d.mn) * 255 // d.sp) * d.sp // 255 AS dv
+       |  FROM ex x JOIN dims d ON x.e.p = d.p
+       |), dn AS (
+       |  SELECT vec_id, sqrt(CAST(CAST(SUM(dv * dv) AS BIGINT) AS DOUBLE)) AS dn
+       |  FROM dq GROUP BY 1
+       |), pex AS (
+       |  SELECT vec_id AS probe_id, e FROM ex WHERE vec_id < 16
+       |), pn AS (
+       |  SELECT probe_id,
+       |    sqrt(CAST(CAST(SUM(e.v * e.v) AS BIGINT) AS DOUBLE)) AS pn
+       |  FROM pex GROUP BY 1
+       |), dots AS (
+       |  SELECT px.probe_id, q.vec_id AS neighbor_id,
+       |    CAST(CAST(SUM(px.e.v * q.dv) AS BIGINT) AS DOUBLE) AS dot
+       |  FROM pex px JOIN dq q ON q.p = px.e.p AND q.vec_id <> px.probe_id
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT d.probe_id, d.neighbor_id, d.dot / (pn.pn * dn.dn) AS cos
+       |  FROM dots d
+       |  JOIN pn ON pn.probe_id = d.probe_id
+       |  JOIN dn ON dn.vec_id = d.neighbor_id
+       |), ranked AS (
+       |  SELECT probe_id, neighbor_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT probe_id, neighbor_id, rank, cos FROM ranked
+       |WHERE rank <= $k ORDER BY probe_id, rank""".stripMargin
+
+  /** x_media_ann's oracle-side featurizer: the byte-offset featurizer
+    * relationally (ascii/substr on the pure-ASCII corpus — the
+    * x_media_features precedent), snapped to int64 at 1e-6. */
+  private def mediaSvCteBody: String = {
+    val d = graft.ext.Multimodal.FeatureDims
+    val comps = (0 until d).map { j =>
+      s"""    CAST(floor(ascii(substr(text,
+         |      CAST((octet_length(encode(text))*$j)//$d AS INT)+1, 1))
+         |      /255.0 * 1000000 + 0.5) AS BIGINT)""".stripMargin
+    }.mkString(",\n")
+    s"""  SELECT doc_id AS vec_id, [
+       |$comps
+       |  ] AS sv FROM documents""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
-    // y14: the SQ8 pipeline relationally — snap, per-dim min/span,
-    // quantize+dequantize in exact int64 (nonneg operands, so DuckDB's
-    // floor-div // and Spark's truncating div agree), asymmetric cosine,
-    // rank. Positions are 1-based here, 0-based in the Spark transform —
-    // internal to each side, never compared.
-    "y14_sq8_topk" ->
-      s"""WITH sv AS (
-         |  SELECT vec_id, list_transform(embedding,
-         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS sv
-         |  FROM embeddings
-         |), ex AS (
-         |  SELECT vec_id, unnest(list_transform(range(1, len(sv) + 1),
-         |    i -> struct_pack(p := i, v := sv[i]))) AS e
-         |  FROM sv
-         |), dims AS (
-         |  SELECT e.p AS p, MIN(e.v) AS mn,
-         |    GREATEST(MAX(e.v) - MIN(e.v), 1) AS sp
-         |  FROM ex GROUP BY 1
-         |), dq AS (
-         |  SELECT x.vec_id, x.e.p AS p,
-         |    d.mn + ((x.e.v - d.mn) * 255 // d.sp) * d.sp // 255 AS dv
-         |  FROM ex x JOIN dims d ON x.e.p = d.p
-         |), dn AS (
-         |  SELECT vec_id, sqrt(CAST(CAST(SUM(dv * dv) AS BIGINT) AS DOUBLE)) AS dn
-         |  FROM dq GROUP BY 1
-         |), pex AS (
-         |  SELECT vec_id AS probe_id, e FROM ex WHERE vec_id < 16
-         |), pn AS (
-         |  SELECT probe_id,
-         |    sqrt(CAST(CAST(SUM(e.v * e.v) AS BIGINT) AS DOUBLE)) AS pn
-         |  FROM pex GROUP BY 1
-         |), dots AS (
-         |  SELECT px.probe_id, q.vec_id AS neighbor_id,
-         |    CAST(CAST(SUM(px.e.v * q.dv) AS BIGINT) AS DOUBLE) AS dot
-         |  FROM pex px JOIN dq q ON q.p = px.e.p AND q.vec_id <> px.probe_id
-         |  GROUP BY 1, 2
-         |), scored AS (
-         |  SELECT d.probe_id, d.neighbor_id, d.dot / (pn.pn * dn.dn) AS cos
-         |  FROM dots d
-         |  JOIN pn ON pn.probe_id = d.probe_id
-         |  JOIN dn ON dn.vec_id = d.neighbor_id
-         |), ranked AS (
-         |  SELECT probe_id, neighbor_id, cos,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
-         |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
-         |  FROM scored
-         |)
-         |SELECT probe_id, neighbor_id, rank, cos FROM ranked
-         |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+    "y14_sq8_topk" -> sq8TopKSqlFrom(
+      """  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS sv
+        |  FROM embeddings""".stripMargin, 10),
+    "x_media_ann" -> sq8TopKSqlFrom(mediaSvCteBody, 10),
     "y1_cosine_topk" ->
       s"""WITH probes AS (
          |  SELECT vec_id AS probe_id, embedding AS probe_vec
