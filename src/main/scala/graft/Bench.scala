@@ -25,17 +25,6 @@ object Bench {
     // first query
     spark.range(1000000).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
-    // untimed: the on-disk fixtures some registered queries READ (the
-    // t6/t7/t8 upsert tables) are built here so the measured window
-    // prices the read only — the fixture write is ProbeMor's job.
-    // Gated on the request: a single-query dev iteration (explicit
-    // args touching none of the fixture readers) must not pay the
-    // table builds.
-    val wantedFixtures =
-      if (args.isEmpty) SparkEntry.fixtureReaders
-      else args.toSet.intersect(SparkEntry.fixtureReaders)
-    if (wantedFixtures.nonEmpty)
-      SparkEntry.prepareFixturesFor(spark, sfDir, wantedFixtures)
     val liRows = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     // documents is only needed for the docs canary / summary; a
     // lineitem-only dev dir (partial replicas exist — Tables.exists is
@@ -77,9 +66,37 @@ object Bench {
     // factor; a record predating a canary's key gates on the keys it
     // has. SPARK_GRAFT_CANARY=off skips the gate for deliberate
     // debugging on a box known to be busy.
+    //
+    // ORDER MATTERS (r13): the gate runs BEFORE prepareFixtures — the
+    // fixture builds are some of the heaviest jobs in the repo
+    // (shingle→band→verify→CC), and a canary measured in their GC/
+    // page-cache aftermath reads ~20% slow on an otherwise healthy
+    // host (measured r13: docs canary 6.7k rows/s immediately after
+    // the builds vs 8.1k standalone on the same box). Gating first
+    // both removes that false-refusal bias and refuses a genuinely
+    // contended host before wasting the fixture-build work. The
+    // canary queries by construction read no prepared fixture (q1 and
+    // d2 touch raw tables; y14 builds its own artifact via ensure —
+    // its cold first rep is discarded by the median and leaves the
+    // artifact warm for the suite).
+    // LIKE-FOR-LIKE COMPARISON (r13): a canary runs in a young JVM —
+    // first executions of its whole codegen pipeline — while the
+    // committed record's suite throughputs were measured after 150+
+    // queries had warmed the JIT. On the r12 box that bias fit inside
+    // the 1.5x slack; the r13 box showed it can't be relied on (canary
+    // d2 5.3k rows/s cold vs 8.1k suite-state on the SAME idle host —
+    // a false refusal). Two measures: (a) each canary takes one
+    // UNTIMED warmup execution before its timed median-of-3, and
+    // (b) the record carries the CANARY-state measurements themselves
+    // (canary_*_rps below, emitted in the summary prefix), which the
+    // gate prefers over the suite-derived keys when present — so from
+    // the first r13 record on, gates compare canary-state to
+    // canary-state. Records predating canary_* keys fall back to the
+    // suite-derived keys (with the known bias, at 1.5x slack).
     val record = recordCanaries(sfDir)
     def canaryRps(name: String, rows: Long): Double = {
       val q = SparkEntry.queries.getOrElse(name, SparkEntry.prodVariants(name))
+      q(spark, sfDir).write.format("noop").mode("overwrite").save() // JIT warmup, untimed
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         q(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -87,21 +104,24 @@ object Bench {
       }
       rows / times.sorted.apply(1)
     }
+    val canaryMeasured = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     if (args.isEmpty &&
         sys.env.getOrElse("SPARK_GRAFT_CANARY", "on") != "off") {
       val checks = Seq(
-        ("q1", "q1_pricing_summary", liRows, record.get("q1_rows_per_sec")),
+        ("q1", "q1_pricing_summary", liRows,
+          record.get("canary_q1_rps").orElse(record.get("q1_rows_per_sec"))),
         ("docs", "d2_minhash_sigs_xxh64", docRows,
-          record.get("docs_rows_per_sec")),
+          record.get("canary_docs_rps").orElse(record.get("docs_rows_per_sec"))),
         ("emb", "y14_sq8_topk", embRows,
-          record.get("emb_rows_per_sec")))
+          record.get("canary_emb_rps").orElse(record.get("emb_rows_per_sec"))))
       // rows > 0 guards the docs tier on a dir without documents: a
       // zero-row canary would read as infinitely slow and spuriously
       // refuse (a full-suite run needs the table anyway, but the gate
       // must not be the thing that crashes first)
       checks.filter(_._3 > 0).foreach { case (tier, name, rows, rec) =>
+        val rps = canaryRps(name, rows)
+        canaryMeasured(s"canary_${tier}_rps") = rps
         rec.filter(_ > 0).foreach { r =>
-          val rps = canaryRps(name, rows)
           if (rps * 1.5 < r) {
             println(s"""{"metric":"total","value":-1.0,"unit":"sec","degraded":true,"canary":"$tier","canary_rows_per_sec":${fmt(rps, "%.0f")},"record_rows_per_sec":${fmt(r, "%.0f")},"sf":"$sfDir","note":"host contended - $tier canary >1.5x below the committed record; no record minted"}""")
             spark.stop()
@@ -110,6 +130,17 @@ object Bench {
         }
       }
     }
+    // untimed: the on-disk fixtures some registered queries READ (the
+    // t6/t7/t8 upsert tables, the dedup cluster/label fixtures, the
+    // media-SQ8 artifact) are built here — AFTER the gate, see above —
+    // so the measured window prices the read only. Gated on the
+    // request: a single-query dev iteration (explicit args touching
+    // none of the fixture readers) must not pay the table builds.
+    val wantedFixtures =
+      if (args.isEmpty) SparkEntry.fixtureReaders
+      else args.toSet.intersect(SparkEntry.fixtureReaders)
+    if (wantedFixtures.nonEmpty)
+      SparkEntry.prepareFixturesFor(spark, sfDir, wantedFixtures)
     // optional args = query names to time (iterating locally on one
     // query); the driver passes none and gets the full suite. The
     // xxh64 production twins (SparkEntry.prodVariants — same pipeline,
@@ -209,7 +240,9 @@ object Bench {
     // "emb_rows_per_sec" — are emitted BEFORE the "queries" map, and
     // the gate parser only reads the prefix up to "queries": so a
     // nested key can never shadow a top-level one.
-    val summary = s""""unit":"sec","sf":"$sfDir","lineitem_rows":$liRows,"documents_rows":$docRows,"embeddings_rows":$embRows,"q1_rows_per_sec":${fmt(rps, "%.0f")},"docs_rows_per_sec":${fmt(docsRps, "%.0f")},"emb_rows_per_sec":${fmt(embRps, "%.0f")},"healed_reps":$healed,"healed_queries":${
+    val canaryKeys = canaryMeasured
+      .map { case (k, v) => s""""$k":${fmt(v, "%.0f")},""" }.mkString
+    val summary = s""""unit":"sec","sf":"$sfDir","lineitem_rows":$liRows,"documents_rows":$docRows,"embeddings_rows":$embRows,$canaryKeys"q1_rows_per_sec":${fmt(rps, "%.0f")},"docs_rows_per_sec":${fmt(docsRps, "%.0f")},"emb_rows_per_sec":${fmt(embRps, "%.0f")},"healed_reps":$healed,"healed_queries":${
       healedBy.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")},"prod_variants_total":${fmt3(prodTotal)}"""
     val fullLine =
@@ -272,11 +305,12 @@ object Bench {
     val sameSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(head)
       .exists(_.group(1) == sfDir)
     if (!sameSf) Map.empty
-    else Seq("q1_rows_per_sec", "docs_rows_per_sec",
-             "emb_rows_per_sec").flatMap { k =>
-      (s""""$k":(\\d+(\\.\\d+)?)""").r.findFirstMatchIn(head)
-        .map(m => k -> m.group(1).toDouble)
-    }.toMap
+    else Seq("q1_rows_per_sec", "docs_rows_per_sec", "emb_rows_per_sec",
+             "canary_q1_rps", "canary_docs_rps", "canary_emb_rps")
+      .flatMap { k =>
+        (s""""$k":(\\d+(\\.\\d+)?)""").r.findFirstMatchIn(head)
+          .map(m => k -> m.group(1).toDouble)
+      }.toMap
   }
 
   /** The previous record's per-query seconds map: BENCH_FULL.json

@@ -26,6 +26,21 @@ class BenchGateSpec extends AnyFunSuite {
           "emb_rows_per_sec" -> 40123.0))
   }
 
+  test("canary-state reference keys parse when the record carries them") {
+    // r13 records carry the gate's OWN measurements (canary-state JIT),
+    // which the gate prefers over suite-state throughputs — here both
+    // families are present and both must parse
+    val r13 = s"""{"metric":"total","value":118.0,"sf":"$sf",""" +
+      s""""canary_q1_rps":510000,"canary_docs_rps":8139,""" +
+      s""""canary_emb_rps":3078,"q1_rows_per_sec":533915,""" +
+      s""""docs_rows_per_sec":10385,"queries":{"q1_pricing_summary":1.1}}"""
+    val m = Bench.parseCanaries(r13, sf)
+    assert(m("canary_docs_rps") === 8139.0)
+    assert(m("canary_q1_rps") === 510000.0)
+    assert(m("canary_emb_rps") === 3078.0)
+    assert(m("docs_rows_per_sec") === 10385.0)
+  }
+
   test("a nested or query-named gate key cannot shadow the record value") {
     // a hostile-but-conceivable map: a query literally named like a gate
     // key, plus a prev_delta echoing one — neither may bind
