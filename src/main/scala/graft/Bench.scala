@@ -25,10 +25,14 @@ object Bench {
     // first query
     spark.range(1000000).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
-    val liRows = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    // documents is only needed for the docs canary / summary; a
-    // lineitem-only dev dir (partial replicas exist — Tables.exists is
-    // this round's acknowledgment) must not crash a single-query run
+    // every corpus count is guarded: partial replicas exist for all
+    // three tiers (an embeddings-only dir for the y-tier ladder, a
+    // documents-only zipf dir) and a single-query dev drive must not
+    // crash on a table it never reads
+    val liRows =
+      if (graft.sources.Tables.exists(spark, sfDir, "lineitem"))
+        spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      else 0L
     val docRows =
       if (graft.sources.Tables.exists(spark, sfDir, "documents"))
         spark.read.parquet(s"$sfDir/documents.parquet").count()

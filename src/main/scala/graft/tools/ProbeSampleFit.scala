@@ -1,0 +1,120 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.SimilarityQueries
+
+/** Quantizer training at the second decade: full-corpus Lloyd fit vs
+  * the production SAMPLE-fit (train the coarse quantizer on a hash
+  * slice, assign the full corpus) — r12 ask #3's "record where
+  * quantizer training needs sampling".
+  *
+  * What is and is not corpus-sized in this repo's quantizers:
+  *  - IVF coarse model (y4/y11/y17): seed pick is first-K (cheap), but
+  *    each Lloyd refinement round runs assignToCells over the WHOLE
+  *    corpus — K·N dot products per round. This is the part production
+  *    systems fit on a sample (FAISS trains IVF on ~30-256 vectors per
+  *    centroid, then assigns the full corpus once).
+  *  - PQ codebook (y9..y15): the first-k subvector rule — no training
+  *    pass at all. A retrained codebook would be per-subspace Lloyd,
+  *    sampled exactly like the coarse fit.
+  *  - SQ8 stats: one min/max aggregation — a single cheap scan, and
+  *    sampling would be WRONG (a sampled min/max clips the true range,
+  *    saturating tail components from day one — the drift failure mode
+  *    ProbeSq8Drift measures, built in at fit time).
+  *
+  * Measured quantities, full-fit vs sample-fit (vec_id % `stride` = 0):
+  * wall time of (seed + refine) vs (seed + refine on slice), wall time
+  * of the final full-corpus assignment (identical in both — the
+  * unavoidable corpus pass), and quantization quality as the exact
+  * int64 MEAN L2 distance to the assigned centroid (the k-means
+  * objective, engine-deterministic).
+  *
+  * Usage: runMain graft.tools.ProbeSampleFit [sfDir] [stride]
+  */
+object ProbeSampleFit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/graft-sf100v")
+    val stride = args.drop(1).headOption.map(_.toInt).getOrElse(16)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count()
+    println(s"[samplefit] corpus=$n vectors, sample stride=$stride")
+
+    def timed[T](what: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[samplefit] $what: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    val vecs = SimilarityQueries.snapped(emb, "vec_id", "sv", "nrm")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vecs.count()
+
+    // mean exact-int64 L2 to the assigned centroid — the k-means
+    // objective the two fits are compared on
+    def meanQDist(assignedWithDist: DataFrame): Double =
+      assignedWithDist.agg(avg(col("dist").cast("double"))).head().getDouble(0)
+    // the assignToCells shape (explode + broadcast equi-join + min_by
+    // partial agg), kept here only because the probe also needs the
+    // argmin DISTANCE, which assignToCells deliberately drops
+    def assignWithDist(cents: DataFrame): DataFrame =
+      vecs.withColumn("c_id", explode(sequence(lit(0L), lit(15L))))
+        .join(broadcast(cents.select(col("c_id"), col("cv"))), "c_id")
+        .withColumn("dist", graft.functions.L2DistanceLong.l2_long(
+          col("sv"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("c_id"))).as("m"))
+        .select(col("vec_id"), col("m.c_id").as("cell"), col("m.dist").as("dist"))
+
+    // ---- full fit: seed + one Lloyd round over the WHOLE corpus ------
+    val fullCents = timed("full fit (seed + Lloyd over corpus)") {
+      val c = SimilarityQueries.lloydRefine(
+        SimilarityQueries.assignToCells(vecs,
+          SimilarityQueries.seedCentroids(vecs, 16), 16))
+      c.count(); c
+    }
+    val fullAssigned = timed("full-corpus assignment (full-fit centroids)") {
+      val a = assignWithDist(fullCents).persist(); a.count(); a
+    }
+    val fullQ = meanQDist(fullAssigned)
+
+    // ---- sample fit: seed + Lloyd over the hash slice ----------------
+    val slice = vecs.filter(col("vec_id") % stride === 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sliceN = slice.count()
+    val sampleCents = timed(s"sample fit (seed + Lloyd over $sliceN vectors)") {
+      val c = SimilarityQueries.lloydRefine(
+        SimilarityQueries.assignToCells(slice,
+          SimilarityQueries.seedCentroids(slice, 16), 16))
+      c.count(); c
+    }
+    val sampleAssigned = timed("full-corpus assignment (sample-fit centroids)") {
+      val a = assignWithDist(sampleCents).persist(); a.count(); a
+    }
+    val sampleQ = meanQDist(sampleAssigned)
+
+    def cellSpread(a: DataFrame): (Long, Long) = {
+      val s = a.groupBy(col("cell")).count()
+        .agg(min(col("count")), max(col("count"))).head()
+      (s.getLong(0), s.getLong(1))
+    }
+    val (fMin, fMax) = cellSpread(fullAssigned)
+    val (sMin, sMax) = cellSpread(sampleAssigned)
+    println(f"[samplefit] mean qdist: full-fit $fullQ%.0f vs sample-fit " +
+      f"$sampleQ%.0f (ratio ${sampleQ / fullQ}%.4f)")
+    println(s"[samplefit] cell occupancy full-fit [$fMin..$fMax] " +
+      s"sample-fit [$sMin..$sMax]")
+    spark.stop()
+  }
+}
