@@ -111,6 +111,34 @@ object CodesIndex {
     sv.unpersist()
   }
 
+  /** [[writeSq8]] with percentile-CLIPPED stats — the robust fit for
+    * heavy-tailed component distributions (measured in
+    * tools/ProbeZipfR13): per-dim stats come from the (clip, 1−clip)
+    * approximate quantiles instead of min/max, and the components
+    * outside them SATURATE through [[sq8Encode]]'s clamp — exactly the
+    * saturation the append path applies to out-of-distribution rows,
+    * here accepted at FIT time. Trades bounded error on the tail for
+    * full code resolution on the mass of the corpus; with raw min/max
+    * a single outlier row stretches the span so the mass quantizes
+    * into a handful of levels. */
+  def writeSq8Clipped(emb: DataFrame, path: String, clip: Double): Unit = {
+    require(clip > 0 && clip < 0.5, s"clip must be in (0, 0.5), got $clip")
+    val spark = emb.sparkSession
+    val sv = graft.core.CacheScope.track(snappedIds(emb).persist())
+    val dims = sv.select(posexplode(col("sv")).as(Seq("p", "v")))
+      .groupBy(col("p"))
+      .agg(expr(s"approx_percentile(v, array($clip, ${1 - clip}))").as("q"))
+      .orderBy(col("p")).collect()
+    val mn = dims.map(_.getSeq[Long](1).head)
+    val span = dims.map { r =>
+      val q = r.getSeq[Long](1); math.max(q(1) - q(0), 1L)
+    }
+    sq8Encode(sv, mn, span).write.mode("overwrite").parquet(path)
+    writeSidecar(spark, path, Sq8StatsFile,
+      mn.mkString(",") + "\n" + span.mkString(","))
+    sv.unpersist()
+  }
+
   // ---- SQ8 maintenance lifecycle (the AnnIndex append/compact policy
   // on the compression tier) ------------------------------------------
 

@@ -190,6 +190,37 @@ class Sq8Spec extends SparkTestBase {
       s"out-of-range components must saturate at the range edge, got $dv")
   }
 
+  test("clipped fit: outlier saturates at the quantile edge, mass keeps full resolution") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sq8-clip").toString
+    // 200 mass rows in [0, 0.2) plus one 100x outlier per dim
+    val mass = (0 until 200).map(i =>
+      s"(${i}L, array(CAST(0.001 * ${i % 200} AS FLOAT), CAST(0.001 * ${(i * 7) % 200} AS FLOAT)))")
+    val emb = spark.sql(
+      s"""SELECT * FROM VALUES ${mass.mkString(",")},
+         |  (999L, array(CAST(20.0 AS FLOAT), CAST(20.0 AS FLOAT)))
+         |AS t(vec_id, embedding)""".stripMargin)
+    val (raw, clip) = (s"$root/raw", s"$root/clip")
+    CodesIndex.writeSq8(emb, raw)
+    CodesIndex.writeSq8Clipped(emb, clip, 0.01)
+    // raw fit: the outlier stretches the span ~100x, so the mass's 200
+    // distinct values collapse into few codes; clipped fit restores
+    // near-1:1 resolution and the outlier SATURATES at the p99 edge
+    def massLevels(p: String) = CodesIndex.sq8Dequantized(spark, p)
+      .filter(col("vec_id") < 200)
+      .select(expr("dv[0]")).distinct().count()
+    val (rawLevels, clipLevels) = (massLevels(raw), massLevels(clip))
+    assert(rawLevels < 10,
+      s"raw min/max fit under a 100x outlier should collapse the mass, got $rawLevels levels")
+    assert(clipLevels > 150,
+      s"clipped fit must restore mass resolution, got $clipLevels levels")
+    val st = CodesIndex.sq8Stats(spark, clip)
+    val outlier = CodesIndex.sq8Dequantized(spark, clip)
+      .filter(col("vec_id") === 999L).head().getSeq[Long](1)
+    assert(outlier === Seq(st.mn(0) + st.span(0), st.mn(1) + st.span(1)),
+      "the outlier must saturate at the clipped range edge")
+  }
+
   test("SQ8 top-10 recall vs exact cosine") {
     val exact = pairs(SimilarityQueries.cosineTopK(spark, sf()))
     val sq8 = pairs(SimilarityQueries.sq8TopK(spark, sf()))
