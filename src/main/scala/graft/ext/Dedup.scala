@@ -819,9 +819,13 @@ object Dedup {
     var iters = 0
     while (!converged && iters < maxIters) {
       val (next, nextRdd) = materializeRound(smallStar(largeStar(edges)))
-      // fixed point: edge sets equal (both tiny — the graph only shrinks)
+      // fixed point: edge sets equal (both tiny — the graph only
+      // shrinks). Both sides are DISTINCT by construction, so equal
+      // counts plus next ⊆ edges is full set equality — one except job
+      // instead of two per round (the check was a third of the round's
+      // actions; exactness is kept, no hash shortcut)
       converged =
-        next.except(edges).isEmpty && edges.except(next).isEmpty
+        next.count() == edges.count() && next.except(edges).isEmpty
       edgesRdd.unpersist(false)
       edges = next
       edgesRdd = nextRdd
@@ -884,13 +888,54 @@ object Dedup {
     * [[connectedComponentsStar]]'s O(log² n) contraction bounds
     * regardless of that chain length (its fixed point — every vertex
     * pointing at its component minimum — is exactly the star-forest
-    * invariant this function maintains round over round). */
+    * invariant this function maintains round over round).
+    *
+    * Cost (round 13, contract-first): the standing labels never flow
+    * through the CC rounds at all. Because the labeling is a star
+    * forest, every new pair can be CONTRACTED up front — each endpoint
+    * replaced by its standing label (one left join per side; an
+    * unlabeled endpoint represents itself) — and CC runs only on the
+    * contracted pair graph, whose nodes are cluster ids and
+    * pair-touched unlabeled ids: |newPairs| edges, not
+    * |labels| + |newPairs|. One remap join per output side puts the
+    * result back on doc granularity. Output-identical to CC over
+    * (star edges ∪ new pairs): a contracted component's minimum node
+    * id IS the merged component's minimum doc id, because every
+    * cluster id is already the minimum of its star and unlabeled ids
+    * represent themselves (ProbeMergeCost measured the uncontracted
+    * form's CC at ~1.7 s of d14b's 3 s — the labels frame was paying
+    * the per-round joins despite contributing no connectivity the
+    * contraction doesn't keep). */
   def mergeIntoClusters(labels: DataFrame, newPairs: DataFrame,
-                        aCol: String = "a_id", bCol: String = "b_id"): DataFrame =
-    connectedComponentsStar(
-      labels.select(col("doc_id").as("a_id"), col("cluster_id").as("b_id"))
-        .union(newPairs.select(col(aCol).cast("long").as("a_id"),
-          col(bCol).cast("long").as("b_id"))))
+                        aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val l = labels.select(col("doc_id"), col("cluster_id"))
+    val np = newPairs.select(col(aCol).cast("long").as("a_id"),
+      col(bCol).cast("long").as("b_id"))
+    val contracted = np
+      .join(l.select(col("doc_id").as("a_id"), col("cluster_id").as("__ra")),
+        Seq("a_id"), "left")
+      .join(l.select(col("doc_id").as("b_id"), col("cluster_id").as("__rb")),
+        Seq("b_id"), "left")
+      .select(coalesce(col("__ra"), col("a_id")).as("a_id"),
+        coalesce(col("__rb"), col("b_id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+    // (node, newRoot) for every contracted node — cluster ids whose
+    // component merged, and pair-touched unlabeled ids. Hash-to-min CC
+    // (the same engine d7's corpus clustering runs): its broadcast-
+    // vertex fast path costs ~2 actions per round vs star contraction's
+    // ~8, and the contracted graph's diameter is the number of clusters
+    // a single batch CHAINS — ingest-sized, not corpus-sized (the
+    // 50-round cap throws loudly on a pathological batch, with the star
+    // form as the documented escape hatch).
+    val remap = connectedComponents(contracted)
+      .select(col("doc_id").as("__node"), col("cluster_id").as("__new"))
+    val updated = l.join(remap, l("cluster_id") === col("__node"), "left")
+      .select(col("doc_id"), coalesce(col("__new"), col("cluster_id")).as("cluster_id"))
+    // contracted nodes that are no standing doc = new (batch) members
+    val newRows = remap.join(l, remap("__node") === l("doc_id"), "left_anti")
+      .select(col("__node").as("doc_id"), col("__new").as("cluster_id"))
+    updated.unionByName(newRows)
+  }
 
   /** SimHash over a doc's distinct tokens: bit j of the result is set
     * iff the sum over tokens of (+1 if token-bit j else -1) is positive.

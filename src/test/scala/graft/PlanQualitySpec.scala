@@ -22,6 +22,9 @@ class PlanQualitySpec extends SparkTestBase {
   private val intendedBnlj =
     Set("d6_ngram_jaccard", "y1_cosine_topk", "x_tfidf_topk",
       "y14_sq8_topk",       // y1's broadcast-probe pairwise scan, dequantized
+      "x_media_ann",        // y14's shape over the media-feature codes:
+                            // 16 featurized probes broadcast into the
+                            // packed-artifact scan
       "x_mixture_weights",  // 1-row corpus-totals broadcast, like tfidf's N
       "x_balanced_sample",  // same 1-row totals broadcast via its rate frame
       "x_lm_score",         // 1-row bigram-type-count broadcast, same shape
