@@ -329,6 +329,14 @@ object SimilarityQueries extends QueryGroup {
       rounds.persist()) // probed twice below
     assigned.count() // materialize, then release the projection eagerly
     vecs.unpersist()
+    ivfTopKTail(assigned)
+  }
+
+  /** y4's query tail, shared with the sample-fit form: probe set
+    * (vec_id % 50 = 0) broadcast into its own cell's candidates,
+    * bounded-heap top-3, rank. `assigned` must carry
+    * (vec_id, sv, nrm, cell). */
+  private def ivfTopKTail(assigned: DataFrame): DataFrame = {
     val probes = assigned.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("probe_id"), col("sv").as("pv"),
         col("nrm").as("pn"), col("cell").as("p_cell"))
@@ -348,6 +356,30 @@ object SimilarityQueries extends QueryGroup {
       .select(col("probe_id"), col("neighbor_id"), col("cell").cast("long").as("cell"),
         col("rank"), col("cos"))
       .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** y18 — the IVF quantizer in its PRODUCTION TRAINING FORM: fit on a
+    * hash slice (vec_id % 16 = 0 — 1/16 of the corpus), assign the FULL
+    * corpus once. ProbeSampleFit measured this at ~7× cheaper training
+    * with the quality cost being cell-occupancy spread; this
+    * registration makes the form itself hash-checked cross-engine —
+    * every step (slice seed pick, slice Lloyd mean, full-corpus argmin)
+    * stays exact int64, so the sample-fitted cells and the downstream
+    * top-k are engine-deterministic and the DuckDB oracle rebuilds them
+    * bit-for-bit. Query tail is y4's verbatim. */
+  def annIvfSampleFit(spark: SparkSession, dir: String,
+                      stride: Int = 16): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val vecs = snapped(emb, "vec_id", "sv", "nrm")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val slice = vecs.filter(col("vec_id") % stride === 0)
+    val cents = lloydRefine(
+      assignToCells(slice, seedCentroids(slice, 16), 16))
+    val assigned = graft.core.CacheScope.track(
+      assignToCells(vecs, cents, 16).persist())
+    assigned.count() // materialize, then release the projection eagerly
+    vecs.unpersist()
+    ivfTopKTail(assigned)
   }
 
   /** y16 — IVF recall audit: d17's audit discipline applied to the
@@ -1118,7 +1150,9 @@ object SimilarityQueries extends QueryGroup {
     "y16_ivf_recall_np2"   -> ((s: SparkSession, d: String) =>
       ivfRecallAudit(s, d, nprobe = 2)),
     "y16_ivf_recall_clustered" -> (ivfRecallClustered _),
-    "x_media_ann"      -> (mediaAnn _)
+    "x_media_ann"      -> (mediaAnn _),
+    "y18_ivf_sample_fit" -> ((s: SparkSession, d: String) =>
+      annIvfSampleFit(s, d))
   )
 
   // ---- DuckDB oracles ----
@@ -1224,6 +1258,53 @@ object SimilarityQueries extends QueryGroup {
       |)""".stripMargin
 
   private val kmeansAssignedCte: String = kmeansCteFor("")
+
+  /** The SAMPLE-FIT k-means mirror (y18): seed pick, first assignment
+    * and Lloyd mean run over the `vec_id % stride = 0` slice only; the
+    * final assignment covers the full corpus — the exact SQL twin of
+    * [[annIvfSampleFit]]'s fit-on-slice/assign-all split. Ends with
+    * `assigned(vec_id, embedding, cell)` like [[kmeansAssignedCte]]. */
+  private def kmeansSampleFitCte(stride: Int): String =
+    s"""WITH sv AS (
+      |  SELECT vec_id, embedding,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS s
+      |  FROM embeddings
+      |), svfit AS (
+      |  SELECT * FROM sv WHERE vec_id % $stride = 0
+      |), cents0 AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS c_id, cs FROM (
+      |    SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, s AS cs
+      |    FROM svfit ORDER BY h, vec_id LIMIT 16)
+      |), dists0 AS (
+      |  SELECT v.vec_id, v.s, c.c_id,
+      |    list_aggregate(list_transform(list_zip(v.s, c.cs),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS dist
+      |  FROM svfit v CROSS JOIN cents0 c
+      |), assigned0 AS (
+      |  SELECT vec_id, s, c_id AS cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
+      |    FROM dists0) WHERE rn = 1
+      |), comp AS (
+      |  SELECT cell, unnest(list_transform(range(1, len(s) + 1),
+      |    i -> struct_pack(d := i, v := s[i]))) AS u
+      |  FROM assigned0
+      |), means AS (
+      |  SELECT cell, u.d AS d,
+      |    CAST(floor(CAST(SUM(u.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+      |  FROM comp GROUP BY cell, u.d
+      |), cents AS (
+      |  SELECT cell AS c_id, list(cm ORDER BY d) AS cs FROM means GROUP BY cell
+      |), dists AS (
+      |  SELECT v.vec_id, v.embedding, c.c_id,
+      |    list_aggregate(list_transform(list_zip(v.s, c.cs),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS dist
+      |  FROM sv v CROSS JOIN cents c
+      |), assigned AS (
+      |  SELECT vec_id, embedding, c_id AS cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
+      |    FROM dists) WHERE rn = 1
+      |)""".stripMargin
 
   /** The y11 IVF-PQ oracle skeleton, parameterized by the probed-cell
     * CTE (nprobe=1 reads the argmin assignment; higher settings rank
@@ -1473,6 +1554,24 @@ object SimilarityQueries extends QueryGroup {
          |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
     "y4_ann_ivf" ->
       s"""$kmeansAssignedCte, probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe, cell AS p_cell
+         |  FROM assigned WHERE vec_id % 50 = 0
+         |), scored AS (
+         |  SELECT p.probe_id, a.vec_id AS neighbor_id, CAST(a.cell AS BIGINT) AS cell,
+         |    ${cosSql("p.pe", "a.embedding")} AS cos
+         |  FROM probes p JOIN assigned a
+         |    ON a.cell = p.p_cell AND p.probe_id <> a.vec_id
+         |), ranked AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM scored
+         |)
+         |SELECT probe_id, neighbor_id, cell, rank, cos FROM ranked
+         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+    // y18: the y4 tail over SAMPLE-FITTED cells — the production
+    // training form (fit on the vec_id % 16 slice, assign everything),
+    // hash-checked end to end
+    "y18_ivf_sample_fit" ->
+      s"""${kmeansSampleFitCte(16)}, probes AS (
          |  SELECT vec_id AS probe_id, embedding AS pe, cell AS p_cell
          |  FROM assigned WHERE vec_id % 50 = 0
          |), scored AS (
