@@ -125,6 +125,39 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "frame_len", "frame_md5")
   }
 
+  /** Frame-LEVEL content features — [[sampleFrames]]' slicing composed
+    * with [[features]]' byte-offset featurizer, one vector per SAMPLED
+    * frame: the shape video retrieval runs on (frame embeddings, not
+    * whole-clip embeddings). Same executor-side iterator flatMap as
+    * sampleFrames — a 10k-frame payload never materializes driver-side
+    * and the binary column never shuffles; a real pipeline swaps the
+    * featurizer for a vision encoder inside the same mapPartitions. */
+  def frameFeatures(docs: DataFrame, step: Int = 3,
+                    dims: Int = FeatureDims): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withPayload(docs)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, b) =>
+          val n = b.length.toLong
+          val frames = (n % 30 + 1).toInt // fakeDecode's frame count
+          (0 until frames by step).iterator.map { f =>
+            val start = (n * f / frames).toInt
+            val end = (n * (f + 1) / frames).toInt
+            val len = end - start
+            val fs = Array.tabulate(dims) { j =>
+              if (len == 0) 0.0
+              else (b(start + ((len.toLong * j) / dims).toInt) & 0xff) / 255.0
+            }
+            (id, f, fs)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "features")
+  }
+
   /** RESIZE planning on the decoded metadata: fit (width, height) into
     * a `box` square preserving aspect ratio, integer fixed-point
     * arithmetic (scale in 1/256ths, capped at 1x — no upscaling) so

@@ -138,6 +138,41 @@ object AnalysisQueries extends QueryGroup {
   def frameSample(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(mediaSource(spark, dir))
 
+  /** Frame-level ANN (x_frame_ann) — the video-retrieval composition:
+    * sampled frames ([[Multimodal.frameFeatures]], one feature vector
+    * per frame, executor-side slicing) ranked by exact snapped cosine
+    * against a probe clip's frames, same-doc matches excluded. Probe
+    * side is the doc_id < 4 clips only — the filter reaches the scan
+    * below the mapPartitions decode, and the probe frames broadcast
+    * into the corpus-frame scan (the y1/y14 pairwise shape; at scale
+    * the corpus side would feed the packed-codes tier exactly like
+    * x_media_ann). The oracle rebuilds frame slicing + featurizer +
+    * cosine relationally on the pure-ASCII corpus. */
+  def frameAnn(spark: SparkSession, dir: String): DataFrame = {
+    val snap = (f: DataFrame) => f.select(col("doc_id"), col("frame_idx"),
+        graft.ext.Similarity.snapVec(col("features")).as("sv"))
+      .withColumn("nrm", graft.ext.Similarity.normSnapped(col("sv")))
+    val corpus = snap(Multimodal.frameFeatures(mediaSource(spark, dir)))
+    val probes = snap(Multimodal.frameFeatures(
+        mediaSource(spark, dir).filter(col("doc_id") < 4)))
+      .select(col("doc_id").as("p_doc"), col("frame_idx").as("p_frame"),
+        col("sv").as("pv"), col("nrm").as("pn"))
+    val scored = corpus.join(broadcast(probes), col("doc_id") =!= col("p_doc"))
+      .withColumn("cos", graft.ext.Similarity.cosineFromSnapped(
+        col("pv"), col("sv"), col("pn"), col("nrm")))
+      .select(col("p_doc"), col("p_frame"), col("doc_id").as("n_doc"),
+        col("frame_idx").as("n_frame"), col("cos"))
+    graft.ops.TopK.perKey(scored, Seq("p_doc", "p_frame"),
+        Seq("cos" -> true, "n_doc" -> false, "n_frame" -> false), 5)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("p_doc"), col("p_frame"))
+          .orderBy(col("cos").desc, col("n_doc"), col("n_frame"))).cast("long"))
+      .select(col("p_doc"), col("p_frame"), col("n_doc"), col("n_frame"),
+        col("rank"), col("cos"))
+      .orderBy(col("p_doc"), col("p_frame"), col("rank"))
+  }
+
   def resizePlanQ(spark: SparkSession, dir: String): DataFrame =
     Multimodal.resizePlan(
       Multimodal.decodeMeta(mediaSource(spark, dir)).toDF())
@@ -953,6 +988,7 @@ object AnalysisQueries extends QueryGroup {
     "x_multimodal_meta" -> (multimodalMeta _),
     "x_media_features"  -> (mediaFeatures _),
     "x_frame_sample"    -> (frameSample _),
+    "x_frame_ann"       -> (frameAnn _),
     "x_resize_plan"     -> (resizePlanQ _),
     "x_hash_sample"     -> (hashSample _),
     "x_pii_scrub"       -> (piiScrub _),
@@ -1480,6 +1516,54 @@ object AnalysisQueries extends QueryGroup {
         |             CAST((n*(f+1))//frames - (n*f)//frames AS INT))) AS frame_md5
         |FROM base, UNNEST(range(0, frames, 3)) AS t(f)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // frame slicing + byte-offset featurizer + exact snapped cosine,
+    // all relational: component j of a frame = the byte at
+    // frameStart + (frameLen*j)//dims, snapped at 1e-6 like every
+    // similarity oracle; probes are the doc_id < 4 clips' frames
+    "x_frame_ann" -> {
+      val d = graft.ext.Multimodal.FeatureDims
+      val comps = (0 until d).map { j =>
+        s"""    CASE WHEN len = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST(floor(ascii(substr(text,
+           |      CAST(s + (len*$j)//$d AS INT) + 1, 1))
+           |      /255.0 * 1000000 + 0.5) AS BIGINT) END""".stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
+         |    CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS frames
+         |  FROM documents
+         |), fr AS (
+         |  SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, text,
+         |    (n*f)//frames AS s,
+         |    (n*(f+1))//frames - (n*f)//frames AS len
+         |  FROM base, UNNEST(range(0, frames, 3)) AS t(f)
+         |), feat AS (
+         |  SELECT doc_id, frame_idx, [
+         |$comps
+         |  ] AS sv FROM fr
+         |), nrm AS (
+         |  SELECT doc_id, frame_idx, sv,
+         |    sqrt(CAST(CAST(list_aggregate(list_transform(sv, x -> x*x),
+         |      'sum') AS BIGINT) AS DOUBLE)) AS nn
+         |  FROM feat
+         |), probes AS (
+         |  SELECT doc_id AS p_doc, frame_idx AS p_frame, sv AS pv, nn AS pn
+         |  FROM nrm WHERE doc_id < 4
+         |), scored AS (
+         |  SELECT p.p_doc, p.p_frame, q.doc_id AS n_doc,
+         |    q.frame_idx AS n_frame,
+         |    CAST(CAST(list_aggregate(list_transform(list_zip(p.pv, q.sv),
+         |      z -> z[1]*z[2]), 'sum') AS BIGINT) AS DOUBLE) / (p.pn * q.nn) AS cos
+         |  FROM probes p, nrm q WHERE q.doc_id <> p.p_doc
+         |), ranked AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY p_doc, p_frame
+         |    ORDER BY cos DESC, n_doc, n_frame) AS BIGINT) AS rank
+         |  FROM scored
+         |)
+         |SELECT p_doc, p_frame, n_doc, n_frame, rank, cos FROM ranked
+         |WHERE rank <= 5 ORDER BY p_doc, p_frame, rank""".stripMargin
+    },
     "x_resize_plan" ->
       """WITH m AS (
         |  SELECT doc_id,

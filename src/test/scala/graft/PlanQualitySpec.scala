@@ -25,6 +25,9 @@ class PlanQualitySpec extends SparkTestBase {
       "x_media_ann",        // y14's shape over the media-feature codes:
                             // 16 featurized probes broadcast into the
                             // packed-artifact scan
+      "x_frame_ann",        // same shape at frame granularity: the
+                            // probe clips' frames broadcast into the
+                            // corpus-frame scan
       "x_mixture_weights",  // 1-row corpus-totals broadcast, like tfidf's N
       "x_balanced_sample",  // same 1-row totals broadcast via its rate frame
       "x_lm_score",         // 1-row bigram-type-count broadcast, same shape
