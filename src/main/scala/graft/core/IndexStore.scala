@@ -287,6 +287,9 @@ object IndexStore {
     * verbatim twins across the query registries — keying-scheme changes
     * happen here, nowhere else. */
   def pathFor(spark: SparkSession, kind: String, dataDir: String): String = {
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
     val sig = new StringBuilder(dataDir)
     def walk(f: java.io.File, rel: String): Unit =
       Option(f.listFiles()).map(_.sortBy(_.getName)).getOrElse(Array.empty)
@@ -298,11 +301,42 @@ object IndexStore {
         }
     val root = new java.io.File(dataDir)
     if (root.isDirectory) walk(root, "")
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(sig.toString.getBytes("UTF-8"))
-      .map(b => f"${b & 0xff}%02x").mkString
+    // two-part key: a stable DATASET digest (the dataDir path) plus the
+    // content FINGERPRINT — so superseded fingerprints of the SAME
+    // dataset are recognizable and garbage-collectible, while two
+    // different datasets of the same kind can never collide or GC each
+    // other
+    val pathDigest = md5(dataDir)
+    val fp = md5(sig.toString).take(12)
     val base = spark.conf.get("spark.graft.index.dir",
       sys.props("java.io.tmpdir"))
-    s"${base.stripSuffix("/")}/graft-$kind-$digest"
+    val name = s"graft-$kind-$pathDigest-$fp"
+    gcSuperseded(spark, base, kind, pathDigest, name)
+    s"${base.stripSuffix("/")}/$name"
   }
+
+  /** Best-effort GC of artifacts keyed by a SUPERSEDED fingerprint of
+    * the same (kind, dataset): without it every testdata regeneration
+    * orphans the full corpus-sized artifact set under the index base
+    * forever. Matches exactly `graft-<kind>-<pathDigest>-<12 hex>` with
+    * a different fingerprint — `.build-`/`.old-`/`.stale-` scratch
+    * siblings never match the anchored pattern, so in-flight publishes
+    * are untouched. A concurrent JVM still holding a pre-regeneration
+    * path sees a loud-fail read instead of silently stale codes — the
+    * data changed under it either way. */
+  private def gcSuperseded(spark: SparkSession, base: String, kind: String,
+                           pathDigest: String, current: String): Unit =
+    try {
+      val basePath = new Path(base)
+      val fs = basePath.getFileSystem(spark.sessionState.newHadoopConf())
+      val hex12 = "[0-9a-f]{12}"
+      Option(fs.globStatus(
+          new Path(basePath, s"graft-$kind-$pathDigest-*"))).toSeq.flatten
+        .map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n != current && n.matches(s"graft-\\Q$kind\\E-$pathDigest-$hex12")
+        }
+        .foreach(p => fs.delete(p, true))
+    } catch { case _: Exception => () } // GC must never fail a query
 }

@@ -97,14 +97,24 @@ object CodesIndex {
   private def snappedIds(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
 
-  def writeSq8(emb: DataFrame, path: String): Unit = {
+  def writeSq8(emb: DataFrame, path: String): Unit =
+    writeSq8With(emb, path) { sv =>
+      val dims = sv.select(posexplode(col("sv")).as(Seq("p", "v")))
+        .groupBy(col("p")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .orderBy(col("p")).collect()
+      (dims.map(_.getLong(1)),
+        dims.map(r => math.max(r.getLong(2) - r.getLong(1), 1L)))
+    }
+
+  /** The ONE artifact writer both fit strategies share — snap/persist,
+    * encode against the caller-derived (mn, span), write, stats
+    * sidecar. Any artifact-layout or sidecar-format change happens
+    * here, never per fit. */
+  private def writeSq8With(emb: DataFrame, path: String)(
+      statsOf: DataFrame => (Array[Long], Array[Long])): Unit = {
     val spark = emb.sparkSession
     val sv = graft.core.CacheScope.track(snappedIds(emb).persist())
-    val dims = sv.select(posexplode(col("sv")).as(Seq("p", "v")))
-      .groupBy(col("p")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-      .orderBy(col("p")).collect()
-    val mn = dims.map(_.getLong(1))
-    val span = dims.map(r => math.max(r.getLong(2) - r.getLong(1), 1L))
+    val (mn, span) = statsOf(sv)
     sq8Encode(sv, mn, span).write.mode("overwrite").parquet(path)
     writeSidecar(spark, path, Sq8StatsFile,
       mn.mkString(",") + "\n" + span.mkString(","))
@@ -123,20 +133,16 @@ object CodesIndex {
     * into a handful of levels. */
   def writeSq8Clipped(emb: DataFrame, path: String, clip: Double): Unit = {
     require(clip > 0 && clip < 0.5, s"clip must be in (0, 0.5), got $clip")
-    val spark = emb.sparkSession
-    val sv = graft.core.CacheScope.track(snappedIds(emb).persist())
-    val dims = sv.select(posexplode(col("sv")).as(Seq("p", "v")))
-      .groupBy(col("p"))
-      .agg(expr(s"approx_percentile(v, array($clip, ${1 - clip}))").as("q"))
-      .orderBy(col("p")).collect()
-    val mn = dims.map(_.getSeq[Long](1).head)
-    val span = dims.map { r =>
-      val q = r.getSeq[Long](1); math.max(q(1) - q(0), 1L)
+    writeSq8With(emb, path) { sv =>
+      val dims = sv.select(posexplode(col("sv")).as(Seq("p", "v")))
+        .groupBy(col("p"))
+        .agg(expr(s"approx_percentile(v, array($clip, ${1 - clip}))").as("q"))
+        .orderBy(col("p")).collect()
+      (dims.map(_.getSeq[Long](1).head),
+        dims.map { r =>
+          val q = r.getSeq[Long](1); math.max(q(1) - q(0), 1L)
+        })
     }
-    sq8Encode(sv, mn, span).write.mode("overwrite").parquet(path)
-    writeSidecar(spark, path, Sq8StatsFile,
-      mn.mkString(",") + "\n" + span.mkString(","))
-    sv.unpersist()
   }
 
   // ---- SQ8 maintenance lifecycle (the AnnIndex append/compact policy
@@ -150,10 +156,17 @@ object CodesIndex {
     * produces a fresh artifact with neither counter nor batch files,
     * which IS the reset. */
   private val Sq8PendingFile = "_graft_sq8_pending"
+  /** The raw batch-append counter alone — the value the bump path must
+    * read-modify-write. Bumping the COMBINED [[sq8Pending]] would
+    * re-absorb the streamed batch count into the counter on every
+    * batch append of a mixed-ingest artifact (double counting that
+    * compounds, firing cadence rebuilds early). */
+  private def counterOf(spark: SparkSession, path: String,
+                        file: String): Int =
+    readSidecarOpt(spark, path, file)
+      .flatMap(raw => scala.util.Try(raw.toInt).toOption).getOrElse(0)
   def sq8Pending(spark: SparkSession, path: String): Int =
-    readSidecarOpt(spark, path, Sq8PendingFile)
-      .flatMap(raw => scala.util.Try(raw.toInt).toOption).getOrElse(0) +
-      streamedBatches(spark, path)
+    counterOf(spark, path, Sq8PendingFile) + streamedBatches(spark, path)
 
   /** Per-ingest maintenance: encode `emb`'s vectors against the
     * STANDING stats (never recomputed — a reader mixing codes from two
@@ -178,7 +191,7 @@ object CodesIndex {
     sq8Encode(snappedIds(emb), st.mn, st.span)
       .write.mode("append").parquet(path)
     writeSidecar(spark, path, Sq8PendingFile,
-      (sq8Pending(spark, path) + 1).toString)
+      (counterOf(spark, path, Sq8PendingFile) + 1).toString)
   }
 
   /** One micro-batch's append for the STREAMING ingest
@@ -367,9 +380,7 @@ object CodesIndex {
     * lossy-codes reason as SQ8's refit. */
   private val PqPendingFile = "_graft_pq_pending"
   def pqPending(spark: SparkSession, path: String): Int =
-    readSidecarOpt(spark, path, PqPendingFile)
-      .flatMap(raw => scala.util.Try(raw.toInt).toOption).getOrElse(0) +
-      streamedBatches(spark, path)
+    counterOf(spark, path, PqPendingFile) + streamedBatches(spark, path)
 
   /** Encode `emb`'s vectors against the STANDING codebook and append
     * the packed rows; the codebook is deliberately not re-trained.
@@ -383,7 +394,7 @@ object CodesIndex {
     packedVectorRows(pqEncode(pqSubs(emb, meta.nSub, meta.subDim), cb))
       .write.mode("append").parquet(path)
     writeSidecar(spark, path, PqPendingFile,
-      (pqPending(spark, path) + 1).toString)
+      (counterOf(spark, path, PqPendingFile) + 1).toString)
   }
 
   def rebuildPq(spark: SparkSession, path: String, source: DataFrame): Unit = {

@@ -924,10 +924,21 @@ object Dedup {
     // (the same engine d7's corpus clustering runs): its broadcast-
     // vertex fast path costs ~2 actions per round vs star contraction's
     // ~8, and the contracted graph's diameter is the number of clusters
-    // a single batch CHAINS — ingest-sized, not corpus-sized (the
-    // 50-round cap throws loudly on a pathological batch, with the star
-    // form as the documented escape hatch).
-    val remap = connectedComponents(contracted)
+    // a single batch CHAINS — ingest-sized, not corpus-sized. A
+    // pathological batch CAN exceed the 50-round diameter cap (e.g. a
+    // whole-corpus backfill delivered as one trigger chaining hundreds
+    // of clusters in a path), so the star form is a REAL escape hatch
+    // here, not a comment: hash-to-min's convergence failure is caught
+    // and the merge reruns on the O(log² n) contraction, which is
+    // diameter-independent. Both produce identical min-id labels.
+    val remapCc =
+      try connectedComponents(contracted)
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("did not converge") =>
+          connectedComponentsStar(contracted)
+      }
+    val remap = remapCc
       .select(col("doc_id").as("__node"), col("cluster_id").as("__new"))
     val updated = l.join(remap, l("cluster_id") === col("__node"), "left")
       .select(col("doc_id"), coalesce(col("__new"), col("cluster_id")).as("cluster_id"))

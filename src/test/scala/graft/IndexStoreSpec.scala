@@ -261,4 +261,33 @@ class IndexStoreSpec extends SparkTestBase {
     assert(IndexStore.pathFor(spark, "spec", "hdfs://nn/corpus") ===
       IndexStore.pathFor(spark, "spec", "hdfs://nn/corpus"))
   }
+
+  test("superseded-fingerprint artifacts are GC'd; other datasets and " +
+       "in-flight scratches are not") {
+    val dataDir = freshDir()
+    spark.range(10).write.mode("overwrite").parquet(s"$dataDir/t.parquet")
+    val p1 = IndexStore.ensure(spark, IndexStore.pathFor(spark, "gcspec", dataDir)) {
+      scratch => spark.range(3).write.mode("overwrite").parquet(scratch)
+    }
+    // a DIFFERENT dataset of the same kind must survive the other's GC
+    val otherDir = freshDir()
+    spark.range(5).write.mode("overwrite").parquet(s"$otherDir/t.parquet")
+    val pOther = IndexStore.ensure(spark,
+        IndexStore.pathFor(spark, "gcspec", otherDir)) {
+      scratch => spark.range(2).write.mode("overwrite").parquet(scratch)
+    }
+    // a scratch-shaped sibling of the CURRENT artifact must survive too
+    val scratchSib = new java.io.File(p1 + ".build-deadbeef")
+    assert(scratchSib.mkdirs())
+    Thread.sleep(5)
+    spark.range(1000).write.mode("overwrite").parquet(s"$dataDir/t.parquet")
+    val p2 = IndexStore.pathFor(spark, "gcspec", dataDir) // triggers the GC
+    assert(p2 !== p1)
+    assert(!new java.io.File(p1).exists(),
+      "the superseded-fingerprint artifact must be garbage-collected")
+    assert(new java.io.File(pOther).exists(),
+      "a different dataset's artifact must never be GC'd")
+    assert(scratchSib.exists(),
+      "in-flight build scratches must never be GC'd")
+  }
 }

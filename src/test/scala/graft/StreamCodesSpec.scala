@@ -60,6 +60,18 @@ class StreamCodesSpec extends SparkTestBase {
     assert(!java.nio.file.Files.exists(
         java.nio.file.Paths.get(sPath, "_graft_sq8_pending")),
       "streamed batches must not write the read-modify-write counter")
+
+    // MIXED ingest: a scheduled batch append on a stream-maintained
+    // artifact bumps only its own counter — the streamed batches must
+    // not be re-absorbed into it (the compounding double-count)
+    CodesIndex.appendSq8(emb.filter(col("vec_id") === 1L), sPath)
+    assert(CodesIndex.sq8Pending(spark, sPath) === 3,
+      "mixed pending = batch counter (1) + streamed batches (2)")
+    assert(CodesIndex.sq8Pending(spark, sPath) === 3,
+      "pending must be a stable read, not compound per call")
+    CodesIndex.appendSq8(emb.filter(col("vec_id") === 2L), sPath)
+    assert(CodesIndex.sq8Pending(spark, sPath) === 4,
+      "a second batch append adds exactly one")
   }
 
   test("streamed PQ appends equal batch appends; replay exactly-once; " +
