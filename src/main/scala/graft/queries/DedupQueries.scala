@@ -475,6 +475,36 @@ object DedupQueries extends QueryGroup {
     mergeBatchInto(docs, index, labels)
   }
 
+  /** d14b with BOTH batch screens armed by the recall-preserving
+    * salt-split — the form the 500k-doc decade row mandates: on a
+    * cluster-inflated corpus the unguarded band buckets grow with the
+    * hot family and candidate pairs grow quadratically in them
+    * (BASELINE r13: 88.6 s unguarded at 500k, the d3 class). The
+    * batch-internal screen takes [[graft.ext.Dedup.candidatePairsSalted]],
+    * the cross screen [[graft.ext.Dedup.incrementalNeardup]]'s salt
+    * arm; both are output-INVARIANT (every pair still meets at exactly
+    * one salt cell), so this registration shares d14's from-scratch d7
+    * oracle VERBATIM — the recall claim is hash-checked cross-engine,
+    * the d3_neardup_salted / d9_incremental_salted precedent applied
+    * to the merge's ingest side. maxBucket = 2 is the demo dial (at
+    * sf0.01 nearly every bucket exceeds it, so the machinery is
+    * genuinely exercised). */
+  def incrementalClustersSalted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val idxPath = ensureNeardupIndex(spark, dir)
+    val labels = spark.read.parquet(ensureIdxLabels(spark, dir))
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val cross = Dedup.incrementalNeardup(spark, batch, idxPath, 0.8,
+        maxBucket = 2, skewMode = "salt")
+      .select(col("batch_id").as("a_id"), col("corpus_id").as("b_id"))
+    val bsh = graft.core.CacheScope.track(Dedup.shingleFrame(batch).persist())
+    val internal = Dedup.verifyJaccardOnShingles(bsh,
+        Dedup.candidatePairsSalted(
+          Dedup.signaturesFromShingles(bsh), maxBucket = 2), 0.8)
+      .select(col("a_id"), col("b_id"))
+    Dedup.mergeIntoClusters(labels, internal.union(cross))
+  }
+
   /** Containment near-dup: pairs where the SMALLER doc's shingle set is
     * >= 90% contained in the other — doc-inside-doc duplication that
     * symmetric Jaccard (d3) misses. Same LSH candidate machinery as d3
@@ -609,7 +639,8 @@ object DedupQueries extends QueryGroup {
     "d13b_apply_best_pre"    -> (dedupApplyBestPre _),
     "d18b_cross_source_pre"  -> (crossSourceDedupPre _),
     "d10b_cluster_best_pre"  -> (clusterBestPre _),
-    "d14b_merge_pre"         -> (incrementalClustersPre _)
+    "d14b_merge_pre"         -> (incrementalClustersPre _),
+    "d14b_merge_salted"      -> (incrementalClustersSalted _)
   )
 
   // ---- DuckDB oracles ----
@@ -1033,7 +1064,11 @@ object DedupQueries extends QueryGroup {
       // the merge over STANDING labels (idx-labels fixture) is
       // connectivity-preserving exactly as d14's inline form, so the
       // b-form is checked against the same from-scratch d7 oracle
-      "d14b_merge_pre"        -> base("d14_incremental_clusters"))
+      "d14b_merge_pre"        -> base("d14_incremental_clusters"),
+      // the salt-split is output-invariant on BOTH screens, so the
+      // armed form shares the same oracle — the cross-engine recall
+      // proof for the merge's ingest side
+      "d14b_merge_salted"     -> base("d14_incremental_clusters"))
   }
 
   /** The shared toks -> kg -> winnowed-selection -> fp CTE chain of the
