@@ -56,10 +56,12 @@ object Selection {
       // filter-inlining trap would re-split the text per predicate
       .select(keep :+ explode_outer(featureArray(col("__toks"))).as("f"): _*)
       .filter(col("f").isNotNull)
-      // stage the digest before the 4-reference hex extract (hex4ValSql
-      // reads its input 4x; inlining would run md5 4x per feature)
+      // stage the digest, then ONE codegen'd base-16 parse (the oracle
+      // keeps the portable substr/instr fold — identical values);
+      // staging still keeps md5 at once per feature
       .select(keep :+ substring(md5(col("f")), 1, 4).as("__h"): _*)
-      .select(keep :+ expr(s"(${Dedup.hex4ValSql("__h")}) % $m").as("b"): _*)
+      .select(keep :+
+        expr(s"CAST(conv(__h, 16, 10) AS BIGINT) % $m").as("b"): _*)
       .groupBy(keep :+ col("b"): _*)
       .agg(count(lit(1)).as("c"))
   }
@@ -143,7 +145,7 @@ object Selection {
         qfArr.as("__qf_arr"))
       .select(col("doc_id"),
         expr(s"transform(__h, h -> element_at(__qf_arr, " +
-          s"CAST((${Dedup.hex4ValSql("h")}) % $m AS INT) + 1))")
+          s"CAST(CAST(conv(h, 16, 10) AS BIGINT) % $m AS INT) + 1))")
           .as("__w"))
       .select(col("doc_id"),
         filter(col("__w"), w => w.isNotNull && w =!= 0L).as("__w"))

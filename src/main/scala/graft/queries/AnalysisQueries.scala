@@ -801,14 +801,15 @@ object AnalysisQueries extends QueryGroup {
   def qualityClassifier(spark: SparkSession, dir: String,
                         hashMode: String): DataFrame = {
     // weights as a staged array: the md5 mode computes ONE digest per
-    // token in an inner transform, then extracts the 16-bit value from
-    // the staged hex in the outer lambda — hex4ValSql references its
-    // input 4 times and lambda bodies get no CSE, so inlining the hash
-    // would evaluate md5 4x per token
+    // token in an inner transform, then parses the 16-bit value from
+    // the staged hex in the outer lambda with one codegen'd conv (the
+    // ORACLE keeps the portable substr/instr fold — DuckDB has no
+    // conv; identical values). Staging still matters: lambda bodies
+    // get no CSE, so an inlined md5 would hash once per reference.
     val weights = hashMode match {
       case "md5" =>
         s"transform(transform(__toks, t -> substr(md5(t), 1, 4)), " +
-          s"h -> ${graft.ext.Dedup.hex4ValSql("h")} - CAST(32768 AS BIGINT))"
+          s"h -> CAST(conv(h, 16, 10) AS BIGINT) - CAST(32768 AS BIGINT))"
       case "xxh64" =>
         "transform(__toks, t -> pmod(xxhash64('qc', t), " +
           "CAST(65536 AS BIGINT)) - CAST(32768 AS BIGINT))"
