@@ -38,21 +38,33 @@ object Bloom {
     conv(substring(h, 1, nHex), 16, 10).cast("long")
   }
 
-  /** The 8-hex md5 prefix for hash `j` of n-gram `ng` — staged
-    * SEPARATELY from the hex fold by callers on hot paths (the fold
-    * referenced its input per hex char before the conv swap; staging
-    * still saves recomputing the md5 across the d probe rows). */
-  def md5Stage(j: Int, ng: Column): Column =
-    substring(md5(concat(lit(s"bloom${j}_"), ng)), 1, 8)
+  /** The first 15 md5 hex chars of `ng` — ONE digest serving all 3
+    * positions, staged by callers on hot paths. This is the minhash
+    * slice discipline ([[Dedup.minhashChunk]]: one md5 per shingle,
+    * four 32-bit chunks) extended to the Bloom family: position `j`
+    * is the disjoint 5-hex slice [5j+1, 5j+5] — three independent
+    * uniform 20-bit values from one digest, and `m` (a power of two
+    * <= 2^20) divides 2^20 so the mod keeps each slice uniform.
+    * Before the slice swap each position salted its OWN md5
+    * (`md5('bloomj_' || ng)`): 3 digests per probed shingle, and md5
+    * is the whole cost of the screen in oracle mode — measured
+    * 3.0 -> 1.7 s on x_bloom_decontaminate at sf0.1. */
+  def md5Stage(ng: Column): Column = substring(md5(ng), 1, 15)
 
-  /** Bit position of hash `j` for a pre-staged md5 prefix. */
-  def posFromMd5Stage(hx: Column, m: Int): Column = hexValCol(hx, 8) % m
+  /** Bit position of hash `j` from the staged 15-hex digest prefix. */
+  def posFromMd5Stage(j: Int, hx: Column, m: Int): Column = {
+    require(m <= (1 << 20) && (((1 << 20) % m) == 0),
+      s"md5-slice positions need m a power of two <= 2^20, got $m")
+    conv(substring(hx, 5 * j + 1, 5), 16, 10).cast("long") % m
+  }
 
   /** The 3 bit positions of `ng`, self-contained (used where staging
-    * doesn't matter: the eval-sized build, per-shingle HOF lambdas). */
+    * doesn't matter: the eval-sized build, per-shingle HOF lambdas —
+    * lambda bodies get no CSE, so the md5 still evaluates once per
+    * slice there; projection callers stage [[md5Stage]] instead). */
   def positions(ng: Column, hashMode: String, m: Int): Seq[Column] =
     hashMode match {
-      case "md5"   => (0 until 3).map(j => posFromMd5Stage(md5Stage(j, ng), m))
+      case "md5"   => (0 until 3).map(j => posFromMd5Stage(j, md5Stage(ng), m))
       case "xxh64" => (0 until 3).map(j =>
         pmod(xxhash64(lit(s"bloom$j"), ng), lit(m.toLong)))
       case other => throw new IllegalArgumentException(
@@ -80,9 +92,9 @@ object Bloom {
                 m: Int = DefaultM): Seq[Long] = {
     val pos = hashMode match {
       case "md5" => ngrams
-        .select((0 until 3).map(j => md5Stage(j, col("ng")).as(s"hx$j")): _*)
+        .select(md5Stage(col("ng")).as("hx"))
         .select(explode(array((0 until 3).map(j =>
-          posFromMd5Stage(col(s"hx$j"), m)): _*)).as("p"))
+          posFromMd5Stage(j, col("hx"), m)): _*)).as("p"))
       case _ => ngrams
         .select(explode(array(positions(col("ng"), hashMode, m): _*)).as("p"))
     }

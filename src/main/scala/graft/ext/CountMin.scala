@@ -34,30 +34,41 @@ object CountMin {
   val DefaultD: Int = 4
   val DefaultW: Int = 1 << 13
 
-  /** Counter position of value `ng` for sketch row `j`. */
+  /** Counter position of value `ng` for sketch row `j`. md5 mode is
+    * the minhash slice discipline ([[Bloom.md5Stage]]'s rationale):
+    * row `j` reads the disjoint 4-hex slice [4j+1, 4j+4] of ONE
+    * digest — d independent uniform 16-bit values, and `w` (a power
+    * of two <= 2^16) divides 2^16 so the mod keeps each uniform.
+    * The previous family salted one md5 PER ROW (`md5('cmsj_'||ng)`):
+    * d digests per occurrence, and md5 is the whole cost of the
+    * sketch in oracle mode. */
   def position(j: Int, ng: Column, hashMode: String, w: Int): Column =
     hashMode match {
-      case "md5" =>
-        Bloom.hexValCol(substring(md5(concat(lit(s"cms${j}_"), ng)), 1, 8), 8) % w
+      case "md5" => posFromHex(j, md5(ng), w)
       case "xxh64" => pmod(xxhash64(lit(s"cms$j"), ng), lit(w.toLong))
       case other => throw new IllegalArgumentException(
         s"hashMode must be md5 or xxh64, got: $other")
     }
 
-  /** Stage the per-row md5 prefixes once: (ng, __hx0..__hx{d-1}).
-    * md5 is the whole cost of the sketch in oracle mode, and BOTH the
-    * build and the screen need the same d hashes per occurrence —
-    * staging them into one persisted frame halves the md5 count for
-    * the query (measured: 12.4 → 4.8 s at sf0.1). Callers persist the
-    * result (it feeds two actions AND is the filter-pushdown barrier —
-    * see [[stagedEstimate]]). */
+  private def posFromHex(j: Int, hx: Column, w: Int): Column = {
+    require(w <= (1 << 16) && (((1 << 16) % w) == 0),
+      s"md5-slice positions need w a power of two <= 2^16, got $w")
+    conv(substring(hx, 4 * j + 1, 4), 16, 10).cast("long") % w
+  }
+
+  /** Stage the per-row md5 prefix once: (ng, __hx) where __hx is the
+    * first 4d hex chars of md5(ng) — ONE digest serving all d rows of
+    * BOTH the build and the screen (staging across the two actions
+    * halved the query's md5 count, 12.4 → 4.8 s at sf0.1; the slice
+    * family then cut the remaining d-digests-per-action to one).
+    * Callers persist the result (it feeds two actions AND is the
+    * filter-pushdown barrier — see [[stagedEstimate]]). */
   def stagePrefixes(occurrences: DataFrame, d: Int = DefaultD): DataFrame =
-    occurrences.select(col("ng") +: (0 until d).map(j =>
-      substring(md5(concat(lit(s"cms${j}_"), col("ng"))), 1, 8)
-        .as(s"__hx$j")): _*)
+    occurrences.select(col("ng"),
+      substring(md5(col("ng")), 1, 4 * d).as("__hx"))
 
   private def posFromPrefix(j: Int, w: Int): Column =
-    Bloom.hexValCol(col(s"__hx$j"), 8) % w
+    posFromHex(j, col("__hx"), w)
 
   /** Build the d×w counter matrix from an OCCURRENCE frame (one row
     * per occurrence — repeats are the counts): either a raw (ng) frame
@@ -68,12 +79,12 @@ object CountMin {
   def build(occurrences: DataFrame, hashMode: String = "md5",
             d: Int = DefaultD, w: Int = DefaultW): Seq[Seq[Long]] = {
     val staged = hashMode match {
-      case "md5" if !occurrences.columns.contains("__hx0") =>
+      case "md5" if !occurrences.columns.contains("__hx") =>
         stagePrefixes(occurrences, d)
       case _ => occurrences
     }
     def pos(j: Int): Column =
-      if (staged.columns.contains(s"__hx$j")) posFromPrefix(j, w)
+      if (staged.columns.contains("__hx")) posFromPrefix(j, w)
       else position(j, col("ng"), hashMode, w)
     val counts = staged
       .select(explode(array((0 until d).map(j =>
@@ -89,8 +100,8 @@ object CountMin {
   /** The point estimate: min over the d counters — lambda-safe pure
     * projection against the embedded literals. Self-contained form for
     * xxh64 (one hash per row) and small frames; the md5 HOT PATH must
-    * go through [[stagedEstimate]] — hexValCol references its input 8
-    * times, so an inlined md5 runs 8× per position (the
+    * go through [[stagedEstimate]] — inlined, the digest re-evaluates
+    * once per slice (d× per occurrence); staged it runs once (the
     * bloomDecontaminate staging lesson, ProfileBloom-measured). */
   def estimate(sketch: Seq[Seq[Long]], ng: Column, hashMode: String,
                w: Int = DefaultW): Column =
@@ -109,7 +120,7 @@ object CountMin {
     hashMode match {
       case "md5" =>
         val staged =
-          if (occurrences.columns.contains("__hx0")) occurrences
+          if (occurrences.columns.contains("__hx")) occurrences
           else stagePrefixes(occurrences, sketch.length)
         staged.select(col("ng"),
           least(sketch.zipWithIndex.map { case (row, j) =>

@@ -305,16 +305,20 @@ object AnalysisQueries extends QueryGroup {
     //   with the same re-inlining problem — 8.9 s warm.
     // - The bit array is a dense long ARRAY, not a map: Spark map
     //   lookups scan MapData linearly — 30 s warm.
-    // Final: 3.4 s warm md5 (the floor is 3 md5/shingle — DigestUtils
-    // per call; the oracle price), 1.9 s in xxh64 mode.
+    // - All 3 positions SLICE one staged digest (Bloom.md5Stage —
+    //   the minhash chunk discipline): the per-position salted md5
+    //   family paid 3 digests/shingle for 3.4 s warm; one digest
+    //   sliced is 1.7 s warm. The oracle mirrors the slices, so the
+    //   deterministic-FP set moves with the family on both engines.
+    // Final: 1.7 s warm md5 (the floor is ONE md5/shingle —
+    // DigestUtils per call; the oracle price), 1.9 s in xxh64 mode.
     val staged = hashMode match {
       case "md5" =>
         sh.filter(col("__b") >= 5)
           .select(col("doc_id"), explode(col("sh")).as("ng"))
+          .select(col("doc_id"), Bloom.md5Stage(col("ng")).as("hx"))
           .select(col("doc_id") +: (0 until 3).map(j =>
-            Bloom.md5Stage(j, col("ng")).as(s"hx$j")): _*)
-          .select(col("doc_id") +: (0 until 3).map(j =>
-            Bloom.posFromMd5Stage(col(s"hx$j"), m).as(s"h$j")): _*)
+            Bloom.posFromMd5Stage(j, col("hx"), m).as(s"h$j")): _*)
       case _ =>
         sh.filter(col("__b") >= 5)
           .select(col("doc_id"), explode(col("sh")).as("ng"))
@@ -868,9 +872,11 @@ object AnalysisQueries extends QueryGroup {
       // trap (see sourceOverlap) would triple-compute the shingling
       .select(explode_outer(col("sh")).as("ng"))
       .filter(col("ng").isNotNull)
-    // md5 mode persists the STAGED prefixes (one md5 per (occurrence,
-    // row), shared by the build and the screen — measured 12.4→4.8 s
-    // at sf0.1); xxh64 hashes inline, so the raw frame suffices
+    // md5 mode persists the STAGED prefix — ONE md5 per occurrence
+    // total (sliced into the d row positions, shared by the build and
+    // the screen; staging measured 12.4→4.8 s at sf0.1 when each row
+    // still salted its own digest, and the slice family then cut the
+    // remaining 4 digests to 1); xxh64 hashes inline, raw frame is fine
     val staged = graft.core.CacheScope.track(
       (if (hashMode == "md5") CountMin.stagePrefixes(occ) else occ).persist())
     val sketch = CountMin.build(staged, hashMode)
@@ -1057,10 +1063,13 @@ object AnalysisQueries extends QueryGroup {
        |  FROM q GROUP BY doc_id
        |)""".stripMargin
 
-  /** The 3 Bloom bit positions of an n-gram string column/expr — SQL
-    * valid on Spark AND DuckDB (hexValSql), m = 2^18. */
-  private def bloomPosSql(j: Int, ng: String): String =
-    s"(${graft.ext.Dedup.hexValSql(s"substr(md5(concat('bloom${j}_', $ng)),1,8)", 8)} % ${1 << 18})"
+  /** Bloom bit position `j` from a STAGED md5 hex column `hx` — SQL
+    * valid on Spark AND DuckDB (hexValSql), m = 2^18. Position j is
+    * the 5-hex slice [5j+1, 5j+5] of ONE digest per n-gram (mirrors
+    * [[graft.ext.Bloom.posFromMd5Stage]]); the staging CTE computes
+    * md5(ng) once so the oracle pays one digest per probe too. */
+  private def bloomPosSql(j: Int, hx: String): String =
+    s"(${graft.ext.Dedup.hexValSql(s"substr($hx, ${5 * j + 1}, 5)", 5)} % ${1 << 18})"
 
   def oracles: Map[String, String] = Map(
     // exact distinct only — the HLL twin is timing-only by design
@@ -1356,16 +1365,17 @@ object AnalysisQueries extends QueryGroup {
       s"""WITH sh AS (
          |  SELECT doc_id, ${DedupQueries.shSql} AS sh, $b % 100 AS b FROM documents
          |), ev AS (
-         |  SELECT DISTINCT unnest(sh) AS ng FROM sh WHERE b < 5
+         |  SELECT md5(ng) AS hx FROM (
+         |    SELECT DISTINCT unnest(sh) AS ng FROM sh WHERE b < 5)
          |), pos AS (
          |  SELECT DISTINCT p FROM (
-         |    SELECT unnest([${bloomPosSql(0, "ng")},
-         |      ${bloomPosSql(1, "ng")}, ${bloomPosSql(2, "ng")}]) AS p FROM ev)
+         |    SELECT unnest([${bloomPosSql(0, "hx")},
+         |      ${bloomPosSql(1, "hx")}, ${bloomPosSql(2, "hx")}]) AS p FROM ev)
          |), tr AS (
-         |  SELECT doc_id, unnest(sh) AS ng FROM sh WHERE b >= 5
+         |  SELECT doc_id, md5(unnest(sh)) AS hx FROM sh WHERE b >= 5
          |), trh AS (
-         |  SELECT doc_id, ${bloomPosSql(0, "ng")} AS h0,
-         |    ${bloomPosSql(1, "ng")} AS h1, ${bloomPosSql(2, "ng")} AS h2
+         |  SELECT doc_id, ${bloomPosSql(0, "hx")} AS h0,
+         |    ${bloomPosSql(1, "hx")} AS h1, ${bloomPosSql(2, "hx")} AS h2
          |  FROM tr
          |)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged
