@@ -35,6 +35,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * coordination service, both out of scope for a library primitive. */
 object IndexStore {
 
+  /** Count of [[ensure]] calls in THIS JVM that actually ran their
+    * build (found no committed artifact). A harness that reports this
+    * beside its timings makes artifact-cold sessions legible in the
+    * record itself: a run whose fixtures were all standing reads 0,
+    * while a fresh-tmpdir session reads the full build set — the
+    * "measurement-aftermath" class (heap/page-cache pressure from
+    * corpus-sized builds minutes before the timed window) that
+    * produced the 88.6 s first d14b decade row and round 13's
+    * healed-32 degraded mint. Monotone, never reset. */
+  private val buildCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  def buildsThisJvm: Long = buildCounter.get()
+
   /** True iff a committed index exists at `path` (its `_SUCCESS` marker
     * is visible through the path's own filesystem). */
   def isCommitted(spark: SparkSession, path: String): Boolean = {
@@ -81,6 +93,7 @@ object IndexStore {
         path + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       val scratchMarker = new Path(scratch, "_SUCCESS")
       try {
+        buildCounter.incrementAndGet()
         build(scratch.toString)
         // Marker-last publish. The scratch must itself be committed (a
         // build that wrote nothing or half-crashed reaches the loud
