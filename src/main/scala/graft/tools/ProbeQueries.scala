@@ -36,8 +36,14 @@ object ProbeQueries {
     val unknown = names.filterNot(timeable.keySet)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // per-rep ladder on stderr: the median alone hides WHERE a slow
+    // number comes from (JIT ramp: monotone decrease; fixture/persist
+    // cold start: one slow first rep; host contention: reps scattered)
+    // — the diagnosis this session needed three ProfileBloom detours
+    // for. stderr so the stdout JSON line stays the whole contract.
+    val verbose = sys.env.get("SPARK_GRAFT_PROBE_REPS_VERBOSE").contains("1")
     val results = names.map { name =>
-      val times = (1 to reps).flatMap { _ =>
+      val times = (1 to reps).flatMap { r =>
         val t0 = System.nanoTime()
         val ok =
           try { timeable(name)(spark, sfDir).write.format("noop")
@@ -49,6 +55,8 @@ object ProbeQueries {
         val elapsed = (System.nanoTime() - t0) / 1e9
         graft.core.CacheScope.releaseAll()
         spark.catalog.clearCache()
+        if (ok && verbose)
+          System.err.println(f"[probe] $name rep $r: $elapsed%.3f s")
         if (ok) Some(elapsed) else None
       }
       name -> (if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2))
