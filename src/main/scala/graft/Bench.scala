@@ -99,7 +99,8 @@ object Bench {
     // gate prefers over the suite-derived keys when present — so from
     // the first r13 record on, gates compare canary-state to
     // canary-state. Records predating canary_* keys fall back to the
-    // suite-derived keys (with the known bias, at 1.5x slack).
+    // suite-derived keys (with the known bias, at the same per-tier
+    // slack the gate applies everywhere).
     val record = recordCanaries(sfDir)
     def canaryRps(name: String, rows: Long): Double = {
       val q = SparkEntry.queries.getOrElse(name, SparkEntry.prodVariants(name))

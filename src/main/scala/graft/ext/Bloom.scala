@@ -24,20 +24,6 @@ object Bloom {
   /** 2^18 bits = 32 KB; size m at ~14 bits per expected eval n-gram. */
   val DefaultM: Int = 1 << 18
 
-  /** Column form of [[Dedup.hexValSql]]: value of `nHex` hex chars of
-    * `h` as int64 (identical values — the oracle keeps the portable
-    * substr/instr SQL form; DuckDB has no `conv`). Spark-side this is
-    * ONE codegen'd base-16 parse instead of the SQL form's nHex
-    * substring+instr+multiply terms — measured 2.0 s off
-    * x_heavy_shingles and 0.5 s off x_bloom_decontaminate at sf0.1
-    * when it replaced the 8-term fold on the staged prefixes. Capped
-    * at 15 hex chars so the value stays inside a signed long (conv
-    * saturates unsigned at 16+). */
-  def hexValCol(h: Column, nHex: Int): Column = {
-    require(nHex <= 15, s"hexValCol caps at 15 hex chars, got $nHex")
-    conv(substring(h, 1, nHex), 16, 10).cast("long")
-  }
-
   /** The first 15 md5 hex chars of `ng` — ONE digest serving all 3
     * positions, staged by callers on hot paths. This is the minhash
     * slice discipline ([[Dedup.minhashChunk]]: one md5 per shingle,

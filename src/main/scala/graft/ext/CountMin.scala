@@ -53,19 +53,24 @@ object CountMin {
   private def posFromHex(j: Int, hx: Column, w: Int): Column = {
     require(w <= (1 << 16) && (((1 << 16) % w) == 0),
       s"md5-slice positions need w a power of two <= 2^16, got $w")
+    require(j < 8, s"md5 has 32 hex chars = 8 disjoint 4-hex slices; row $j")
     conv(substring(hx, 4 * j + 1, 4), 16, 10).cast("long") % w
   }
 
-  /** Stage the per-row md5 prefix once: (ng, __hx) where __hx is the
-    * first 4d hex chars of md5(ng) — ONE digest serving all d rows of
-    * BOTH the build and the screen (staging across the two actions
-    * halved the query's md5 count, 12.4 → 4.8 s at sf0.1; the slice
-    * family then cut the remaining d-digests-per-action to one).
-    * Callers persist the result (it feeds two actions AND is the
-    * filter-pushdown barrier — see [[stagedEstimate]]). */
+  /** Stage the per-row digest once: (ng, __hx) where __hx is the FULL
+    * 32-hex md5(ng) — ONE digest serving all d rows of BOTH the build
+    * and the screen (staging across the two actions halved the
+    * query's md5 count, 12.4 → 4.8 s at sf0.1; the slice family then
+    * cut the remaining d-digests-per-action to one). The full digest
+    * (not the first 4d chars) is staged deliberately: a frame staged
+    * for one d then probed with a larger sketch would otherwise slice
+    * past the stored prefix into silent NULL positions — with all 32
+    * chars stored, every d <= 8 slices in range (posFromHex requires
+    * that bound loudly). Callers persist the result (it feeds two
+    * actions AND is the filter-pushdown barrier — see
+    * [[stagedEstimate]]). */
   def stagePrefixes(occurrences: DataFrame, d: Int = DefaultD): DataFrame =
-    occurrences.select(col("ng"),
-      substring(md5(col("ng")), 1, 4 * d).as("__hx"))
+    occurrences.select(col("ng"), md5(col("ng")).as("__hx"))
 
   private def posFromPrefix(j: Int, w: Int): Column =
     posFromHex(j, col("__hx"), w)
@@ -109,12 +114,12 @@ object CountMin {
       element_at(typedlit(row), (position(j, ng, hashMode, w) + 1).cast("int"))
     }: _*)
 
-  /** (ng, est) with the md5 prefixes STAGED one projection below the
-    * hex folds — each md5 computed once per (occurrence, row). Callers
+  /** (ng, est) with the digest STAGED one projection below the conv
+    * slices — ONE md5 per occurrence serving all d rows. Callers
     * filtering on `est` must persist the result first: a filter pushed
-    * through these projections re-inlines the fold's 8 references of
-    * each md5 (PushDownPredicates substitutes through projects — the
-    * measured Bloom trap). */
+    * through these projections re-inlines the staged digest once per
+    * slice, re-running md5 d times per occurrence (PushDownPredicates
+    * substitutes through projects — the measured Bloom trap). */
   def stagedEstimate(occurrences: DataFrame, sketch: Seq[Seq[Long]],
                      hashMode: String, w: Int = DefaultW): DataFrame =
     hashMode match {

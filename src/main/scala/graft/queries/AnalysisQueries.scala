@@ -291,10 +291,12 @@ object AnalysisQueries extends QueryGroup {
     val bits = Bloom.buildBits(sh.filter(col("__b") < 5)
       .select(explode(col("sh")).as("ng")).distinct(), hashMode, m)
     // Screen-side plan discipline, every step measured (ProfileBloom):
-    // - md5 mode STAGES the md5 prefix before the hex fold (hexValCol
-    //   references its input 8 times; inlined, md5 runs 8x per hash;
-    //   CollapseProject's non-cheap-used-twice rule preserves the
-    //   staging). Unstaged: 29 s at sf0.1.
+    // - md5 mode STAGES the digest before the position slices (the
+    //   three conv slices each reference the staged column once;
+    //   inlined, md5 would run once per slice — and under the
+    //   pre-conv instr-fold family an unstaged digest ran 8x per
+    //   hash: 29 s at sf0.1. CollapseProject's non-cheap-used-twice
+    //   rule preserves the staging).
     // - The probe is a PROJECTED 0/1 column summed through the
     //   aggregate, NOT a row filter: a Filter is pushed below the
     //   staging projections by substitution (PushDownPredicates),
@@ -851,8 +853,9 @@ object AnalysisQueries extends QueryGroup {
     * sketch screen changes cost, not answers (the d3_salted /
     * d15_capped oracle-sharing precedent). The estimate frame is
     * persisted before the filter: a filter pushed through the staged
-    * projections would re-inline the hex fold's 8 references of each
-    * md5 ([[graft.ext.CountMin.stagedEstimate]]). */
+    * projections would re-inline the staged digest once per slice,
+    * re-running md5 d times per occurrence
+    * ([[graft.ext.CountMin.stagedEstimate]]). */
   def heavyShingles(spark: SparkSession, dir: String): DataFrame =
     heavyShingles(spark, dir, "md5")
   def heavyShingles(spark: SparkSession, dir: String,
