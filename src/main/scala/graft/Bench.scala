@@ -102,60 +102,14 @@ object Bench {
     // suite-derived keys (with the known bias, at the same per-tier
     // slack the gate applies everywhere).
     val record = recordCanaries(sfDir)
-    def canaryRps(name: String, rows: Long): Double = {
-      val q = SparkEntry.queries.getOrElse(name, SparkEntry.prodVariants(name))
-      q(spark, sfDir).write.format("noop").mode("overwrite").save() // JIT warmup, untimed
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        q(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      rows / times.sorted.apply(1)
-    }
     val canaryMeasured = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     if (args.isEmpty &&
         sys.env.getOrElse("SPARK_GRAFT_CANARY", "on") != "off") {
-      // PER-TIER SLACK, calibrated to each canary's own measurement
-      // noise (r13 continuation): the emb canary is a 2000-row query —
-      // fixed overhead (job dispatch, codegen, artifact listing)
-      // dominates, and three same-box measurements 25 minutes apart on
-      // a host whose q1/docs canaries AND suite-state y14 were healthy
-      // spanned 2321..3576 rows/s vs the record's 3759 — a 1.55x
-      // legitimate spread, wider than the 1.5x slack, so the gate
-      // refused two healthy windows. Slack must sit OUTSIDE the
-      // estimator's own noise or the gate is a coin flip: emb gates at
-      // 2.25x (still refuses the genuinely-starved artifact dir it was
-      // built for — the r12 contended window measured >3x off); the
-      // scan-bound q1/docs tiers keep 1.5x (their same-box spread is
-      // ~10%).
-      val slack = Map("q1" -> 1.5, "docs" -> 1.5, "emb" -> 2.25)
-      val checks = Seq(
-        ("q1", "q1_pricing_summary", liRows,
-          record.get("canary_q1_rps").orElse(record.get("q1_rows_per_sec"))),
-        ("docs", "d2_minhash_sigs_xxh64", docRows,
-          record.get("canary_docs_rps").orElse(record.get("docs_rows_per_sec"))),
-        ("emb", "y14_sq8_topk", embRows,
-          record.get("canary_emb_rps").orElse(record.get("emb_rows_per_sec"))))
-      // rows > 0 guards the docs tier on a dir without documents: a
-      // zero-row canary would read as infinitely slow and spuriously
-      // refuse (a full-suite run needs the table anyway, but the gate
-      // must not be the thing that crashes first)
-      checks.filter(_._3 > 0).foreach { case (tier, name, rows, rec) =>
-        var rps = canaryRps(name, rows)
-        rec.filter(_ > 0).foreach { r =>
-          val s = slack(tier)
-          // one fresh re-measure before refusing: a single canary
-          // median has burst noise a refusal shouldn't ride on (the
-          // same r13 box passed 3576 two minutes after refusing 2321);
-          // a genuinely contended host fails both.
-          if (rps * s < r) rps = math.max(rps, canaryRps(name, rows))
-          if (rps * s < r) {
-            println(s"""{"metric":"total","value":-1.0,"unit":"sec","degraded":true,"canary":"$tier","canary_rows_per_sec":${fmt(rps, "%.0f")},"record_rows_per_sec":${fmt(r, "%.0f")},"sf":"$sfDir","note":"host contended - $tier canary >${s}x below the committed record; no record minted"}""")
-            spark.stop()
-            sys.exit(3)
-          }
-        }
-        canaryMeasured(s"canary_${tier}_rps") = rps
+      runGate(spark, sfDir, liRows, docRows, embRows, record,
+              canaryMeasured).foreach { refusal =>
+        println(refusal)
+        spark.stop()
+        sys.exit(3)
       }
     }
     // untimed: the on-disk fixtures some registered queries READ (the
@@ -277,21 +231,43 @@ object Bench {
     // measurement-aftermath class (r13's healed-32 mint followed a
     // fresh-tmpdir fixture build wave) — read deltas accordingly.
     val indexBuilds = graft.core.IndexStore.buildsThisJvm
-    val summary = s""""unit":"sec","sf":"$sfDir","lineitem_rows":$liRows,"documents_rows":$docRows,"embeddings_rows":$embRows,$canaryKeys"q1_rows_per_sec":${fmt(rps, "%.0f")},"docs_rows_per_sec":${fmt(docsRps, "%.0f")},"emb_rows_per_sec":${fmt(embRps, "%.0f")},"healed_reps":$healed,"healed_queries":${
-      healedBy.map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString("{", ",", "}")},"index_builds":$indexBuilds,"prod_variants_total":${fmt3(prodTotal)}"""
-    val fullLine =
-      s"""{"metric":"total","value":${fmt3(total)},$summary,"queries":$qs$trend}"""
-    // The gate harness stores only the LAST ~2000 chars of stdout, and
-    // the full per-query map alone exceeds that — so the complete record
-    // goes to a FILE (committed into the repo each round) and the final
-    // printed line is a budget-aware compact twin: heaviest queries
-    // first, rows added until the line is guaranteed to survive the tail
-    // capture intact, with an explicit count of what was elided.
-    writeFile("BENCH_FULL.json", fullLine + "\n")
-    println(fullLine) // head may be clipped by the tail capture; the file has it all
+    val scalars = s""""unit":"sec","sf":"$sfDir","lineitem_rows":$liRows,"documents_rows":$docRows,"embeddings_rows":$embRows,$canaryKeys"q1_rows_per_sec":${fmt(rps, "%.0f")},"docs_rows_per_sec":${fmt(docsRps, "%.0f")},"emb_rows_per_sec":${fmt(embRps, "%.0f")},"healed_reps":$healed,"index_builds":$indexBuilds,"prod_variants_total":${fmt3(prodTotal)}"""
+    val healedQueries = healedBy.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val byCost = results.sortBy { case (_, v) => -v }
       .map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
+    val (fullLine, compactLine, trailerLine) =
+      renderLines(total, scalars, healedQueries, qs, trend, byCost)
+    writeFile("BENCH_FULL.json", fullLine + "\n")
+    println(fullLine) // head may be clipped by the tail capture; the file has it all
+    println(compactLine)
+    println(trailerLine)
+    spark.stop()
+  }
+
+  /** The three stdout lines of a bench run, pure and spec-testable.
+    * The gate harness stores only the LAST ~2000 chars of stdout, and
+    * the full per-query map alone exceeds that — so the complete
+    * record goes to a FILE (committed into the repo each round) and
+    * stdout carries three lines covering BOTH truncation directions:
+    *  1. the full record (same text as BENCH_FULL.json);
+    *  2. a budget-aware compact twin — heaviest queries first, rows
+    *     added until the line survives a 2000-char tail capture, with
+    *     an explicit count of what was elided;
+    *  3. LAST, a summary-only trailer with NO per-query map at all —
+    *     bounded by the scalar key set, never by the registry size.
+    * Line 3 exists because r13 proved the summary-first key order only
+    * protects against TAIL-truncation: the driver's tail capture cut
+    * the compact line's HEAD, losing every summary key while the
+    * queries map survived ("parsed": null in BENCH_r13.json). A short
+    * complete trailer as the final line survives a tail capture of any
+    * budget >= its own length, whichever end got cut. */
+  private[graft] def renderLines(total: Double, scalars: String,
+                                 healedQueries: String, qs: String,
+                                 trend: String,
+                                 byCost: Seq[String]): (String, String, String) = {
+    val fullLine =
+      s"""{"metric":"total","value":${fmt3(total)},$scalars,"healed_queries":$healedQueries,"queries":$qs$trend}"""
     val budget = 1500 // chars available for rows in the compact line
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
@@ -299,8 +275,11 @@ object Bench {
       if (used + row.length + 1 <= budget) { kept += row; used += row.length + 1 }
     }
     val omitted = byCost.length - kept.length
-    println(s"""{"metric":"total","value":${fmt3(total)},$summary,"n_queries":${byCost.length},"queries_omitted_here":$omitted,"full_map":"BENCH_FULL.json","queries":${kept.mkString("{", ",", "}")}}""")
-    spark.stop()
+    val compactLine =
+      s"""{"metric":"total","value":${fmt3(total)},$scalars,"healed_queries":$healedQueries,"n_queries":${byCost.length},"queries_omitted_here":$omitted,"full_map":"BENCH_FULL.json","queries":${kept.mkString("{", ",", "}")}}"""
+    val trailerLine =
+      s"""{"metric":"total","value":${fmt3(total)},$scalars,"n_queries":${byCost.length},"full_map":"BENCH_FULL.json"}"""
+    (fullLine, compactLine, trailerLine)
   }
 
   /** Locale-pinned number formatting for every JSON-bound value: the
@@ -309,6 +288,91 @@ object Bench {
   private[graft] def fmt(v: Double, pattern: String): String =
     String.format(java.util.Locale.ROOT, pattern, Double.box(v))
   private[graft] def fmt3(v: Double): String = fmt(v, "%.3f")
+
+  /** The full-suite mint gate: canary-state median-of-3 throughput per
+    * corpus tier vs the committed record, refusing to mint on a
+    * contended host. Returns Some(refusal JSON line) when a tier stays
+    * below its slack after one fresh re-measure, None when healthy;
+    * `measured` accumulates the FIRST measurement per tier — the retry
+    * max is only the pass/fail arbiter, never the recorded reference
+    * (r13 advisor: recording best-of-two biased future gates upward,
+    * raising the false-refusal odds the retry was meant to reduce).
+    *
+    * PER-TIER SLACK, calibrated to each canary's own measurement
+    * noise (r13 continuation): the emb canary is a 2000-row query —
+    * fixed overhead (job dispatch, codegen, artifact listing)
+    * dominates, and three same-box measurements 25 minutes apart on
+    * a host whose q1/docs canaries AND suite-state y14 were healthy
+    * spanned 2321..3576 rows/s vs the record's 3759 — a 1.55x
+    * legitimate spread, wider than the 1.5x slack, so the gate
+    * refused two healthy windows. Slack must sit OUTSIDE the
+    * estimator's own noise or the gate is a coin flip: emb gates at
+    * 2.25x (still refuses the genuinely-starved artifact dir it was
+    * built for — the r12 contended window measured >3x off); the
+    * scan-bound q1/docs tiers keep 1.5x (their same-box spread is
+    * ~10%).
+    *
+    * SHUFFLE TIER (r13 verdict #1): all three corpus canaries are
+    * scan/hash-shaped, and the r13 driver window proved that shape
+    * blind — q1 read only 1.24x degraded while the Expand/exchange/CC
+    * tier ran 10-35x slow (q_cube 35.0 s vs 0.96 s idle), so a 279.6 s
+    * garbage artifact minted with all canaries green. q_cube IS the
+    * fourth canary: 4-grouping-set Expand + hash exchange over
+    * lineitem, sub-second healthy, already in the registry. Its slack
+    * is 2.0x — exchange-tier timings carry GC/task-dispatch variance a
+    * scan doesn't (same-box canary-state spread measured r14: 4
+    * measurements over the session spanned 1.36x on a healthy host) —
+    * while the r13 contended window sat >30x off, far outside any
+    * slack. Gated on its own canary_shuffle_rps record key only: no
+    * suite-derived fallback exists in the prefix contract, so records
+    * predating r14 simply don't gate this tier (the first r14 mint
+    * arms it). */
+  private[graft] def runGate(
+      spark: SparkSession, sfDir: String,
+      liRows: Long, docRows: Long, embRows: Long,
+      record: Map[String, Double],
+      measured: scala.collection.mutable.Map[String, Double]): Option[String] = {
+    def canaryRps(name: String, rows: Long): Double = {
+      val q = SparkEntry.queries.getOrElse(name, SparkEntry.prodVariants(name))
+      q(spark, sfDir).write.format("noop").mode("overwrite").save() // JIT warmup, untimed
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        q(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      rows / times.sorted.apply(1)
+    }
+    val slack = Map("q1" -> 1.5, "docs" -> 1.5, "emb" -> 2.25, "shuffle" -> 2.0)
+    val checks = Seq(
+      ("q1", "q1_pricing_summary", liRows,
+        record.get("canary_q1_rps").orElse(record.get("q1_rows_per_sec"))),
+      ("docs", "d2_minhash_sigs_xxh64", docRows,
+        record.get("canary_docs_rps").orElse(record.get("docs_rows_per_sec"))),
+      ("emb", "y14_sq8_topk", embRows,
+        record.get("canary_emb_rps").orElse(record.get("emb_rows_per_sec"))),
+      ("shuffle", "q_cube", liRows, record.get("canary_shuffle_rps")))
+    // rows > 0 guards a tier on a dir without its table: a zero-row
+    // canary would read as infinitely slow and spuriously refuse (a
+    // full-suite run needs the table anyway, but the gate must not be
+    // the thing that crashes first). The iterator is lazy, so the
+    // first refusal stops measuring the remaining tiers.
+    checks.filter(_._3 > 0).iterator.flatMap { case (tier, name, rows, rec) =>
+      val first = canaryRps(name, rows)
+      measured(s"canary_${tier}_rps") = first
+      rec.filter(_ > 0).flatMap { r =>
+        val s = slack(tier)
+        // one fresh re-measure before refusing: a single canary
+        // median has burst noise a refusal shouldn't ride on (the
+        // same r13 box passed 3576 two minutes after refusing 2321);
+        // a genuinely contended host fails both.
+        val best =
+          if (first * s < r) math.max(first, canaryRps(name, rows)) else first
+        if (best * s < r)
+          Some(s"""{"metric":"total","value":-1.0,"unit":"sec","degraded":true,"canary":"$tier","canary_rows_per_sec":${fmt(best, "%.0f")},"record_rows_per_sec":${fmt(r, "%.0f")},"sf":"$sfDir","note":"host contended - $tier canary >${s}x below the committed record; no record minted"}""")
+        else None
+      }
+    }.nextOption()
+  }
 
   private def writeFile(path: String, text: String): Unit = {
     val w = new java.io.PrintWriter(new java.io.File(path), "UTF-8")
@@ -341,7 +405,8 @@ object Bench {
       .exists(_.group(1) == sfDir)
     if (!sameSf) Map.empty
     else Seq("q1_rows_per_sec", "docs_rows_per_sec", "emb_rows_per_sec",
-             "canary_q1_rps", "canary_docs_rps", "canary_emb_rps")
+             "canary_q1_rps", "canary_docs_rps", "canary_emb_rps",
+             "canary_shuffle_rps")
       .flatMap { k =>
         (s""""$k":(\\d+(\\.\\d+)?)""").r.findFirstMatchIn(head)
           .map(m => k -> m.group(1).toDouble)

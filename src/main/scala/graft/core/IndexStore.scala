@@ -43,7 +43,10 @@ object IndexStore {
     * "measurement-aftermath" class (heap/page-cache pressure from
     * corpus-sized builds minutes before the timed window) that
     * produced the 88.6 s first d14b decade row and round 13's
-    * healed-32 degraded mint. Monotone, never reset. */
+    * healed-32 degraded mint. Counts build closures that ran to
+    * COMPLETION in this JVM (race losers included — they paid the
+    * cost); a closure that threw is not counted. Monotone, never
+    * reset. */
   private val buildCounter = new java.util.concurrent.atomic.AtomicLong(0)
   def buildsThisJvm: Long = buildCounter.get()
 
@@ -93,8 +96,13 @@ object IndexStore {
         path + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       val scratchMarker = new Path(scratch, "_SUCCESS")
       try {
-        buildCounter.incrementAndGet()
         build(scratch.toString)
+        // counted AFTER the closure returns: the marker measures builds
+        // whose corpus-sized work actually ran in this JVM (race losers
+        // included — they paid the cost that pressures the session), but
+        // a build that THREW before doing its work no longer inflates
+        // the artifact-cold signal (r13 advisor)
+        buildCounter.incrementAndGet()
         // Marker-last publish. The scratch must itself be committed (a
         // build that wrote nothing or half-crashed reaches the loud
         // require below instead of publishing garbage). Drop the

@@ -8,9 +8,9 @@ import org.apache.spark.sql.functions._
   * `StreamDedup.bloomScreen` (the same screen in the ingest path).
   *
   * m bits, 3 hash functions; both hash families are engine-portable:
-  * "md5" (DuckDB-exact — the first 8 md5 hex chars folded to int64,
-  * mirroring Dedup.hexValSql) and "xxh64" (production — one codegen'd
-  * xxhash64 per probe).
+  * "md5" (DuckDB-exact — ONE digest per value, each position reading a
+  * disjoint 5-hex slice of its first 15 chars; see [[md5Stage]]) and
+  * "xxh64" (production — one codegen'd xxhash64 per probe).
   *
   * Everything here is built from `Column` HANDLES, not SQL names, so
   * the probe composes inside higher-order-function lambdas — which is
@@ -41,6 +41,9 @@ object Bloom {
   def posFromMd5Stage(j: Int, hx: Column, m: Int): Column = {
     require(m <= (1 << 20) && (((1 << 20) % m) == 0),
       s"md5-slice positions need m a power of two <= 2^20, got $m")
+    require(j >= 0 && j < 3,
+      s"the staged prefix is 15 hex chars = 3 disjoint 5-hex slices; " +
+        s"position $j would slice past it into silent NULLs")
     conv(substring(hx, 5 * j + 1, 5), 16, 10).cast("long") % m
   }
 

@@ -88,8 +88,12 @@ object CountMin {
         stagePrefixes(occurrences, d)
       case _ => occurrences
     }
+    // the staged-prefix path is md5-only: an xxh64-mode frame that
+    // happens to carry a __hx column must still hash with xxh64, not
+    // silently fold md5 slices (r13 advisor)
     def pos(j: Int): Column =
-      if (staged.columns.contains("__hx")) posFromPrefix(j, w)
+      if (hashMode == "md5" && staged.columns.contains("__hx"))
+        posFromPrefix(j, w)
       else position(j, col("ng"), hashMode, w)
     val counts = staged
       .select(explode(array((0 until d).map(j =>

@@ -72,6 +72,54 @@ class BenchGateSpec extends AnyFunSuite {
       Map("q1_rows_per_sec" -> 533915.0, "docs_rows_per_sec" -> 10385.0))
   }
 
+  test("the shuffle-tier canary key parses from an r14 record") {
+    // r13 verdict #1: all three corpus canaries are scan/hash-shaped
+    // and a contended-shuffle window minted a 2.2x-degraded artifact
+    // with every canary green — r14 records carry the q_cube
+    // canary-state measurement, and the gate must see it
+    val r14 = s"""{"metric":"total","value":123.0,"sf":"$sf",""" +
+      s""""canary_q1_rps":510000,"canary_docs_rps":8139,""" +
+      s""""canary_emb_rps":3078,"canary_shuffle_rps":612000,""" +
+      s""""q1_rows_per_sec":533915,"queries":{"q_cube":0.7}}"""
+    assert(Bench.parseCanaries(r14, sf)("canary_shuffle_rps") === 612000.0)
+  }
+
+  test("the trailer line survives a tail capture that beheads the compact line") {
+    // r13: BENCH_r13.json had "parsed": null — the driver keeps the
+    // LAST ~2000 chars of stdout, and the summary-first key order only
+    // protects against tail-truncation; the compact line's HEAD (every
+    // summary key) was cut while its queries map survived. The fix: a
+    // final summary-only trailer short enough that any tail capture
+    // >= its own length keeps it whole.
+    val scalars = s""""unit":"sec","sf":"$sf","lineitem_rows":600572,""" +
+      s""""documents_rows":5000,"embeddings_rows":20000,""" +
+      s""""canary_q1_rps":510000,"canary_docs_rps":8139,""" +
+      s""""canary_emb_rps":3078,"canary_shuffle_rps":612000,""" +
+      s""""q1_rows_per_sec":583000,"docs_rows_per_sec":10578,""" +
+      s""""emb_rows_per_sec":40123,"healed_reps":0,"index_builds":7,""" +
+      s""""prod_variants_total":9.0"""
+    // a registry-sized queries map: ~180 rows, far beyond any capture
+    val rows = (1 to 180).map(i => s""""q${i}_some_query_name":1.234""")
+    val (full, compact, trailer) = Bench.renderLines(
+      127.2, scalars, """{"d7_dup_clusters":2}""",
+      rows.mkString("{", ",", "}"), "", rows)
+    assert(trailer.length < 600, s"trailer must be capture-proof: $trailer")
+    assert(compact.length > 1500) // the compact line alone outgrows small captures
+    // a 2000-char TAIL capture of the real three-line transcript
+    val tail = Seq(full, compact, trailer).mkString("\n").takeRight(2000)
+    val lastLine = tail.split('\n').last
+    assert(lastLine === trailer) // arrived complete, not beheaded
+    val m = Bench.parseCanaries(lastLine, sf)
+    assert(m("canary_shuffle_rps") === 612000.0)
+    assert(m("q1_rows_per_sec") === 583000.0)
+    assert(""""value":(\d+\.\d+)""".r.findFirstMatchIn(lastLine)
+      .map(_.group(1).toDouble) === Some(127.2))
+    // and the full line (the committed BENCH_FULL.json) still parses
+    // for the next round's gate + healing exactly as before
+    assert(Bench.parseCanaries(full, sf)("canary_shuffle_rps") === 612000.0)
+    assert(Bench.parsePrevMap(full, sf)("q7_some_query_name") === 1.234)
+  }
+
   test("prev map parses the flat queries pairs, including driver-escaped quotes") {
     val r = record("""{"q18_large_orders":0.94,"x_lm_score":1.39}""")
     assert(Bench.parsePrevMap(r, sf) ===
