@@ -64,7 +64,7 @@ object SparkEntry {
         SimilarityQueries.prepareFixtures),
       (Set("d8b_dedup_apply_pre", "d13b_apply_best_pre",
            "d18b_cross_source_pre", "d10b_cluster_best_pre",
-           "d14b_merge_pre", "d14b_merge_salted"),
+           "d14b_merge_pre", "d14b_merge_salted", "d14b_merge_capped"),
         DedupQueries.prepareFixtures))
 
   /** Registered queries that READ an on-disk fixture built by

@@ -159,6 +159,115 @@ object AnnIndex {
             lloydIters: Int = 1): Unit =
     buildFrom(snapped(emb, "vec_id", "sv", "nrm"), path, k, lloydIters)
 
+  /** [[write]] in the PRODUCTION TRAINING FORM (the y18 recipe): fit
+    * the quantizer on the `vec_id % sampleStride = 0` hash slice,
+    * assign the FULL corpus once — ProbeSampleFit measured the
+    * training cut at ~7× with the honest cost being cell-OCCUPANCY
+    * spread (the sample under-represents dense regions, so one
+    * centroid can end up owning a 2.4×-hot cell; scan cost then
+    * concentrates on whichever tasks own it).
+    *
+    * `maxCellShare` is the occupancy GUARD that cost demanded (r13
+    * verdict #6): after the full-corpus assignment, if the hottest
+    * cell holds more than that share of all vectors, the guard
+    * (a) runs up to `extraLloydRounds` additional Lloyd rounds on the
+    * SAMPLE — cheap, fixes seed-placement imbalance — and, if the cell
+    * is still hot, (b) SPLITS it: the hot centroid is replaced by two
+    * sub-centroids fitted (hash-ordered seed + one Lloyd round) on the
+    * hot cell's own sample members, the new id extending the dense
+    * range, up to `maxSplits` times. Every step is the same
+    * deterministic exact-int64 machinery as the fits themselves.
+    * Re-checks price one k-row aggregate over the already-computed
+    * assignment — never a second corpus pass beyond the reassignment
+    * a changed quantizer needs anyway.
+    *
+    * Returns the FINAL hottest-cell share. The guard is best-effort
+    * against QUANTIZER-induced imbalance: a corpus whose mass is
+    * genuinely concentrated on (near-)identical vectors cannot be
+    * split by any quantizer — sub-centroids of identical members
+    * coincide and the tie-break reunites the cell — so on pathological
+    * input the index still publishes (refusing would turn normal
+    * duplicate mass into an outage) and the returned share is the
+    * caller's gate. maxCellShare = 1.0 disables the guard and is
+    * exactly y18's unguarded form. */
+  def writeSampleFit(emb: DataFrame, path: String, k: Int = K_DEFAULT,
+                     lloydIters: Int = 1, sampleStride: Int = 16,
+                     maxCellShare: Double = 1.0,
+                     extraLloydRounds: Int = 1, maxSplits: Int = 4): Double = {
+    require(sampleStride >= 1, s"sampleStride must be >= 1, got $sampleStride")
+    require(maxCellShare > 0.0 && maxCellShare <= 1.0,
+      s"maxCellShare must be in (0, 1], got $maxCellShare")
+    val spark = emb.sparkSession
+    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+    def hold(df: DataFrame): DataFrame = { persisted += df.persist(); df }
+    // every guard round derives the next centroid frame FROM the
+    // current one — left lazy, the plan tree doubles per round (the
+    // filter + sub-fit branches each embed the whole previous plan) and
+    // a handful of futile splits OOMs the driver on plan TEXT alone.
+    // Centroids are K rows by construction, so each round lands them as
+    // a local relation: bounded collect (the K-centroids-at-stream-
+    // build precedent), flat lineage for every downstream plan.
+    def landed(c: DataFrame): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(c.collect(): _*), c.schema)
+    try {
+      val vecs = hold(snapped(emb, "vec_id", "sv", "nrm"))
+      val total = vecs.count().toDouble
+      val slice = hold(vecs.filter(col("vec_id") % sampleStride === 0))
+      var curK = k
+      var cents = seedCentroids(slice, k)
+      for (_ <- 0 until lloydIters)
+        cents = lloydRefine(assignToCells(slice, cents, curK))
+      cents = landed(cents)
+      var assigned = hold(assignToCells(vecs, cents, curK))
+      // (cell, share) of the hottest cell — k rows aggregated, the
+      // deterministic max (count desc, cell asc)
+      def hottest(): (Long, Double) = {
+        val r = assigned.groupBy(col("cell")).count()
+          .orderBy(col("count").desc, col("cell")).head()
+        (r.getLong(0), r.getLong(1) / total)
+      }
+      def reassign(): Unit = {
+        val next = assignToCells(vecs, cents, curK).persist()
+        assigned.unpersist()
+        assigned = next; persisted += next
+      }
+      var (hotCell, share) = hottest()
+      var refits = 0
+      while (share > maxCellShare && refits < extraLloydRounds) {
+        cents = landed(lloydRefine(assignToCells(slice, cents, curK)))
+        reassign()
+        val h = hottest(); hotCell = h._1; share = h._2
+        refits += 1
+      }
+      var splits = 0
+      while (share > maxCellShare && splits < maxSplits) {
+        // the hot cell's SAMPLE members carry enough geometry to place
+        // the two sub-centroids; the full corpus is only re-assigned
+        val mem = assignToCells(slice, cents, curK)
+          .filter(col("cell") === hotCell)
+          .select(col("vec_id"), col("sv"), col("nrm")).persist()
+        persisted += mem
+        if (mem.count() < 2) { splits = maxSplits } // unsplittable: no sample mass
+        else {
+          val sub = lloydRefine(assignToCells(mem, seedCentroids(mem, 2), 2))
+            .select(when(col("c_id") === 0L, lit(hotCell))
+              .otherwise(lit(curK.toLong)).as("c_id"), col("cv"), col("cn"))
+          cents = landed(cents.filter(col("c_id") =!= hotCell).unionByName(sub))
+          curK += 1
+          reassign()
+          val h = hottest(); hotCell = h._1; share = h._2
+          splits += 1
+        }
+      }
+      val centsKept = cents.join(
+        assigned.select(col("cell").as("c_id")).distinct(), Seq("c_id"), "left_semi")
+      rows(assigned, centsKept).write.mode("overwrite").parquet(path)
+      writeGeneration(spark, path)
+      share
+    } finally persisted.foreach(_.unpersist())
+  }
+
   /** Loud-fail read of a committed index. */
   def read(spark: SparkSession, path: String): DataFrame =
     graft.core.IndexStore.read(spark, path, "IVF ANN index", "AnnIndex.write")

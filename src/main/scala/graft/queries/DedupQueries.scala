@@ -505,6 +505,47 @@ object DedupQueries extends QueryGroup {
     Dedup.mergeIntoClusters(labels, internal.union(cross))
   }
 
+  /** d14b with BOTH batch screens under the d3_capped DROP discipline
+    * (r13 verdict #4): band buckets above maxBucket are dropped before
+    * either candidate join — the batch-internal screen through
+    * [[graft.ext.Dedup.candidatePairs]]'s cap, the cross screen through
+    * [[graft.ext.Dedup.incrementalNeardup]]'s "drop" arm (which caps
+    * the INDEX posting lists). Unlike the salted twin this CHANGES the
+    * output — pairs that only meet in a hot bucket never reach the
+    * merge — so the registration carries its own oracle that mirrors
+    * both caps in SQL (the d3_neardup_capped discipline applied to the
+    * merge): the recall contract is hash-checked cross-engine, not
+    * asserted. Why it exists: d14b_merge_pre's decade row grows ~15x
+    * per 100x docs on a replica-inflated corpus because batch screens
+    * are quadratic in hot-bucket occupancy (BASELINE r13); the cap
+    * bounds candidate pairs per bucket at maxBucket², making the
+    * ingest screens corpus-linear. maxBucket = 1 is the demo dial —
+    * deliberately one BELOW the salted twin's, because the %5 batch
+    * split leaves every sf0.01 bucket at occupancy <= 2 and a cap of 2
+    * would never bite (measured: identical candidate counts) — at 1
+    * the cross screen provably drops posting lists (15 -> 13
+    * candidates at sf0.01, one singleton doc leaves the graph) and the
+    * internal screen drops to zero pairs (a singleton bucket cannot
+    * self-pair), both visible in the final label hash. Production
+    * sizes the cap above expected duplicate-family size and drops only
+    * degenerate boilerplate, or uses the salted twin where recall must
+    * be exact. */
+  def incrementalClustersCapped(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val idxPath = ensureNeardupIndex(spark, dir)
+    val labels = spark.read.parquet(ensureIdxLabels(spark, dir))
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val cross = Dedup.incrementalNeardup(spark, batch, idxPath, 0.8,
+        maxBucket = 1, skewMode = "drop")
+      .select(col("batch_id").as("a_id"), col("corpus_id").as("b_id"))
+    val bsh = graft.core.CacheScope.track(Dedup.shingleFrame(batch).persist())
+    val internal = Dedup.verifyJaccardOnShingles(bsh,
+        Dedup.candidatePairs(
+          Dedup.signaturesFromShingles(bsh), maxBucket = 1), 0.8)
+      .select(col("a_id"), col("b_id"))
+    Dedup.mergeIntoClusters(labels, internal.union(cross))
+  }
+
   /** Containment near-dup: pairs where the SMALLER doc's shingle set is
     * >= 90% contained in the other — doc-inside-doc duplication that
     * symmetric Jaccard (d3) misses. Same LSH candidate machinery as d3
@@ -640,7 +681,8 @@ object DedupQueries extends QueryGroup {
     "d18b_cross_source_pre"  -> (crossSourceDedupPre _),
     "d10b_cluster_best_pre"  -> (clusterBestPre _),
     "d14b_merge_pre"         -> (incrementalClustersPre _),
-    "d14b_merge_salted"      -> (incrementalClustersSalted _)
+    "d14b_merge_salted"      -> (incrementalClustersSalted _),
+    "d14b_merge_capped"      -> (incrementalClustersCapped _)
   )
 
   // ---- DuckDB oracles ----
@@ -1068,8 +1110,88 @@ object DedupQueries extends QueryGroup {
       // the salt-split is output-invariant on BOTH screens, so the
       // armed form shares the same oracle — the cross-engine recall
       // proof for the merge's ingest side
-      "d14b_merge_salted"     -> base("d14_incremental_clusters"))
+      "d14b_merge_salted"     -> base("d14_incremental_clusters"),
+      // the DROP-capped merge changes the pair set, so its oracle
+      // mirrors both caps in SQL (the d3_neardup_capped discipline):
+      // corpus pairs unguarded, batch-internal pairs from sub-cap
+      // BATCH buckets only, cross pairs from sub-cap CORPUS posting
+      // lists only, then the same recursive-CTE clustering
+      "d14b_merge_capped"     -> d14bCappedOracleSql)
   }
+
+  /** The capped-merge oracle: CC over (unguarded corpus pairs ∪
+    * bucket-capped batch-internal pairs ∪ posting-list-capped cross
+    * pairs) — the exact graph [[incrementalClustersCapped]] folds into
+    * the standing labels. Both caps mirror maxBucket = 2: a batch band
+    * bucket participates in the internal self-join only while its
+    * BATCH occupancy is <= 2, and a corpus band bucket accepts cross
+    * probes only while its CORPUS occupancy is <= 2 (the cross screen's
+    * batch side is uncapped, exactly like incrementalNeardup's "drop"
+    * arm). */
+  private val d14bCappedOracleSql =
+    s"""${sigsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, bands AS (
+       |  SELECT doc_id, 0 AS band_idx, band0 AS band_hash FROM banded
+       |  UNION ALL
+       |  SELECT doc_id, 1, band1 FROM banded
+       |), cbands AS (
+       |  SELECT doc_id, band_idx, band_hash FROM bands WHERE doc_id % 5 <> 0
+       |), bbands AS (
+       |  SELECT doc_id, band_idx, band_hash FROM bands WHERE doc_id % 5 = 0
+       |), corpus_cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM cbands a JOIN cbands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id
+       |), bcool AS (
+       |  SELECT band_idx, band_hash FROM bbands
+       |  GROUP BY band_idx, band_hash HAVING COUNT(*) <= 1
+       |), gb AS (
+       |  SELECT b.doc_id, b.band_idx, b.band_hash
+       |  FROM bbands b JOIN bcool c
+       |    ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash
+       |), batch_cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM gb a JOIN gb b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id
+       |), ccool AS (
+       |  SELECT band_idx, band_hash FROM cbands
+       |  GROUP BY band_idx, band_hash HAVING COUNT(*) <= 1
+       |), gc AS (
+       |  SELECT b.doc_id, b.band_idx, b.band_hash
+       |  FROM cbands b JOIN ccool c
+       |    ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash
+       |), cross_cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bbands a JOIN gc b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |), cand AS (
+       |  SELECT a_id, b_id FROM corpus_cand
+       |  UNION
+       |  SELECT a_id, b_id FROM batch_cand
+       |  UNION
+       |  SELECT a_id, b_id FROM cross_cand
+       |), pairs AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a_id, b_id,
+       |      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS n_common,
+       |      CAST(len(sa.sh) AS DOUBLE) AS n_a,
+       |      CAST(len(sb.sh) AS DOUBLE) AS n_b
+       |    FROM cand
+       |    JOIN shingled sa ON sa.doc_id = a_id
+       |    JOIN shingled sb ON sb.doc_id = b_id
+       |  ) WHERE n_common / (n_a + n_b - n_common) >= 0.8
+       |), und AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION
+       |  SELECT b_id, a_id FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM und
+       |  UNION
+       |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+       |)
+       |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
   /** The shared toks -> kg -> winnowed-selection -> fp CTE chain of the
     * d15/d16 oracles (k = 4, w = 4, unguarded). */

@@ -366,7 +366,13 @@ object SimilarityQueries extends QueryGroup {
     * every step (slice seed pick, slice Lloyd mean, full-corpus argmin)
     * stays exact int64, so the sample-fitted cells and the downstream
     * top-k are engine-deterministic and the DuckDB oracle rebuilds them
-    * bit-for-bit. Query tail is y4's verbatim. */
+    * bit-for-bit. Query tail is y4's verbatim. The PRODUCTION recipe
+    * additionally bounds the occupancy spread this training cut costs:
+    * [[graft.ext.AnnIndex.writeSampleFit]] with `maxCellShare` set —
+    * extra sample-Lloyd rounds, then hot-cell splits, until the hottest
+    * cell's share of the full assignment is under the threshold
+    * (spec-pinned in AnnIndexSpec on the ProbeSampleFit fixture
+    * shape). */
   def annIvfSampleFit(spark: SparkSession, dir: String,
                       stride: Int = 16): DataFrame = {
     val emb = Tables(spark, dir).embeddings

@@ -36,6 +36,27 @@ import graft.core.IndexStore
   *
   * Single-maintainer: one streaming query owns the labels artifact
   * (replace's documented contract); consumers are read-only.
+  *
+  * CADENCE-REBUILD RUNBOOK (the loop a production operator runs; every
+  * stage spec-driven end to end by StreamClustersSpec's lifecycle
+  * case): (1) run the maintainer under the current index generation;
+  * (2) at the cadence point, STOP the query (a planned restart —
+  * [[graft.streaming.StreamDedup.againstIndex]] and this maintainer
+  * both capture the index at stream construction, so new index content
+  * is only visible to a restarted query), fold the streamed survivors
+  * into the index ([[Dedup.appendToNeardupIndex]]) and run the
+  * periodic re-cap rewrite ([[Dedup.compactNeardupIndex]] — append
+  * batches shift true bucket occupancy, the write-time cap's
+  * documented caveat); (3) bootstrap a GENERATION-2 labels artifact
+  * from the rebuilt index ([[initLabels]] at a fresh path — this is
+  * where every deferred cross-batch new-new pair enters the labeling,
+  * because all streamed docs are now index-resident); (4) resume the
+  * maintainer from the SAME checkpoint pointed at the generation-2
+  * labels — source offsets carry over, only new data is processed, and
+  * new arrivals now pair against previously-streamed docs. Labels are
+  * a pure function of the pair graph, so the generation swap needs no
+  * data migration: consumers cut over by path, the old generation
+  * stays readable until retired.
   */
 object StreamClusters {
 

@@ -115,6 +115,24 @@ object ProbeSampleFit {
       f"$sampleQ%.0f (ratio ${sampleQ / fullQ}%.4f)")
     println(s"[samplefit] cell occupancy full-fit [$fMin..$fMax] " +
       s"sample-fit [$sMin..$sMax]")
+
+    // ---- the guarded production recipe (AnnIndex.writeSampleFit) -----
+    // same sample fit, occupancy bounded at maxCellShare: the r13
+    // occupancy caveat closed by a guard instead of a scaladoc warning
+    graft.core.CacheScope.releaseAll()
+    val maxShare = 2.0 / 16 // 2x the uniform share — the 2.4x-hot caveat's bound
+    val guardPath = java.nio.file.Files
+      .createTempDirectory("graft-samplefit-guard").toString + "/ivf"
+    val share = timed(f"guarded writeSampleFit (maxCellShare=$maxShare%.3f)") {
+      graft.ext.AnnIndex.writeSampleFit(emb, guardPath, k = 16,
+        lloydIters = 1, sampleStride = stride, maxCellShare = maxShare)
+    }
+    val idx = graft.ext.AnnIndex.read(spark, guardPath)
+    val gSpread = graft.ext.AnnIndex.vectors(idx).groupBy(col("cell")).count()
+      .agg(min(col("count")), max(col("count")), count(lit(1))).head()
+    println(f"[samplefit] guarded: final hottest share $share%.4f " +
+      s"(bound ${maxShare}), occupancy [${gSpread.getLong(0)}..${gSpread.getLong(1)}] " +
+      s"over ${gSpread.getLong(2)} cells")
     spark.stop()
   }
 }

@@ -178,4 +178,51 @@ class AnnIndexSpec extends SparkTestBase {
     assert(e.getMessage.contains("AnnIndex"))
     assert(spark.read.parquet(path).count() === 5)
   }
+
+  test("sample-fit occupancy guard bounds the hottest cell (ProbeSampleFit shape)") {
+    import spark.implicits._
+    // the ProbeSampleFit fixture shape in miniature: 80% of the mass in
+    // one dense (jittered) region, 20% elsewhere — a k=2 sample fit
+    // hands the dense region to one centroid and its cell goes hot
+    val rows =
+      (0 until 320).map(i => (i.toLong, Array(1f, 0.001f * i, 0f, 0f))) ++
+      (320 until 400).map(i => (i.toLong, Array(0f, 0f, 1f, 0.001f * (i - 320))))
+    val syn = rows.toDF("vec_id", "embedding")
+    val p0 = freshPath()
+    val unguarded = AnnIndex.writeSampleFit(syn, p0, k = 2, lloydIters = 1,
+      sampleStride = 4, maxCellShare = 1.0)
+    assert(unguarded > 0.5, s"fixture must produce a hot cell, got $unguarded")
+    assert(AnnIndex.vectors(AnnIndex.read(spark, p0)).count() === 400)
+
+    val p1 = freshPath()
+    val guarded = AnnIndex.writeSampleFit(syn, p1, k = 2, lloydIters = 1,
+      sampleStride = 4, maxCellShare = 0.5, extraLloydRounds = 1, maxSplits = 8)
+    assert(guarded <= 0.5, s"guard must bound the hottest cell, got $guarded")
+    val idx = AnnIndex.read(spark, p1)
+    // splits extend the dense id range; every vector survives, and every
+    // assigned cell has its centroid row in the same atomic artifact
+    assert(AnnIndex.vectors(idx).count() === 400)
+    assert(AnnIndex.vectors(idx).select(col("cell").as("c_id")).distinct()
+      .join(AnnIndex.centroids(idx), Seq("c_id"), "left_anti").count() === 0)
+    // the guarded artifact still serves queries through the normal path
+    assert(AnnIndex.query(syn.filter(col("vec_id") % 50 === 0), p1).count() > 0)
+    graft.core.CacheScope.releaseAll()
+  }
+
+  test("unsplittable identical-vector mass publishes with the share returned, not an outage") {
+    import spark.implicits._
+    // 300 IDENTICAL vectors: sub-centroids of identical members coincide
+    // and the tie-break reunites the cell — no quantizer can split this
+    // (it's upstream dedup's job). The guard must exhaust its splits,
+    // still publish, and hand the caller the honest share as its gate.
+    val rows = (0 until 300).map(i => (i.toLong, Array(1f, 0f))) ++
+               (300 until 400).map(i => (i.toLong, Array(0f, 1f)))
+    val syn = rows.toDF("vec_id", "embedding")
+    val p = freshPath()
+    val share = AnnIndex.writeSampleFit(syn, p, k = 2, lloydIters = 1,
+      sampleStride = 4, maxCellShare = 0.5, extraLloydRounds = 1, maxSplits = 4)
+    assert(share > 0.5, "identical mass cannot be split by any quantizer")
+    assert(AnnIndex.vectors(AnnIndex.read(spark, p)).count() === 400)
+    graft.core.CacheScope.releaseAll()
+  }
 }

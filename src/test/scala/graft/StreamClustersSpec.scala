@@ -64,4 +64,91 @@ class StreamClustersSpec extends SparkTestBase {
         java.nio.file.Paths.get(labelsPath, "_SUCCESS")) === before,
       "an empty micro-batch must not republish")
   }
+
+  test("full lifecycle: ingest -> cadence rebuild -> re-bootstrap -> resume") {
+    // r13 verdict #5: the scope contract defers cross-batch new-new
+    // pairs to "the index's cadence rebuild" — this drives the whole
+    // loop a production operator runs: (1) stream under generation 1,
+    // (2) planned stop + fold the streamed docs into the index + re-cap
+    // (compactNeardupIndex), (3) re-bootstrap generation-2 labels from
+    // the rebuilt index (the deferred pairs appear HERE), (4) resume
+    // the maintainer from the same checkpoint against generation 2.
+    implicit val sq = spark.sqlContext
+    val docs = Tables(spark, sf()).documents
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sclifecycle").toString
+    val idxPath = s"$root/idx"
+    Dedup.writeNeardupIndex(docs.filter(col("doc_id") % 5 =!= 0), idxPath)
+    graft.streaming.StreamClusters.initLabels(spark, idxPath, s"$root/gen1", 0.8)
+
+    // a synthetic duplicate pair that shares nothing with the corpus,
+    // split across two triggers — the exact deferred-pair shape
+    val dupText = (0 until 30).map(i => s"zq$i").mkString(" ")
+    val trigA = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq :+ (100000L, dupText)
+    val trigB = docs.filter(col("doc_id") % 10 === 5)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq :+ (100005L, dupText)
+
+    val mem = MemoryStream[(Long, String)]
+    def start(labelsPath: String) = mem.toDF().toDF("doc_id", "text")
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(
+        graft.streaming.StreamClusters.labelMaintainer(idxPath, labelsPath, 0.8))
+      .start()
+    def labels(path: String) = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def fromScratch(all: org.apache.spark.sql.DataFrame) = {
+      val sh = Dedup.shingleFrame(all)
+      val pairs = Dedup.verifyJaccardOnShingles(sh,
+          Dedup.candidatePairs(Dedup.signaturesFromShingles(sh)), 0.8)
+        .select(col("a_id"), col("b_id"))
+      Dedup.connectedComponents(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+
+    // (1) generation-1 stream: two triggers; the synthetic pair spans
+    // them, matches nothing in the index, so the SCOPE CONTRACT says
+    // neither doc may be labeled yet
+    val q1 = start(s"$root/gen1")
+    try {
+      mem.addData(trigA: _*); q1.processAllAvailable()
+      mem.addData(trigB: _*); q1.processAllAvailable()
+    } finally q1.stop() // the planned restart at the cadence point
+    val gen1 = labels(s"$root/gen1")
+    assert(!gen1.exists(l => l._1 == 100000L || l._1 == 100005L),
+      "cross-trigger new-new pairs must be deferred, not found early")
+
+    // (2) cadence rebuild: fold the streamed docs into the index, then
+    // the periodic re-cap rewrite (cap far above any duplicate family
+    // here — the machinery, not the drop, is under test)
+    val streamed = (trigA ++ trigB).toDF("doc_id", "text")
+    Dedup.appendToNeardupIndex(streamed, idxPath)
+    Dedup.compactNeardupIndex(spark, idxPath, maxBucket = 1000)
+
+    // (3) generation-2 bootstrap: CC over the REBUILT index's own pair
+    // graph — the deferred synthetic pair appears exactly here
+    graft.streaming.StreamClusters.initLabels(spark, idxPath, s"$root/gen2", 0.8)
+    val gen2 = labels(s"$root/gen2")
+    val combined = docs.select(col("doc_id"), col("text")).unionByName(streamed)
+    assert(gen2 === fromScratch(combined),
+      "re-bootstrapped labels must equal from-scratch clustering " +
+        "of corpus + streamed docs")
+    assert(gen2.contains((100005L, 100000L)),
+      "the deferred cross-batch pair must be clustered by the rebuild")
+
+    // (4) resume from the SAME checkpoint against generation 2: only
+    // new data is processed; a new doc duplicating a STREAMED doc now
+    // pairs against the rebuilt index
+    val q2 = start(s"$root/gen2")
+    try { mem.addData((100010L, dupText)); q2.processAllAvailable() }
+    finally q2.stop()
+    val resumed = labels(s"$root/gen2")
+    assert(resumed.contains((100010L, 100000L)),
+      "the resumed stream must screen against the new index generation")
+    assert(resumed === fromScratch(
+        combined.unionByName(Seq((100010L, dupText)).toDF("doc_id", "text"))),
+      "post-resume labels must equal from-scratch clustering of everything")
+  }
 }
