@@ -883,9 +883,18 @@ object AnalysisQueries extends QueryGroup {
     val staged = graft.core.CacheScope.track(
       (if (hashMode == "md5") CountMin.stagePrefixes(occ) else occ).persist())
     val sketch = CountMin.build(staged, hashMode)
-    val est = graft.core.CacheScope.track(
-      CountMin.stagedEstimate(staged, sketch, hashMode).persist())
-    est.filter(col("est") >= threshold)
+    // the screen filter runs UNPERSISTED over the staged cache: pushing
+    // it through the estimate projection re-inlines only the conv/
+    // substring slices (md5 mode) or d codegen xxhash64 calls — the
+    // digest itself is a MATERIALIZED column of the persisted frame, so
+    // the expensive hash never re-runs. The est frame used to be a
+    // second corpus-sized persist guarding against that re-inline;
+    // measured at the 500k-doc decade, dropping it is the difference
+    // between materializing ~50M (ng, est) rows and four int ops per
+    // occurrence: md5 14.2 -> 10.0 s, xxh64 7.9 -> 5.2 s (BASELINE
+    // r14), identical output (the oracle hash-checks it per round).
+    CountMin.stagedEstimate(staged, sketch, hashMode)
+      .filter(col("est") >= threshold)
       .groupBy(col("ng"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= threshold)
