@@ -320,10 +320,11 @@ object Bench {
     * fourth canary: 4-grouping-set Expand + hash exchange over
     * lineitem, sub-second healthy, already in the registry. Its slack
     * is 2.0x — exchange-tier timings carry GC/task-dispatch variance a
-    * scan doesn't (same-box canary-state spread measured r14: 4
-    * measurements over the session spanned 1.36x on a healthy host) —
-    * while the r13 contended window sat >30x off, far outside any
-    * slack. Gated on its own canary_shuffle_rps record key only: no
+    * scan doesn't (same-box canary-state spread measured r14: two
+    * healthy mint windows 40 minutes apart measured 526.5k and 428.3k
+    * rows/s — a 1.23x legitimate spread, wider than the q1 tier's
+    * ~10%) — while the r13 contended window sat >30x off, far outside
+    * any slack. Gated on its own canary_shuffle_rps record key only: no
     * suite-derived fallback exists in the prefix contract, so records
     * predating r14 simply don't gate this tier (the first r14 mint
     * arms it). */

@@ -193,11 +193,22 @@ object AnnIndex {
   def writeSampleFit(emb: DataFrame, path: String, k: Int = K_DEFAULT,
                      lloydIters: Int = 1, sampleStride: Int = 16,
                      maxCellShare: Double = 1.0,
-                     extraLloydRounds: Int = 1, maxSplits: Int = 4): Double = {
+                     extraLloydRounds: Int = 1, maxSplits: Int = 4): Double =
+    sampleFitFrom(snapped(emb, "vec_id", "sv", "nrm"), path, k, lloydIters,
+      sampleStride, maxCellShare, extraLloydRounds, maxSplits)
+
+  /** The guarded sample-fit core over ALREADY-SNAPPED (vec_id, sv, nrm)
+    * rows — shared by [[writeSampleFit]] (snaps an embeddings frame)
+    * and [[compactSampleFit]] (feeds the index's stored rows back, for
+    * which a re-snap would double-scale). */
+  private def sampleFitFrom(snappedVecs: DataFrame, path: String, k: Int,
+                            lloydIters: Int, sampleStride: Int,
+                            maxCellShare: Double,
+                            extraLloydRounds: Int, maxSplits: Int): Double = {
     require(sampleStride >= 1, s"sampleStride must be >= 1, got $sampleStride")
     require(maxCellShare > 0.0 && maxCellShare <= 1.0,
       s"maxCellShare must be in (0, 1], got $maxCellShare")
-    val spark = emb.sparkSession
+    val spark = snappedVecs.sparkSession
     val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
     def hold(df: DataFrame): DataFrame = { persisted += df.persist(); df }
     // every guard round derives the next centroid frame FROM the
@@ -211,7 +222,7 @@ object AnnIndex {
       spark.createDataFrame(
         java.util.Arrays.asList(c.collect(): _*), c.schema)
     try {
-      val vecs = hold(snapped(emb, "vec_id", "sv", "nrm"))
+      val vecs = hold(snappedVecs)
       val total = vecs.count().toDouble
       val slice = hold(vecs.filter(col("vec_id") % sampleStride === 0))
       var curK = k
@@ -267,6 +278,8 @@ object AnnIndex {
       share
     } finally persisted.foreach(_.unpersist())
   }
+  // (writeGeneration marks the scratch in compactSampleFit's case; the
+  // replace swap moves the sidecar with the directory atomically)
 
   /** Loud-fail read of a committed index. */
   def read(spark: SparkSession, path: String): DataFrame =
@@ -326,7 +339,10 @@ object AnnIndex {
     * changes the quantizer generation and fails that stream loud at
     * its next batch (by design — restart to adopt the new quantizer);
     * pick compactEvery to align with planned restarts, or 0 to keep
-    * maintenance fully manual. */
+    * maintenance fully manual. At 100 TB, run the cadence rebuild as
+    * [[compactSampleFit]] instead of [[compact]] — the sample fit cuts
+    * the rebuild's Lloyd cost ~7x and the occupancy guard keeps the
+    * rebalance honest. */
   def appendAndMaybeCompact(emb: DataFrame, path: String,
                             compactEvery: Int, lloydIters: Int = 1): Boolean = {
     require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
@@ -355,6 +371,43 @@ object AnnIndex {
     graft.core.IndexStore.replace(spark, path) { scratch =>
       buildFrom(vectors(index), scratch, k, lloydIters)
     }
+  }
+
+  /** [[compact]] in the sample-fit form — the maintenance rewrite a
+    * 100 TB index actually runs: the periodic quantizer rebuild is
+    * exactly where full-corpus Lloyd hurts most (every cadence pays
+    * K·N dot products per round over the whole index), and exactly
+    * where the y18 training cut applies (fit on the stored rows'
+    * vec_id % sampleStride slice, assign everything once). The
+    * occupancy guard rides along: the rebuild that EXISTS to fix
+    * drift-grown cell imbalance must not mint a sample-noise-hot cell
+    * of its own. Same atomicity as [[compact]]
+    * ([[graft.core.IndexStore.replace]]: old index readable throughout,
+    * failed rebuild restores it, generation sidecar bumps so standing
+    * streams fail loud) — only the fit inside the scratch build
+    * changes. Returns the final hottest-cell share
+    * ([[writeSampleFit]]'s contract: best-effort against
+    * quantizer-induced imbalance, honest share back to the caller). */
+  def compactSampleFit(spark: SparkSession, path: String,
+                       lloydIters: Int = 1, sampleStride: Int = 16,
+                       maxCellShare: Double = 1.0,
+                       extraLloydRounds: Int = 1,
+                       maxSplits: Int = 4): Double = {
+    val index = read(spark, path)
+    require(Seq("kind", "id", "sv", "nrm", "cell").forall(index.columns.contains),
+      s"no (kind, id, sv, nrm, cell) columns at $path — not an AnnIndex artifact")
+    val k = kOf(centroids(index))
+    var share = 1.0
+    graft.core.IndexStore.replace(spark, path) { scratch =>
+      // the stored rows are already snapped — writeSampleFit's snapped()
+      // re-snap is the identity on them, so feeding the vector rows
+      // back through the embeddings-shaped entry point would double-
+      // scale; rebuild through the same guarded fit on the raw rows
+      share = sampleFitFrom(vectors(index)
+        .select(col("vec_id"), col("sv"), col("nrm")), scratch, k,
+        lloydIters, sampleStride, maxCellShare, extraLloydRounds, maxSplits)
+    }
+    share
   }
 
   /** Query the committed index: quantize probes with the STORED

@@ -209,6 +209,38 @@ class AnnIndexSpec extends SparkTestBase {
     graft.core.CacheScope.releaseAll()
   }
 
+  test("compactSampleFit at stride 1 EQUALS the full compact; guarded form bounds and bumps generation") {
+    // stride = 1 makes the "sample" the whole corpus, so the sample-fit
+    // rewrite must reproduce the full compact bit for bit — the same
+    // determinism identity compact() pins against a from-scratch write
+    val (pa, pb) = (freshPath(), freshPath())
+    val initial = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    AnnIndex.write(initial, pa); AnnIndex.append(batch, pa)
+    AnnIndex.write(initial, pb); AnnIndex.append(batch, pb)
+    AnnIndex.compact(spark, pa)
+    AnnIndex.compactSampleFit(spark, pb, sampleStride = 1)
+    assertSameIndex(AnnIndex.read(spark, pa), AnnIndex.read(spark, pb))
+
+    // the guarded sampled form: same maintenance contract — every vector
+    // survives, the quantizer generation bumps (standing streams fail
+    // loud), and the returned share is the published index's own
+    val pc = freshPath()
+    AnnIndex.write(initial, pc); AnnIndex.append(batch, pc)
+    val genBefore = AnnIndex.generation(spark, pc)
+    val share = AnnIndex.compactSampleFit(spark, pc, sampleStride = 4,
+      maxCellShare = 0.5)
+    val idx = AnnIndex.read(spark, pc)
+    assert(AnnIndex.vectors(idx).count() === emb.count())
+    assert(AnnIndex.generation(spark, pc) !== genBefore)
+    val hot = AnnIndex.vectors(idx).groupBy(col("cell")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(math.abs(share - hot.toDouble / emb.count()) < 1e-9,
+      "the returned share must be the published index's hottest share")
+    assert(share <= 0.5, s"guard must bound the rebuilt occupancy, got $share")
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("unsplittable identical-vector mass publishes with the share returned, not an outage") {
     import spark.implicits._
     // 300 IDENTICAL vectors: sub-centroids of identical members coincide
