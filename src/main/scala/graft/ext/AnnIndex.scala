@@ -225,6 +225,15 @@ object AnnIndex {
       val vecs = hold(snappedVecs)
       val total = vecs.count().toDouble
       val slice = hold(vecs.filter(col("vec_id") % sampleStride === 0))
+      // loud-fail, not a NoSuchElementException three stages later: a
+      // stride coprime to the stored id space (offset ids, all-odd
+      // snowflakes, a corpus smaller than the stride) selects nothing,
+      // and an empty sample would seed zero centroids and drop every
+      // vector at assignment
+      require(slice.count() > 0,
+        s"vec_id % $sampleStride == 0 selects no vectors — the sample " +
+          "stride does not divide this corpus's id space; pick a stride " +
+          "that hits stored ids (1 = fit on everything)")
       var curK = k
       var cents = seedCentroids(slice, k)
       for (_ <- 0 until lloydIters)

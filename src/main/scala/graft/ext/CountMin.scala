@@ -119,11 +119,17 @@ object CountMin {
     }: _*)
 
   /** (ng, est) with the digest STAGED one projection below the conv
-    * slices — ONE md5 per occurrence serving all d rows. Callers
-    * filtering on `est` must persist the result first: a filter pushed
-    * through these projections re-inlines the staged digest once per
-    * slice, re-running md5 d times per occurrence (PushDownPredicates
-    * substitutes through projects — the measured Bloom trap). */
+    * slices — ONE md5 per occurrence serving all d rows. The safety
+    * invariant for callers filtering on `est`: the staged `__hx`
+    * digest must sit behind a CACHE BARRIER below the filter.
+    * PushDownPredicates substitutes through projects (the measured
+    * Bloom trap), so over a RAW input the pushed filter re-inlines
+    * md5 once per slice — d digests per occurrence; over a persisted
+    * [[stagePrefixes]] frame (heavyShingles' shape) the substitution
+    * bottoms out at the cache's materialized __hx column and
+    * re-inlines only the cheap conv/substring slices — no second
+    * persist of this function's RESULT is needed (r14: removing that
+    * est persist was 14.2 → 10.0 s at the 500k decade). */
   def stagedEstimate(occurrences: DataFrame, sketch: Seq[Seq[Long]],
                      hashMode: String, w: Int = DefaultW): DataFrame =
     hashMode match {

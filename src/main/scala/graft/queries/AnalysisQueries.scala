@@ -851,11 +851,14 @@ object AnalysisQueries extends QueryGroup {
     * collision-inflated false positives: the registration shares the
     * plain HAVING oracle verbatim — the cross-engine proof that the
     * sketch screen changes cost, not answers (the d3_salted /
-    * d15_capped oracle-sharing precedent). The estimate frame is
-    * persisted before the filter: a filter pushed through the staged
-    * projections would re-inline the staged digest once per slice,
-    * re-running md5 d times per occurrence
-    * ([[graft.ext.CountMin.stagedEstimate]]). */
+    * d15_capped oracle-sharing precedent). The STAGED frame (the
+    * occurrence stream carrying its materialized digest) is the one
+    * persist — it feeds both the build and the screen, and the cache
+    * is what makes the screen's filter safe to leave unpersisted: a
+    * pushed-down predicate re-inlines only the cheap positional slices,
+    * never the digest ([[graft.ext.CountMin.stagedEstimate]]'s
+    * contract; the former second corpus-sized est persist was measured
+    * pure overhead and removed in r14). */
   def heavyShingles(spark: SparkSession, dir: String): DataFrame =
     heavyShingles(spark, dir, "md5")
   def heavyShingles(spark: SparkSession, dir: String,

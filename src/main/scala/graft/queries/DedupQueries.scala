@@ -1122,12 +1122,13 @@ object DedupQueries extends QueryGroup {
   /** The capped-merge oracle: CC over (unguarded corpus pairs ∪
     * bucket-capped batch-internal pairs ∪ posting-list-capped cross
     * pairs) — the exact graph [[incrementalClustersCapped]] folds into
-    * the standing labels. Both caps mirror maxBucket = 2: a batch band
+    * the standing labels. Both caps mirror maxBucket = 1: a batch band
     * bucket participates in the internal self-join only while its
-    * BATCH occupancy is <= 2, and a corpus band bucket accepts cross
-    * probes only while its CORPUS occupancy is <= 2 (the cross screen's
+    * BATCH occupancy is <= 1, and a corpus band bucket accepts cross
+    * probes only while its CORPUS occupancy is <= 1 (the cross screen's
     * batch side is uncapped, exactly like incrementalNeardup's "drop"
-    * arm). */
+    * arm). The verify/und/reach tail is [[ccTailSql]], shared with
+    * ccCte so the two oracles can never drift. */
   private val d14bCappedOracleSql =
     s"""${sigsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, bands AS (
        |  SELECT doc_id, 0 AS band_idx, band0 AS band_hash FROM banded
@@ -1171,25 +1172,7 @@ object DedupQueries extends QueryGroup {
        |  SELECT a_id, b_id FROM batch_cand
        |  UNION
        |  SELECT a_id, b_id FROM cross_cand
-       |), pairs AS (
-       |  SELECT a_id, b_id FROM (
-       |    SELECT a_id, b_id,
-       |      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS n_common,
-       |      CAST(len(sa.sh) AS DOUBLE) AS n_a,
-       |      CAST(len(sb.sh) AS DOUBLE) AS n_b
-       |    FROM cand
-       |    JOIN shingled sa ON sa.doc_id = a_id
-       |    JOIN shingled sb ON sb.doc_id = b_id
-       |  ) WHERE n_common / (n_a + n_b - n_common) >= 0.8
-       |), und AS (
-       |  SELECT a_id AS src, b_id AS dst FROM pairs
-       |  UNION
-       |  SELECT b_id, a_id FROM pairs
-       |), reach(src, dst) AS (
-       |  SELECT src, dst FROM und
-       |  UNION
-       |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
-       |)
+       |)$ccTailSql
        |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
@@ -1336,7 +1319,15 @@ object DedupQueries extends QueryGroup {
        |  FROM bands a JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        |   AND a.doc_id < b.doc_id
-       |), pairs AS (
+       |)$ccTailSql""".stripMargin
+
+  /** The verify → undirected-edge → recursive-reachability tail over a
+    * `cand(a_id, b_id)` CTE (exact Jaccard >= 0.8 against `shingled`,
+    * then min-reachable clustering input) — ONE copy shared by [[ccCte]]
+    * and the capped-merge oracle, so the verify expression and the CC
+    * recursion can never drift between them. */
+  private def ccTailSql: String =
+    s""", pairs AS (
        |  SELECT a_id, b_id FROM (
        |    SELECT a_id, b_id,
        |      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS n_common,
