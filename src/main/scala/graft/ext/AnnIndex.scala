@@ -396,7 +396,20 @@ object AnnIndex {
     * streams fail loud) — only the fit inside the scratch build
     * changes. Returns the final hottest-cell share
     * ([[writeSampleFit]]'s contract: best-effort against
-    * quantizer-induced imbalance, honest share back to the caller). */
+    * quantizer-induced imbalance, honest share back to the caller).
+    *
+    * COST CONTRACT, measured (ProbeSampleFit, 200k ladder): the sample
+    * fit cuts the LLOYD passes (K·N/stride instead of K·N per round),
+    * but every guard round the occupancy check triggers pays a full
+    * corpus REASSIGNMENT — the same order as a Lloyd round. At the
+    * demo dials (lloydIters 1-3, guard firing refit+split) the full
+    * [[compact]] is cheaper (6.7 vs 11.0 s at 200k, lloydIters = 3);
+    * the sampled form wins when the Lloyd budget is large relative to
+    * the guard rounds it triggers (production quantizers run 10-25
+    * rounds) or when occupancy bounding is itself the requirement —
+    * it spends a BOUNDED number of corpus passes
+    * (1 + extraLloydRounds + maxSplits worst case) to deliver a
+    * share-bounded quantizer, which no Lloyd budget guarantees. */
   def compactSampleFit(spark: SparkSession, path: String,
                        lloydIters: Int = 1, sampleStride: Int = 16,
                        maxCellShare: Double = 1.0,

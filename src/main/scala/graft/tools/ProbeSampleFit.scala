@@ -133,6 +133,37 @@ object ProbeSampleFit {
     println(f"[samplefit] guarded: final hottest share $share%.4f " +
       s"(bound ${maxShare}), occupancy [${gSpread.getLong(0)}..${gSpread.getLong(1)}] " +
       s"over ${gSpread.getLong(2)} cells")
+
+    // ---- the cadence rebuild A/B: compact vs compactSampleFit --------
+    // same append-grown index twice, one full-Lloyd rewrite vs the
+    // guarded sample-fit rewrite — the maintenance job a 100 TB index
+    // pays per cadence, which is where the training cut actually lands
+    graft.core.CacheScope.releaseAll()
+    def grown(): String = {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-samplefit-cad").toString + "/ivf"
+      graft.ext.AnnIndex.write(emb.filter(col("vec_id") % 5 =!= 0), p)
+      graft.ext.AnnIndex.append(emb.filter(col("vec_id") % 5 === 0), p)
+      p
+    }
+    // both at lloydIters = 1 (the demo dial) AND 3: at one round the
+    // guard's corpus reassignments can eat the sample fit's saving;
+    // the cut scales with the Lloyd budget (production quantizers run
+    // many rounds, each a K·N corpus pass under full compact but a
+    // K·N/stride sample pass here)
+    for (iters <- Seq(1, 3)) {
+      val (pFull, pSampled) = (grown(), grown())
+      timed(s"cadence rebuild, full compact (lloydIters=$iters)") {
+        graft.ext.AnnIndex.compact(spark, pFull, lloydIters = iters)
+      }
+      val cadShare = timed(
+        s"cadence rebuild, compactSampleFit(stride=$stride, lloydIters=$iters)") {
+        graft.ext.AnnIndex.compactSampleFit(spark, pSampled,
+          lloydIters = iters, sampleStride = stride, maxCellShare = maxShare)
+      }
+      println(f"[samplefit] sampled rebuild hottest share $cadShare%.4f " +
+        s"(bound $maxShare)")
+    }
     spark.stop()
   }
 }
