@@ -103,8 +103,9 @@ object Bench {
     // slack the gate applies everywhere).
     val record = recordCanaries(sfDir)
     val canaryMeasured = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    if (args.isEmpty &&
-        sys.env.getOrElse("SPARK_GRAFT_CANARY", "on") != "off") {
+    val gateRan = args.isEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_CANARY", "on") != "off"
+    if (gateRan) {
       runGate(spark, sfDir, liRows, docRows, embRows, record,
               canaryMeasured).foreach { refusal =>
         println(refusal)
@@ -217,13 +218,40 @@ object Bench {
     val y14Sec = resMap.getOrElse("y14_sq8_topk", -1.0)
     val embRps = if (y14Sec > 0) embRows / y14Sec else 0.0
     val trend = prevDelta(results, prev)
+    // ---- end-of-suite canary re-measure (r14 verdict #1): the start
+    // gate is blind to contention that ARRIVES mid-suite — the r14
+    // driver window passed all four canaries (shuffle 1.30x below the
+    // record, inside its 2.0x slack) and then minted 214.7 s with
+    // d7_dup_clusters 7.3x degraded. Re-measuring the same four tiers
+    // AFTER the suite brackets the measured window from both ends: a
+    // window whose end canaries fall more than the tier slack below
+    // its own start canaries was contended DURING the suite, and the
+    // artifact stamps itself "suspect" instead of needing a judge
+    // re-measure to adjudicate. healed_reps joins the verdict at a
+    // registry-relative bound (see suspectEnd) — a run that needed
+    // extra confirming reps on >20% of the oracle registry was either
+    // contended or healing against a garbage prior; either way its
+    // medians are not record-grade.
+    val canaryEnd = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    if (gateRan) tierChecks(liRows, docRows, embRows, record)
+      .filter(_._3 > 0).foreach { case (tier, name, rows, _) =>
+        canaryEnd(tier) = canaryRps(spark, sfDir, name, rows)
+      }
+    val startByTier = canaryMeasured.collect {
+      case (k, v) if k.startsWith("canary_") && k.endsWith("_rps") =>
+        k.stripPrefix("canary_").stripSuffix("_rps") -> v
+    }.toMap
+    val suspect = suspectEnd(startByTier, canaryEnd.toMap, healed,
+      SparkEntry.queries.size)
     // KEY-ORDER CONTRACT (parsed by recordCanaries/loadPrevMap): the
     // summary scalars — "sf", "q1_rows_per_sec", "docs_rows_per_sec",
     // "emb_rows_per_sec" — are emitted BEFORE the "queries" map, and
     // the gate parser only reads the prefix up to "queries": so a
     // nested key can never shadow a top-level one.
-    val canaryKeys = canaryMeasured
-      .map { case (k, v) => s""""$k":${fmt(v, "%.0f")},""" }.mkString
+    val canaryKeys = (canaryMeasured ++
+        canaryEnd.map { case (t, v) => s"canary_end_${t}_rps" -> v })
+      .map { case (k, v) => s""""$k":${fmt(v, "%.0f")},""" }.mkString +
+      (if (gateRan) s""""suspect":$suspect,""" else "")
     // artifact-cold marker: how many IndexStore artifacts this JVM
     // built from scratch (canary warmups + prepareFixtures + any lazy
     // first-touch build inside a timed rep). 0 = standing-artifact
@@ -238,7 +266,14 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
     val (fullLine, compactLine, trailerLine) =
       renderLines(total, scalars, healedQueries, qs, trend, byCost)
-    writeFile("BENCH_FULL.json", fullLine + "\n")
+    // a self-adjudicated-suspect run must not overwrite the committed
+    // record — every prior contended window (r13 279.6 s, r14 214.7 s)
+    // did exactly that and cost a round of driver-vs-committed
+    // adjudication. The full artifact still lands on disk (sidecar
+    // name) and on stdout; the healthy record stays the gate/healing/
+    // prev_delta baseline.
+    writeFile(if (suspect) "BENCH_FULL.suspect.json" else "BENCH_FULL.json",
+      fullLine + "\n")
     println(fullLine) // head may be clipped by the tail capture; the file has it all
     println(compactLine)
     println(trailerLine)
@@ -293,10 +328,12 @@ object Bench {
     * corpus tier vs the committed record, refusing to mint on a
     * contended host. Returns Some(refusal JSON line) when a tier stays
     * below its slack after one fresh re-measure, None when healthy;
-    * `measured` accumulates the FIRST measurement per tier — the retry
-    * max is only the pass/fail arbiter, never the recorded reference
-    * (r13 advisor: recording best-of-two biased future gates upward,
-    * raising the false-refusal odds the retry was meant to reduce).
+    * `measured` accumulates one measurement per tier — the first when
+    * no retry ran, the MEAN of first and retry when one did (r13
+    * advisor killed best-of-two's upward bias; r14 advisor killed
+    * first-only's downward one — a burst-slow first measurement
+    * whose retry passed would commit a degraded reference and loosen
+    * every future gate). The retry max stays the pass/fail arbiter.
     *
     * PER-TIER SLACK, calibrated to each canary's own measurement
     * noise (r13 continuation): the emb canary is a 2000-row query —
@@ -333,46 +370,93 @@ object Bench {
       liRows: Long, docRows: Long, embRows: Long,
       record: Map[String, Double],
       measured: scala.collection.mutable.Map[String, Double]): Option[String] = {
-    def canaryRps(name: String, rows: Long): Double = {
-      val q = SparkEntry.queries.getOrElse(name, SparkEntry.prodVariants(name))
-      q(spark, sfDir).write.format("noop").mode("overwrite").save() // JIT warmup, untimed
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        q(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      rows / times.sorted.apply(1)
-    }
-    val slack = Map("q1" -> 1.5, "docs" -> 1.5, "emb" -> 2.25, "shuffle" -> 2.0)
-    val checks = Seq(
-      ("q1", "q1_pricing_summary", liRows,
-        record.get("canary_q1_rps").orElse(record.get("q1_rows_per_sec"))),
-      ("docs", "d2_minhash_sigs_xxh64", docRows,
-        record.get("canary_docs_rps").orElse(record.get("docs_rows_per_sec"))),
-      ("emb", "y14_sq8_topk", embRows,
-        record.get("canary_emb_rps").orElse(record.get("emb_rows_per_sec"))),
-      ("shuffle", "q_cube", liRows, record.get("canary_shuffle_rps")))
     // rows > 0 guards a tier on a dir without its table: a zero-row
     // canary would read as infinitely slow and spuriously refuse (a
     // full-suite run needs the table anyway, but the gate must not be
     // the thing that crashes first). The iterator is lazy, so the
     // first refusal stops measuring the remaining tiers.
-    checks.filter(_._3 > 0).iterator.flatMap { case (tier, name, rows, rec) =>
-      val first = canaryRps(name, rows)
+    tierChecks(liRows, docRows, embRows, record)
+        .filter(_._3 > 0).iterator.flatMap { case (tier, name, rows, rec) =>
+      val first = canaryRps(spark, sfDir, name, rows)
       measured(s"canary_${tier}_rps") = first
       rec.filter(_ > 0).flatMap { r =>
-        val s = slack(tier)
+        val s = tierSlack(tier)
         // one fresh re-measure before refusing: a single canary
         // median has burst noise a refusal shouldn't ride on (the
         // same r13 box passed 3576 two minutes after refusing 2321);
-        // a genuinely contended host fails both.
+        // a genuinely contended host fails both. When the retry ran,
+        // the RECORDED reference is the mean of both measurements
+        // (r14 advisor): keeping only the burst-slow first value
+        // would commit a degraded reference and loosen every future
+        // gate by the burst factor — the mirror image of the
+        // best-of-two upward bias the r13 fix removed.
         val best =
-          if (first * s < r) math.max(first, canaryRps(name, rows)) else first
+          if (first * s < r) {
+            val retry = canaryRps(spark, sfDir, name, rows)
+            measured(s"canary_${tier}_rps") = (first + retry) / 2.0
+            math.max(first, retry)
+          } else first
         if (best * s < r)
           Some(s"""{"metric":"total","value":-1.0,"unit":"sec","degraded":true,"canary":"$tier","canary_rows_per_sec":${fmt(best, "%.0f")},"record_rows_per_sec":${fmt(r, "%.0f")},"sf":"$sfDir","note":"host contended - $tier canary >${s}x below the committed record; no record minted"}""")
         else None
       }
     }.nextOption()
+  }
+
+  /** Per-tier gate slack — calibrated to each canary's own same-box
+    * measurement noise (rationale at [[runGate]]); shared by the start
+    * gate and the end-of-suite suspect verdict so one tier can never
+    * gate and adjudicate at different tolerances. */
+  private[graft] val tierSlack =
+    Map("q1" -> 1.5, "docs" -> 1.5, "emb" -> 2.25, "shuffle" -> 2.0)
+
+  /** The four canary tiers: (tier, query, rows scanned, record ref). */
+  private def tierChecks(liRows: Long, docRows: Long, embRows: Long,
+                         record: Map[String, Double])
+      : Seq[(String, String, Long, Option[Double])] = Seq(
+    ("q1", "q1_pricing_summary", liRows,
+      record.get("canary_q1_rps").orElse(record.get("q1_rows_per_sec"))),
+    ("docs", "d2_minhash_sigs_xxh64", docRows,
+      record.get("canary_docs_rps").orElse(record.get("docs_rows_per_sec"))),
+    ("emb", "y14_sq8_topk", embRows,
+      record.get("canary_emb_rps").orElse(record.get("emb_rows_per_sec"))),
+    ("shuffle", "q_cube", liRows, record.get("canary_shuffle_rps")))
+
+  /** One canary measurement: untimed JIT warmup, then median-of-3
+    * rows/s — the same estimator at the start gate and the end-of-suite
+    * re-measure, so their ratio prices contention, not estimator
+    * drift. */
+  private def canaryRps(spark: SparkSession, sfDir: String,
+                        name: String, rows: Long): Double = {
+    val q = SparkEntry.queries.getOrElse(name, SparkEntry.prodVariants(name))
+    q(spark, sfDir).write.format("noop").mode("overwrite").save() // JIT warmup, untimed
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      q(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    rows / times.sorted.apply(1)
+  }
+
+  /** The end-of-suite suspect verdict, pure and spec-testable: a minted
+    * record is SUSPECT when (a) any tier's end-of-suite canary fell
+    * more than that tier's slack below its own start-of-run value —
+    * contention arrived mid-suite, the exact blind spot of a
+    * start-only gate — or (b) healing widened medians on more than 20%
+    * of the oracle registry (min 8): either the host was contended on
+    * rows no canary shapes, or the prev record being healed against
+    * was itself garbage; in both cases the medians are not
+    * record-grade. Tiers missing from either map (partial replica
+    * dirs, records predating a canary) contribute nothing — absence of
+    * evidence never acquits OR convicts. */
+  private[graft] def suspectEnd(start: Map[String, Double],
+                                end: Map[String, Double],
+                                healed: Int, nOracle: Int): Boolean = {
+    val degradedTier = end.exists { case (tier, e) =>
+      e > 0 && start.get(tier).exists(s =>
+        s / e > tierSlack.getOrElse(tier, 1.5))
+    }
+    degradedTier || healed > math.max(8, (0.2 * nOracle).toInt)
   }
 
   private def writeFile(path: String, text: String): Unit = {

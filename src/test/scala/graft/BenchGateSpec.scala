@@ -120,6 +120,68 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.parsePrevMap(full, sf)("q7_some_query_name") === 1.234)
   }
 
+  test("suspect verdict: a mid-suite-degraded end canary convicts at its tier slack") {
+    // the r14 driver window in miniature: the start gate passed (all
+    // four tiers inside slack vs the record) and contention arrived
+    // MID-SUITE — the end re-measure is the only witness. q1/docs
+    // convict at 1.5x, emb at 2.25x, shuffle at 2.0x — the same
+    // per-tier slack the start gate refuses at.
+    val start = Map("q1" -> 500000.0, "docs" -> 8000.0,
+                    "emb" -> 3000.0, "shuffle" -> 520000.0)
+    def endAt(tier: String, ratio: Double) =
+      start.updated(tier, start(tier) / ratio)
+    assert(!Bench.suspectEnd(start, start, healed = 0, nOracle = 167))
+    assert(Bench.suspectEnd(start, endAt("q1", 1.6), 0, 167))
+    assert(!Bench.suspectEnd(start, endAt("q1", 1.4), 0, 167))
+    // the shuffle tier tolerates up to 2.0x (exchange-tier variance)...
+    assert(!Bench.suspectEnd(start, endAt("shuffle", 1.9), 0, 167))
+    assert(Bench.suspectEnd(start, endAt("shuffle", 2.5), 0, 167))
+    // ...and emb up to 2.25x (overhead-dominated estimator noise)
+    assert(!Bench.suspectEnd(start, endAt("emb", 2.0), 0, 167))
+    assert(Bench.suspectEnd(start, endAt("emb", 2.5), 0, 167))
+    // an end canary FASTER than start (suite warmed the artifact) never
+    // convicts, and a missing tier contributes nothing either way
+    assert(!Bench.suspectEnd(start, endAt("docs", 0.5), 0, 167))
+    assert(!Bench.suspectEnd(start, start - "shuffle", 0, 167))
+    assert(!Bench.suspectEnd(Map.empty, Map.empty, 0, 167))
+  }
+
+  test("suspect verdict: runaway healing convicts at the registry-relative bound") {
+    // r14's contended window healed 42 rows of a 166-entry registry;
+    // the healthy record healed 30 against garbage priors — the bound
+    // (20% of the registry, min 8) separates exactly these two
+    val start = Map("q1" -> 500000.0)
+    assert(Bench.suspectEnd(start, start, healed = 42, nOracle = 166))
+    assert(!Bench.suspectEnd(start, start, healed = 30, nOracle = 166))
+    // the min-8 floor keeps a tiny dev registry from being unconvictable
+    assert(Bench.suspectEnd(start, start, healed = 9, nOracle = 10))
+    assert(!Bench.suspectEnd(start, start, healed = 8, nOracle = 10))
+  }
+
+  test("end-canary keys and the suspect flag ride the summary prefix and the trailer") {
+    val scalars = s""""unit":"sec","sf":"$sf","lineitem_rows":600572,""" +
+      s""""documents_rows":5000,"embeddings_rows":20000,""" +
+      s""""canary_q1_rps":510000,"canary_docs_rps":8139,""" +
+      s""""canary_emb_rps":3078,"canary_shuffle_rps":612000,""" +
+      s""""canary_end_q1_rps":495000,"canary_end_docs_rps":8200,""" +
+      s""""canary_end_emb_rps":2950,"canary_end_shuffle_rps":590000,""" +
+      s""""suspect":false,""" +
+      s""""q1_rows_per_sec":583000,"docs_rows_per_sec":10578,""" +
+      s""""emb_rows_per_sec":40123,"healed_reps":0,"index_builds":0,""" +
+      s""""prod_variants_total":9.0"""
+    val rows = (1 to 180).map(i => s""""q${i}_some_query_name":1.234""")
+    val (full, _, trailer) = Bench.renderLines(
+      145.1, scalars, """{}""", rows.mkString("{", ",", "}"), "", rows)
+    // the trailer (the line a tail capture keeps) carries the verdict
+    assert(trailer.contains(""""suspect":false"""))
+    assert(trailer.contains(""""canary_end_shuffle_rps":590000"""))
+    assert(trailer.length < 2000, "trailer must survive the tail capture whole")
+    // the start-gate parser is unconfused by the new keys: it still
+    // binds the START canary references, not the end re-measures
+    assert(Bench.parseCanaries(full, sf)("canary_q1_rps") === 510000.0)
+    assert(Bench.parseCanaries(full, sf)("canary_shuffle_rps") === 612000.0)
+  }
+
   test("prev map parses the flat queries pairs, including driver-escaped quotes") {
     val r = record("""{"q18_large_orders":0.94,"x_lm_score":1.39}""")
     assert(Bench.parsePrevMap(r, sf) ===
