@@ -152,6 +152,57 @@ object Dedup {
       .select(col("a_id"), col("b_id")).distinct()
   }
 
+  /** The hottest band-bucket occupancy of a signature frame — one
+    * exploded groupBy-count over (band_idx, band_hash) plus a 1-row
+    * max, the cheap histogram [[refuseHotBuckets]] prices a pair
+    * screen with. NULL bands (shingle-less docs, write-time-capped
+    * index rows) are excluded, matching every candidate equi-join. */
+  def maxBandOccupancy(sigs: DataFrame): Long = {
+    val r = sigs.select(
+        posexplode(array(col("band0"), col("band1")))
+          .as(Seq("band_idx", "band_hash")))
+      .filter(col("band_hash").isNotNull)
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Pre-flight occupancy REFUSAL for the unguarded pair screens (r14
+    * verdict #3): an unguarded [[candidatePairs]] self-join costs
+    * O(occupancy²) rows per band bucket ON ONE REDUCER — the r14
+    * zipf-decade measurement ran a 500k-doc boilerplate-heavy corpus
+    * through exactly this shape and spilled 66 GB before being killed
+    * at >25 min. This check prices the screen FIRST (one linear
+    * histogram pass — the same cost class as the signature projection
+    * the screen needs anyway) and fails loud with a pointer to the
+    * armed recipe instead of letting the join die by spill. Callers
+    * are the oracle-parity FIXTURE builders, where the corpus is
+    * caller-chosen and unguarded exactness is the point; armed
+    * pipelines (capBuckets / salted / write-time-capped index) bound
+    * the bucket by construction and need no pre-flight.
+    *
+    * `threshold` sizing: a bucket at occupancy B contributes ~B²/2
+    * candidate pairs to one task; 1000 (the default the fixture
+    * builders read from `spark.graft.dedup.maxUnguardedBucket`) caps
+    * that at ~500k pairs/task — bounded-minutes work — while every
+    * sf testdata dir sits orders of magnitude below (sf0.1 max
+    * occupancy is duplicate-family-sized, single digits). */
+  def refuseHotBuckets(sigs: DataFrame, threshold: Int, what: String): Unit = {
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val hot = maxBandOccupancy(sigs)
+    if (hot > threshold) throw new IllegalStateException(
+      s"$what: hottest band bucket holds $hot docs (> $threshold) — the " +
+        "unguarded pair screen would put O(occupancy^2) join rows on one " +
+        "task (measured: 66 GB spill / DNF at the 500k-doc zipf decade). " +
+        "Use the armed recipe instead: writeNeardupIndex(maxBucket) for a " +
+        "write-time-capped index, candidatePairsSalted / " +
+        "incrementalNeardup(skewMode=salt) for recall-preserving splits, " +
+        "or raise spark.graft.dedup.maxUnguardedBucket if the occupancy " +
+        "is a genuinely acceptable task size (tools/ProbeZipfMerge is " +
+        "the worked example)")
+  }
+
   /** [[candidatePairs]] with the recall-PRESERVING skew treatment:
     * hot band buckets are salt-split into bounded sub-buckets and
     * joined by sub-bucket cross-product

@@ -282,6 +282,27 @@ object DedupQueries extends QueryGroup {
       0.8, maxBucket = 2, skewMode = "salt")
   }
 
+  /** d9 against a WRITE-TIME-CAPPED index (r14 verdict #5): the index
+    * is built by [[graft.ext.Dedup.writeNeardupIndex]]'s maxBucket arm —
+    * corpus band values whose posting list exceeds the cap are NULLed
+    * in the STORED rows — and the screen then runs with the guard OFF.
+    * This is the production recipe's foundation (ProbeZipfMerge stage 1:
+    * the armed pipeline that finishes the zipf decade in 131 s where
+    * the unguarded build DNFs at 66 GB of spill) and until this
+    * registration it had no hash-checked witness — d14b_merge_capped
+    * pins the SCREEN-side caps only. The oracle mirrors the write-time
+    * cap in SQL (corpus posting lists at occupancy <= 1 — maxBucket = 1,
+    * the demo dial at which the cap provably bites at sf0.01, the
+    * d14b_merge_capped discipline), making writeNeardupIndex's stored-
+    * NULL contract ("capped write + guard off == uncapped index +
+    * drop-armed screen") cross-engine-checked rather than only
+    * spec-asserted. */
+  def incrementalNeardupCappedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val idx = ensureCappedNeardupIndex(spark, dir)
+    Dedup.incrementalNeardup(spark, docs.filter(col("doc_id") % 5 === 0), idx, 0.8)
+  }
+
   /** Incremental cluster MAINTENANCE: today's ingest (doc_id % 5 = 0)
     * folded into the standing cluster labels of the already-indexed
     * corpus (the rest) via [[graft.ext.Dedup.mergeIntoClusters]] — the
@@ -406,9 +427,28 @@ object DedupQueries extends QueryGroup {
   private def clustersPathFor(spark: SparkSession, dir: String): String =
     graft.core.IndexStore.pathFor(spark, "dup-clusters", dir)
 
+  /** The unguarded-screen pre-flight (r14 verdict #3): the fixture
+    * builders run the EXACT unguarded pipelines (oracle parity is their
+    * reason to exist), and pointing one at a boilerplate-heavy corpus
+    * dies by spill, not by error — the r14 zipf measurement spilled
+    * 66 GB before being killed. One linear band-histogram pass refuses
+    * first, naming the armed recipe. Priced once per FIXTURE BUILD
+    * (untimed, once per sf dir), never per query; the threshold dial is
+    * `spark.graft.dedup.maxUnguardedBucket` (default 1000 — every sf
+    * testdata dir sits at single-digit occupancy, the zipf decade in
+    * the tens of thousands). */
+  private def refuseIfHot(spark: SparkSession, sigs: DataFrame,
+                          what: String): Unit =
+    Dedup.refuseHotBuckets(sigs,
+      spark.conf.get("spark.graft.dedup.maxUnguardedBucket", "1000").toInt,
+      what)
+
   private def ensureClusters(spark: SparkSession, dir: String): String =
-    graft.core.IndexStore.ensure(spark, clustersPathFor(spark, dir)) {
-      scratch => dupClusters(spark, dir).write.mode("overwrite").parquet(scratch)
+    graft.core.IndexStore.ensure(spark, clustersPathFor(spark, dir)) { scratch =>
+      refuseIfHot(spark, Dedup.signaturesFromShingles(
+          Dedup.shingleFrame(Tables(spark, dir).documents)),
+        s"dup-clusters fixture build over $dir")
+      dupClusters(spark, dir).write.mode("overwrite").parquet(scratch)
     }
 
   /** The STANDING-labels fixture d14's b-form reads: CC over the
@@ -423,6 +463,9 @@ object DedupQueries extends QueryGroup {
   private def ensureIdxLabels(spark: SparkSession, dir: String): String =
     graft.core.IndexStore.ensure(spark, idxLabelsPathFor(spark, dir)) { scratch =>
       val index = Dedup.readNeardupIndex(spark, ensureNeardupIndex(spark, dir))
+      // here the histogram is a column-pruned (band0, band1) scan of
+      // the index parquet — no re-tokenization
+      refuseIfHot(spark, index, s"idx-labels fixture build over $dir")
       val corpusPairs = Dedup.verifyJaccardOnShingles(
           index.select(col("doc_id"), col("sh")),
           Dedup.candidatePairs(index), 0.8)
@@ -438,6 +481,7 @@ object DedupQueries extends QueryGroup {
     if (Tables.exists(spark, dir, "documents")) {
       ensureClusters(spark, dir)
       ensureIdxLabels(spark, dir)
+      ensureCappedNeardupIndex(spark, dir)
     }
 
   private def storedClusters(spark: SparkSession, dir: String): DataFrame =
@@ -546,6 +590,36 @@ object DedupQueries extends QueryGroup {
     Dedup.mergeIntoClusters(labels, internal.union(cross))
   }
 
+  /** The STREAMING label maintainer priced over the standard batch
+    * split (r14 verdict #7): [[graft.streaming.StreamClusters.labelMaintainer]]
+    * is the one dedup surface with specs but no timed witness — this
+    * runs its exact foreachBatch body (cross screen + internal screen +
+    * mergeIntoClusters + atomic replace publish) on the d14b shape:
+    * batch = doc_id % 5 = 0, standing index + idx-labels fixture as the
+    * generation-1 state. Each invocation seeds a FRESH scratch labels
+    * artifact from the committed fixture (the maintainer replaces its
+    * artifact in place — a reused path would make rep N's merge input
+    * rep N-1's output), so every bench rep measures the same work. The
+    * timed window deliberately includes the artifact copy + replace
+    * write: that is the operational cost a micro-batch actually pays.
+    * Timing twin only (its output equals d14b_merge_pre's, which owns
+    * the oracle; equality is spec-pinned in StreamClustersSpec). */
+  def mergeViaStreamMaintainer(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val idxPath = ensureNeardupIndex(spark, dir)
+    val labelsFixture = ensureIdxLabels(spark, dir)
+    val scratch = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-stream-labels-${java.util.UUID.randomUUID().toString.take(8)}")
+      .getAbsolutePath
+    graft.core.IndexStore.ensure(spark, scratch) { s =>
+      spark.read.parquet(labelsFixture).write.mode("overwrite").parquet(s)
+    }
+    graft.streaming.StreamClusters.labelMaintainer(idxPath, scratch, 0.8)(
+      docs.filter(col("doc_id") % 5 === 0), 0L)
+    graft.core.IndexStore.read(spark, scratch,
+      "stream labels", "StreamClusters.labelMaintainer")
+  }
+
   /** Containment near-dup: pairs where the SMALLER doc's shingle set is
     * >= 90% contained in the other — doc-inside-doc duplication that
     * symmetric Jaccard (d3) misses. Same LSH candidate machinery as d3
@@ -618,6 +692,19 @@ object DedupQueries extends QueryGroup {
         Tables(spark, dir).documents.filter(col("doc_id") % 5 =!= 0), scratch)
     }
 
+  /** The write-time-capped twin of [[ensureNeardupIndex]] (same corpus
+    * side, maxBucket = 1 — hot posting lists NULLed in the stored
+    * rows), read by d9_incremental_capidx. Built untimed via
+    * [[prepareFixtures]] like every fixture. */
+  private def ensureCappedNeardupIndex(spark: SparkSession, dir: String): String =
+    graft.core.IndexStore.ensure(spark,
+        graft.core.IndexStore.pathFor(spark, "neardup-index-capped", dir)) {
+      scratch =>
+        Dedup.writeNeardupIndex(
+          Tables(spark, dir).documents.filter(col("doc_id") % 5 =!= 0),
+          scratch, "text", "doc_id", maxBucket = 1)
+    }
+
   /** D19 — corpus-level span dedup, the CCNet/RefinedWeb paragraph-
     * dedup step adapted to the flat synthetic text (no newlines, so a
     * "paragraph" is a fixed 20-token non-overlapping span — the same
@@ -665,6 +752,7 @@ object DedupQueries extends QueryGroup {
     "d8_dedup_apply"   -> (dedupApply _),
     "d9_incremental_neardup" -> (incrementalNeardup _),
     "d9_incremental_salted" -> (incrementalNeardupSalted _),
+    "d9_incremental_capidx" -> (incrementalNeardupCappedIndex _),
     "d10_cluster_best" -> (clusterBest _),
     "d11_containment"  -> (containmentPairs _),
     "d12_containment_join" -> (containmentJoin _),
@@ -777,6 +865,45 @@ object DedupQueries extends QueryGroup {
        |  FROM bands a JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+       |), verified AS (
+       |  SELECT batch_id, corpus_id,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
+       |    CAST(len(sa.sh) AS BIGINT) AS n_a,
+       |    CAST(len(sb.sh) AS BIGINT) AS n_b
+       |  FROM cand
+       |  JOIN shingled sa ON sa.doc_id = batch_id
+       |  JOIN shingled sb ON sb.doc_id = corpus_id
+       |)
+       |SELECT batch_id, corpus_id, n_common, n_a, n_b,
+       |  CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+       |FROM verified
+       |WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.8
+       |ORDER BY batch_id, corpus_id""".stripMargin
+
+  /** The capped-INDEX d9 oracle: the write-time cap NULLs corpus band
+    * values whose posting list exceeds maxBucket = 1, so in SQL the
+    * corpus side keeps only band buckets at occupancy <= 1 (exactly the
+    * d14b_merge_capped gc discipline applied to d9's output shape) —
+    * the batch side is uncapped, as in the stored-index screen. */
+  private val d9CappedIdxOracleSql =
+    s"""$sigsCte, bands AS (
+       |  SELECT doc_id, 0 AS band_idx, band0 AS band_hash FROM banded
+       |  UNION ALL
+       |  SELECT doc_id, 1, band1 FROM banded
+       |), cbands AS (
+       |  SELECT doc_id, band_idx, band_hash FROM bands WHERE doc_id % 5 <> 0
+       |), ccool AS (
+       |  SELECT band_idx, band_hash FROM cbands
+       |  GROUP BY band_idx, band_hash HAVING COUNT(*) <= 1
+       |), gc AS (
+       |  SELECT b.doc_id, b.band_idx, b.band_hash
+       |  FROM cbands b JOIN ccool c
+       |    ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+       |  FROM bands a JOIN gc b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |  WHERE a.doc_id % 5 = 0
        |), verified AS (
        |  SELECT batch_id, corpus_id,
        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
@@ -913,6 +1040,7 @@ object DedupQueries extends QueryGroup {
     // VERBATIM — the cross-engine recall-preservation proof for the
     // batch-vs-index screen (the d3_neardup_salted precedent)
     "d9_incremental_salted" -> d9OracleSql,
+    "d9_incremental_capidx" -> d9CappedIdxOracleSql,
     // d8's survivor frame with d10's argmax representative: keep the
     // highest-quality member per cluster, pass unclustered docs through
     "d13_dedup_apply_best" ->

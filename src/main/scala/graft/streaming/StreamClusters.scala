@@ -77,9 +77,33 @@ object StreamClusters {
   /** The `foreachBatch` function: attach with
     * `.writeStream.foreachBatch(StreamClusters.labelMaintainer(idx, labels, 0.8))`.
     * `labelsPath` must hold a committed labels artifact
-    * ([[initLabels]]). */
+    * ([[initLabels]]).
+    *
+    * ARMING DIALS (r14 verdict #2), mirroring the batch merge's two
+    * modes exactly — the r14 zipf-decade measurement proved the
+    * unguarded screen class DNFs (66 GB spill) on boilerplate-heavy
+    * corpora, and a boilerplate-heavy micro-batch replay hits the same
+    * screens here:
+    *  - `maxBucket` > 0 with `skewMode = "drop"`: both batch screens
+    *    under the d14b_merge_capped drop discipline — the internal
+    *    screen caps BATCH band buckets ([[Dedup.candidatePairs]]'s
+    *    cap), the cross screen caps the INDEX's posting lists
+    *    ([[Dedup.incrementalNeardup]]'s "drop" arm). Changes the pair
+    *    set by the capped twin's documented recall contract.
+    *  - `maxBucket` > 0 with `skewMode = "salt"`: the recall-PRESERVING
+    *    split on both screens (d14b_merge_salted's) — output equals
+    *    the unguarded maintainer exactly, per-task join input bounded.
+    * Default 0 = the unguarded exact form (oracle parity with
+    * d14b_merge_pre). Per-batch semantics are spec-pinned equal to the
+    * corresponding batch merge registration in StreamClustersSpec.
+    * A standing index written with [[Dedup.writeNeardupIndex]]'s
+    * write-time cap already bounds the CROSS screen with the guard off
+    * (hot posting lists are NULL in the stored rows — the documented
+    * streaming default); these dials add the same discipline to the
+    * BATCH-INTERNAL screen, which no index write can pre-cap. */
   def labelMaintainer(indexPath: String, labelsPath: String,
-                      minJaccard: Double): (DataFrame, Long) => Unit =
+                      minJaccard: Double, maxBucket: Int = 0,
+                      skewMode: String = "drop"): (DataFrame, Long) => Unit =
     (df, _) => {
       val spark = df.sparkSession
       if (!df.isEmpty) {
@@ -87,14 +111,19 @@ object StreamClusters {
         // cross pairs: the batch screened against the standing index
         // (d9's operational screen — index bands for candidates, stored
         // shingles for the exact verify; the corpus text never re-read)
-        val cross = Dedup.incrementalNeardup(spark, batch, indexPath, minJaccard)
+        val cross = Dedup.incrementalNeardup(spark, batch, indexPath,
+            minJaccard, maxBucket = maxBucket, skewMode = skewMode)
           .select(col("batch_id").as("a_id"), col("corpus_id").as("b_id"))
         // batch-internal pairs: new docs duplicating each other within
         // this trigger
         val bsh = graft.core.CacheScope.track(
           Dedup.shingleFrame(batch).persist())
-        val internal = Dedup.verifyJaccardOnShingles(bsh,
-            Dedup.candidatePairs(Dedup.signaturesFromShingles(bsh)), minJaccard)
+        val bSigs = Dedup.signaturesFromShingles(bsh)
+        val internalCand =
+          if (skewMode == "salt" && maxBucket > 0)
+            Dedup.candidatePairsSalted(bSigs, maxBucket = maxBucket)
+          else Dedup.candidatePairs(bSigs, maxBucket = maxBucket)
+        val internal = Dedup.verifyJaccardOnShingles(bsh, internalCand, minJaccard)
           .select(col("a_id"), col("b_id"))
         val labels = IndexStore.read(spark, labelsPath,
           "cluster labels", "StreamClusters.initLabels")

@@ -53,6 +53,23 @@ object ProbeZipfMerge {
       .createTempDirectory("graft-zipfmerge").toString
     val idxPath = s"$root/idx"
 
+    // (0) the pre-flight refusal the UNGUARDED builders now run (r14
+    // verdict #3): one linear histogram pass prices the screen and
+    // refuses loud — on this corpus it must FIRE at the fixture
+    // builders' default threshold (the alternative was 66 GB of spill
+    // and a kill); on every sf testdata dir it must stay silent
+    // (CORRECTNESS runs the unguarded builders there each round).
+    timed("pre-flight occupancy refusal (the unguarded builders' guard)") {
+      val sigs = Dedup.signaturesFromShingles(Dedup.shingleFrame(docs))
+      val occ = Dedup.maxBandOccupancy(sigs)
+      val refused =
+        try { Dedup.refuseHotBuckets(sigs, 1000, "zipf probe"); false }
+        catch { case _: IllegalStateException => true }
+      println(s"[zipfmerge]   max band occupancy: $occ; " +
+        s"refused at default 1000: $refused")
+      assert(refused, "the zipf corpus must trip the pre-flight refusal")
+    }
+
     // (1) corpus index, WRITE-TIME cap: hot bands nulled once, every
     // consumer screens unarmed against it
     timed(s"armed index build (writeNeardupIndex maxBucket=$cap)") {

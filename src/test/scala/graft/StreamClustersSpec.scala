@@ -65,6 +65,49 @@ class StreamClustersSpec extends SparkTestBase {
       "an empty micro-batch must not republish")
   }
 
+  test("armed maintainer per-batch semantics equal the batch merge twins") {
+    // r14 verdict #2: the maintainer's screens were the one unguarded
+    // copy of the screen class the zipf decade proved DNFs (66 GB
+    // spill) on boilerplate-heavy corpora. The dials must reproduce the
+    // batch merge registrations exactly: drop-capped == d14b_merge_capped,
+    // salt == unguarded == d14b_merge_pre (output-invariant split).
+    val docs = Tables(spark, sf()).documents
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-scarmed").toString
+    val idxPath = s"$root/idx"
+    Dedup.writeNeardupIndex(docs.filter(col("doc_id") % 5 =!= 0), idxPath)
+
+    def run(maxBucket: Int, skewMode: String, name: String) = {
+      val labelsPath = s"$root/$name"
+      graft.streaming.StreamClusters.initLabels(spark, idxPath, labelsPath, 0.8)
+      graft.streaming.StreamClusters.labelMaintainer(
+        idxPath, labelsPath, 0.8, maxBucket, skewMode)(batch, 0L)
+      spark.read.parquet(labelsPath).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    def twin(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame) =
+      fn(spark, sf()).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val unguarded = run(0, "drop", "plain")
+    assert(unguarded === twin(graft.queries.DedupQueries.incrementalClustersPre),
+      "unguarded maintainer must equal d14b_merge_pre")
+    assert(run(2, "salt", "salted") === unguarded,
+      "the salt split is output-invariant — armed == unguarded exactly")
+    assert(run(1, "drop", "capped") ===
+        twin(graft.queries.DedupQueries.incrementalClustersCapped),
+      "drop-capped maintainer must equal d14b_merge_capped's semantics")
+
+    // the timed prodVariant runs this exact body over a scratch copy of
+    // the committed fixture — same labels as the oracle-owning twin
+    assert(graft.queries.DedupQueries.mergeViaStreamMaintainer(spark, sf())
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === unguarded,
+      "d14b_merge_stream (prodVariant) must equal d14b_merge_pre")
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("full lifecycle: ingest -> cadence rebuild -> re-bootstrap -> resume") {
     // r13 verdict #5: the scope contract defers cross-batch new-new
     // pairs to "the index's cadence rebuild" — this drives the whole
