@@ -178,8 +178,17 @@ object AnnIndex {
     * range, up to `maxSplits` times. Every step is the same
     * deterministic exact-int64 machinery as the fits themselves.
     * Re-checks price one k-row aggregate over the already-computed
-    * assignment — never a second corpus pass beyond the reassignment
-    * a changed quantizer needs anyway.
+    * assignment. Corpus-pass accounting: each extra Lloyd round pays
+    * one full K·N reassignment (every centroid moved); each SPLIT
+    * round pays the measured-cheaper of the full argmin and the DELTA
+    * (current-vs-two-subs plus a full argmin on the hot cell's own
+    * members, ~(2+K·share)·N) — measurement and the shuffle-shape
+    * reason the full pass wins at every tried width at
+    * [[DeltaSplitMinK]]; both are bit-identical, spec-pinned. A split
+    * that leaves the hottest
+    * (cell, share) unchanged breaks the loop instead of burning the
+    * remaining rounds on identical-vector mass no quantizer can
+    * separate.
     *
     * Returns the FINAL hottest-cell share. The guard is best-effort
     * against QUANTIZER-induced imbalance: a corpus whose mass is
@@ -197,14 +206,38 @@ object AnnIndex {
     sampleFitFrom(snapped(emb, "vec_id", "sv", "nrm"), path, k, lloydIters,
       sampleStride, maxCellShare, extraLloydRounds, maxSplits)
 
+  /** Split-round reassignment strategy gate, MEASURED on the 200k /
+    * 64-dim ladder (tools/ProbeSampleFit, BASELINE.md round 15): a
+    * split changes only two centroids, so scoring the corpus against
+    * the two subs and min-merging with the standing best is
+    * ~(2+K·share)·N arithmetic instead of the full K·N argmin — the
+    * r14 verdict's delta hypothesis. The measurement REFUTES it on
+    * every width tried: the full argmin's min(struct) partial-
+    * aggregates map-side, so its exchange carries exactly ONE slim row
+    * per vector, while the delta min-merge unions standing-best + sub
+    * + hot-member legs and exchanges ~2-3 rows per vector plus a
+    * semi-join — fixed shuffle costs the saved arithmetic never
+    * repays at this shape (guarded rebuild: +1.8 s at K=16, +1.8 s at
+    * K=64, +0.3 s at K=256; the gap narrows as K·d arithmetic grows
+    * but never crosses). Auto therefore always picks the full pass;
+    * `splitDelta = Some(true)` is the opt-in for deployments where the
+    * assignment is provably compute-bound (quantizer width × vector
+    * dim well beyond this ladder's 256×64). Both strategies are
+    * bit-identical — spec-pinned in AnnIndexSpec — so the choice is
+    * cost-only. */
+  private[graft] val DeltaSplitMinK = Int.MaxValue
+
   /** The guarded sample-fit core over ALREADY-SNAPPED (vec_id, sv, nrm)
     * rows — shared by [[writeSampleFit]] (snaps an embeddings frame)
     * and [[compactSampleFit]] (feeds the index's stored rows back, for
-    * which a re-snap would double-scale). */
-  private def sampleFitFrom(snappedVecs: DataFrame, path: String, k: Int,
+    * which a re-snap would double-scale). `splitDelta` overrides the
+    * measured [[DeltaSplitMinK]] auto-choice (None) — spec/probe-only,
+    * both strategies are bit-identical by construction. */
+  private[graft] def sampleFitFrom(snappedVecs: DataFrame, path: String, k: Int,
                             lloydIters: Int, sampleStride: Int,
                             maxCellShare: Double,
-                            extraLloydRounds: Int, maxSplits: Int): Double = {
+                            extraLloydRounds: Int, maxSplits: Int,
+                            splitDelta: Option[Boolean] = None): Double = {
     require(sampleStride >= 1, s"sampleStride must be >= 1, got $sampleStride")
     require(maxCellShare > 0.0 && maxCellShare <= 1.0,
       s"maxCellShare must be in (0, 1], got $maxCellShare")
@@ -221,6 +254,7 @@ object AnnIndex {
     def landed(c: DataFrame): DataFrame =
       spark.createDataFrame(
         java.util.Arrays.asList(c.collect(): _*), c.schema)
+    var assignedRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     try {
       val vecs = hold(snappedVecs)
       val total = vecs.count().toDouble
@@ -239,31 +273,100 @@ object AnnIndex {
       for (_ <- 0 until lloydIters)
         cents = lloydRefine(assignToCells(slice, cents, curK))
       cents = landed(cents)
-      var assigned = hold(assignToCells(vecs, cents, curK))
+      val l2 = graft.functions.L2DistanceLong.l2_long(col("sv"), col("cv"))
+      // SLIM per-vector state, (vec_id, cell, dist) — the guard loop's
+      // only round-carried fact. The wide (sv, nrm) arrays stay in the
+      // persisted `vecs` frame and are NEVER round-materialized: the
+      // first delta form landed the full wide assignment per round and
+      // the Row<->InternalRow conversion of the vector arrays alone
+      // cost more than the K·N arithmetic it saved (measured at the
+      // 200k ladder — 34 s vs the full compact's 4.6). Landing the
+      // 3-scalar state via the Dedup.materializeRound pattern keeps
+      // lineage flat (each delta round reads the PREVIOUS state — left
+      // lazy the plan tree compounds per round) at ~24 bytes/row.
+      var state: DataFrame = null
+      def landState(next0: DataFrame): Unit = {
+        val r = next0.rdd
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        r.count() // materialize BEFORE the predecessor it reads goes away
+        val old = assignedRdd
+        assignedRdd = r
+        state = spark.createDataFrame(r, next0.schema)
+        if (old != null) old.unpersist(false)
+      }
+      // K-way argmin with the distance KEPT (assignToCells drops it;
+      // the delta rounds need it as the standing best) — same explode +
+      // broadcast join + min(struct) partial agg, identical (dist, cell)
+      // tie-break
+      def fullAssignDist(v: DataFrame): DataFrame =
+        v.withColumn("c_id", explode(sequence(lit(0L), lit(curK - 1L))))
+          .join(broadcast(cents), "c_id")
+          .withColumn("dist", l2)
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("dist"), col("c_id"))).as("m"))
+          .select(col("vec_id"), col("m.c_id").as("cell"),
+            col("m.dist").as("dist"))
+      landState(fullAssignDist(vecs)) // the initial full assignment
       // (cell, share) of the hottest cell — k rows aggregated, the
       // deterministic max (count desc, cell asc)
       def hottest(): (Long, Double) = {
-        val r = assigned.groupBy(col("cell")).count()
+        val r = state.groupBy(col("cell")).count()
           .orderBy(col("count").desc, col("cell")).head()
         (r.getLong(0), r.getLong(1) / total)
       }
-      def reassign(): Unit = {
-        val next = assignToCells(vecs, cents, curK).persist()
-        assigned.unpersist()
-        assigned = next; persisted += next
+      // DELTA reassignment for a SPLIT round (r14 verdict #4): a split
+      // changes exactly the two sub-centroids — every other centroid,
+      // and therefore every other vector's standing best (cell, dist),
+      // is untouched. A vector outside the hot cell can only move if a
+      // sub beats its CURRENT distance (its previous argmin already
+      // beat every other unchanged centroid, ties included — the
+      // min(struct(dist, cell)) ordering is preserved verbatim, so the
+      // result is bit-identical to a full argmin over the new centroid
+      // frame, spec-pinned in AnnIndexSpec). Per round: 2·N sub
+      // distances over the persisted vecs + a slim-row min-merge + a
+      // full K-way argmin on the hot cell's own members only —
+      // ~(2 + K·share)·N arithmetic instead of K·N. OPT-IN only: the
+      // measured ladder verdict at DeltaSplitMinK is that the full
+      // argmin's partial-agged single-row-per-vector exchange beats
+      // this min-merge's 2-3 rows per vector at every width tried;
+      // the arithmetic saving pays only where assignment is provably
+      // compute-bound.
+      def deltaReassign(oldHot: Long, subIds: Seq[Long]): Unit = {
+        // the <=2 changed centroids, fanned like assignToCells fans all
+        // K (the sub-fit may collapse to ONE centroid when both
+        // sub-seeds snap identically — the inner join drops the id)
+        val subFan = vecs
+          .withColumn("c_id", explode(array(subIds.map(lit(_)): _*)))
+          .join(broadcast(cents), "c_id")
+          .withColumn("dist", l2)
+          .select(col("vec_id"), col("c_id").as("cell"), col("dist"))
+        // standing best for everyone still validly assigned
+        val keepOld = state.filter(col("cell") =!= oldHot)
+        // hot members lost their centroid: full argmin over the new set
+        // (their ids broadcast back onto the persisted wide rows)
+        val hotFull = fullAssignDist(vecs.join(
+          broadcast(state.filter(col("cell") === oldHot).select(col("vec_id"))),
+          "vec_id"))
+        landState(keepOld.unionByName(subFan).unionByName(hotFull)
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("dist"), col("cell"))).as("m"))
+          .select(col("vec_id"), col("m.cell").as("cell"),
+            col("m.dist").as("dist")))
       }
       var (hotCell, share) = hottest()
       var refits = 0
       while (share > maxCellShare && refits < extraLloydRounds) {
         cents = landed(lloydRefine(assignToCells(slice, cents, curK)))
-        reassign()
+        landState(fullAssignDist(vecs)) // a Lloyd round moves EVERY centroid
         val h = hottest(); hotCell = h._1; share = h._2
         refits += 1
       }
       var splits = 0
-      while (share > maxCellShare && splits < maxSplits) {
+      var stalled = false
+      while (share > maxCellShare && splits < maxSplits && !stalled) {
         // the hot cell's SAMPLE members carry enough geometry to place
-        // the two sub-centroids; the full corpus is only re-assigned
+        // the two sub-centroids; the corpus then pays only the delta
+        // reassignment above
         val mem = assignToCells(slice, cents, curK)
           .filter(col("cell") === hotCell)
           .select(col("vec_id"), col("sv"), col("nrm")).persist()
@@ -274,18 +377,39 @@ object AnnIndex {
             .select(when(col("c_id") === 0L, lit(hotCell))
               .otherwise(lit(curK.toLong)).as("c_id"), col("cv"), col("cn"))
           cents = landed(cents.filter(col("c_id") =!= hotCell).unionByName(sub))
+          val subIds = Seq(hotCell, curK.toLong)
           curK += 1
-          reassign()
-          val h = hottest(); hotCell = h._1; share = h._2
+          // strategy by quantizer width (contract at DeltaSplitMinK):
+          // both paths produce the identical assignment, spec-pinned
+          if (splitDelta.getOrElse(curK >= DeltaSplitMinK))
+            deltaReassign(hotCell, subIds)
+          else landState(fullAssignDist(vecs))
+          val h = hottest()
+          // futile-split break (r14 advisor): identical-vector mass
+          // makes the sub-centroids coincide and the (dist, c_id)
+          // tie-break reunites the cell — the hot cell and its share
+          // come back unchanged, and every further round would pay its
+          // corpus pass (and a phantom centroid id) for nothing
+          stalled = h._1 == hotCell && h._2 == share
+          hotCell = h._1; share = h._2
           splits += 1
         }
       }
+      // the published wide assignment: the slim state joined back onto
+      // the persisted vectors — state IS the argmin under the final
+      // centroids, so this equals (and is spec-pinned equal to) a
+      // from-scratch assignToCells without paying another K·N pass
+      val assigned = vecs.join(state.select(col("vec_id"), col("cell")), "vec_id")
+        .select(col("vec_id"), col("sv"), col("nrm"), col("cell"))
       val centsKept = cents.join(
         assigned.select(col("cell").as("c_id")).distinct(), Seq("c_id"), "left_semi")
       rows(assigned, centsKept).write.mode("overwrite").parquet(path)
       writeGeneration(spark, path)
       share
-    } finally persisted.foreach(_.unpersist())
+    } finally {
+      persisted.foreach(_.unpersist())
+      if (assignedRdd != null) assignedRdd.unpersist(false)
+    }
   }
   // (writeGeneration marks the scratch in compactSampleFit's case; the
   // replace swap moves the sidecar with the directory atomically)
@@ -350,8 +474,11 @@ object AnnIndex {
     * pick compactEvery to align with planned restarts, or 0 to keep
     * maintenance fully manual. At 100 TB, run the cadence rebuild as
     * [[compactSampleFit]] instead of [[compact]] — the sample fit cuts
-    * the rebuild's Lloyd cost ~7x and the occupancy guard keeps the
-    * rebalance honest. */
+    * the rebuild's Lloyd cost ~7x, and the occupancy guard keeps the
+    * rebalance honest PROVIDED the caller sets `maxCellShare` below
+    * 1.0 (e.g. 2·(1/k)): both sample-fit forms default the share to
+    * 1.0 — the unguarded y18 oracle form — so a maintenance path that
+    * wants the guard must pass the bound explicitly (r14 advisor). */
   def appendAndMaybeCompact(emb: DataFrame, path: String,
                             compactEvery: Int, lloydIters: Int = 1): Boolean = {
     require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
@@ -399,17 +526,25 @@ object AnnIndex {
     * quantizer-induced imbalance, honest share back to the caller).
     *
     * COST CONTRACT, measured (ProbeSampleFit, 200k ladder): the sample
-    * fit cuts the LLOYD passes (K·N/stride instead of K·N per round),
-    * but every guard round the occupancy check triggers pays a full
-    * corpus REASSIGNMENT — the same order as a Lloyd round. At the
-    * demo dials (lloydIters 1-3, guard firing refit+split) the full
-    * [[compact]] is cheaper (6.7 vs 11.0 s at 200k, lloydIters = 3);
+    * fit cuts the LLOYD passes (K·N/stride instead of K·N per round).
+    * Guard rounds price two ways: each extra-Lloyd REFIT round pays a
+    * full K·N corpus reassignment (every centroid moved); each SPLIT
+    * round pays one occupancy-refresh pass — the full argmin by
+    * default, the opt-in delta where assignment is provably
+    * compute-bound (measured verdict at [[DeltaSplitMinK]]: the full
+    * pass's map-side partial min makes it shuffle-optimal and it won
+    * at every width tried). At demo dials
+    * (lloydIters 1-3, guard firing refit+split, K=16) the full
+    * [[compact]] remains cheaper (~6 vs ~12 s at 200k) because the
+    * guard rounds themselves are corpus passes no strategy removes;
     * the sampled form wins when the Lloyd budget is large relative to
     * the guard rounds it triggers (production quantizers run 10-25
     * rounds) or when occupancy bounding is itself the requirement —
-    * it spends a BOUNDED number of corpus passes
-    * (1 + extraLloydRounds + maxSplits worst case) to deliver a
-    * share-bounded quantizer, which no Lloyd budget guarantees. */
+    * it spends a BOUNDED number of corpus-scale passes to deliver a
+    * share-bounded quantizer, which no Lloyd budget guarantees. Guard
+    * engagement caveat as at [[appendAndMaybeCompact]]: maxCellShare
+    * defaults to 1.0 = disabled; pass a real bound on the maintenance
+    * path. */
   def compactSampleFit(spark: SparkSession, path: String,
                        lloydIters: Int = 1, sampleStride: Int = 16,
                        maxCellShare: Double = 1.0,

@@ -164,6 +164,28 @@ object ProbeSampleFit {
       println(f"[samplefit] sampled rebuild hottest share $cadShare%.4f " +
         s"(bound $maxShare)")
     }
+
+    // ---- split-round strategy A/B (r14 verdict #4 / DeltaSplitMinK) --
+    // the delta reassignment's win case is quantizer WIDTH: at k=16 the
+    // full K·N codegen argmin is cheaper than the delta's fixed costs
+    // (slim-state shuffle + hot-member semi-join + landing); at
+    // production widths the K·N arithmetic dominates and the delta
+    // wins. Both strategies are bit-identical (AnnIndexSpec); this
+    // measures the crossover on the same guarded rebuild at k = 16
+    // and 64.
+    graft.core.CacheScope.releaseAll()
+    val snappedAll = SimilarityQueries.snapped(emb, "vec_id", "sv", "nrm")
+    for (kk <- Seq(16, 64, 256); delta <- Seq(false, true)) {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-samplefit-ab").toString + "/ivf"
+      val s = timed(s"guarded sampleFit k=$kk splitDelta=$delta") {
+        graft.ext.AnnIndex.sampleFitFrom(snappedAll, p, k = kk,
+          lloydIters = 1, sampleStride = stride,
+          maxCellShare = 2.0 / kk, extraLloydRounds = 1, maxSplits = 4,
+          splitDelta = Some(delta))
+      }
+      println(f"[samplefit]   k=$kk delta=$delta final share $s%.4f")
+    }
     spark.stop()
   }
 }

@@ -209,6 +209,49 @@ class AnnIndexSpec extends SparkTestBase {
     graft.core.CacheScope.releaseAll()
   }
 
+  test("split-round delta reassignment is bit-identical to a full reassignment") {
+    import spark.implicits._
+    // r14 verdict #4: a split changes only the two sub-centroids, so the
+    // guard now reassigns by DELTA (current-vs-subs on the corpus, full
+    // argmin on the hot cell's members) instead of a K·N pass per round.
+    // The pin: on a fixture where splits genuinely fire, the PUBLISHED
+    // assignment must equal a from-scratch assignToCells over the
+    // PUBLISHED centroids — which is exactly what the full reassignment
+    // produced, tie-breaks included.
+    val rows =
+      (0 until 320).map(i => (i.toLong, Array(1f, 0.001f * i, 0f, 0f))) ++
+      (320 until 400).map(i => (i.toLong, Array(0f, 0f, 1f, 0.001f * (i - 320))))
+    val syn = rows.toDF("vec_id", "embedding")
+    val snapped = graft.queries.SimilarityQueries
+      .snapped(syn, "vec_id", "sv", "nrm")
+    def build(delta: Boolean): (String, Double) = {
+      val p = freshPath()
+      val share = AnnIndex.sampleFitFrom(snapped, p, k = 2, lloydIters = 1,
+        sampleStride = 4, maxCellShare = 0.5, extraLloydRounds = 0,
+        maxSplits = 8, splitDelta = Some(delta))
+      (p, share)
+    }
+    val (pDelta, shareDelta) = build(delta = true)
+    val (pFull, shareFull) = build(delta = false)
+    assert(shareDelta <= 0.5,
+      s"splits must have fired and bounded the cell: $shareDelta")
+    assert(shareDelta === shareFull)
+    // the two strategies publish IDENTICAL artifacts, row for row
+    assertSameIndex(AnnIndex.read(spark, pDelta), AnnIndex.read(spark, pFull))
+    val idx = AnnIndex.read(spark, pDelta)
+    val cents = AnnIndex.centroids(idx)
+    assert(cents.count() > 2, "the guard must have split beyond the seed k")
+    val k = cents.agg(max(col("c_id"))).head().getLong(0).toInt + 1
+    val full = graft.queries.SimilarityQueries.assignToCells(
+        AnnIndex.vectors(idx).select(col("vec_id"), col("sv"), col("nrm")),
+        cents, k)
+      .select(col("vec_id"), col("cell"))
+    val stored = AnnIndex.vectors(idx).select(col("vec_id"), col("cell"))
+    assert(stored.exceptAll(full).isEmpty && full.exceptAll(stored).isEmpty,
+      "delta-reassigned cells must equal the full argmin, ties included")
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("compactSampleFit at stride 1 EQUALS the full compact; guarded form bounds and bumps generation") {
     // stride = 1 makes the "sample" the whole corpus, so the sample-fit
     // rewrite must reproduce the full compact bit for bit — the same
