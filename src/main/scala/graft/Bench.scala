@@ -248,7 +248,17 @@ object Bench {
     // "emb_rows_per_sec" — are emitted BEFORE the "queries" map, and
     // the gate parser only reads the prefix up to "queries": so a
     // nested key can never shadow a top-level one.
-    val canaryKeys = (canaryMeasured ++
+    // gate_ref_*: the RECORD references each start canary was gated
+    // against — emitted into the new artifact because the committed
+    // record itself is overwritten by this very run, so without them a
+    // later adjudicator cannot reconstruct what the gate compared
+    // (the r15 mint trail had to be reconstructed from transcripts)
+    val gateRefs =
+      if (!gateRan) Seq.empty
+      else tierChecks(liRows, docRows, embRows, record).collect {
+        case (tier, _, rows, Some(r)) if rows > 0 => s"gate_ref_${tier}_rps" -> r
+      }
+    val canaryKeys = (canaryMeasured ++ gateRefs ++
         canaryEnd.map { case (t, v) => s"canary_end_${t}_rps" -> v })
       .map { case (k, v) => s""""$k":${fmt(v, "%.0f")},""" }.mkString +
       (if (gateRan) s""""suspect":$suspect,""" else "")

@@ -65,7 +65,7 @@ object SparkEntry {
       (Set("d8b_dedup_apply_pre", "d13b_apply_best_pre",
            "d18b_cross_source_pre", "d10b_cluster_best_pre",
            "d14b_merge_pre", "d14b_merge_salted", "d14b_merge_capped",
-           "d9_incremental_capidx", "d14b_merge_stream"),
+           "d9_incremental_capidx", "d14c_merge_stream"),
         DedupQueries.prepareFixtures))
 
   /** Registered queries that READ an on-disk fixture built by
@@ -139,12 +139,9 @@ object SparkEntry {
     // rows - no rescan. Timing twin; merge determinism + append
     // contracts spec-pinned (SketchStoreSpec).
     "x_vocab_sketch_store" ->
-      ((s, d) => AnalysisQueries.vocabSketchStore(s, d)),
-    // the streaming label maintainer's foreachBatch body over the
-    // standard d14b batch split — the one dedup surface that had specs
-    // but no timed witness (r14 verdict #7). Timing twin only: output
-    // equals d14b_merge_pre (oracle owner), spec-pinned.
-    "d14b_merge_stream" ->
-      ((s, d) => DedupQueries.mergeViaStreamMaintainer(s, d))
+      ((s, d) => AnalysisQueries.vocabSketchStore(s, d))
+    // (the streaming label maintainer is d14c_merge_stream in the
+    // ORACLE registry — promoted from a timing twin, since its merge
+    // is connectivity-preserving and shares d14's oracle verbatim)
   )
 }

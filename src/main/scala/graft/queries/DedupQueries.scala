@@ -602,8 +602,11 @@ object DedupQueries extends QueryGroup {
     * rep N-1's output), so every bench rep measures the same work. The
     * timed window deliberately includes the artifact copy + replace
     * write: that is the operational cost a micro-batch actually pays.
-    * Timing twin only (its output equals d14b_merge_pre's, which owns
-    * the oracle; equality is spec-pinned in StreamClustersSpec). */
+    * Registered as d14c_merge_stream with d14's from-scratch d7 oracle
+    * VERBATIM (the d14b_merge_pre precedent: the merge over standing
+    * labels is connectivity-preserving), so the STREAMING path itself
+    * is hash-checked cross-engine every round, not just spec-pinned
+    * equal to the batch twin. */
   def mergeViaStreamMaintainer(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val idxPath = ensureNeardupIndex(spark, dir)
@@ -770,7 +773,8 @@ object DedupQueries extends QueryGroup {
     "d10b_cluster_best_pre"  -> (clusterBestPre _),
     "d14b_merge_pre"         -> (incrementalClustersPre _),
     "d14b_merge_salted"      -> (incrementalClustersSalted _),
-    "d14b_merge_capped"      -> (incrementalClustersCapped _)
+    "d14b_merge_capped"      -> (incrementalClustersCapped _),
+    "d14c_merge_stream"      -> (mergeViaStreamMaintainer _)
   )
 
   // ---- DuckDB oracles ----
@@ -1244,7 +1248,11 @@ object DedupQueries extends QueryGroup {
       // corpus pairs unguarded, batch-internal pairs from sub-cap
       // BATCH buckets only, cross pairs from sub-cap CORPUS posting
       // lists only, then the same recursive-CTE clustering
-      "d14b_merge_capped"     -> d14bCappedOracleSql)
+      "d14b_merge_capped"     -> d14bCappedOracleSql,
+      // the STREAMING maintainer's per-batch body is the same
+      // connectivity-preserving merge over the standing labels, so the
+      // streaming path shares the from-scratch d7 oracle verbatim too
+      "d14c_merge_stream"     -> base("d14_incremental_clusters"))
   }
 
   /** The capped-merge oracle: CC over (unguarded corpus pairs ∪

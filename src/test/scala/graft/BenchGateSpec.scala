@@ -163,6 +163,7 @@ class BenchGateSpec extends AnyFunSuite {
       s""""documents_rows":5000,"embeddings_rows":20000,""" +
       s""""canary_q1_rps":510000,"canary_docs_rps":8139,""" +
       s""""canary_emb_rps":3078,"canary_shuffle_rps":612000,""" +
+      s""""gate_ref_q1_rps":395348,"gate_ref_shuffle_rps":526540,""" +
       s""""canary_end_q1_rps":495000,"canary_end_docs_rps":8200,""" +
       s""""canary_end_emb_rps":2950,"canary_end_shuffle_rps":590000,""" +
       s""""suspect":false,""" +

@@ -100,11 +100,12 @@ class StreamClustersSpec extends SparkTestBase {
         twin(graft.queries.DedupQueries.incrementalClustersCapped),
       "drop-capped maintainer must equal d14b_merge_capped's semantics")
 
-    // the timed prodVariant runs this exact body over a scratch copy of
-    // the committed fixture — same labels as the oracle-owning twin
+    // the registered d14c_merge_stream runs this exact body over a
+    // scratch copy of the committed fixture — same labels as the
+    // oracle-owning twin (it shares d14's oracle verbatim)
     assert(graft.queries.DedupQueries.mergeViaStreamMaintainer(spark, sf())
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === unguarded,
-      "d14b_merge_stream (prodVariant) must equal d14b_merge_pre")
+      "d14c_merge_stream must equal d14b_merge_pre")
     graft.core.CacheScope.releaseAll()
   }
 
