@@ -274,16 +274,16 @@ object Bench {
       .mkString("{", ",", "}")
     val byCost = results.sortBy { case (_, v) => -v }
       .map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
-    val (fullLine, compactLine, trailerLine) =
-      renderLines(total, scalars, healedQueries, qs, trend, byCost)
     // a self-adjudicated-suspect run must not overwrite the committed
     // record — every prior contended window (r13 279.6 s, r14 214.7 s)
     // did exactly that and cost a round of driver-vs-committed
     // adjudication. The full artifact still lands on disk (sidecar
-    // name) and on stdout; the healthy record stays the gate/healing/
-    // prev_delta baseline.
-    writeFile(if (suspect) "BENCH_FULL.suspect.json" else "BENCH_FULL.json",
-      fullLine + "\n")
+    // name, and the stdout lines point at it) and the healthy record
+    // stays the gate/healing/prev_delta baseline.
+    val recordFile = if (suspect) "BENCH_FULL.suspect.json" else "BENCH_FULL.json"
+    val (fullLine, compactLine, trailerLine) =
+      renderLines(total, scalars, healedQueries, qs, trend, byCost, recordFile)
+    writeFile(recordFile, fullLine + "\n")
     println(fullLine) // head may be clipped by the tail capture; the file has it all
     println(compactLine)
     println(trailerLine)
@@ -310,7 +310,9 @@ object Bench {
   private[graft] def renderLines(total: Double, scalars: String,
                                  healedQueries: String, qs: String,
                                  trend: String,
-                                 byCost: Seq[String]): (String, String, String) = {
+                                 byCost: Seq[String],
+                                 recordFile: String = "BENCH_FULL.json")
+      : (String, String, String) = {
     val fullLine =
       s"""{"metric":"total","value":${fmt3(total)},$scalars,"healed_queries":$healedQueries,"queries":$qs$trend}"""
     val budget = 1500 // chars available for rows in the compact line
@@ -321,9 +323,9 @@ object Bench {
     }
     val omitted = byCost.length - kept.length
     val compactLine =
-      s"""{"metric":"total","value":${fmt3(total)},$scalars,"healed_queries":$healedQueries,"n_queries":${byCost.length},"queries_omitted_here":$omitted,"full_map":"BENCH_FULL.json","queries":${kept.mkString("{", ",", "}")}}"""
+      s"""{"metric":"total","value":${fmt3(total)},$scalars,"healed_queries":$healedQueries,"n_queries":${byCost.length},"queries_omitted_here":$omitted,"full_map":"$recordFile","queries":${kept.mkString("{", ",", "}")}}"""
     val trailerLine =
-      s"""{"metric":"total","value":${fmt3(total)},$scalars,"n_queries":${byCost.length},"full_map":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":${fmt3(total)},$scalars,"n_queries":${byCost.length},"full_map":"$recordFile"}"""
     (fullLine, compactLine, trailerLine)
   }
 

@@ -181,6 +181,13 @@ class BenchGateSpec extends AnyFunSuite {
     // binds the START canary references, not the end re-measures
     assert(Bench.parseCanaries(full, sf)("canary_q1_rps") === 510000.0)
     assert(Bench.parseCanaries(full, sf)("canary_shuffle_rps") === 612000.0)
+    // a suspect run's lines point at the sidecar it actually wrote,
+    // not at the committed record it deliberately left untouched
+    val (_, compactS, trailerS) = Bench.renderLines(
+      145.1, scalars, """{}""", rows.mkString("{", ",", "}"), "", rows,
+      recordFile = "BENCH_FULL.suspect.json")
+    assert(trailerS.contains(""""full_map":"BENCH_FULL.suspect.json""""))
+    assert(compactS.contains(""""full_map":"BENCH_FULL.suspect.json""""))
   }
 
   test("prev map parses the flat queries pairs, including driver-escaped quotes") {
