@@ -258,10 +258,13 @@ object Bench {
       else tierChecks(liRows, docRows, embRows, record).collect {
         case (tier, _, rows, Some(r)) if rows > 0 => s"gate_ref_${tier}_rps" -> r
       }
+    // the suspect verdict rides every FULL run — with the gate off it
+    // still convicts on runaway healing alone, matching the
+    // record-file routing below
     val canaryKeys = (canaryMeasured ++ gateRefs ++
         canaryEnd.map { case (t, v) => s"canary_end_${t}_rps" -> v })
       .map { case (k, v) => s""""$k":${fmt(v, "%.0f")},""" }.mkString +
-      (if (gateRan) s""""suspect":$suspect,""" else "")
+      (if (args.isEmpty) s""""suspect":$suspect,""" else "")
     // artifact-cold marker: how many IndexStore artifacts this JVM
     // built from scratch (canary warmups + prepareFixtures + any lazy
     // first-touch build inside a timed rep). 0 = standing-artifact
@@ -274,13 +277,23 @@ object Bench {
       .mkString("{", ",", "}")
     val byCost = results.sortBy { case (_, v) => -v }
       .map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
-    // a self-adjudicated-suspect run must not overwrite the committed
-    // record — every prior contended window (r13 279.6 s, r14 214.7 s)
-    // did exactly that and cost a round of driver-vs-committed
-    // adjudication. The full artifact still lands on disk (sidecar
-    // name, and the stdout lines point at it) and the healthy record
-    // stays the gate/healing/prev_delta baseline.
-    val recordFile = if (suspect) "BENCH_FULL.suspect.json" else "BENCH_FULL.json"
+    // Record-file routing — only a FULL, non-suspect run may touch the
+    // committed record:
+    //  - a self-adjudicated-suspect run writes the .suspect sidecar:
+    //    every prior contended window (r13 279.6 s, r14 214.7 s)
+    //    overwrote the healthy record and cost a round of
+    //    driver-vs-committed adjudication;
+    //  - a dev drive (explicit query args) writes BENCH_PARTIAL.json:
+    //    a partial map over the committed record is pure loss (the r15
+    //    session lost its two best mint windows to exactly this), and
+    //    nothing consumes a partial map as a record.
+    // The healthy record stays the gate/healing/prev_delta baseline in
+    // all cases, and the stdout lines point at the file actually
+    // written.
+    val recordFile =
+      if (args.nonEmpty) "BENCH_PARTIAL.json"
+      else if (suspect) "BENCH_FULL.suspect.json"
+      else "BENCH_FULL.json"
     val (fullLine, compactLine, trailerLine) =
       renderLines(total, scalars, healedQueries, qs, trend, byCost, recordFile)
     writeFile(recordFile, fullLine + "\n")
