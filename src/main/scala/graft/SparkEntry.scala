@@ -65,7 +65,8 @@ object SparkEntry {
       (Set("d8b_dedup_apply_pre", "d13b_apply_best_pre",
            "d18b_cross_source_pre", "d10b_cluster_best_pre",
            "d14b_merge_pre", "d14b_merge_salted", "d14b_merge_capped",
-           "d9_incremental_capidx", "d14c_merge_stream"),
+           "d9_incremental_capidx", "d14c_merge_stream",
+           "d14d_merge_stream_mor"),
         DedupQueries.prepareFixtures))
 
   /** Registered queries that READ an on-disk fixture built by

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication primitives for 100 TB-scale corpora.
@@ -190,18 +190,52 @@ object Dedup {
     * occupancy is duplicate-family-sized, single digits). */
   def refuseHotBuckets(sigs: DataFrame, threshold: Int, what: String): Unit = {
     require(threshold > 0, s"threshold must be > 0, got $threshold")
-    val hot = maxBandOccupancy(sigs)
+    refuse(maxBandOccupancy(sigs), threshold, what)
+  }
+
+  /** The PARAMETERIZED form of the pre-flight refusal (r15 verdict #4):
+    * the unguarded all-pairs-per-bucket shape is not minhash-specific —
+    * the winnow fingerprint self-join buckets on the fingerprint hash
+    * (BASELINE records its hottest zipf bucket at ~53k rows → ~1.4e9
+    * pairs from ONE bucket), the simhash screen on its bit-bands, the
+    * kNN-graph candidate join on LSH buckets. One linear groupBy-count
+    * histogram over `keyCols` prices any of them before the join runs;
+    * occupancy above `threshold` fails loud with the armed recipes.
+    * Callers pass the frame the join's both sides actually read
+    * (persisted where the screen persists it anyway, so the pass warms
+    * the cache the join reuses rather than adding a corpus scan). */
+  def refuseHotGroups(rows: DataFrame, keyCols: Seq[String], threshold: Int,
+                      what: String): Unit = {
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val r = rows.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).head()
+    refuse(if (r.isNullAt(0)) 0L else r.getLong(0), threshold, what)
+  }
+
+  /** Loud-refusal parse of the shared occupancy-threshold conf — the
+    * one copy of the key and its error shape (a malformed value names
+    * the key to fix instead of a bare NumberFormatException). */
+  def maxUnguardedBucket(spark: SparkSession): Int = {
+    val key = "spark.graft.dedup.maxUnguardedBucket"
+    val raw = spark.conf.get(key, "1000")
+    try raw.toInt
+    catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(s"$key must be an integer, got '$raw'")
+    }
+  }
+
+  private def refuse(hot: Long, threshold: Int, what: String): Unit =
     if (hot > threshold) throw new IllegalStateException(
-      s"$what: hottest band bucket holds $hot docs (> $threshold) — the " +
+      s"$what: hottest bucket holds $hot rows (> $threshold) — the " +
         "unguarded pair screen would put O(occupancy^2) join rows on one " +
         "task (measured: 66 GB spill / DNF at the 500k-doc zipf decade). " +
         "Use the armed recipe instead: writeNeardupIndex(maxBucket) for a " +
         "write-time-capped index, candidatePairsSalted / " +
         "incrementalNeardup(skewMode=salt) for recall-preserving splits, " +
+        "maxBucket > 0 on the banded screens (drop semantics), " +
         "or raise spark.graft.dedup.maxUnguardedBucket if the occupancy " +
         "is a genuinely acceptable task size (tools/ProbeZipfMerge is " +
         "the worked example)")
-  }
 
   /** [[candidatePairs]] with the recall-PRESERVING skew treatment:
     * hot band buckets are salt-split into bounded sub-buckets and
@@ -656,14 +690,23 @@ object Dedup {
       s"simhashBits=$simhashBits not divisible into ${nBands} bands")
     val bandBits = simhashBits / nBands
     val mask = (1L << bandBits) - 1
+    val exploded = sim.select(col(idCol), col("simhash"),
+      posexplode(array((0 until nBands).map(j =>
+        shiftright(col("simhash"), j * bandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band_idx", "band_bits")))
+    // the exact form pre-flight-refuses a hot corpus instead of dying
+    // by spill on one reducer (r15 verdict #4 — the same unguarded
+    // shape the minhash fixture builders already front); `sim` is
+    // caller-persisted, so the histogram reads the cache the join
+    // reuses
+    if (maxBucket <= 0)
+      refuseHotGroups(exploded, Seq("band_idx", "band_bits"),
+        maxUnguardedBucket(sim.sparkSession),
+        "unguarded simhash band self-join")
     // maxBucket > 0 df-caps the bit-band buckets (see SkewGuard) — the
     // pigeonhole completeness claim then holds only for pairs with a
     // collision in a sub-cap bucket; default 0 = exact
-    val bands = SkewGuard.capBuckets(
-      sim.select(col(idCol), col("simhash"),
-        posexplode(array((0 until nBands).map(j =>
-          shiftright(col("simhash"), j * bandBits).bitwiseAND(lit(mask))): _*))
-          .as(Seq("band_idx", "band_bits"))),
+    val bands = SkewGuard.capBuckets(exploded,
       Seq("band_idx", "band_bits"), maxBucket)
     // Carry each side's full simhash through the join so verification
     // needs no extra join back to `sim`.
@@ -960,6 +1003,54 @@ object Dedup {
   def mergeIntoClusters(labels: DataFrame, newPairs: DataFrame,
                         aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
     val l = labels.select(col("doc_id"), col("cluster_id"))
+    val remap = mergeRemap(l, newPairs, aCol, bCol)
+    val updated = l.join(remap, l("cluster_id") === col("__node"), "left")
+      .select(col("doc_id"), coalesce(col("__new"), col("cluster_id")).as("cluster_id"))
+    // contracted nodes that are no standing doc = new (batch) members
+    val newRows = remap.join(l, remap("__node") === l("doc_id"), "left_anti")
+      .select(col("__node").as("doc_id"), col("__new").as("cluster_id"))
+    updated.unionByName(newRows)
+  }
+
+  /** The CHANGED-ROWS form of [[mergeIntoClusters]] — the merge-on-read
+    * publish half the streaming label maintainer needs at the 100 TB
+    * design point: instead of the full post-merge labeling (O(standing
+    * labels) rows per call, which a per-trigger publisher would rewrite
+    * in full every micro-batch), this returns only the rows the merge
+    * CHANGED — standing docs whose cluster relabeled (the members of
+    * clusters the new pairs chained together) plus the new pair-touched
+    * docs. Upserting the returned delta onto the standing labels by
+    * doc_id reproduces [[mergeIntoClusters]]'s output row for row
+    * (spec-pinned in MergeClustersSpec), so a base+delta reader and the
+    * full-rewrite publisher are interchangeable.
+    *
+    * Size contract: |delta| <= (total membership of the clusters this
+    * batch's pairs touch) + |new batch docs in pairs| — ingest-
+    * proportional in the operational case (a micro-batch touches the
+    * clusters its docs duplicate), never corpus-proportional. The
+    * standing labels are SCANNED (one broadcast-remap join — the same
+    * scan [[mergeIntoClusters]] pays) but never rewritten. */
+  def mergeIntoClustersDelta(labels: DataFrame, newPairs: DataFrame,
+                             aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val l = labels.select(col("doc_id"), col("cluster_id"))
+    val remap = mergeRemap(l, newPairs, aCol, bCol)
+    // standing docs whose cluster id actually moved: the remap hit rows
+    // where the new root differs (the component min can keep its id —
+    // those rows are unchanged and must NOT inflate the delta)
+    val changed = l.join(remap, l("cluster_id") === col("__node"))
+      .filter(col("__new") =!= col("cluster_id"))
+      .select(col("doc_id"), col("__new").as("cluster_id"))
+    val newRows = remap.join(l, remap("__node") === l("doc_id"), "left_anti")
+      .select(col("__node").as("doc_id"), col("__new").as("cluster_id"))
+    changed.unionByName(newRows)
+  }
+
+  /** Shared contraction + CC core of the two merge forms: (node,
+    * newRoot) for every contracted node — cluster ids whose component
+    * merged, and pair-touched unlabeled ids (columns `__node`,
+    * `__new`). */
+  private def mergeRemap(l: DataFrame, newPairs: DataFrame,
+                         aCol: String, bCol: String): DataFrame = {
     val np = newPairs.select(col(aCol).cast("long").as("a_id"),
       col(bCol).cast("long").as("b_id"))
     val contracted = np
@@ -989,14 +1080,7 @@ object Dedup {
             if e.getMessage != null && e.getMessage.contains("did not converge") =>
           connectedComponentsStar(contracted)
       }
-    val remap = remapCc
-      .select(col("doc_id").as("__node"), col("cluster_id").as("__new"))
-    val updated = l.join(remap, l("cluster_id") === col("__node"), "left")
-      .select(col("doc_id"), coalesce(col("__new"), col("cluster_id")).as("cluster_id"))
-    // contracted nodes that are no standing doc = new (batch) members
-    val newRows = remap.join(l, remap("__node") === l("doc_id"), "left_anti")
-      .select(col("__node").as("doc_id"), col("__new").as("cluster_id"))
-    updated.unionByName(newRows)
+    remapCc.select(col("doc_id").as("__node"), col("cluster_id").as("__new"))
   }
 
   /** SimHash over a doc's distinct tokens: bit j of the result is set
@@ -1222,6 +1306,15 @@ object Dedup {
       docs.select(col(idCol), split(col(textCol), "\\s+").as("__t")).persist())
     val raw = graft.core.CacheScope.track(
       winnowFingerprints(docs, k, w, textCol, idCol).persist())
+    // the unguarded anchor join buckets on the fingerprint hash —
+    // boilerplate k-grams make exactly the hot posting lists the
+    // refusal exists for (BASELINE: ~53k rows in one zipf bucket →
+    // ~1.4e9 pairs from that bucket alone); the histogram warms the
+    // persisted selection the join reads anyway
+    if (maxBucket <= 0)
+      refuseHotGroups(raw, Seq("h"),
+        maxUnguardedBucket(docs.sparkSession),
+        "unguarded winnow fingerprint self-join")
     val fp = SkewGuard.capBuckets(raw, Seq("h"), maxBucket)
     val a = fp.select(col(idCol).as("a_id"), col("pos").as("a_pos"),
       col("kgram").as("__ka"), col("h"))
@@ -1271,6 +1364,14 @@ object Dedup {
     // cached selection instead of re-scanning the corpus per consumer
     val raw = graft.core.CacheScope.track(
       winnowFingerprints(docs, k, w, textCol, idCol).persist())
+    // pre-flight refusal for the exact form (r15 verdict #4) — the
+    // d15 "NEVER time on zipf" doc rule made executable: the anchor
+    // join's buckets are fingerprint posting lists, quadratic per
+    // bucket on one task
+    if (maxBucket <= 0)
+      refuseHotGroups(raw, Seq("h"),
+        maxUnguardedBucket(docs.sparkSession),
+        "unguarded winnow fingerprint self-join")
     val fp = SkewGuard.capBuckets(raw, Seq("h"), maxBucket)
     val a = fp.select(col(idCol).as("a_id"), col("pos").as("a_pos"),
       col("kgram").as("__ka"), col("h"))

@@ -166,6 +166,13 @@ object Upsert {
     }
   }
 
+  /** True iff `path` carries an upsert-table manifest — the cheap
+    * dispatch probe for readers that accept either a plain parquet
+    * artifact or an upsert table at the same parameter (the streaming
+    * label maintainer's two publish modes). One fs.exists, no parse. */
+  def isTable(spark: SparkSession, path: String): Boolean =
+    fs(spark, new Path(path)).exists(new Path(path, SpecFile))
+
   def readSpec(spark: SparkSession, path: String): Spec = {
     val f = fs(spark, new Path(path))
     val sf = new Path(path, SpecFile)

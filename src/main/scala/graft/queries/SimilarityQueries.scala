@@ -249,11 +249,18 @@ object SimilarityQueries extends QueryGroup {
     // the snap projection feeds the band explode AND both verify sides
     val sv = graft.core.CacheScope.track(
       snapped(emb, "vec_id", "sv", "nrm").persist())
-    val bands = graft.ext.SkewGuard.capBuckets(
-      sv.select(col("vec_id"),
-        posexplode(array((0 until nBands).map(b =>
-          Similarity.lshBucketBand(col("sv"), b, nPlanes, 64)): _*))
-          .as(Seq("band_idx", "bucket"))),
+    val exploded = sv.select(col("vec_id"),
+      posexplode(array((0 until nBands).map(b =>
+        Similarity.lshBucketBand(col("sv"), b, nPlanes, 64)): _*))
+        .as(Seq("band_idx", "bucket")))
+    // same unguarded-screen pre-flight as knnGraph's (the histogram
+    // reads the persisted snap projection the join reuses)
+    if (maxBucket <= 0)
+      graft.ext.Dedup.refuseHotGroups(
+        exploded.select(col("band_idx"), col("bucket")),
+        Seq("band_idx", "bucket"), graft.ext.Dedup.maxUnguardedBucket(spark),
+        "unguarded multiband-LSH candidate join")
+    val bands = graft.ext.SkewGuard.capBuckets(exploded,
       Seq("band_idx", "bucket"), maxBucket)
     val cand = bands.select(col("vec_id").as("a_id"), col("band_idx"), col("bucket"))
       .join(bands.select(col("vec_id").as("b_id"),
@@ -281,11 +288,20 @@ object SimilarityQueries extends QueryGroup {
   def knnGraph(spark: SparkSession, dir: String, nPlanes: Int,
                maxBucket: Int = 0): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    val sv = graft.ext.SkewGuard.capBuckets(
-      emb.select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
-        .withColumn("nrm", Similarity.normSnapped(col("sv")))
-        .withColumn("bucket", Similarity.lshBucket(col("sv"), nPlanes, 64)),
-      Seq("bucket"), maxBucket)
+    val projected = emb
+      .select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
+      .withColumn("nrm", Similarity.normSnapped(col("sv")))
+      .withColumn("bucket", Similarity.lshBucket(col("sv"), nPlanes, 64))
+    // the unguarded candidate join is quadratic per LSH bucket on one
+    // task — and each pair carries two 64-dim vectors, the heaviest
+    // per-row price of the three unguarded screens (r15 verdict #4).
+    // The histogram groups on the bucket alone (map-side partials:
+    // only (bucket, count) rows move), never the vectors.
+    if (maxBucket <= 0)
+      graft.ext.Dedup.refuseHotGroups(projected.select(col("bucket")),
+        Seq("bucket"), graft.ext.Dedup.maxUnguardedBucket(spark),
+        "unguarded kNN-graph candidate join (y6)")
+    val sv = graft.ext.SkewGuard.capBuckets(projected, Seq("bucket"), maxBucket)
     val a = sv.select(col("vec_id").as("a_id"), col("sv").as("av"),
       col("nrm").as("an"), col("bucket"))
     val b = sv.select(col("vec_id").as("b_id"), col("sv").as("bv"),

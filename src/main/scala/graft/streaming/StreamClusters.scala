@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.Dedup
+import graft.ext.{Dedup, Upsert}
 import graft.core.IndexStore
 
 /** Streaming CLUSTER-LABEL maintenance — the operational closure of
@@ -16,17 +16,42 @@ import graft.core.IndexStore
   * and against itself (batch-internal pairs), fold both into the
   * standing labels via [[Dedup.mergeIntoClusters]] — the contract-first
   * merge whose CC input is ingest-sized, never the corpus — and
-  * republish atomically through [[IndexStore.replace]].
+  * publish.
   *
-  * Delivery semantics — exactly-once BY IDEMPOTENCE: the labels are a
+  * TWO PUBLISH MODES (the Hudi COW/MOR split, same trade as
+  * [[graft.ext.Upsert]]'s):
+  *  - `"replace"`: rewrite the full labels artifact per trigger and
+  *    swap atomically through [[IndexStore.replace]]. Simple, plain-
+  *    parquet readable — and O(total standing labels) I/O per trigger:
+  *    at the 100 TB design point (~10⁹⁺ labels) every micro-batch pays
+  *    a full labels-corpus copy regardless of batch size, so the
+  *    steady-state cost is dominated by the artifact rewrite, not the
+  *    dedup work (r15 verdict #1).
+  *  - `"delta"` (the production mode at scale): the labels artifact is
+  *    an [[graft.ext.Upsert]] merge-on-read table keyed by doc_id
+  *    ([[initLabelsLog]]); per trigger only the CHANGED labels — the
+  *    delta frame [[Dedup.mergeIntoClustersDelta]] computes, ingest-
+  *    proportional — land as a committed `delta=<batchId>` dir. Write
+  *    cost O(|changed|); the standing labels are scanned (the merge
+  *    needs them) but never rewritten. Readers go through
+  *    [[readLabels]] (base+delta latest-per-key view); the cadence
+  *    rebuild the runbook already schedules folds the chain via
+  *    [[compactLabels]], restoring scan-speed reads — and reader state
+  *    is IDENTICAL before and after a compact (Upsert's spec-pinned
+  *    fold contract).
+  *
+  * Delivery semantics — exactly-once twice over: the labels are a
   * pure function of (index pair graph ∪ every batch pair seen), and
   * merging an already-merged pair set is a connectivity no-op, so a
   * crash-replayed micro-batch converges to the identical artifact — no
   * batch-id bookkeeping is needed at all (contrast
   * [[StreamCodes]], whose appends are NOT idempotent and carry the
-  * batch-rename commit). A reader during the replace swap window sees
-  * "no committed index" (loud-fail) rather than a torn mix — the
-  * replace contract.
+  * batch-rename commit). Delta mode adds the structural guarantee on
+  * top: the micro-batch id IS the delta id, so a replay of a committed
+  * batch is a literal write no-op (Upsert.appendChanges' idempotence
+  * key) — it never even re-lands the rows. A replace-mode reader
+  * during the swap window sees "no committed index" (loud-fail) rather
+  * than a torn mix — the replace contract.
   *
   * Scope contract (same as the batch twin d14): pairs are found
   * batch-internally and batch-vs-INDEX. Two new documents arriving in
@@ -74,6 +99,58 @@ object StreamClusters {
       Dedup.connectedComponents(pairs).write.mode("overwrite").parquet(scratch)
     }
 
+  /** Ordering column of the delta-mode labels log: monotone with the
+    * delta id (batchId + 1; the bootstrap base is 0), persisted in the
+    * rows so the latest-wins order SURVIVES compaction — Upsert's
+    * merged view ranks base < delta by directory, but a folded winner
+    * must still outrank nothing newer than itself after its delta dir
+    * is gone. */
+  private val VerCol = "ver"
+
+  /** Bootstrap the DELTA-MODE labels artifact ([[labelMaintainer]]'s
+    * `publish = "delta"`): the same index-pair-graph CC as
+    * [[initLabels]], landed as an [[Upsert]] merge-on-read table keyed
+    * by doc_id. Build-if-absent: an existing labels log is left
+    * standing. `nBuckets` sizes the COW rewrite unit for the cadence
+    * fold (the BASELINE operating rule is ≳1 GB/bucket at the target
+    * corpus; the sandbox default is small). */
+  def initLabelsLog(spark: SparkSession, indexPath: String,
+                    labelsPath: String, minJaccard: Double,
+                    nBuckets: Int = 16): String = {
+    if (!Upsert.isTable(spark, labelsPath)) {
+      val index = Dedup.readNeardupIndex(spark, indexPath)
+      val pairs = Dedup.verifyJaccardOnShingles(
+          index.select(col("doc_id"), col("sh")),
+          Dedup.candidatePairs(index), minJaccard)
+        .select(col("a_id"), col("b_id"))
+      Upsert.init(
+        Dedup.connectedComponents(pairs).withColumn(VerCol, lit(0L)),
+        labelsPath, "doc_id", Seq(VerCol), nBuckets)
+    }
+    labelsPath
+  }
+
+  /** The labels as of now, whichever publish mode maintains them:
+    * delta mode's base+delta latest-per-key view, or the plain
+    * committed parquet artifact of replace mode — always exactly
+    * (doc_id, cluster_id). The ONE read consumers (apply/apply-best/
+    * cross-source) should call, so switching publish modes never
+    * touches them. */
+  def readLabels(spark: SparkSession, labelsPath: String): DataFrame =
+    if (Upsert.isTable(spark, labelsPath))
+      Upsert.readTable(spark, labelsPath).select(col("doc_id"), col("cluster_id"))
+    else IndexStore.read(spark, labelsPath,
+      "cluster labels", "StreamClusters.initLabels")
+
+  /** Fold the accumulated label deltas into the base — the labels half
+    * of the cadence rebuild (run it at the same planned stop where the
+    * index is folded and re-capped; see the runbook above). Returns the
+    * number of deltas folded. No-op (0) in replace mode or on an empty
+    * chain. */
+  def compactLabels(spark: SparkSession, labelsPath: String): Int =
+    if (Upsert.isTable(spark, labelsPath)) Upsert.compactDeltas(spark, labelsPath)
+    else 0
+
   /** The `foreachBatch` function: attach with
     * `.writeStream.foreachBatch(StreamClusters.labelMaintainer(idx, labels, 0.8))`.
     * `labelsPath` must hold a committed labels artifact
@@ -100,11 +177,21 @@ object StreamClusters {
     * write-time cap already bounds the CROSS screen with the guard off
     * (hot posting lists are NULL in the stored rows — the documented
     * streaming default); these dials add the same discipline to the
-    * BATCH-INTERNAL screen, which no index write can pre-cap. */
+    * BATCH-INTERNAL screen, which no index write can pre-cap.
+    *
+    * PUBLISH (see the class doc): `"replace"` rewrites the whole
+    * artifact per trigger (labelsPath from [[initLabels]]);
+    * `"delta"` appends only the changed labels to the Upsert log
+    * (labelsPath from [[initLabelsLog]]) — the mode whose per-trigger
+    * I/O is proportional to the batch, not the corpus. The two modes
+    * are spec-pinned to identical [[readLabels]] state per trigger. */
   def labelMaintainer(indexPath: String, labelsPath: String,
                       minJaccard: Double, maxBucket: Int = 0,
-                      skewMode: String = "drop"): (DataFrame, Long) => Unit =
-    (df, _) => {
+                      skewMode: String = "drop",
+                      publish: String = "replace"): (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      require(publish == "replace" || publish == "delta",
+        s"publish must be replace or delta, got $publish")
       val spark = df.sparkSession
       if (!df.isEmpty) {
         val batch = graft.core.CacheScope.track(df.persist())
@@ -125,13 +212,35 @@ object StreamClusters {
           else Dedup.candidatePairs(bSigs, maxBucket = maxBucket)
         val internal = Dedup.verifyJaccardOnShingles(bsh, internalCand, minJaccard)
           .select(col("a_id"), col("b_id"))
-        val labels = IndexStore.read(spark, labelsPath,
-          "cluster labels", "StreamClusters.initLabels")
-        val merged = Dedup.mergeIntoClusters(labels, internal.union(cross))
-        // the build reads the OLD committed labels and writes scratch in
-        // full before replace swaps — readers never see a torn artifact
-        IndexStore.replace(spark, labelsPath) { scratch =>
-          merged.write.mode("overwrite").parquet(scratch)
+        val pairs = internal.union(cross)
+        if (publish == "delta") {
+          val labels = readLabels(spark, labelsPath)
+          // persisted: the frame feeds two actions (the emptiness probe
+          // and the append) and its remap joins would otherwise re-scan
+          // the standing labels in between
+          val changes = Dedup.mergeIntoClustersDelta(labels, pairs)
+            .withColumn(VerCol, lit(batchId + 1L))
+            .withColumn("op", lit("U"))
+            .persist()
+          // an all-known replay (same docs under a NEW batch id — the
+          // one replay shape the delta-id key can't catch) merges to an
+          // empty delta: skip the append entirely rather than commit an
+          // empty dir per no-op trigger. Convergence is unaffected —
+          // the labels are a pure function of the pair graph.
+          try {
+            if (!changes.isEmpty)
+              Upsert.appendChanges(spark, labelsPath, changes,
+                deltaId = Some(batchId))
+          } finally changes.unpersist(false)
+        } else {
+          val labels = IndexStore.read(spark, labelsPath,
+            "cluster labels", "StreamClusters.initLabels")
+          val merged = Dedup.mergeIntoClusters(labels, pairs)
+          // the build reads the OLD committed labels and writes scratch in
+          // full before replace swaps — readers never see a torn artifact
+          IndexStore.replace(spark, labelsPath) { scratch =>
+            merged.write.mode("overwrite").parquet(scratch)
+          }
         }
         bsh.unpersist()
         batch.unpersist()

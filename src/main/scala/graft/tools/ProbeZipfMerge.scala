@@ -70,6 +70,35 @@ object ProbeZipfMerge {
       assert(refused, "the zipf corpus must trip the pre-flight refusal")
     }
 
+    // (0b) the GENERALIZED refusal surfaces (r15 verdict #4): the
+    // winnow fingerprint join and the simhash band join carry the same
+    // unguarded all-pairs-per-bucket shape — both must fire HERE (the
+    // zipf boilerplate makes hot fingerprint posting lists and
+    // identical simhashes) and stay silent at every sf dir (verified
+    // by the round's CORRECTNESS run, whose d15/d16/d5 rows are
+    // unguarded). Timed: the refusal pass IS the pre-flight price.
+    timed("winnow fingerprint pre-flight (d15/d16 surface)") {
+      val refused =
+        try { Dedup.winnowSharedSpans(docs, 3, 4).count(); false }
+        catch { case e: IllegalStateException =>
+          e.getMessage.contains("winnow fingerprint") }
+      println(s"[zipfmerge]   winnow refusal fired: $refused")
+      assert(refused, "the zipf corpus must trip the winnow pre-flight")
+    }
+    timed("simhash band pre-flight (d5 surface)") {
+      val toks = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), "\\s+"))).as("t"))
+      val sim = Dedup.simhash(toks, hashMode = "xxh64").persist()
+      val refused =
+        try { Dedup.simhashBandPairs(sim, 2).count(); false }
+        catch { case e: IllegalStateException =>
+          e.getMessage.contains("simhash band") }
+      println(s"[zipfmerge]   simhash refusal fired: $refused")
+      sim.unpersist()
+      assert(refused, "the zipf corpus must trip the simhash pre-flight")
+    }
+    graft.core.CacheScope.releaseAll()
+
     // (1) corpus index, WRITE-TIME cap: hot bands nulled once, every
     // consumer screens unarmed against it
     timed(s"armed index build (writeNeardupIndex maxBucket=$cap)") {

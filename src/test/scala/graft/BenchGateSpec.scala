@@ -130,7 +130,7 @@ class BenchGateSpec extends AnyFunSuite {
                     "emb" -> 3000.0, "shuffle" -> 520000.0)
     def endAt(tier: String, ratio: Double) =
       start.updated(tier, start(tier) / ratio)
-    assert(!Bench.suspectEnd(start, start, healed = 0, nOracle = 167))
+    assert(!Bench.suspectEnd(start, start, healedQueries = 0, nOracle = 167))
     assert(Bench.suspectEnd(start, endAt("q1", 1.6), 0, 167))
     assert(!Bench.suspectEnd(start, endAt("q1", 1.4), 0, 167))
     // the shuffle tier tolerates up to 2.0x (exchange-tier variance)...
@@ -147,15 +147,34 @@ class BenchGateSpec extends AnyFunSuite {
   }
 
   test("suspect verdict: runaway healing convicts at the registry-relative bound") {
-    // r14's contended window healed 42 rows of a 166-entry registry;
-    // the healthy record healed 30 against garbage priors — the bound
-    // (20% of the registry, min 8) separates exactly these two
+    // the unit is DISTINCT HEALED QUERIES (r15 advisor: the rep counter
+    // silently shifted the threshold with SPARK_GRAFT_HEAL_REPS). r14's
+    // contended window healed 21 queries of a 166-entry registry; the
+    // healthy record healed 15 against garbage priors — the bound (10%
+    // of the registry, min 8) separates exactly these two
     val start = Map("q1" -> 500000.0)
-    assert(Bench.suspectEnd(start, start, healed = 42, nOracle = 166))
-    assert(!Bench.suspectEnd(start, start, healed = 30, nOracle = 166))
+    assert(Bench.suspectEnd(start, start, healedQueries = 21, nOracle = 166))
+    assert(!Bench.suspectEnd(start, start, healedQueries = 15, nOracle = 166))
     // the min-8 floor keeps a tiny dev registry from being unconvictable
-    assert(Bench.suspectEnd(start, start, healed = 9, nOracle = 10))
-    assert(!Bench.suspectEnd(start, start, healed = 8, nOracle = 10))
+    assert(Bench.suspectEnd(start, start, healedQueries = 9, nOracle = 10))
+    assert(!Bench.suspectEnd(start, start, healedQueries = 8, nOracle = 10))
+  }
+
+  test("suspect verdict: sub-slack per-row inflation convicts at >5% of the registry") {
+    // the r15 driver window in miniature: every bracket inside its tier
+    // slack (end == start here), yet individual registry rows landed
+    // 2.3x over the committed record's medians — the per-row clause is
+    // the only witness for that shape. 5% of 168 = 8: nine inflated
+    // rows convict, eight do not; the tier and healing clauses stay
+    // independent (a clean window with zero inflation never convicts).
+    val start = Map("q1" -> 500000.0, "docs" -> 8000.0,
+                    "emb" -> 3000.0, "shuffle" -> 520000.0)
+    assert(Bench.suspectEnd(start, start, 0, 168, inflatedRows = 9))
+    assert(!Bench.suspectEnd(start, start, 0, 168, inflatedRows = 8))
+    // the min-2 floor for tiny dev registries
+    assert(Bench.suspectEnd(start, start, 0, 10, inflatedRows = 3))
+    assert(!Bench.suspectEnd(start, start, 0, 10, inflatedRows = 2))
+    assert(!Bench.suspectEnd(start, start, 0, 168))
   }
 
   test("end-canary keys and the suspect flag ride the summary prefix and the trailer") {

@@ -92,6 +92,33 @@ class MergeClustersSpec extends SparkTestBase {
     graft.core.CacheScope.releaseAll()
   }
 
+  test("delta form: labels upserted by mergeIntoClustersDelta equal mergeIntoClusters") {
+    // the merge-on-read publish contract: the CHANGED-rows frame, laid
+    // over the standing labels by doc_id, reconstructs the full-rewrite
+    // output row for row — and stays ingest-sized (no unchanged
+    // standing rows ride along)
+    val labels = ccOf(oldPairs).persist()
+    val newPairs = Seq((100L, 0L), (12L, 20L), (30L, 31L),
+      (40L, 41L), (41L, 42L)).toDF("a_id", "b_id")
+    val full = asMap(Dedup.mergeIntoClusters(labels, newPairs))
+    val delta = asMap(Dedup.mergeIntoClustersDelta(labels, newPairs))
+    assert(asMap(labels) ++ delta === full,
+      "standing labels overridden by the delta must equal the full merge")
+    // size contract: the clique's unchanged members (min id 0 keeps its
+    // label; 1..5 unchanged) must NOT appear; the bridged triangle+pair
+    // members relabel to 10, so 20/21 appear; every new doc appears
+    assert(!delta.contains(1L) && !delta.contains(5L),
+      "unchanged standing rows must not inflate the delta")
+    assert(delta(20L) === 10L && delta(21L) === 10L)
+    assert(Seq(100L, 30L, 31L, 40L, 41L, 42L).forall(delta.contains))
+    // an all-known batch produces an EMPTY delta (the skip-append case)
+    assert(Dedup.mergeIntoClustersDelta(labels,
+      Seq((0L, 1L)).toDF("a_id", "b_id")).isEmpty,
+      "a connectivity-no-op batch must yield no changed rows")
+    labels.unpersist()
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("registered d14 equals a from-scratch d7 over the combined corpus") {
     val dir = "/root/testdata/sf0.001"
     val d14 = asMap(queries.DedupQueries.incrementalClusters(spark, dir))

@@ -444,4 +444,60 @@ class SkewGuardSpec extends SparkTestBase {
       Dedup.refuseHotBuckets(nulled, threshold = 1, what = "all-null")
     } finally sigs.unpersist()
   }
+
+  test("generalized refusal fronts the winnow, simhash, and LSH-graph screens") {
+    // r15 verdict #4: the minhash fixture builders were the only
+    // surfaces the pre-flight refusal fronted — the winnow fingerprint
+    // self-join (d15: ~53k-row zipf bucket → ~1.4e9 pairs from one
+    // bucket, previously a "NEVER time on zipf" doc rule), the simhash
+    // band self-join (d5), and the kNN-graph/multiband candidate joins
+    // (y6/y8-class) share the exact unguarded all-pairs-per-bucket
+    // shape. refuseHotGroups prices each with one histogram pass; the
+    // 200-identical-doc fixture is hot on every one of them.
+    val key = "spark.graft.dedup.maxUnguardedBucket"
+    spark.conf.set(key, "100")
+    try {
+      val e1 = intercept[IllegalStateException] {
+        Dedup.winnowSharedSpans(fixture, k = 3, w = 4).count()
+      }
+      assert(e1.getMessage.contains("winnow fingerprint"))
+      intercept[IllegalStateException] {
+        Dedup.winnowSpanExtents(fixture, k = 3, w = 4, minLen = 3L).count()
+      }
+      val toks = fixture.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), "\\s+"))).as("t"))
+      val sim = Dedup.simhash(toks).persist()
+      val e2 = intercept[IllegalStateException] {
+        Dedup.simhashBandPairs(sim, maxHamming = 2).count()
+      }
+      assert(e2.getMessage.contains("simhash band"))
+      // the ARMED forms run under the same conf — the cap bounds the
+      // bucket by construction, so no pre-flight applies
+      assert(Dedup.winnowSharedSpans(fixture, 3, 4, maxBucket = 5).count() >= 3L,
+        "the capped winnow twin must still find the true pairs")
+      assert(Dedup.simhashBandPairs(sim, 2, maxBucket = 5)
+        .filter(col("a_id") >= 1000L && col("a_id") < 2000L).count() >= 3L,
+        "the capped simhash twin must still find the true pairs")
+      sim.unpersist()
+      // the LSH-graph surfaces read real embeddings: at threshold 1
+      // every multi-occupant bucket is "hot" — both refuse; at the
+      // 1000 default both are silent (the registered y6/y8 rows)
+      spark.conf.set(key, "1")
+      val dir = sf()
+      val e3 = intercept[IllegalStateException] {
+        graft.queries.SimilarityQueries.knnGraph(spark, dir).count()
+      }
+      assert(e3.getMessage.contains("kNN-graph"))
+      intercept[IllegalStateException] {
+        graft.queries.SimilarityQueries
+          .annLshMultiband(spark, dir).count()
+      }
+      spark.conf.set(key, "1000")
+      assert(graft.queries.SimilarityQueries.knnGraph(spark, dir).limit(1)
+        .count() >= 0L, "silent at the default threshold")
+    } finally {
+      spark.conf.set(key, "1000")
+      graft.core.CacheScope.releaseAll()
+    }
+  }
 }

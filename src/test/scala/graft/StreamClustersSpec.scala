@@ -109,6 +109,66 @@ class StreamClustersSpec extends SparkTestBase {
     graft.core.CacheScope.releaseAll()
   }
 
+  test("delta publish: base+delta equals replace mode across an uncompacted chain") {
+    // r15 verdict #1: the replace publish rewrites the FULL labels
+    // artifact per trigger — O(corpus-labels) I/O at the 100 TB design
+    // point. The delta mode lands only the changed labels as committed
+    // delta=<batchId> dirs over an untouched Upsert base; this pins the
+    // reader-equivalence contract: after every trigger, readLabels on
+    // the delta log equals the replace-mode artifact exactly — across
+    // an UNCOMPACTED delta chain, through a batch-id replay, and across
+    // the cadence compaction.
+    import graft.streaming.StreamClusters
+    val docs = Tables(spark, sf()).documents
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-scmor").toString
+    val idxPath = s"$root/idx"
+    Dedup.writeNeardupIndex(docs.filter(col("doc_id") % 5 =!= 0), idxPath)
+    StreamClusters.initLabels(spark, idxPath, s"$root/rep", 0.8)
+    StreamClusters.initLabelsLog(spark, idxPath, s"$root/log", 0.8, nBuckets = 4)
+    def view(p: String) = StreamClusters.readLabels(spark, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(view(s"$root/log") === view(s"$root/rep"),
+      "the two bootstraps must agree before any trigger")
+
+    // two triggers splitting the standard batch — the chain stays
+    // uncompacted between them
+    val trig = Seq(docs.filter(col("doc_id") % 10 === 0),
+                   docs.filter(col("doc_id") % 10 === 5))
+      .map(_.select(col("doc_id"), col("text")))
+    trig.zipWithIndex.foreach { case (t, i) =>
+      StreamClusters.labelMaintainer(idxPath, s"$root/rep", 0.8)(t, i.toLong)
+      StreamClusters.labelMaintainer(idxPath, s"$root/log", 0.8,
+        publish = "delta")(t, i.toLong)
+      assert(view(s"$root/log") === view(s"$root/rep"),
+        s"delta view diverged from replace mode after trigger $i")
+    }
+    val ids = graft.ext.Upsert.deltas(spark, s"$root/log")
+    assert(ids.nonEmpty, "the chain must actually be uncompacted here")
+    // publish proportionality: a delta dir carries only changed labels,
+    // strictly fewer rows than the standing artifact it would have
+    // rewritten in replace mode
+    val deltaRows = spark.read.parquet(s"$root/log/delta=${ids.head}").count()
+    val totalRows = StreamClusters.readLabels(spark, s"$root/log").count()
+    assert(deltaRows < totalRows,
+      s"a delta ($deltaRows rows) must be smaller than the artifact ($totalRows)")
+
+    // crash-replay of a committed batch id is a literal write no-op
+    val before = view(s"$root/log")
+    StreamClusters.labelMaintainer(idxPath, s"$root/log", 0.8,
+      publish = "delta")(trig(1), 1L)
+    assert(graft.ext.Upsert.deltas(spark, s"$root/log") === ids,
+      "a replayed committed batch id must not mint a new delta")
+    assert(view(s"$root/log") === before)
+
+    // cadence compaction: fold the chain, reader state identical
+    assert(StreamClusters.compactLabels(spark, s"$root/log") === ids.size)
+    assert(graft.ext.Upsert.deltas(spark, s"$root/log").isEmpty)
+    assert(view(s"$root/log") === before,
+      "compaction must not change what readers see")
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("full lifecycle: ingest -> cadence rebuild -> re-bootstrap -> resume") {
     // r13 verdict #5: the scope contract defers cross-batch new-new
     // pairs to "the index's cadence rebuild" — this drives the whole
