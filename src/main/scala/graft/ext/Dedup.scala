@@ -224,6 +224,30 @@ object Dedup {
     }
   }
 
+  /** The simhash band screen's own refusal threshold, default 10× the
+    * generic key: its per-pair verify is ONE xor+popcount on two longs
+    * (~ns) where the minhash/winnow screens intersect shingle or
+    * k-gram sets (~µs per pair), so the same task-seconds budget
+    * tolerates ~100× the pairs = 10× the occupancy. Needed in
+    * practice, not just in theory: the sf0.1 corpus's hottest 16-bit
+    * simhash band bucket holds 1639 docs (vocabulary-structure bias,
+    * not boilerplate) and verifies in under a second — a shared
+    * 1000-doc threshold would refuse a healthy registered query. The
+    * zipf decade's identical-boilerplate buckets (100k+) still fire.
+    * Override via `spark.graft.dedup.maxUnguardedSimhashBucket`. */
+  def maxUnguardedSimhashBucket(spark: SparkSession): Int = {
+    val key = "spark.graft.dedup.maxUnguardedSimhashBucket"
+    spark.conf.getOption(key) match {
+      case None => 10 * maxUnguardedBucket(spark)
+      case Some(raw) =>
+        try raw.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$key must be an integer, got '$raw'")
+        }
+    }
+  }
+
   private def refuse(hot: Long, threshold: Int, what: String): Unit =
     if (hot > threshold) throw new IllegalStateException(
       s"$what: hottest bucket holds $hot rows (> $threshold) — the " +
@@ -701,7 +725,7 @@ object Dedup {
     // reuses
     if (maxBucket <= 0)
       refuseHotGroups(exploded, Seq("band_idx", "band_bits"),
-        maxUnguardedBucket(sim.sparkSession),
+        maxUnguardedSimhashBucket(sim.sparkSession),
         "unguarded simhash band self-join")
     // maxBucket > 0 df-caps the bit-band buckets (see SkewGuard) — the
     // pigeonhole completeness claim then holds only for pairs with a

@@ -455,7 +455,10 @@ class SkewGuardSpec extends SparkTestBase {
     // shape. refuseHotGroups prices each with one histogram pass; the
     // 200-identical-doc fixture is hot on every one of them.
     val key = "spark.graft.dedup.maxUnguardedBucket"
-    spark.conf.set(key, "100")
+    // 10, not 100: the simhash surface's threshold defaults to 10x the
+    // generic key (cheap xor-verify pairs — see maxUnguardedSimhashBucket),
+    // so the 200-doc boilerplate bucket must clear 10*10=100 to fire it
+    spark.conf.set(key, "10")
     try {
       val e1 = intercept[IllegalStateException] {
         Dedup.winnowSharedSpans(fixture, k = 3, w = 4).count()
