@@ -169,6 +169,45 @@ class StreamClustersSpec extends SparkTestBase {
     graft.core.CacheScope.releaseAll()
   }
 
+  test("arming dials compose with the delta publish: salt-armed == unarmed, both modes") {
+    // the two maintainer axes are independent: (maxBucket, skewMode)
+    // arm the SCREENS, publish picks the ARTIFACT shape. The salt arm
+    // is output-invariant, so salt+delta must equal unarmed+replace
+    // exactly — pinning that the delta path reuses the same armed
+    // screens rather than a private copy.
+    import graft.streaming.StreamClusters
+    val docs = Tables(spark, sf()).documents
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-scarmdelta").toString
+    val idxPath = s"$root/idx"
+    Dedup.writeNeardupIndex(docs.filter(col("doc_id") % 5 =!= 0), idxPath)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+    def view(p: String) = StreamClusters.readLabels(spark, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    StreamClusters.initLabels(spark, idxPath, s"$root/rep", 0.8)
+    StreamClusters.labelMaintainer(idxPath, s"$root/rep", 0.8)(batch, 0L)
+
+    StreamClusters.initLabelsLog(spark, idxPath, s"$root/log-salt", 0.8, 4)
+    StreamClusters.labelMaintainer(idxPath, s"$root/log-salt", 0.8,
+      maxBucket = 2, skewMode = "salt", publish = "delta")(batch, 0L)
+    assert(view(s"$root/log-salt") === view(s"$root/rep"),
+      "salt-armed delta publish must equal the unarmed replace twin")
+
+    // drop-armed delta equals drop-armed replace (same capped pair set
+    // through either artifact shape)
+    StreamClusters.initLabels(spark, idxPath, s"$root/rep-cap", 0.8)
+    StreamClusters.labelMaintainer(idxPath, s"$root/rep-cap", 0.8,
+      maxBucket = 1, skewMode = "drop")(batch, 0L)
+    StreamClusters.initLabelsLog(spark, idxPath, s"$root/log-cap", 0.8, 4)
+    StreamClusters.labelMaintainer(idxPath, s"$root/log-cap", 0.8,
+      maxBucket = 1, skewMode = "drop", publish = "delta")(batch, 0L)
+    assert(view(s"$root/log-cap") === view(s"$root/rep-cap"),
+      "drop-armed delta publish must equal the drop-armed replace twin")
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("full lifecycle: ingest -> cadence rebuild -> re-bootstrap -> resume") {
     // r13 verdict #5: the scope contract defers cross-batch new-new
     // pairs to "the index's cadence rebuild" — this drives the whole
