@@ -66,7 +66,7 @@ object SparkEntry {
            "d18b_cross_source_pre", "d10b_cluster_best_pre",
            "d14b_merge_pre", "d14b_merge_salted", "d14b_merge_capped",
            "d9_incremental_capidx", "d14c_merge_stream",
-           "d14d_merge_stream_mor"),
+           "d14d_merge_stream_mor", "d14e_merge_changefeed"),
         DedupQueries.prepareFixtures))
 
   /** Registered queries that READ an on-disk fixture built by

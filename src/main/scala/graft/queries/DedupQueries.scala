@@ -659,15 +659,39 @@ object DedupQueries extends QueryGroup {
     * oracle VERBATIM: base+delta must reconstruct exactly the labeling
     * the full-rewrite publisher commits, hash-checked cross-engine. */
   def mergeViaStreamMaintainerMor(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = runDeltaMaintainerOnScratchLog(spark, dir)
+    graft.streaming.StreamClusters.readLabels(spark, scratch)
+  }
+
+  /** The INCREMENTAL-CONSUMER read over the streamed labels log (the
+    * point of keeping deltas at all): after the delta-publish trigger,
+    * `Upsert.changeFeed` serves exactly the labels the batch CHANGED —
+    * relabeled standing docs plus newly labeled batch docs — at
+    * delta-dir cost, never a base scan. Registered as
+    * d14e_merge_changefeed with its own cross-engine oracle: the
+    * from-scratch d7 labeling of the combined corpus MINUS the
+    * from-scratch labeling of the corpus side alone (a (doc_id,
+    * cluster_id) anti-join — a row is in the feed iff the batch merge
+    * created or moved it), so the delta CONTENT itself is
+    * hash-checked, not just the merged end state (d14d). */
+  def mergeStreamChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = runDeltaMaintainerOnScratchLog(spark, dir)
+    graft.ext.Upsert.changeFeed(spark, scratch, -1L, 0L)
+      .select(col("doc_id"), col("cluster_id"))
+  }
+
+  /** Shared body of the two delta-publish mirrors: copy the standing
+    * log fixture to an invocation-fresh scratch (driver-side
+    * FileUtil copy — production's base log is standing; re-initing per
+    * trigger would bill the bootstrap to every micro-batch, measured
+    * ~2.5 s of pure seeding at sf0.1), then run one armed-off
+    * delta-publish trigger over the standard %5 batch. */
+  private def runDeltaMaintainerOnScratchLog(spark: SparkSession,
+                                             dir: String): String = {
     val docs = Tables(spark, dir).documents
     val idxPath = ensureNeardupIndex(spark, dir)
     val logFixture = ensureLabelsLogFixture(spark, dir)
     val scratch = streamLabelsScratch()
-    // per-rep scratch = a driver-side copy of the STANDING log fixture
-    // (production's base log is standing; re-initing it per trigger
-    // would bill the bootstrap to every micro-batch — measured ~2.5 s
-    // of pure seeding at sf0.1, swamping the O(batch) publish under
-    // test). One metadata-speed FileUtil copy, no Spark job.
     val conf = spark.sessionState.newHadoopConf()
     val srcP = new org.apache.hadoop.fs.Path(logFixture)
     val dstP = new org.apache.hadoop.fs.Path(scratch)
@@ -676,7 +700,7 @@ object DedupQueries extends QueryGroup {
       false, conf)
     graft.streaming.StreamClusters.labelMaintainer(idxPath, scratch, 0.8,
       publish = "delta")(docs.filter(col("doc_id") % 5 === 0), 0L)
-    graft.streaming.StreamClusters.readLabels(spark, scratch)
+    scratch
   }
 
   /** Invocation-fresh labels scratch, registered for JVM-exit cleanup:
@@ -841,7 +865,8 @@ object DedupQueries extends QueryGroup {
     "d14b_merge_salted"      -> (incrementalClustersSalted _),
     "d14b_merge_capped"      -> (incrementalClustersCapped _),
     "d14c_merge_stream"      -> (mergeViaStreamMaintainer _),
-    "d14d_merge_stream_mor"  -> (mergeViaStreamMaintainerMor _)
+    "d14d_merge_stream_mor"  -> (mergeViaStreamMaintainerMor _),
+    "d14e_merge_changefeed"  -> (mergeStreamChangeFeed _)
   )
 
   // ---- DuckDB oracles ----
@@ -1324,7 +1349,11 @@ object DedupQueries extends QueryGroup {
       // base + delta=<batchId> (merge-on-read), so it too shares the
       // from-scratch d7 oracle — the cross-engine proof that the
       // O(batch) publish loses nothing
-      "d14d_merge_stream_mor" -> base("d14_incremental_clusters"))
+      "d14d_merge_stream_mor" -> base("d14_incremental_clusters"),
+      // the delta CONTENT itself: combined-corpus labels minus the
+      // corpus-side seed labels (full-row anti-join) == the changed
+      // rows the trigger's delta dir stores
+      "d14e_merge_changefeed" -> changeFeedOracleSql)
   }
 
   /** The capped-merge oracle: CC over (unguarded corpus pairs ∪
@@ -1513,6 +1542,72 @@ object DedupQueries extends QueryGroup {
        |    FROM qual
        |  ) WHERE rn = 1
        |)""".stripMargin
+
+  /** The SEED-side clustering chain for the change-feed oracle: the
+    * d7 pipeline restricted to the corpus side (doc_id % 5 <> 0 — the
+    * docs the standing index/labels fixture was built from), every CTE
+    * suffixed `_s` so it composes after [[ccCte]] under the same WITH
+    * RECURSIVE. Ends in `seedlabels(doc_id, cluster_id)`. Text mirrors
+    * [[ccCte]]/[[ccTailSql]] exactly but cannot share them verbatim
+    * (those are anchored on the unfiltered `documents` and unsuffixed
+    * names); the MergeClustersSpec/d14 family already pins that the
+    * fixture's labels equal this restricted from-scratch clustering. */
+  private def seedLabelsCtes: String =
+    s""", shingled_s AS (
+       |  SELECT doc_id, $shSql AS sh FROM documents WHERE doc_id % 5 <> 0
+       |), sigs_s AS (
+       |  SELECT doc_id, ${sigSql(0)} AS sig0, ${sigSql(1)} AS sig1,
+       |         ${sigSql(2)} AS sig2, ${sigSql(3)} AS sig3
+       |  FROM shingled_s
+       |), banded_s AS (
+       |  SELECT doc_id, md5(sig0 || sig1) AS band0, md5(sig2 || sig3) AS band1
+       |  FROM sigs_s
+       |), bands_s AS (
+       |  SELECT doc_id, 0 AS band_idx, band0 AS band_hash FROM banded_s
+       |  UNION ALL
+       |  SELECT doc_id, 1, band1 FROM banded_s
+       |), cand_s AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands_s a JOIN bands_s b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id
+       |), pairs_s AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a_id, b_id,
+       |      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS n_common,
+       |      CAST(len(sa.sh) AS DOUBLE) AS n_a,
+       |      CAST(len(sb.sh) AS DOUBLE) AS n_b
+       |    FROM cand_s
+       |    JOIN shingled_s sa ON sa.doc_id = a_id
+       |    JOIN shingled_s sb ON sb.doc_id = b_id
+       |  ) WHERE n_common / (n_a + n_b - n_common) >= 0.8
+       |), und_s AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs_s
+       |  UNION
+       |  SELECT b_id, a_id FROM pairs_s
+       |), reach_s(src, dst) AS (
+       |  SELECT src, dst FROM und_s
+       |  UNION
+       |  SELECT r.src, u.dst FROM reach_s r JOIN und_s u ON r.dst = u.src
+       |), seedlabels AS (
+       |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+       |  FROM reach_s GROUP BY src
+       |)""".stripMargin
+
+  /** The change-feed oracle: final combined-corpus labels MINUS the
+    * seed (corpus-side) labels, matched on the full (doc_id,
+    * cluster_id) row — exactly the rows the batch merge created or
+    * moved, which is exactly what the delta dir stores. */
+  private[queries] def changeFeedOracleSql: String =
+    s"""$ccCte, labels AS (
+       |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+       |  FROM reach GROUP BY src
+       |)$seedLabelsCtes
+       |SELECT l.doc_id, l.cluster_id FROM labels l
+       |LEFT JOIN seedlabels s
+       |  ON s.doc_id = l.doc_id AND s.cluster_id = l.cluster_id
+       |WHERE s.doc_id IS NULL
+       |ORDER BY l.doc_id""".stripMargin
 
   /** Shared prefix of d7/d8 (and AnalysisQueries' end-to-end curation
     * oracle): LSH candidates -> Jaccard verify -> undirected edge set ->
