@@ -288,10 +288,14 @@ object SimilarityQueries extends QueryGroup {
   def knnGraph(spark: SparkSession, dir: String, nPlanes: Int,
                maxBucket: Int = 0): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    val projected = emb
+    // persisted (the d3 sigs precedent): the snap projection feeds the
+    // refusal histogram AND both self-join sides — one corpus compute
+    // instead of three
+    val projected = graft.core.CacheScope.track(emb
       .select(col("vec_id"), Similarity.snapVec(col("embedding")).as("sv"))
       .withColumn("nrm", Similarity.normSnapped(col("sv")))
       .withColumn("bucket", Similarity.lshBucket(col("sv"), nPlanes, 64))
+      .persist())
     // the unguarded candidate join is quadratic per LSH bucket on one
     // task — and each pair carries two 64-dim vectors, the heaviest
     // per-row price of the three unguarded screens (r15 verdict #4).
