@@ -214,7 +214,13 @@ object StreamClusters {
           .select(col("a_id"), col("b_id"))
         val pairs = internal.union(cross)
         if (publish == "delta") {
-          val labels = readLabels(spark, labelsPath)
+          // persisted: unlike replace mode's plain parquet scan, the
+          // MOR labels are a latest-per-key AGGREGATION over
+          // base+deltas, and the merge reads them four times (two
+          // contraction joins, the changed-rows join, the new-rows
+          // anti-join) — unpersisted, every read would re-run the
+          // whole merged-view shuffle+agg
+          val labels = readLabels(spark, labelsPath).persist()
           // persisted: the frame feeds two actions (the emptiness probe
           // and the append) and its remap joins would otherwise re-scan
           // the standing labels in between
@@ -231,7 +237,10 @@ object StreamClusters {
             if (!changes.isEmpty)
               Upsert.appendChanges(spark, labelsPath, changes,
                 deltaId = Some(batchId))
-          } finally changes.unpersist(false)
+          } finally {
+            changes.unpersist(false)
+            labels.unpersist(false)
+          }
         } else {
           val labels = IndexStore.read(spark, labelsPath,
             "cluster labels", "StreamClusters.initLabels")
