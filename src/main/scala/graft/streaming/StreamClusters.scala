@@ -72,10 +72,14 @@ import graft.core.IndexStore
   * into the index ([[Dedup.appendToNeardupIndex]]) and run the
   * periodic re-cap rewrite ([[Dedup.compactNeardupIndex]] — append
   * batches shift true bucket occupancy, the write-time cap's
-  * documented caveat); (3) bootstrap a GENERATION-2 labels artifact
-  * from the rebuilt index ([[initLabels]] at a fresh path — this is
-  * where every deferred cross-batch new-new pair enters the labeling,
-  * because all streamed docs are now index-resident); (4) resume the
+  * documented caveat); in delta mode, also fold the retiring
+  * generation's label chain first ([[compactLabels]] — scan-speed
+  * reads for its remaining consumers); (3) bootstrap a GENERATION-2
+  * labels artifact from the rebuilt index ([[initLabels]] /
+  * [[initLabelsLog]] at a fresh path, matching the publish mode —
+  * this is where every deferred cross-batch new-new pair enters the
+  * labeling, because all streamed docs are now index-resident);
+  * (4) resume the
   * maintainer from the SAME checkpoint pointed at the generation-2
   * labels — source offsets carry over, only new data is processed, and
   * new arrivals now pair against previously-streamed docs. Labels are

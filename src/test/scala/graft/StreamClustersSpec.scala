@@ -294,4 +294,89 @@ class StreamClustersSpec extends SparkTestBase {
         combined.unionByName(Seq((100010L, dupText)).toDF("doc_id", "text"))),
       "post-resume labels must equal from-scratch clustering of everything")
   }
+
+  test("delta-mode lifecycle: stream -> compact -> fold+re-cap -> gen-2 log -> resume") {
+    // the production (delta-publish) twin of the lifecycle above: the
+    // cadence point folds the LABEL delta chain (compactLabels) before
+    // the planned stop, the generation-2 bootstrap lands as a fresh
+    // Upsert log (initLabelsLog), and the resumed maintainer keeps
+    // appending deltas against the rebuilt index — the whole runbook
+    // with O(batch) publishes end to end.
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamClusters
+    val docs = Tables(spark, sf()).documents
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-scmorlife").toString
+    val idxPath = s"$root/idx"
+    Dedup.writeNeardupIndex(docs.filter(col("doc_id") % 5 =!= 0), idxPath)
+    StreamClusters.initLabelsLog(spark, idxPath, s"$root/gen1", 0.8, 4)
+
+    val dupText = (0 until 30).map(i => s"xw$i").mkString(" ")
+    val trigA = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq :+ (200000L, dupText)
+    val trigB = docs.filter(col("doc_id") % 10 === 5)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq :+ (200005L, dupText)
+
+    val mem = MemoryStream[(Long, String)]
+    def start(labelsPath: String) = mem.toDF().toDF("doc_id", "text")
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(StreamClusters.labelMaintainer(
+        idxPath, labelsPath, 0.8, publish = "delta"))
+      .start()
+    def labels(path: String) = StreamClusters.readLabels(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def fromScratch(all: org.apache.spark.sql.DataFrame) = {
+      val sh = Dedup.shingleFrame(all)
+      val pairs = Dedup.verifyJaccardOnShingles(sh,
+          Dedup.candidatePairs(Dedup.signaturesFromShingles(sh)), 0.8)
+        .select(col("a_id"), col("b_id"))
+      Dedup.connectedComponents(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+
+    // (1) generation-1 stream: two delta-publishing triggers; the
+    // cross-trigger synthetic pair stays deferred (scope contract)
+    val q1 = start(s"$root/gen1")
+    try {
+      mem.addData(trigA: _*); q1.processAllAvailable()
+      mem.addData(trigB: _*); q1.processAllAvailable()
+    } finally q1.stop()
+    assert(graft.ext.Upsert.deltas(spark, s"$root/gen1").nonEmpty,
+      "gen-1 must be carrying an uncompacted delta chain here")
+    val gen1 = labels(s"$root/gen1")
+    assert(!gen1.exists(l => l._1 == 200000L || l._1 == 200005L),
+      "cross-trigger new-new pairs must be deferred in delta mode too")
+
+    // (2) cadence point: fold the LABEL chain (scan-speed reads for
+    // consumers of the retiring generation), then the index rebuild
+    val folded = StreamClusters.compactLabels(spark, s"$root/gen1")
+    assert(folded >= 1)
+    assert(labels(s"$root/gen1") === gen1,
+      "the label fold must not change reader state")
+    val streamed = (trigA ++ trigB).toDF("doc_id", "text")
+    Dedup.appendToNeardupIndex(streamed, idxPath)
+    Dedup.compactNeardupIndex(spark, idxPath, maxBucket = 1000)
+
+    // (3) generation-2 bootstrap as a fresh LOG from the rebuilt index
+    StreamClusters.initLabelsLog(spark, idxPath, s"$root/gen2", 0.8, 4)
+    val gen2 = labels(s"$root/gen2")
+    val combined = docs.select(col("doc_id"), col("text")).unionByName(streamed)
+    assert(gen2 === fromScratch(combined),
+      "gen-2 log bootstrap must equal from-scratch clustering")
+    assert(gen2.contains((200005L, 200000L)),
+      "the deferred cross-batch pair must appear at the rebuild")
+
+    // (4) resume from the SAME checkpoint against the gen-2 log: only
+    // new data processed, landing as a delta over the fresh base
+    val q2 = start(s"$root/gen2")
+    try { mem.addData((200010L, dupText)); q2.processAllAvailable() }
+    finally q2.stop()
+    assert(labels(s"$root/gen2").contains((200010L, 200000L)),
+      "the resumed delta stream must screen against the new generation")
+    assert(graft.ext.Upsert.deltas(spark, s"$root/gen2").nonEmpty,
+      "the resumed trigger must have landed as a delta, not a rewrite")
+    graft.core.CacheScope.releaseAll()
+  }
 }
