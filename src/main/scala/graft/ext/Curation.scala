@@ -104,15 +104,19 @@ object Curation {
     * either way (see [[Dedup.connectedComponents]]). */
   def clusters(docs: DataFrame, cfg: CurationConfig = CurationConfig()): DataFrame = {
     val sh = Dedup.shingleFrame(docs).persist()
+    // both candidate-join sides read the signature frame — persisted
+    // like [[neardupPairs]]' (r16 plan audit: unpersisted, the
+    // md5+array_min signature projection re-ran once per join side)
+    val sigs = Dedup.signaturesFromShingles(sh, hashMode = cfg.hashMode).persist()
     try {
-      val sigs = Dedup.signaturesFromShingles(sh, hashMode = cfg.hashMode)
       val pairs = Dedup.verifyJaccardOnShingles(sh, candidateStage(sigs, cfg),
           cfg.minJaccard)
         .select(col("a_id"), col("b_id"))
       Dedup.connectedComponents(pairs)
     } finally {
       // CC materialized every read of the pair graph before returning,
-      // so the shingle frame is released eagerly — including on throw
+      // so both frames are released eagerly — including on throw
+      sigs.unpersist()
       sh.unpersist()
     }
   }

@@ -345,41 +345,74 @@ object Dedup {
     * the same shingle/signature code the production pipeline runs, so
     * the audited recall is the deployed recall, not a paper estimate.
     *
-    * Ground truth is COMPLETE for the audited threshold: any pair with
-    * Jaccard ≥ minJaccard > 0 shares at least one shingle, so the
-    * truth-candidate set "pairs sharing ≥ 1 shingle" (inverted-index
-    * equi-join on the shingle, never all-pairs) provably contains every
-    * qualifying pair; exact-Jaccard verification then filters it to the
-    * truth set. LSH candidates come from the unmodified production
-    * [[candidatePairs]]. One summary row:
+    * Ground truth is COMPLETE for the audited threshold, via PREFIX
+    * FILTERING (the [[containmentJoin]] theorem, instantiated for
+    * Jaccard): for J(A,B) ≥ t > 0 with S the smaller set, |A∩B| =
+    * J·|A∪B| ≥ t·|S|, so under any fixed global shingle order S's
+    * prefix of length |S| − ⌈t·|S|⌉ + 1 must contain a shingle of A∩B
+    * (pigeonhole) — joining every doc's prefix against the FULL
+    * inverted index therefore generates every qualifying pair (each is
+    * found from its smaller side's prefix row; floor is used in place
+    * of ⌈·⌉, which only lengthens the prefix). Exact-Jaccard
+    * verification then filters the candidates to the truth set — the
+    * VERIFIED set, and hence every output number, is identical to the
+    * r15 form's "pairs sharing ≥ 1 shingle" screen (prefix length
+    * degrades to the whole doc at t = 0, recovering that screen
+    * exactly), but candidate cost is Σ_{s ∈ prefixes} df(s) instead of
+    * Σ df(shingle)² (r16: 171.8 task-seconds → the d12 cost class at
+    * sf0.1; the global order is ascending df, so prefixes are each
+    * doc's RAREST shingles). LSH candidates come from the unmodified
+    * production [[candidatePairs]]. One summary row:
     *   n_docs, n_true (truth pairs), n_candidates (LSH pairs),
     *   n_found (truth ∩ LSH — also exactly the d3 OUTPUT, since verify
     *   keeps candidates iff they qualify), recall = n_found / n_true,
     *   precision = n_found / n_candidates (the verify stage's hit rate,
     *   i.e. what fraction of verify work is productive).
     *
-    * Scale contract: the overlap join's cost is Σ df(shingle)² — the
-    * exact quadratic LSH banding exists to avoid — so the audit runs on
-    * a SAMPLED SLICE, never the raw corpus (the d17 registration slices
-    * doc_id % 2 = 0; a 100 TB corpus audits a ~1e-4 hash slice). A
-    * uniform doc slice estimates pair recall without bias only when
-    * duplicate pairs are exchangeable across the slice boundary — true
-    * for hash slicing; band-stratified slicing would overestimate.
-    * Deterministic under md5 mode, hence DuckDB-oracle-checkable
-    * end-to-end. */
+    * Scale contract: even prefix-filtered, the truth side touches full
+    * posting lists, so the audit runs on a SAMPLED SLICE, never the raw
+    * corpus (the d17 registration slices doc_id % 2 = 0; a 100 TB
+    * corpus audits a ~1e-4 hash slice). A uniform doc slice estimates
+    * pair recall without bias only when duplicate pairs are
+    * exchangeable across the slice boundary — true for hash slicing;
+    * band-stratified slicing would overestimate. Deterministic under
+    * md5 mode, hence DuckDB-oracle-checkable end-to-end (the oracle
+    * keeps the overlap-join formulation; equality of the verified sets
+    * is exactly the completeness theorem, and the hashes check it
+    * cross-engine every round). */
   def lshRecallAudit(docs: DataFrame, minJaccard: Double = 0.8,
                      idCol: String = "doc_id"): DataFrame = {
     val sh = graft.core.CacheScope.track(shingleFrame(docs, idCol = idCol).persist())
-    val ex = sh.select(col(idCol), explode(col("sh")).as("__s"))
-    val overlap = ex.select(col(idCol).as("a_id"), col("__s"))
-      .join(ex.select(col(idCol).as("b_id"), col("__s").as("__s_b")),
-        col("__s") === col("__s_b") && col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
+    // exploded rows feed the df aggregation, the prefix ranking AND the
+    // inverted-index probe side — persist once (the containmentJoin
+    // discipline)
+    val ex = graft.core.CacheScope.track(
+      sh.select(col(idCol), explode(col("sh")).as("__s")).persist())
+    val dfreq = ex.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
+    val wPfx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__df"), col("__s"))
+    val prefix = ex.join(dfreq, "__s")
+      .withColumn("__rn", row_number().over(wPfx).cast("long"))
+      .join(sh.select(col(idCol), size(col("sh")).cast("long").as("__pfx_n")),
+        idCol)
+      .filter(col("__rn") <=
+        col("__pfx_n") - floor(lit(minJaccard) * col("__pfx_n")).cast("long") + 1L)
+      .select(col(idCol).as("__p_id"), col("__s"))
+    val overlap = prefix
+      .join(ex.select(col(idCol).as("__e_id"), col("__s")), "__s")
+      .filter(col("__p_id") =!= col("__e_id"))
+      .select(least(col("__p_id"), col("__e_id")).as("a_id"),
+        greatest(col("__p_id"), col("__e_id")).as("b_id"))
+      .distinct()
     val truth = graft.core.CacheScope.track(
       verifyJaccardOnShingles(sh, overlap, minJaccard, idCol)
         .select(col("a_id"), col("b_id")).persist())
+    // the signature frame feeds both sides of the candidate band join —
+    // persisted like the d3 pipeline's (r16 plan audit)
+    val sigs = graft.core.CacheScope.track(
+      signaturesFromShingles(sh, idCol).persist())
     val cand = graft.core.CacheScope.track(
-      candidatePairs(signaturesFromShingles(sh, idCol), idCol).persist())
+      candidatePairs(sigs, idCol).persist())
     val found = truth.join(cand, Seq("a_id", "b_id"))
     // four 1-row aggregates crossJoined (each side broadcast-sized by
     // construction), then the two ratios; divisions guarded to 1.0 on
@@ -797,6 +830,14 @@ object Dedup {
     val p = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the pair graph in ONE pass before the unions below:
+    // their first action otherwise touches p through TWO cold scans in
+    // one job, and with every core busy both branches' tasks compute
+    // the caller's whole upstream pipeline concurrently (the block
+    // store dedups the RESULT, not the work — r16 plan audit measured
+    // the LSH candidate+verify subtree running twice under exactly
+    // this shape)
+    val nPairs = p.count()
 
     var (labels, labelsRdd) = materializeRound(
       p.select(col("src").as("id")).union(p.select(col("dst").as("id")))
@@ -805,36 +846,63 @@ object Dedup {
     // it; when the vertex set fits a broadcast (default cap 1M vertices
     // ~ 16 MB of (id,label) rows — small enough that a fresh broadcast
     // per round never pressures driver/executor storage), ship the label
-    // map to the cached edge list and each round costs ONE shuffle — the
-    // groupBy(src) that IS the label propagation. Huge graphs fall back
-    // to the shuffled equi-join on vertex id, with the edge list
-    // persisted PRE-PARTITIONED on dst so its cached partitioning
-    // satisfies the join distribution every round (the broadcast path
-    // skips that shuffle — a broadcast join puts no distribution
-    // requirement on the edges).
-    val bcast = labels.count() <= broadcastVertexLimit
-    val edgesPlan = p.union(p.select(col("dst"), col("src"))).distinct()
+    // map to the cached edge list and the round plan is broadcast-join +
+    // one hash aggregation. Huge graphs fall back to the shuffled
+    // equi-join on vertex id, with the edge list persisted
+    // PRE-PARTITIONED on dst so its cached partitioning satisfies the
+    // join distribution every round (the broadcast path skips that
+    // shuffle — a broadcast join puts no distribution requirement on
+    // the edges).
+    //
+    // Round shape (r16 job audit — these queries are DISPATCH-bound at
+    // bench scale, so per-round jobs are the lever):
+    //  - SELF-LOOPS are folded into the edge list once at init, so
+    //    next(v) = min over N(v) ∪ {v} of labels = the hash-to-min
+    //    update in ONE aggregation — no join-back onto the old labels,
+    //    no second broadcast (the r15 round built and shipped TWO
+    //    broadcasts per round: labels and nbrMin);
+    //  - convergence is tested on SUM(label): labels are per-vertex
+    //    monotone non-increasing (self included in the min), so the
+    //    sum is strictly decreasing until the fixed point — the test
+    //    rides the same action that materializes the round (decimal
+    //    accumulator: a billion-vertex sum of int64 ids would overflow
+    //    a long accumulator, and under ANSI that throws);
+    //  - the broadcast path persists the edge list PRE-PARTITIONED on
+    //    src: hash(src) satisfies the aggregation's distribution (and
+    //    the init distinct's (src, dst) clustering), so the whole round
+    //    runs with NO exchange — r15's round paid one shuffle stage.
+    //    Partition count is SIZE-ADAPTIVE (~100k pair rows per task,
+    //    capped at the session parallelism): the conf default (= local
+    //    core count here) gave every round's 1-task-worth of agg work
+    //    32 tasks, each paying a broadcast fetch + hash-relation build
+    //    (r16 measured task_ms DOUBLING from exactly that).
+    val vSum = labels.agg(count(lit(1)),
+      sum(col("label").cast("decimal(38,0)"))).head()
+    val bcast = vSum.getLong(0) <= broadcastVertexLimit
+    val edgesAll = p.union(p.select(col("dst"), col("src")))
+      .union(labels.select(col("id").as("src"), col("id").as("dst")))
+    val nPart = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nPairs / 100000L)).toInt
     val edges =
-      (if (bcast) edgesPlan else edgesPlan.repartition(col("dst"))).persist()
+      (if (bcast) edgesAll.repartition(nPart, col("src")).distinct()
+       else edgesAll.distinct().repartition(col("dst"))).persist()
+    var prevSum = vSum.getDecimal(1)
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
       val lab = if (bcast) broadcast(labels) else labels
-      val nbrMin = edges.join(lab, edges("dst") === lab("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-      // carry the old label through the round so the convergence test is
-      // a filter on the SAME materialized frame — no extra join
-      val (next, nextRdd) = materializeRound(labels.as("o")
-        .join(if (bcast) broadcast(nbrMin) else nbrMin,
-          col("o.id") === nbrMin("src"), "left")
-        .select(col("o.id").as("id"),
-          least(col("o.label"), coalesce(col("nbr_min"), col("o.label"))).as("label"),
-          col("o.label").as("old_label")))
-      val changed = next.filter(col("label") =!= col("old_label")).count()
+      val (next, nextRdd) = materializeRound(
+        edges.join(lab, edges("dst") === lab("id"))
+          .groupBy(col("src")).agg(min(col("label")).as("label"))
+          .select(col("src").as("id"), col("label")))
+      // one action: materializes the round AND reads the convergence sum
+      val roundSum = next.agg(sum(col("label").cast("decimal(38,0)")))
+        .head().getDecimal(0)
       labelsRdd.unpersist(false) // superseded round: release eagerly
       labels = next
       labelsRdd = nextRdd
-      converged = changed == 0
+      converged = java.util.Objects.equals(prevSum, roundSum)
+      prevSum = roundSum
       iters += 1
     }
     edges.unpersist()
@@ -919,6 +987,9 @@ object Dedup {
     val p = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // one-pass materialization before the multi-scan reads below — the
+    // same cold-double-scan race note as in [[connectedComponents]]
+    p.count()
     var (edges, edgesRdd) = materializeRound(
       p.filter(col("src") =!= col("dst")).distinct())
     // remember every vertex — from the UNFILTERED pairs, so a vertex that

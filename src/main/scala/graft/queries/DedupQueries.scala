@@ -202,8 +202,11 @@ object DedupQueries extends QueryGroup {
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val sh = Dedup.shingleFrame(docs).persist()
+    // the signature frame feeds BOTH sides of the candidate band
+    // self-join — persisted like d3's (r16 plan audit: unpersisted, the
+    // md5+array_min signature projection re-ran once per join side)
+    val sigs = Dedup.signaturesFromShingles(sh).persist()
     try {
-      val sigs = Dedup.signaturesFromShingles(sh)
       val cand = Dedup.candidatePairs(sigs)
       val pairs = Dedup.verifyJaccardOnShingles(sh, cand, 0.8)
         .select(col("a_id"), col("b_id"))
@@ -211,8 +214,9 @@ object DedupQueries extends QueryGroup {
     } finally {
       // CC materialized every read of the pair graph before returning
       // (its result is backed by its own persisted RDD), so the shingle
-      // frame can be released eagerly instead of leaking into the
-      // session — including when CC throws on non-convergence
+      // and signature frames can be released eagerly instead of leaking
+      // into the session — including when CC throws on non-convergence
+      sigs.unpersist()
       sh.unpersist()
     }
   }
