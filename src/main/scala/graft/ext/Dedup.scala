@@ -667,14 +667,35 @@ object Dedup {
                          idCol: String = "doc_id",
                          maxBucket: Int = 0,
                          skewMode: String = "drop"): DataFrame = {
-    require(skewMode == "drop" || skewMode == "salt",
-      s"skewMode must be drop or salt, got $skewMode")
-    val index = readNeardupIndex(spark, indexPath)
     // the batch shingle frame feeds its signature stage AND the verify
     // join — persist it once (batch-sized, not corpus-sized)
     val bsh = graft.core.CacheScope.track(
       shingleFrame(batch, textCol, idCol).persist())
-    val bBands = signaturesFromShingles(bsh, idCol)
+    incrementalNeardupOnShingles(spark, bsh, signaturesFromShingles(bsh, idCol),
+      indexPath, minJaccard, idCol, maxBucket, skewMode)
+  }
+
+  /** The cross-screen core of [[incrementalNeardup]] over PRE-COMPUTED
+    * batch shingle/signature frames — for callers that ALSO run the
+    * batch-internal screen on the same batch (the streaming label
+    * maintainer, the armed merge twins): one batch shingle + signature
+    * projection feeds both screens instead of one per screen (r16 plan
+    * audit: each such caller was paying the whole batch
+    * tokenize→shingle→md5 pipeline twice per trigger). `bsh` must be a
+    * [[shingleFrame]] output and `bSigs` its [[signaturesFromShingles]]
+    * — callers persist whichever frames their composition reads more
+    * than once. */
+  def incrementalNeardupOnShingles(spark: org.apache.spark.sql.SparkSession,
+                                   bsh: DataFrame, bSigs: DataFrame,
+                                   indexPath: String,
+                                   minJaccard: Double,
+                                   idCol: String = "doc_id",
+                                   maxBucket: Int = 0,
+                                   skewMode: String = "drop"): DataFrame = {
+    require(skewMode == "drop" || skewMode == "salt",
+      s"skewMode must be drop or salt, got $skewMode")
+    val index = readNeardupIndex(spark, indexPath)
+    val bBands = bSigs
       .select(col(idCol).as("batch_id"),
         posexplode(array(col("band0"), col("band1")))
           .as(Seq("band_idx", "band_hash")))

@@ -560,13 +560,17 @@ object DedupQueries extends QueryGroup {
     val idxPath = ensureNeardupIndex(spark, dir)
     val labels = spark.read.parquet(ensureIdxLabels(spark, dir))
     val batch = docs.filter(col("doc_id") % 5 === 0)
-    val cross = Dedup.incrementalNeardup(spark, batch, idxPath, 0.8,
-        maxBucket = 2, skewMode = "salt")
-      .select(col("batch_id").as("a_id"), col("corpus_id").as("b_id"))
+    // one shingle + signature projection for BOTH screens (r16: the
+    // cross screen used to re-shingle the batch inside
+    // incrementalNeardup); bSigs persisted — three join sides read it
     val bsh = graft.core.CacheScope.track(Dedup.shingleFrame(batch).persist())
+    val bSigs = graft.core.CacheScope.track(
+      Dedup.signaturesFromShingles(bsh).persist())
+    val cross = Dedup.incrementalNeardupOnShingles(spark, bsh, bSigs, idxPath,
+        0.8, maxBucket = 2, skewMode = "salt")
+      .select(col("batch_id").as("a_id"), col("corpus_id").as("b_id"))
     val internal = Dedup.verifyJaccardOnShingles(bsh,
-        Dedup.candidatePairsSalted(
-          Dedup.signaturesFromShingles(bsh), maxBucket = 2), 0.8)
+        Dedup.candidatePairsSalted(bSigs, maxBucket = 2), 0.8)
       .select(col("a_id"), col("b_id"))
     Dedup.mergeIntoClusters(labels, internal.union(cross))
   }
@@ -601,13 +605,15 @@ object DedupQueries extends QueryGroup {
     val idxPath = ensureNeardupIndex(spark, dir)
     val labels = spark.read.parquet(ensureIdxLabels(spark, dir))
     val batch = docs.filter(col("doc_id") % 5 === 0)
-    val cross = Dedup.incrementalNeardup(spark, batch, idxPath, 0.8,
-        maxBucket = 1, skewMode = "drop")
-      .select(col("batch_id").as("a_id"), col("corpus_id").as("b_id"))
+    // shared shingle/signature frames — see the salted twin's note
     val bsh = graft.core.CacheScope.track(Dedup.shingleFrame(batch).persist())
+    val bSigs = graft.core.CacheScope.track(
+      Dedup.signaturesFromShingles(bsh).persist())
+    val cross = Dedup.incrementalNeardupOnShingles(spark, bsh, bSigs, idxPath,
+        0.8, maxBucket = 1, skewMode = "drop")
+      .select(col("batch_id").as("a_id"), col("corpus_id").as("b_id"))
     val internal = Dedup.verifyJaccardOnShingles(bsh,
-        Dedup.candidatePairs(
-          Dedup.signaturesFromShingles(bsh), maxBucket = 1), 0.8)
+        Dedup.candidatePairs(bSigs, maxBucket = 1), 0.8)
       .select(col("a_id"), col("b_id"))
     Dedup.mergeIntoClusters(labels, internal.union(cross))
   }

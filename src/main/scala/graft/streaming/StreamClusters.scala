@@ -199,17 +199,24 @@ object StreamClusters {
       val spark = df.sparkSession
       if (!df.isEmpty) {
         val batch = graft.core.CacheScope.track(df.persist())
+        // ONE batch shingle + signature projection feeds BOTH screens
+        // (r16: the cross screen used to re-shingle the batch inside
+        // incrementalNeardup — a whole tokenize→shingle→md5 pass per
+        // trigger, twice). bSigs is persisted because three join sides
+        // read it: the cross screen's band fan-out and both sides of
+        // the internal candidate self-join.
+        val bsh = graft.core.CacheScope.track(
+          Dedup.shingleFrame(batch).persist())
+        val bSigs = graft.core.CacheScope.track(
+          Dedup.signaturesFromShingles(bsh).persist())
         // cross pairs: the batch screened against the standing index
         // (d9's operational screen — index bands for candidates, stored
         // shingles for the exact verify; the corpus text never re-read)
-        val cross = Dedup.incrementalNeardup(spark, batch, indexPath,
-            minJaccard, maxBucket = maxBucket, skewMode = skewMode)
+        val cross = Dedup.incrementalNeardupOnShingles(spark, bsh, bSigs,
+            indexPath, minJaccard, maxBucket = maxBucket, skewMode = skewMode)
           .select(col("batch_id").as("a_id"), col("corpus_id").as("b_id"))
         // batch-internal pairs: new docs duplicating each other within
         // this trigger
-        val bsh = graft.core.CacheScope.track(
-          Dedup.shingleFrame(batch).persist())
-        val bSigs = Dedup.signaturesFromShingles(bsh)
         val internalCand =
           if (skewMode == "salt" && maxBucket > 0)
             Dedup.candidatePairsSalted(bSigs, maxBucket = maxBucket)
@@ -255,6 +262,7 @@ object StreamClusters {
             merged.write.mode("overwrite").parquet(scratch)
           }
         }
+        bSigs.unpersist()
         bsh.unpersist()
         batch.unpersist()
       }
